@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after a
+one-time session warmup, so JVM startup is excluded but real scan/shuffle
+work is included.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from realtime_gmall_flink_spark.plans.catalog import catalog
+from realtime_gmall_flink_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="gmall-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headliners = {
+        name: q for name, q in catalog().items() if q.headline
+    }
+    # warmup: touch every input once so OS page cache / codegen warm equally
+    for name in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(headliners.items()):
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,389 @@
+"""Text / LLM-data-pipeline queries over the ``documents`` table.
+
+Covers the reference's tokenizer UDTF surface (SURVEY 2.11 F1 — the
+keyword-frequency job) and the training-data-pipeline extensions: exact
+dedup, n-gram Jaccard near-dup, MinHash/LSH banding, SimHash, language ID,
+quality scoring, token statistics, document fingerprinting.
+
+Every sketch is md5-based so the DuckDB oracle computes bit-identical
+values. All expressions are JVM-side (split/transform/aggregate over
+arrays); no Python UDFs in any hot path.
+
+Scale notes: near-dup joins shuffle on shingle/band digests (fixed-width),
+never document text; the O(n^2) pair space only materializes within
+shingle/band buckets. At 100 TB you'd additionally cap bucket width (drop
+shingles with document frequency above a threshold — stop-shingles) — noted
+in the builder below, not needed at test SFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sketches import band_keys, minhash_signature, simhash16, word_shingles
+from ..functions.textstats import (
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    predict_language,
+    quality_score,
+    token_count,
+)
+from ..functions.tokenize import explode_tokens, tokenize
+from ..operators.dedup import exact_dedup
+from ..sources.testdata import load_table
+from .catalog import register
+
+JACCARD_THRESHOLD = 0.5
+_WORDS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
+    " i -> array_to_string(w[i:i+2], ' '))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# F1/A5 — tokenizer table function + frequency (the ik_analyze keyword job,
+# DwsTrafficSourceKeywordPageViewWindow.java:96-113)
+@register(
+    "keyword_frequency",
+    survey="F1,A5",
+    headline=True,
+    oracle="""
+SELECT word, count(*) AS keyword_ct
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+""",
+)
+def keyword_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        explode_tokens(docs, "text", "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("keyword_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash-groupBy on content digest
+@register(
+    "dedup_exact_documents",
+    survey="D1(ext),F1",
+    oracle="""
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("__fp", F.md5("text"))
+    return exact_dedup(docs, "__fp", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint over normalized text
+@register(
+    "doc_fingerprint",
+    survey="F1(ext)",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact, shingle-join prefiltered)
+@register(
+    "near_dup_jaccard",
+    survey="J1(ext),A7(ext)",
+    headline=True,
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM w
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
+""",
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # Shuffle key is the shingle text; at larger SFs hash it first
+    # (md5(shingle)) and drop stop-shingles with document frequency over a
+    # cap to bound bucket width.
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("__da"), F.col("n").alias("__na")
+            ),
+            F.col("doc_a") == F.col("__da"),
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("__db"), F.col("n").alias("__nb")
+            ),
+            F.col("doc_b") == F.col("__db"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures banded for LSH (8 hashes, 4 bands x 2 rows)
+@register(
+    "minhash_bands",
+    survey="F1(ext),P10(ext)",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), s AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w WHERE len(w) >= 3
+), m AS (
+    SELECT doc_id,
+           {", ".join(f"list_min(list_transform(sh, x -> md5('{i}|' || x))) AS m{i}" for i in range(8))}
+    FROM s WHERE len(sh) > 0
+)
+SELECT doc_id, 0 AS band_idx, concat_ws('|', '0', m0, m1) AS band_key FROM m
+UNION ALL
+SELECT doc_id, 1, concat_ws('|', '1', m2, m3) FROM m
+UNION ALL
+SELECT doc_id, 2, concat_ws('|', '2', m4, m5) FROM m
+UNION ALL
+SELECT doc_id, 3, concat_ws('|', '3', m6, m7) FROM m
+""",
+)
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = word_shingles("text", 3)
+    sig = minhash_signature(sh, num_hashes=8)
+    banded = (
+        docs.filter(F.size(sh) > 0)
+        .select("doc_id", band_keys(sig, bands=4, rows_per_band=2).alias("bk"))
+        .select("doc_id", F.posexplode("bk").alias("band_idx", "band_key"))
+    )
+    return banded
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH candidate pairs: docs sharing at least one band
+@register(
+    "near_dup_minhash_pairs",
+    survey="J1(ext)",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), s AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w WHERE len(w) >= 3
+), m AS (
+    SELECT doc_id,
+           {", ".join(f"list_min(list_transform(sh, x -> md5('{i}|' || x))) AS m{i}" for i in range(8))}
+    FROM s WHERE len(sh) > 0
+), bands AS (
+    SELECT doc_id, concat_ws('|', '0', m0, m1) AS band_key FROM m
+    UNION ALL SELECT doc_id, concat_ws('|', '1', m2, m3) FROM m
+    UNION ALL SELECT doc_id, concat_ws('|', '2', m4, m5) FROM m
+    UNION ALL SELECT doc_id, concat_ws('|', '3', m6, m7) FROM m
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS shared_bands
+FROM bands a JOIN bands b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def near_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = minhash_bands(spark, sf_dir)
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint (16-bit, md5-nibble voting over distinct tokens)
+def _simhash_sql() -> str:
+    terms = []
+    for i in range(1, 5):
+        for b in range(4):
+            bit = 4 * (i - 1) + b
+            vote = (
+                "list_sum(list_transform(dw, w -> CASE WHEN"
+                f" (CAST(('0x' || substr(md5(w), {i}, 1)) AS BIGINT)"
+                f" & {1 << b}) <> 0 THEN 1 ELSE -1 END))"
+            )
+            terms.append(
+                f"(CASE WHEN {vote} > 0 THEN {1 << bit} ELSE 0 END)"
+            )
+    fp = " + ".join(terms)
+    return f"""
+WITH d AS (
+    SELECT doc_id, list_distinct({_WORDS_SQL}) AS dw FROM documents
+)
+SELECT doc_id, CAST({fp} AS INTEGER) AS simhash FROM d
+"""
+
+
+@register("simhash_fingerprint", survey="F1(ext)", oracle=_simhash_sql())
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", simhash16(tokenize("text")).cast("int").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword n-gram heuristic) — deterministic argmax
+def _langid_sql() -> str:
+    score = {
+        lang: (
+            "len(list_filter(lw, x -> x IN ("
+            + ", ".join(f"'{w}'" for w in words)
+            + ")))"
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = list(score)
+    best = f"'{langs[0]}'"
+    best_score = score[langs[0]]
+    for lang in langs[1:]:
+        s = score[lang]
+        best = f"(CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best} END)"
+        best_score = (
+            f"(CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END)"
+        )
+    return f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS lw
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN {best_score} > 0 THEN {best} ELSE 'und' END AS lang_pred
+FROM d
+"""
+
+
+@register("doc_language_id", survey="F1(ext),P10(ext)", oracle=_langid_sql())
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", "lang", predict_language("text").alias("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring + token counting per document
+@register(
+    "text_quality",
+    survey="P10(ext)",
+    oracle="""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS DOUBLE) AS toks,
+           CAST(length(text) AS DOUBLE) AS chars
+    FROM documents
+)
+SELECT doc_id,
+       CAST(toks AS INTEGER) AS token_ct,
+       round(0.6 * least(1.0, toks / 50.0)
+             + 0.4 * (CASE WHEN toks > 0
+                            AND (chars - (toks - 1.0)) / toks >= 3.0
+                            AND (chars - (toks - 1.0)) / toks <= 9.0
+                           THEN 1.0 ELSE 0.0 END), 4) AS quality
+FROM d
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("token_ct"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics by language
+@register(
+    "text_stats_by_lang",
+    survey="A4(ext)",
+    oracle="""
+SELECT lang,
+       count(*) AS doc_ct,
+       CAST(sum(length(text)) AS BIGINT) AS char_sum,
+       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS token_sum,
+       CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.sum(F.length("text")).alias("char_sum"),
+        F.sum(token_count("text")).alias("token_sum"),
+        (
+            F.sum(F.length("text")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_chars"),
+    )

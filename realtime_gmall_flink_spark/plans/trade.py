@@ -1,0 +1,394 @@
+"""Trade-side queries over the TPC-H-ish tables.
+
+Re-express the reference's db-side DWD fact derivation and trade DWS
+aggregations (SURVEY 2.4 J1-J5, 2.5 A4/A7, 2.9) on orders/lineitem/
+customer/nation/region/part/supplier: order_info ~ orders, order_detail ~
+lineitem, base_province ~ nation, the sku->spu->trademark->category cascade
+~ customer->nation->region. Plus two TPC-H classics as bench headliners.
+
+Join strategy at scale: dimension sides (customer at this ratio, nation,
+region, part, supplier) are broadcast so the fact table never shuffles for
+enrichment; the lineitem-orders join shuffles on the join key once and AQE
+may still convert it to broadcast at lower SFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..operators.joins import dim_cascade, lookup_join
+from ..sources.testdata import load_table
+from ._parity import dec, dsum, DSUM_SQL
+from .catalog import register
+
+# Exact revenue: decimal product of 2-dec price and (1 - 2-dec discount),
+# summed exactly, surfaced as double.
+_REV_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
+def _revenue() -> F.Column:
+    one = F.lit(1).cast("decimal(18,2)")
+    return F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast(
+        "double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 — pricing summary (scan + filter + hash agg; whole-stage codegen
+# path; the bench's scan/agg headliner)
+@register(
+    "tpch_q1",
+    survey="P7,A4",
+    headline=True,
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM_SQL('l_quantity')} AS sum_qty,
+       {DSUM_SQL('l_extendedprice')} AS sum_base_price,
+       {_REV_SQL} AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       {DSUM_SQL('l_quantity')} / count(*) AS avg_qty,
+       {DSUM_SQL('l_extendedprice')} / count(*) AS avg_price,
+       {DSUM_SQL('l_discount')} / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            _revenue().alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (one - dec("l_discount"))
+                * (one + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (dsum("l_quantity") / cnt).alias("avg_qty"),
+            (dsum("l_extendedprice") / cnt).alias("avg_price"),
+            (dsum("l_discount") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style — join + agg + deterministic top-k (sort/limit)
+@register(
+    "tpch_q3_top_orders",
+    survey="J1,A7",
+    headline=True,
+    oracle=f"""
+SELECT l_orderkey, {_REV_SQL} AS revenue, o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"], "inner"
+        )
+        .join(broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J3/J4 — detail-grain fact enrichment; the same dim (nation) joined
+# twice under different keys, like base_dic as type_dic/reason_dic
+# (DwdTradeOrderRefund.java:125-134)
+@register(
+    "order_detail_enriched",
+    survey="J1,J3,J4,P3",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
+       c_name, cn.n_name AS cust_nation,
+       s_name, sn.n_name AS supp_nation
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+""",
+)
+def order_detail_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    fact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+    # inner lookup joins: FK integrity holds in this schema, and the oracle's
+    # plain JOINs are inner; lookup_join defaults to left for dirty data.
+    fact = lookup_join(
+        fact, cust, "o_custkey", "c_custkey",
+        [("c_name", "c_name"), ("c_nationkey", "__c_nk")], how="inner",
+    )
+    fact = lookup_join(
+        fact, nation, "__c_nk", "n_nationkey",
+        [("n_name", "cust_nation")], how="inner",
+    )
+    fact = lookup_join(
+        fact, supp, "l_suppkey", "s_suppkey",
+        [("s_name", "s_name"), ("s_nationkey", "__s_nk")], how="inner",
+    )
+    fact = lookup_join(
+        fact, nation, "__s_nk", "n_nationkey",
+        [("n_name", "supp_nation")], how="inner",
+    )
+    return fact.select(
+        "l_orderkey",
+        "l_linenumber",
+        (dec("l_extendedprice") * (one - dec("l_discount")))
+        .cast("double")
+        .alias("net_price"),
+        "c_name",
+        "cust_nation",
+        "s_name",
+        "supp_nation",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — cascaded dimension enrichment + rollup (the 6-hop trademark/category
+# cascade of DwsTradeTrademarkCategoryUserSpuOrderWindow.java:215-339,
+# expressed as customer -> nation -> region broadcast hops)
+@register(
+    "dim_cascade_region_revenue",
+    survey="J5,A7,A1",
+    headline=True,
+    oracle=f"""
+SELECT r_name, n_name,
+       count(DISTINCT o_orderkey) AS order_ct,
+       {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def dim_cascade_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+    fact = dim_cascade(
+        fact,
+        [
+            (
+                load_table(spark, sf_dir, "customer"),
+                "o_custkey",
+                "c_custkey",
+                [("c_nationkey", "__nk")],
+            ),
+            (
+                load_table(spark, sf_dir, "nation"),
+                "__nk",
+                "n_nationkey",
+                [("n_name", "n_name"), ("n_regionkey", "__rk")],
+            ),
+            (
+                load_table(spark, sf_dir, "region"),
+                "__rk",
+                "r_regionkey",
+                [("r_name", "r_name")],
+            ),
+        ],
+    )
+    return fact.groupBy("r_name", "n_name").agg(
+        F.countDistinct("o_orderkey").alias("order_ct"),
+        _revenue().alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/A6 — per-day order window with unique and first-time (new) users
+# (dws_trade_order_window, DwsTradeOrderWindow.java:183-303)
+@register(
+    "trade_order_window",
+    survey="A4,A6,W1,P7",
+    headline=True,
+    oracle=f"""
+WITH o AS (
+    SELECT o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date,
+           min(CAST(o_orderdate AS DATE))
+               OVER (PARTITION BY o_custkey) AS first_date
+    FROM orders
+)
+SELECT order_date,
+       count(*) AS order_ct,
+       count(DISTINCT o_custkey) AS order_user_ct,
+       count(DISTINCT CASE WHEN order_date = first_date
+                           THEN o_custkey END) AS new_user_ct,
+       {DSUM_SQL('o_totalprice')} AS amount_sum
+FROM o GROUP BY order_date
+""",
+)
+def trade_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey")
+    o = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        od.alias("order_date"),
+        F.min(od).over(w).alias("first_date"),
+    )
+    return o.groupBy("order_date").agg(
+        F.count(F.lit(1)).alias("order_ct"),
+        F.countDistinct("o_custkey").alias("order_user_ct"),
+        F.countDistinct(
+            F.when(F.col("order_date") == F.col("first_date"), F.col("o_custkey"))
+        ).alias("new_user_ct"),
+        dsum("o_totalprice").alias("amount_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — distinct-order count per province(nation), dim joined AFTER the
+# aggregation exactly like the reference's post-agg join
+# (dws_trade_province_order_window, DwsTradeProvinceOrderWindow.java:153-253)
+@register(
+    "province_order_window",
+    survey="A7,J5,A1",
+    oracle=f"""
+WITH agg AS (
+    SELECT c_nationkey,
+           count(DISTINCT o_orderkey) AS order_ct,
+           {DSUM_SQL('o_totalprice')} AS order_amount
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+)
+SELECT c_nationkey AS province_id, n_name AS province_name,
+       order_ct, order_amount
+FROM agg JOIN nation ON c_nationkey = n_nationkey
+""",
+)
+def province_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    agg = (
+        orders.join(
+            broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+            "inner",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_ct"),
+            dsum("o_totalprice").alias("order_amount"),
+        )
+    )
+    # Post-aggregation dim join: rows are already reduced to one per nation.
+    enriched = lookup_join(
+        agg, nation, "c_nationkey", "n_nationkey",
+        [("n_name", "province_name")], how="inner",
+    )
+    return enriched.select(
+        F.col("c_nationkey").alias("province_id"),
+        "province_name",
+        "order_ct",
+        "order_amount",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-dim group (trademark x category analog: brand x type)
+# (dws_trade_trademark_category_user_spu_order_window)
+@register(
+    "brand_type_order_window",
+    survey="A7,J5",
+    oracle=f"""
+SELECT p_brand, p_type,
+       count(DISTINCT l_orderkey) AS order_ct,
+       {DSUM_SQL('l_quantity')} AS qty_sum,
+       {_REV_SQL} AS amount_sum
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+""",
+)
+def brand_type_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_orderkey").alias("order_ct"),
+            dsum("l_quantity").alias("qty_sum"),
+            _revenue().alias("amount_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# refund analog — returned lineitems per brand
+# (dws_trade_trademark_category_user_refund_window)
+@register(
+    "brand_refund_window",
+    survey="A7,P4,P7",
+    oracle=f"""
+SELECT p_brand,
+       count(DISTINCT l_orderkey) AS refund_order_ct,
+       {DSUM_SQL('l_extendedprice')} AS refund_amount
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_returnflag = 'R'
+GROUP BY p_brand
+""",
+)
+def brand_refund_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_orderkey").alias("refund_order_ct"),
+            dsum("l_extendedprice").alias("refund_amount"),
+        )
+    )

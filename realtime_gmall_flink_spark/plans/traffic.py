@@ -1,0 +1,381 @@
+"""Traffic/user-behavior queries over the ``events`` table.
+
+These re-express the reference's log-side DWD jobs and DWS windowed
+aggregations (SURVEY section 2.3/2.5-2.8) on the driver's event stream:
+``events(event_id, ts, user_id, event_type, value, props)`` stands in for
+``topic_log`` (user_id ~ mid/uid, event_type ~ page_id, props ~ nested
+payload). The gmall-schema pipelines themselves live in plans.gmall; here
+the same operators run on driver data so they are oracle-checkable.
+
+The reference's 10 s tumbling windows are widened to 10 minutes to match
+this dataset's event density; the operator (epoch-aligned tumble + agg) is
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import latest_row_per_key
+from ..operators.jumpout import jump_out_batch
+from ..operators.routing import route_by_config
+from ..operators.visitor import first_per_period, first_visit_repair, gap_flag
+from ..operators.windows import tumble_agg
+from ..sources.testdata import load_table
+from ._parity import dsum, DSUM_SQL
+from .catalog import register
+
+_BUCKET = "time_bucket(INTERVAL '10 minutes', ts)"
+SESSION_GAP_S = 1800  # sessionization gap for the jump-out analog
+_GAP_US = SESSION_GAP_S * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# A1/W1 — keyed tumbling-window multi-measure aggregation
+# (dws_traffic_vc_ch_ar_is_new_page_view_window,
+#  reference app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:225-280)
+@register(
+    "traffic_event_type_window",
+    survey="A1,W1,K4",
+    headline=True,
+    oracle=f"""
+SELECT {_BUCKET} AS stt,
+       {_BUCKET} + INTERVAL '10 minutes' AS edt,
+       event_type,
+       count(*) AS pv_ct,
+       count(DISTINCT user_id) AS uv_ct,
+       {DSUM_SQL('value')} AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def traffic_event_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumble_agg(
+        ev,
+        "ts",
+        "10 minutes",
+        ["event_type"],
+        {
+            "pv_ct": F.count(F.lit(1)),
+            "uv_ct": F.countDistinct("user_id"),
+            "value_sum": dsum("value"),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — global (non-keyed) window with conditional distinct counts
+# (dws_traffic_page_view_window, DwsTrafficPageViewWindow.java:115-207)
+@register(
+    "traffic_home_detail_uv_window",
+    survey="A2,W1",
+    oracle=f"""
+SELECT {_BUCKET} AS stt,
+       {_BUCKET} + INTERVAL '10 minutes' AS edt,
+       count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS home_uv_ct,
+       count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS good_detail_uv_ct
+FROM events
+GROUP BY 1, 2
+""",
+)
+def traffic_home_detail_uv_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumble_agg(
+        ev,
+        "ts",
+        "10 minutes",
+        [],
+        {
+            "home_uv_ct": F.countDistinct(
+                F.when(F.col("event_type") == "view", F.col("user_id"))
+            ),
+            "good_detail_uv_ct": F.countDistinct(
+                F.when(F.col("event_type") == "click", F.col("user_id"))
+            ),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — filtered windowed count (dws_user_user_register_window,
+# DwsUserUserRegisterWindow.java:89-138)
+@register(
+    "user_register_window",
+    survey="A3,W1,P7",
+    oracle=f"""
+SELECT {_BUCKET} AS stt,
+       {_BUCKET} + INTERVAL '10 minutes' AS edt,
+       count(*) AS register_ct
+FROM events
+WHERE event_type = 'signup'
+GROUP BY 1, 2
+""",
+)
+def user_register_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    return tumble_agg(
+        ev, "ts", "10 minutes", [], {"register_ct": F.count(F.lit(1))}
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — first-row-per-(key, day): the unique-visitor-detail operator
+# (dwd_traffic_unique_visitor_detail, DwdTrafficUniqueVisitorDetail.java:86-116)
+@register(
+    "unique_visitor_detail",
+    survey="A6,D4,W8",
+    oracle="""
+SELECT event_id, user_id, ts, CAST(ts AS DATE) AS visit_date
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+) = 1
+""",
+)
+def unique_visitor_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uv = first_per_period(ev, "user_id", "ts", tiebreak=("event_id",))
+    return uv.select(
+        "event_id", "user_id", "ts", F.to_date("ts").alias("visit_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 — first-visit (is_new) repair (BaseLogApp.java:109-149)
+@register(
+    "visitor_repair",
+    survey="D4",
+    oracle="""
+SELECT event_id, user_id,
+       CASE WHEN CAST(ts AS DATE) = min(CAST(ts AS DATE))
+                 OVER (PARTITION BY user_id)
+            THEN 1 ELSE 0 END AS is_new
+FROM events
+""",
+)
+def visitor_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return first_visit_repair(ev, "user_id", "ts").select(
+        "event_id", "user_id", "is_new"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 gap variant — unique users + 8-day back-flow per day
+# (dws_user_user_login_window, DwsUserUserLoginWindow.java:126-217)
+@register(
+    "user_login_window",
+    survey="A6,A2,W1",
+    oracle="""
+WITH daily AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events
+), flags AS (
+    SELECT dt,
+           CASE WHEN lag(dt) OVER w IS NOT NULL
+                 AND date_diff('day', lag(dt) OVER w, dt) >= 8
+                THEN 1 ELSE 0 END AS is_back
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY dt)
+)
+SELECT dt AS cur_date,
+       count(*) AS uu_ct,
+       CAST(sum(is_back) AS BIGINT) AS back_ct
+FROM flags GROUP BY dt
+""",
+)
+def user_login_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.to_date("ts").alias("dt")
+    ).distinct()
+    flagged = gap_flag(daily, "user_id", "dt", min_gap_days=8)
+    return flagged.groupBy(F.col("dt").alias("cur_date")).agg(
+        F.count(F.lit(1)).alias("uu_ct"),
+        F.sum("is_back").alias("back_ct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — jump-out (bounce) detection, the CEP analog
+# (dwd_traffic_user_jump_detail, DwdTrafficUserJumpDetail.java:104-147).
+# Session-start = first event or >30 min gap; a start bounces when no
+# non-start event follows within the gap window.
+@register(
+    "user_jump_detail",
+    survey="W5,J7,W2",
+    oracle=f"""
+WITH t AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('microsecond', lag(ts) OVER w, ts) > {_GAP_US}
+                THEN TRUE ELSE FALSE END AS is_start,
+           lead(ts) OVER w AS nxt_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts
+FROM t
+WHERE is_start
+  AND (nxt_ts IS NULL
+       OR date_diff('microsecond', ts, nxt_ts) > {_GAP_US})
+""",
+)
+def user_jump_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(w)
+    with_start = ev.withColumn(
+        "__is_start",
+        prev_ts.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")) > _GAP_US),
+    )
+    jumps = jump_out_batch(
+        with_start,
+        key="user_id",
+        ts_col="ts",
+        is_session_start=F.col("__is_start"),
+        timeout_seconds=SESSION_GAP_S,
+        tiebreak="event_id",
+    )
+    return jumps.select("event_id", "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# D1 — latest-row-per-key dedup (DwsTradeOrderWindow.java:122-164 idiom)
+@register(
+    "dedup_latest_event",
+    survey="D1,D2,D3",
+    headline=True,
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+) = 1
+""",
+)
+def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_row_per_key(
+        ev, keys=("user_id", "event_type"), order_by=("ts", "event_id")
+    )
+    return latest.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# P3/P6 — CDC-style JSON field projection + predicate on extracted value
+# (DwdTradeOrderPreProcess.java:68-86; DwdToolCouponOrder.java:101-111)
+@register(
+    "cdc_json_project",
+    survey="P3,P6,P1",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       value
+FROM events
+WHERE event_type = 'purchase'
+  AND CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+""",
+)
+def cdc_json_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .select("event_id", "user_id", "k", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6/P9 — broadcast config-table routing (DimSinkApp.java:106-114,
+# MyBroadcastFunction.java:43-97)
+_ROUTE_CONFIG = [
+    ("click", "dwd_traffic_click"),
+    ("view", "dwd_traffic_page"),
+    ("purchase", "dwd_trade_order"),
+    ("signup", "dwd_user_register"),
+]
+_ROUTE_VALUES = ", ".join(f"('{s}', '{t}')" for s, t in _ROUTE_CONFIG)
+
+
+@register(
+    "config_routed_counts",
+    survey="J6,P9,K3",
+    oracle=f"""
+SELECT cfg.sink_table,
+       count(*) AS event_ct,
+       {DSUM_SQL('value')} AS value_sum
+FROM events e
+JOIN (VALUES {_ROUTE_VALUES}) AS cfg(source_table, sink_table)
+  ON e.event_type = cfg.source_table
+GROUP BY cfg.sink_table
+""",
+)
+def config_routed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cfg = spark.createDataFrame(
+        _ROUTE_CONFIG, schema="source_table string, sink_table string"
+    )
+    routed = route_by_config(ev, cfg, route_key="event_type")
+    return routed.groupBy("sink_table").agg(
+        F.count(F.lit(1)).alias("event_ct"),
+        dsum("value").alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2/P10 — split into typed branches with constant measures, union back,
+# window-sum (the TrafficPageViewBean union pattern,
+# DwsTrafficVcChArIsNewPageViewWindow.java:84-206)
+@register(
+    "split_union_daily",
+    survey="U1,U2,P10,K5",
+    oracle="""
+WITH tagged AS (
+    SELECT CAST(ts AS DATE) AS dt, 1 AS pv, 0 AS clk, 0 AS err
+    FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT CAST(ts AS DATE) AS dt, 0 AS pv, 1 AS clk, 0 AS err
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT CAST(ts AS DATE) AS dt, 0 AS pv, 0 AS clk, 1 AS err
+    FROM events WHERE event_type = 'error'
+)
+SELECT dt,
+       CAST(sum(pv) AS BIGINT) AS pv_ct,
+       CAST(sum(clk) AS BIGINT) AS click_ct,
+       CAST(sum(err) AS BIGINT) AS error_ct
+FROM tagged GROUP BY dt
+""",
+)
+def split_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def branch(etype: str, pv: int, clk: int, err: int) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            F.to_date("ts").alias("dt"),
+            F.lit(pv).alias("pv"),
+            F.lit(clk).alias("clk"),
+            F.lit(err).alias("err"),
+        )
+
+    tagged = (
+        branch("view", 1, 0, 0)
+        .unionByName(branch("click", 0, 1, 0))
+        .unionByName(branch("error", 0, 0, 1))
+    )
+    return tagged.groupBy("dt").agg(
+        F.sum("pv").alias("pv_ct"),
+        F.sum("clk").alias("click_ct"),
+        F.sum("err").alias("error_ct"),
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Brute-force cosine top-k is the correctness baseline; a deterministic
+sign-LSH bucketing is the scale path (candidate generation becomes an
+equi-join on an 8-bit bucket id, cutting the pair space ~256x; at 100 TB
+you'd use more bits + multi-probe).
+
+Parity: all arithmetic is double, folded left-to-right in array order in
+both engines (Spark aggregate/zip_with vs DuckDB list_sum over
+list_transform), so results are bit-identical; ordering ties are broken by
+vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.similarity import cosine_similarity, sign_lsh_bucket
+from ..sources.testdata import load_table
+from .catalog import register
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+# dot(a,b), ||a||, ||b|| as sequential double folds (dim is 64).
+_DOT = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))"
+)
+_NORM_A = (
+    "sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+)
+_NORM_Q = (
+    "sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))"
+)
+_COS = f"{_DOT} / ({_NORM_A} * {_NORM_Q})"
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{2 * i + 1}] > embedding[{2 * i + 2}]"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i in range(8)
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k for one query vector
+@register(
+    "ann_cosine_topk",
+    survey="J5(ext)",
+    headline=True,
+    oracle=f"""
+WITH q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id, round({_COS}, 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY round({_COS}, 6) DESC, vec_id
+LIMIT {TOP_K}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucket histogram (the partition layout of the scale path)
+@register(
+    "lsh_bucket_stats",
+    survey="A3(ext)",
+    oracle=f"""
+SELECT CAST({_BUCKET_SQL} AS INTEGER) AS bucket, count(*) AS vec_ct
+FROM embeddings
+GROUP BY 1
+""",
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            sign_lsh_bucket(F.col("embedding"), bits=8)
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("vec_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed ANN: exact cosine only within the query vector's LSH bucket
+@register(
+    "ann_lsh_topk",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+    FROM embeddings
+), q AS (
+    SELECT embedding AS qe, bucket AS qbucket FROM b
+    WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id, round({_COS}, 6) AS cos_sim
+FROM b, q
+WHERE b.bucket = q.qbucket AND vec_id <> {QUERY_VEC_ID}
+ORDER BY round({_COS}, 6) DESC, vec_id
+LIMIT {TOP_K}
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", sign_lsh_bucket(F.col("embedding"), bits=8).cast("int")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        emb.crossJoin(broadcast(q))
+        .filter(
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
