@@ -1,0 +1,135 @@
+"""End-to-end streaming jobs and sinks.
+
+- windowed aggregation with watermark (W1-W3): shares tumble_agg with batch.
+- memory-sink runner for tests/driver demos (availableNow trigger = process
+  everything currently in the source, then stop — the batch-parity mode).
+- changelog upsert sink (K2/K3/D1 streaming): per micro-batch latest-row
+  dedup merged into a parquet target, keep max version per PK — the
+  upsert-kafka/Phoenix analog. Production target would be a lakehouse MERGE
+  (same plan shape); parquet keeps the container dependency-free.
+- log fan-out (K5): one foreachBatch writing the 5-way split in a single
+  checkpointed query, like the reference's five producers in one job.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import latest_row_per_key
+from ..operators.windows import tumble_agg
+
+_MEMSINK_SEQ = 0
+
+
+def run_to_memory(
+    df: DataFrame, mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a streaming DF with availableNow into a memory sink; block until
+    done; return the result table. Complete mode surfaces all windows
+    (append would hold back windows the final watermark hasn't passed)."""
+    global _MEMSINK_SEQ
+    _MEMSINK_SEQ += 1
+    qname = name or f"memsink_{os.getpid()}_{_MEMSINK_SEQ}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(qname)
+
+
+def streaming_tumble_agg(
+    stream: DataFrame,
+    ts_col: str,
+    size: str,
+    dims: list[str],
+    aggs: Mapping[str, Column],
+    watermark: str = "3 seconds",
+) -> DataFrame:
+    """W1+W3: watermarked tumbling aggregation (the SQL-job shape,
+    DwsTrafficSourceKeywordPageViewWindow.java:81-113)."""
+    return tumble_agg(
+        stream, ts_col, size, dims, aggs, watermark=watermark
+    )
+
+
+def upsert_sink(
+    target_dir: str, keys: list[str], version_col: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: collapse the micro-batch to latest-per-key, merge
+    with the target, keep max version (D1 applied at the sink boundary).
+
+    The read-union-overwrite is the dependency-free stand-in for
+    ``MERGE INTO target USING batch ON keys WHEN MATCHED AND
+    batch.version > target.version THEN UPDATE``; at 100 TB the target
+    would be a partitioned lakehouse table and the merge touches only
+    matched partitions.
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        collapsed = latest_row_per_key(
+            batch, keys=keys, order_by=[version_col]
+        )
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet")
+            for root, _, files in os.walk(target_dir)
+            for f in files
+        ):
+            current = spark.read.parquet(target_dir)
+            merged = latest_row_per_key(
+                current.unionByName(collapsed),
+                keys=keys,
+                order_by=[version_col],
+            )
+        else:
+            merged = collapsed
+        tmp = target_dir.rstrip("/") + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(target_dir)
+
+    return write
+
+
+def log_fanout_sink(
+    split_fn: Callable[[DataFrame], dict[str, DataFrame]],
+    base_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """K5: one checkpointed query, N append targets (the reference's 5
+    Kafka producers, BaseLogApp.java:281-285)."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.cache()
+        try:
+            for name, branch in split_fn(batch).items():
+                branch.write.mode("append").parquet(
+                    os.path.join(base_dir, name)
+                )
+        finally:
+            batch.unpersist()
+
+    return write
+
+
+def start_foreach_batch(
+    stream: DataFrame,
+    body: Callable[[DataFrame, int], None],
+    checkpoint: str,
+) -> "object":
+    """Wire a foreachBatch job with availableNow + checkpoint (3 s
+    exactly-once checkpoints in the reference -> structured-streaming
+    checkpointing here)."""
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

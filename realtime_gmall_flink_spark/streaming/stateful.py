@@ -1,0 +1,135 @@
+"""Streaming stateful operators (SURVEY D1/D4/A6/W5 streaming forms).
+
+The reference implements these with Flink keyed ValueState + timers; here
+they are Arrow-batched ``applyInPandasWithState`` operators. State layouts
+mirror the reference's:
+
+- UV / first-per-day  : (key -> last seen date)        [A6, state TTL by
+                        date compare, W8]
+- first-visit repair  : (key -> first seen date)       [D4]
+- jump-out            : (key -> pending session start) [W5, event-time
+                        timeout via GroupStateTimeout.EventTimeTimeout]
+
+Each processes whole micro-batch groups vectorized; per key the rows of a
+batch are sorted by event time, so intra-batch ordering is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_first_per_day(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    out_schema: str,
+    out_cols: list[str],
+) -> DataFrame:
+    """Emit only each key's first row per calendar day (UV-detail operator,
+    DwdTrafficUniqueVisitorDetail.java:86-116). ``df`` must be keyed-able
+    on ``key`` with a timestamp ``ts_col``; ``out_cols`` are passed through.
+    """
+
+    def fn(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (last_date,) = state.get if state.exists else (None,)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            dates = pdf[ts_col].dt.strftime("%Y-%m-%d")
+            keep = []
+            for idx, d in zip(pdf.index, dates):
+                if d != last_date:
+                    keep.append(idx)
+                    last_date = d
+            if keep:
+                outs.append(pdf.loc[keep, out_cols])
+        state.update((last_date,))
+        for o in outs:
+            yield o
+
+    return (
+        df.groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="last_date string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_jump_out(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    out_schema: str,
+    out_cols: list[str],
+    timeout_seconds: int = 10,
+) -> DataFrame:
+    """W5 streaming: emit session-start rows followed by another start or by
+    silence past the timeout (DwdTrafficUserJumpDetail.java:104-153 — match
+    and timeout side-output unioned).
+
+    State: the pending start's epoch-ms + its passthrough payload (as a
+    JSON string for schema simplicity). An event-time timer fires when the
+    watermark passes pending+timeout.
+    """
+    timeout_ms = timeout_seconds * 1000
+
+    def fn(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        pending = json.loads(state.get[0]) if state.exists else None
+
+        if state.hasTimedOut:
+            if pending is not None:
+                yield pd.DataFrame([pending], columns=out_cols)
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(ts_col)
+        out = []
+        for _, row in rows.iterrows():
+            ts_ms = int(row[ts_col].timestamp() * 1000)
+            is_start = bool(row[start_col])
+            if pending is not None:
+                if ts_ms - pending["__ts_ms"] > timeout_ms or is_start:
+                    out.append({c: pending[c] for c in out_cols})
+                pending = None
+            if is_start:
+                pending = {c: row[c] for c in out_cols}
+                pending["__ts_ms"] = ts_ms
+        if pending is not None:
+            state.update((json.dumps(pending, default=str),))
+            state.setTimeoutTimestamp(pending["__ts_ms"] + timeout_ms)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return (
+        df.groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="pending string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,191 @@
+"""Streaming mode: batch/streaming parity on the same fixture corpus.
+
+Each test feeds the fixture rows through a file-drop source (the Kafka
+stand-in), runs the streaming job with availableNow, and asserts the result
+equals the batch pipeline's output.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_gmall_flink_spark.gmall import log_etl
+from realtime_gmall_flink_spark.operators.windows import tumble_agg
+from realtime_gmall_flink_spark.streaming import jobs, sources, stateful
+
+from . import gmall_fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("topic_log")
+    (d / "part-0.txt").write_text("\n".join(FX.topic_log_rows()) + "\n")
+    return str(d)
+
+
+def _rowset(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+def test_streaming_window_agg_matches_batch(spark, log_dir):
+    def pipeline(raw):
+        page = log_etl.split_log(log_etl.parse_topic_log(raw))["page"]
+        rows = page.withColumn(
+            "event_time", F.timestamp_millis(F.col("ts"))
+        ).select(
+            "event_time", F.col("common.is_new").alias("is_new")
+        )
+        return tumble_agg(
+            rows,
+            "event_time",
+            "10 seconds",
+            ["is_new"],
+            {"pv_ct": F.count(F.lit(1))},
+            watermark="3 seconds",
+        )
+
+    stream_out = jobs.run_to_memory(
+        pipeline(sources.file_stream(spark, log_dir)), mode="complete"
+    )
+    batch_raw = spark.createDataFrame(
+        [(r,) for r in FX.topic_log_rows()], "value string"
+    )
+    batch_out = pipeline(batch_raw)
+    cols = ["stt", "edt", "is_new", "pv_ct"]
+    assert _rowset(stream_out, cols) == _rowset(batch_out, cols)
+    assert stream_out.count() > 0
+
+
+def test_streaming_uv_first_per_day(spark, log_dir):
+    """A6 via applyInPandasWithState equals the batch window-function UV."""
+    raw = sources.file_stream(spark, log_dir)
+    page = log_etl.split_log(log_etl.parse_topic_log(raw))["page"]
+    sess = page.filter(F.col("page.last_page_id").isNull()).select(
+        F.col("common.mid").alias("mid"),
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+        F.col("ts").alias("ts"),
+    ).withWatermark("event_time", "3 seconds")
+    uv_stream = stateful.streaming_first_per_day(
+        sess,
+        key="mid",
+        ts_col="event_time",
+        out_schema="mid string, ts long",
+        out_cols=["mid", "ts"],
+    )
+    got = _rowset(
+        jobs.run_to_memory(uv_stream, mode="append"), ["mid", "ts"]
+    )
+
+    batch_raw = spark.createDataFrame(
+        [(r,) for r in FX.topic_log_rows()], "value string"
+    )
+    batch_page = log_etl.split_log(log_etl.parse_topic_log(batch_raw))["page"]
+    expected = _rowset(
+        log_etl.unique_visitor_detail(batch_page).select("mid", "ts"),
+        ["mid", "ts"],
+    )
+    assert got == expected
+
+
+def test_streaming_jump_out(spark, log_dir):
+    """W5 via event-time timers equals the batch lead() form."""
+    raw = sources.file_stream(spark, log_dir)
+    page = log_etl.split_log(log_etl.parse_topic_log(raw))["page"]
+    rows = page.select(
+        F.col("common.mid").alias("mid"),
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+        F.col("ts").alias("ts"),
+        F.col("page.last_page_id").isNull().alias("is_start"),
+    ).withWatermark("event_time", "3 seconds")
+    jump_stream = stateful.streaming_jump_out(
+        rows,
+        key="mid",
+        ts_col="event_time",
+        start_col="is_start",
+        out_schema="mid string, ts long",
+        out_cols=["mid", "ts"],
+        timeout_seconds=10,
+    )
+    got = _rowset(
+        jobs.run_to_memory(jump_stream, mode="append"), ["mid", "ts"]
+    )
+
+    batch_raw = spark.createDataFrame(
+        [(r,) for r in FX.topic_log_rows()], "value string"
+    )
+    batch_page = log_etl.split_log(log_etl.parse_topic_log(batch_raw))["page"]
+    expected = {
+        (r["mid"], r["ts"])
+        for r in log_etl.user_jump_detail(batch_page)
+        .select(F.col("common.mid").alias("mid"), "ts")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_upsert_sink_latest_wins(spark, tmp_path):
+    """D1 at the sink: changelog re-emits collapse to latest-per-key."""
+    src_dir = tmp_path / "changelog"
+    src_dir.mkdir()
+    (src_dir / "b1.txt").write_text(
+        "D1,1,100.00\nD1,2,175.00\nD2,1,50.00\n"
+    )
+    raw = sources.file_stream(spark, str(src_dir))
+    parsed = raw.select(
+        F.split("value", ",")[0].alias("id"),
+        F.split("value", ",")[1].cast("long").alias("version"),
+        F.split("value", ",")[2].alias("amount"),
+    )
+    target = str(tmp_path / "target")
+    q = jobs.start_foreach_batch(
+        parsed,
+        jobs.upsert_sink(target, keys=["id"], version_col="version"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        (r["id"], r["version"], r["amount"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {("D1", 2, "175.00"), ("D2", 1, "50.00")}
+
+    # second drop: late lower version must NOT overwrite, higher must
+    (src_dir / "b2.txt").write_text("D1,1,999.00\nD2,3,60.00\n")
+    q = jobs.start_foreach_batch(
+        parsed,
+        jobs.upsert_sink(target, keys=["id"], version_col="version"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        (r["id"], r["version"], r["amount"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {("D1", 2, "175.00"), ("D2", 3, "60.00")}
+
+
+def test_log_fanout(spark, log_dir, tmp_path):
+    raw = sources.file_stream(spark, log_dir)
+    parsed = log_etl.parse_topic_log(raw)
+    base = str(tmp_path / "dwd")
+
+    def split_counts(df):
+        split = log_etl.split_log(df, )
+        return {
+            "page": split["page"].select("raw"),
+            "start": split["start"].select("raw"),
+            "err": split["err"].select("raw"),
+            "dirty": split["dirty"],
+        }
+
+    q = jobs.start_foreach_batch(
+        parsed,
+        jobs.log_fanout_sink(split_counts, base),
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(f"{base}/page").count() == 11
+    assert spark.read.parquet(f"{base}/start").count() == 1
+    assert spark.read.parquet(f"{base}/err").count() == 1
+    assert spark.read.parquet(f"{base}/dirty").count() == 1
