@@ -43,7 +43,17 @@ _SHINGLES_SQL = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    # The documents file is a single row group at test SFs, so the scan
+    # cannot split below one task no matter the split size; the per-row
+    # work here (shingling, hashing, sketching) is CPU-bound, so spread it
+    # across cores. A 0.6 MB shuffle buys 32-way parallelism; at real scale
+    # the file count exceeds core count and this becomes a no-op-ish
+    # round-robin of already-parallel input.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return docs
 
 
 # ---------------------------------------------------------------------------
@@ -132,45 +142,53 @@ WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    # Shuffle key is the shingle text; at larger SFs hash it first
-    # (md5(shingle)) and drop stop-shingles with document frequency over a
-    # cap to bound bucket width.
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh"),
+    # Plan shape chosen for scale (one scan, two shuffles, no self-join):
+    # - shingles hashed to 64-bit: the shuffle moves 8-byte longs, not
+    #   shingle text (collisions at 2^-64 are below result precision, so
+    #   the oracle on raw shingles matches);
+    # - per-doc set size computed from the array BEFORE exploding and
+    #   carried alongside, so no size-join later;
+    # - docs sharing a shingle are grouped once (groupBy hash) and ordered
+    #   pairs exploded inside each group — the self-join alternative scans
+    #   and computes the shingle subtree twice or needs a persist. Hot
+    #   shingles (huge doc-frequency) inherently cost f^2 pairs; at real
+    #   scale cap df (stop-shingles) before the pair explosion.
+    arr = F.array_distinct(word_shingles("text", 3))
+    sh = (
+        docs.select("doc_id", arr.alias("arr"))
+        .filter(F.size("arr") > 0)
+        .select(
+            "doc_id",
+            F.size("arr").alias("n"),
+            F.explode("arr").alias("s"),
+        )
+        .select("doc_id", "n", F.xxhash64("s").alias("h"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    grouped = (
+        sh.groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = """
+        flatten(transform(ds, a ->
+            filter(transform(ds, b ->
+                IF(a.doc_id < b.doc_id,
+                   struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.n AS na, b.n AS nb),
+                   CAST(NULL AS
+                        struct<doc_a:bigint,doc_b:bigint,na:int,nb:int>))),
+              p -> p IS NOT NULL)))
+    """
     pairs = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    j = (
-        pairs.join(
-            sizes.select(
-                F.col("doc_id").alias("__da"), F.col("n").alias("__na")
-            ),
-            F.col("doc_a") == F.col("__da"),
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("__db"), F.col("n").alias("__nb")
-            ),
-            F.col("doc_b") == F.col("__db"),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("__na") + F.col("__nb") - F.col("inter")),
-        )
+    j = pairs.withColumn(
+        "jaccard",
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")),
     )
     return j.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "jaccard"

@@ -47,7 +47,13 @@ _BUCKET_SQL = " + ".join(
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # single-row-group file + CPU-bound per-row folds: spread across cores
+    # (see plans.textops._docs for rationale)
+    target = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
+    return emb
 
 
 # ---------------------------------------------------------------------------
