@@ -1,0 +1,180 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema, Arrow batch shape,
+mapInPandas signatures, flat-map fan-out for frame sampling — while the
+actual codec work is stubbed: this container ships no image/audio
+libraries, so decode uses PIL when importable and otherwise a clearly
+marked DETERMINISTIC FAKE that derives pixel statistics from the raw bytes
+(stable across runs, good enough to exercise the pipeline end-to-end).
+
+Scale notes:
+- media bytes travel in Arrow record batches; cap
+  spark.sql.execution.arrow.maxRecordsPerBatch so a batch of large blobs
+  fits in executor memory (e.g. 64 for multi-MB images);
+- operators are mapInPandas (no shuffle); co-locate downstream groupBys by
+  pre-partitioning on the eventual key when fan-out precedes aggregation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, content binary, "
+    "width int, height int, sample_rate int, duration_ms bigint"
+)
+
+DECODED_SCHEMA = (
+    "media_id bigint, width int, height int, "
+    "mean_intensity double, byte_len int"
+)
+
+FEATURE_SCHEMA = "media_id bigint, feature array<double>"
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_ts_ms bigint, frame binary"
+
+
+def _try_pil():
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """Decode image blobs to (width, height, mean intensity).
+
+    Real path: PIL decode. Fake path (no PIL in this container): dimensions
+    from metadata, intensity = mean byte value — DETERMINISTIC FAKE, not a
+    real decode; swap in the PIL branch on a cluster image that ships it.
+    """
+    has_pil = _try_pil()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if has_pil:  # pragma: no cover - library absent in container
+                import io
+
+                import PIL.Image
+
+                def _decode(row):
+                    img = PIL.Image.open(io.BytesIO(row["content"]))
+                    g = img.convert("L")
+                    hist = g.histogram()
+                    total = sum(hist)
+                    mean = (
+                        sum(i * c for i, c in enumerate(hist)) / total
+                        if total
+                        else 0.0
+                    )
+                    return img.width, img.height, mean
+
+                decoded = pdf.apply(_decode, axis=1, result_type="expand")
+                out = pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": decoded[0],
+                        "height": decoded[1],
+                        "mean_intensity": decoded[2],
+                        "byte_len": pdf["content"].map(len),
+                    }
+                )
+            else:
+                out = pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": pdf["width"],
+                        "height": pdf["height"],
+                        "mean_intensity": pdf["content"].map(
+                            lambda b: (sum(b) / len(b)) if len(b) else 0.0
+                        ),
+                        "byte_len": pdf["content"].map(len),
+                    }
+                )
+            yield out
+
+    return df.filter(df["kind"] == "image").mapInPandas(
+        fn, schema=DECODED_SCHEMA
+    )
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Byte-histogram feature vector (normalized), any media kind.
+
+    Deterministic and codec-free: a stand-in with the exact plumbing a real
+    embedding extractor needs (binary in, fixed-dim array<double> out,
+    Arrow-batched)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["content"]:
+                counts = [0] * dim
+                for byte in b:
+                    counts[byte % dim] += 1
+                total = len(b) or 1
+                feats.append([c / total for c in counts])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": feats}
+            )
+
+    return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video rows: 1 -> N fan-out (one row per sampled
+    timestamp). Frame payload: content slice keyed by the frame index —
+    DETERMINISTIC FAKE for the absent video codec; the row fan-out,
+    schema, and timestamp arithmetic are the real operator shape."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = max(int(r["duration_ms"] // every_ms), 0)
+                blob = bytes(r["content"])
+                for i in range(n):
+                    lo = (i * 17) % max(len(blob), 1)
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": i,
+                            "frame_ts_ms": i * every_ms,
+                            "frame": blob[lo : lo + 8],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_ts_ms", "frame"],
+            )
+
+    return df.filter(df["kind"] == "video").mapInPandas(
+        fn, schema=FRAME_SCHEMA
+    )
+
+
+def synth_media(spark, n: int = 20) -> DataFrame:
+    """Deterministic synthetic media table for tests (seeded by media_id)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        blob = hashlib.sha256(str(i).encode()).digest() * (4 + i % 3)
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(blob),
+                64 + i,
+                48 + i,
+                16000 if kind == "audio" else 0,
+                3500 if kind == "video" else 0,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

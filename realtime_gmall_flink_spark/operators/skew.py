@@ -1,0 +1,63 @@
+"""Skew handling: salted two-stage aggregation.
+
+AQE's skew-join splitting covers joins, but a groupBy whose key
+distribution is pathological (one key holding a large share of 100 TB)
+still funnels one reducer. The classic fix: salt the key, pre-aggregate on
+(key, salt), then merge partials on the key — two small shuffles instead of
+one hot one. Works for algebraic aggregates (sum/count/min/max; avg as
+sum+count); distinct-counts at scale should use approx_count_distinct,
+which is algebraic over HLL sketches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# merge function per partial-agg output for the final stage
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-stage aggregation: ``aggs`` maps output name -> (fn, column)
+    with fn in {sum, count, min, max}.
+
+    Example: salted_agg(df, ["k"], {"total": ("sum", "v"),
+    "rows": ("count", "*")}) == df.groupBy("k").agg(sum(v), count(*))
+    but with the heavy shuffle spread over ``buckets`` salt values.
+    """
+    # deterministic row-spread without rand(): partition-monotonic ids mod
+    # the bucket count scatter each hot key across ~buckets reducers
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+
+    partial_exprs: list[Column] = []
+    for name, (fn, col) in aggs.items():
+        src = F.lit(1) if col == "*" else F.col(col)
+        if fn == "count":
+            partial_exprs.append(F.count(src).alias(f"__p_{name}"))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(src).alias(f"__p_{name}"))
+        elif fn == "min":
+            partial_exprs.append(F.min(src).alias(f"__p_{name}"))
+        elif fn == "max":
+            partial_exprs.append(F.max(src).alias(f"__p_{name}"))
+        else:
+            raise ValueError(f"non-algebraic aggregate: {fn}")
+
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*partial_exprs)
+    )
+    final_exprs = [
+        _MERGE[fn](F.col(f"__p_{name}")).alias(name)
+        for name, (fn, _) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*final_exprs)

@@ -379,3 +379,83 @@ def split_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("clk").alias("click_ct"),
         F.sum("err").alias("error_ct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 100 TB variant of the distinct-count window: HLL sketch instead of exact
+# distinct (the approx swap SURVEY section 4 calls out). Deterministic for
+# fixed input but engine-specific -> rows-only check (DuckDB's approx
+# sketch differs by construction).
+@register("traffic_uv_window_approx", survey="A1,A7(scale)", oracle=None)
+def traffic_uv_window_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumble_agg(
+        ev,
+        "ts",
+        "10 minutes",
+        ["event_type"],
+        {
+            "pv_ct": F.count(F.lit(1)),
+            "uv_ct_approx": F.approx_count_distinct("user_id", rsd=0.02),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# The same tumbling aggregation executed by Structured Streaming end to end
+# (file source over the events parquet -> watermark -> window agg -> memory
+# sink, availableNow). Oracle-checked: streaming output must equal the
+# batch/DuckDB result. Distinct counts are not legal in streaming aggs, so
+# the measure set is additive-only.
+@register(
+    "streaming_event_type_window",
+    survey="W1,W3,S1,K1(streaming)",
+    oracle=f"""
+SELECT {_BUCKET} AS stt,
+       {_BUCKET} + INTERVAL '10 minutes' AS edt,
+       event_type,
+       count(*) AS pv_ct,
+       {DSUM_SQL('value')} AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_event_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_to_memory
+
+    # the streaming file source wants a directory; glob-filter to the one
+    # table file inside the sf dir
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (with local tz), so stream on the LTZ
+    # instant; the absolute epoch value is tz-independent either way
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = tumble_agg(
+        stream,
+        "ts",
+        "10 minutes",
+        ["event_type"],
+        {
+            "pv_ct": F.count(F.lit(1)),
+            "value_sum": dsum("value"),
+        },
+        watermark="3 seconds",
+    )
+    result = run_to_memory(agg, mode="complete")
+    # LTZ window bounds -> NTZ via epoch micros (independent of whatever
+    # session timezone the driver runs with), matching the batch/oracle form
+    to_ntz = lambda c: F.expr(  # noqa: E731
+        f"timestampadd(MICROSECOND, unix_micros({c}),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).alias(c)
+    return result.select(
+        to_ntz("stt"), to_ntz("edt"), "event_type", "pv_ct", "value_sum"
+    )

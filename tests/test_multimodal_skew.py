@@ -1,0 +1,77 @@
+"""Multimodal plumbing + skew operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_gmall_flink_spark.functions import multimodal as MM
+from realtime_gmall_flink_spark.operators.skew import salted_agg
+
+
+def test_decode_images(spark):
+    media = MM.synth_media(spark, 21)
+    out = MM.decode_images(media)
+    rows = out.collect()
+    # 7 of 21 synthetic rows are images
+    assert len(rows) == 7
+    assert out.columns == [
+        "media_id", "width", "height", "mean_intensity", "byte_len"
+    ]
+    r0 = {r["media_id"]: r for r in rows}[0]
+    assert r0["width"] == 64 and r0["height"] == 48
+    assert r0["byte_len"] == 128  # sha256 (32B) * 4
+    assert 0.0 < r0["mean_intensity"] < 255.0
+    # determinism
+    again = {r["media_id"]: r for r in MM.decode_images(media).collect()}
+    assert again[0]["mean_intensity"] == r0["mean_intensity"]
+
+
+def test_extract_features(spark):
+    media = MM.synth_media(spark, 9)
+    out = MM.extract_features(media, dim=16).collect()
+    assert len(out) == 9
+    for r in out:
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+
+
+def test_sample_frames_fanout(spark):
+    media = MM.synth_media(spark, 9)
+    frames = MM.sample_frames(media, every_ms=1000)
+    rows = frames.collect()
+    # 3 videos x 3 frames (3500 ms // 1000)
+    assert len(rows) == 9
+    per_vid = {r["media_id"] for r in rows}
+    assert all(
+        sorted(
+            x["frame_idx"] for x in rows if x["media_id"] == v
+        ) == [0, 1, 2]
+        for v in per_vid
+    )
+    assert all(r["frame_ts_ms"] == r["frame_idx"] * 1000 for r in rows)
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3 % 101).cast("double").alias("v"),
+    )
+    salted = salted_agg(
+        df,
+        ["k"],
+        {"total": ("sum", "v"), "rows": ("count", "*"),
+         "vmin": ("min", "v"), "vmax": ("max", "v")},
+        buckets=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("total"),
+        F.count(F.lit(1)).alias("rows"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    def norm(d):
+        return {
+            (r["k"], r["rows"], r["vmin"], r["vmax"], round(r["total"], 6))
+            for r in d.collect()
+        }
+    assert norm(salted) == norm(plain)
