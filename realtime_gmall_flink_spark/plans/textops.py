@@ -308,6 +308,72 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup pairs, banded: hamming(a,b) <= 2 over 16 bits means at
+# least one of the 4 nibbles is identical (pigeonhole), so candidate
+# generation is an equi-join on (nibble index, nibble value) instead of a
+# cross join — the standard SimHash sharding used at corpus scale.
+SIMHASH_HAMMING_MAX = 2
+
+
+def _simhash_pairs_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band_i,"
+        f" (simhash >> {4 * i}) & 15 AS nib FROM fp"
+        for i in range(4)
+    )
+    return f"""
+WITH fp AS ({_simhash_sql()}), bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_i = b.band_i AND a.nib = b.nib AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+@register(
+    "near_dup_simhash_pairs",
+    survey="J1(ext),F1(ext)",
+    oracle=_simhash_pairs_sql(),
+)
+def near_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = simhash_fingerprint(spark, sf_dir)
+    nibbles = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_i"),
+                F.shiftright("simhash", 4 * i)
+                .bitwiseAND(F.lit(15))
+                .alias("nib"),
+            )
+            for i in range(4)
+        ]
+    )
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(nibbles).alias("b")
+    ).select("doc_id", "simhash", "b.band_i", "b.nib")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_i") == F.col("b.band_i"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
 # language ID (stopword n-gram heuristic) — deterministic argmax
 def _langid_sql() -> str:
     score = {

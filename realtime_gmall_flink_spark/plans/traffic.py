@@ -382,6 +382,35 @@ def split_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P5 — conditional expression (the cart-add sku_num delta idiom,
+# DwdTradeCartAdd.java:84-93): signed measure by change type, summed per
+# day exactly via decimal.
+@register(
+    "conditional_net_value",
+    survey="P5,A4",
+    oracle="""
+SELECT CAST(ts AS DATE) AS dt,
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                          WHEN event_type = 'error' THEN -value
+                          ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+           AS net_value
+FROM events
+GROUP BY 1
+""",
+)
+def conditional_net_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signed = (
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "error", -F.col("value"))
+        .otherwise(F.lit(0.0))
+    )
+    return ev.groupBy(F.to_date("ts").alias("dt")).agg(
+        F.sum(signed.cast("decimal(18,2)")).cast("double").alias("net_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 100 TB variant of the distinct-count window: HLL sketch instead of exact
 # distinct (the approx swap SURVEY section 4 calls out). Deterministic for
 # fixed input but engine-specific -> rows-only check (DuckDB's approx

@@ -113,6 +113,39 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-label corpus stats. Cross-row sums of irrational norms would be
+# addition-order-dependent; rounding each per-row norm to 6 decimals and
+# summing in DECIMAL makes the aggregate order-free and oracle-exact.
+@register(
+    "embedding_label_stats",
+    survey="A4(ext)",
+    oracle=f"""
+SELECT label,
+       count(*) AS vec_ct,
+       CAST(SUM(CAST(round({_NORM_A}, 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_norm
+FROM embeddings
+GROUP BY label
+""",
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import l2_norm
+
+    emb = _emb(spark, sf_dir)
+    norm6 = F.round(l2_norm(F.col("embedding")), 6).cast("decimal(18,6)")
+    return (
+        emb.select("label", norm6.alias("__n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vec_ct"),
+            (F.sum("__n").cast("double") / F.count(F.lit(1))).alias(
+                "avg_norm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # bucketed ANN: exact cosine only within the query vector's LSH bucket
 @register(
     "ann_lsh_topk",
