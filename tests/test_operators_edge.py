@@ -1,0 +1,128 @@
+"""Edge-case tests for the operator primitives (beyond catalog parity)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from realtime_gmall_flink_spark.functions.sketches import word_shingles
+from realtime_gmall_flink_spark.functions.similarity import cosine_similarity
+from realtime_gmall_flink_spark.functions.textstats import predict_language
+from realtime_gmall_flink_spark.operators.dedup import latest_row_per_key
+from realtime_gmall_flink_spark.operators.jumpout import jump_out_batch
+from realtime_gmall_flink_spark.operators.visitor import (
+    first_per_period,
+    gap_flag,
+)
+from realtime_gmall_flink_spark.operators.windows import tumble_agg
+
+
+def _ts(s: str) -> datetime:
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+def test_dedup_tie_broken_by_second_key(spark):
+    df = spark.createDataFrame(
+        [("k", _ts("2024-01-01 00:00:00"), 1, "a"),
+         ("k", _ts("2024-01-01 00:00:00"), 2, "b")],
+        "k string, ts timestamp_ntz, seq int, payload string",
+    )
+    out = latest_row_per_key(df, ["k"], ["ts", "seq"]).collect()
+    assert len(out) == 1 and out[0]["payload"] == "b"
+
+
+def test_dedup_empty_input(spark):
+    df = spark.createDataFrame([], "k string, ts timestamp_ntz, seq int")
+    assert latest_row_per_key(df, ["k"], ["ts", "seq"]).count() == 0
+
+
+def test_gap_flag_boundary_exactly_n_days(spark):
+    df = spark.createDataFrame(
+        [("u", _ts("2024-01-01 12:00:00")),
+         ("u", _ts("2024-01-09 00:00:00")),   # calendar gap = 8 -> back
+         ("v", _ts("2024-01-01 12:00:00")),
+         ("v", _ts("2024-01-08 23:59:59"))],  # calendar gap = 7 -> not back
+        "uid string, ts timestamp_ntz",
+    )
+    out = {
+        (r["uid"], r["ts"]): r["is_back"]
+        for r in gap_flag(df, "uid", "ts", min_gap_days=8).collect()
+    }
+    assert out[("u", _ts("2024-01-09 00:00:00"))] == 1
+    assert out[("v", _ts("2024-01-08 23:59:59"))] == 0
+    # first-ever rows are never back-flow
+    assert out[("u", _ts("2024-01-01 12:00:00"))] == 0
+
+
+def test_jump_out_boundary_exactly_timeout(spark):
+    # next event at exactly timeout -> within window -> not a jump-out
+    df = spark.createDataFrame(
+        [("m", _ts("2024-01-01 00:00:00"), True),
+         ("m", _ts("2024-01-01 00:00:10"), False),
+         ("n", _ts("2024-01-01 00:00:00"), True),
+         ("n", _ts("2024-01-01 00:00:11"), False)],
+        "mid string, ts timestamp_ntz, is_start boolean",
+    )
+    out = jump_out_batch(
+        df, "mid", "ts", F.col("is_start"), timeout_seconds=10
+    )
+    got = {(r["mid"], r["ts"]) for r in out.collect()}
+    # m: follower at exactly 10 s keeps the session alive; n: 11 s bounces
+    # (and n's follower is not a start so only the start row emits)
+    assert got == {("n", _ts("2024-01-01 00:00:00"))}
+
+
+def test_first_per_period_same_instant_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("u", _ts("2024-01-01 00:00:00"), 2),
+         ("u", _ts("2024-01-01 00:00:00"), 1)],
+        "uid string, ts timestamp_ntz, seq int",
+    )
+    out = first_per_period(df, "uid", "ts", tiebreak=("seq",)).collect()
+    assert len(out) == 1 and out[0]["seq"] == 1
+
+
+def test_tumble_window_boundary(spark):
+    # event exactly on a boundary belongs to the window it starts
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:10"),), (_ts("2024-01-01 00:00:09"),)],
+        "ts timestamp_ntz",
+    )
+    out = tumble_agg(df, "ts", "10 seconds", [], {"n": F.count(F.lit(1))})
+    got = {r["stt"]: r["n"] for r in out.collect()}
+    assert got == {
+        _ts("2024-01-01 00:00:00"): 1,
+        _ts("2024-01-01 00:00:10"): 1,
+    }
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame(
+        [("one two",), ("one two three",), ("",)], "text string"
+    )
+    out = df.select(word_shingles("text", 3).alias("sh")).collect()
+    assert [len(r["sh"]) for r in out] == [0, 1, 0]
+    assert out[1]["sh"] == ["one two three"]
+
+
+def test_predict_language_tie_and_none(spark):
+    df = spark.createDataFrame(
+        [("xyzzy plugh",),          # no stopword hits -> und
+         ("the la",),               # en=1 es=1 tie -> first declared (en)
+         ("el la de que y",)],      # es wins
+        "text string",
+    )
+    out = [r["p"] for r in df.select(predict_language("text").alias("p")).collect()]
+    assert out == ["und", "en", "es"]
+
+
+def test_cosine_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])],
+        "a array<double>, b array<double>",
+    )
+    out = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("c")
+    ).collect()
+    assert abs(out[0]["c"] - 1.0) < 1e-12

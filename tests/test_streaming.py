@@ -189,3 +189,20 @@ def test_log_fanout(spark, log_dir, tmp_path):
     assert spark.read.parquet(f"{base}/start").count() == 1
     assert spark.read.parquet(f"{base}/err").count() == 1
     assert spark.read.parquet(f"{base}/dirty").count() == 1
+
+
+def test_kafka_payload_shape(spark):
+    from realtime_gmall_flink_spark.streaming.sinks import kafka_payload
+    import json
+
+    df = spark.createDataFrame(
+        [("D1", 2, 175.0)], "id string, version int, amount double"
+    )
+    out = kafka_payload(df, key_cols=["id", "version"]).collect()
+    assert [c for c in kafka_payload(df, ["id"]).columns] == ["key", "value"]
+    assert out[0]["key"] == "D1|2"
+    assert json.loads(out[0]["value"]) == {
+        "id": "D1", "version": 2, "amount": 175.0
+    }
+    # unkeyed topics get a value-only payload
+    assert kafka_payload(df).columns == ["value"]
