@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.sketches import band_keys, minhash_signature, simhash16, word_shingles
+from ..functions.sketches import simhash16, word_shingles
 from ..functions.textstats import (
     LANG_STOPWORDS,
     doc_fingerprint,
@@ -220,15 +220,37 @@ SELECT doc_id, 3, concat_ws('|', '3', m6, m7) FROM m
 """,
 )
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explode shingles to rows and take the 8 seed-minima as codegen'd
+    # aggregates. The pure-expression alternative
+    # (functions.sketches.minhash_signature over the shingle array) inlines
+    # the shingle-generation subtree once per hash slot and once per band
+    # element after projection collapsing — measured ~20x slower at sf0.1.
+    # One shuffle on doc_id; min() ignores shingle duplicates, matching the
+    # oracle's list_min over the distinct set.
     docs = _docs(spark, sf_dir)
-    sh = word_shingles("text", 3)
-    sig = minhash_signature(sh, num_hashes=8)
-    banded = (
-        docs.filter(F.size(sh) > 0)
-        .select("doc_id", band_keys(sig, bands=4, rows_per_band=2).alias("bk"))
-        .select("doc_id", F.posexplode("bk").alias("band_idx", "band_key"))
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
     )
-    return banded
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+            for i in range(8)
+        ]
+    )
+    bk = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                F.col(f"m{2 * b}"),
+                F.col(f"m{2 * b + 1}"),
+            )
+            for b in range(4)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(bk).alias("band_idx", "band_key")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -301,10 +323,30 @@ SELECT doc_id, CAST({fp} AS INTEGER) AS simhash FROM d
 
 @register("simhash_fingerprint", survey="F1(ext)", oracle=_simhash_sql())
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Row-explode + 16 conditional-sum aggregates (codegen'd, md5 shared by
+    # subexpression elimination) instead of the per-row expression form
+    # (functions.sketches.simhash16), which inlines the token array 16x.
     docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", simhash16(tokenize("text")).cast("int").alias("simhash")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("w")
     )
+    votes = []
+    for i in range(1, 5):
+        nib = F.conv(F.substring(F.md5("w"), i, 1), 16, 10).cast("int")
+        for b in range(4):
+            bit = 4 * (i - 1) + b
+            votes.append(
+                F.sum(
+                    F.when(nib.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+                ).alias(f"v{bit}")
+            )
+    sig = tok.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0)
+    for bit in range(16):
+        fp = fp + F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(
+            F.lit(0)
+        )
+    return sig.select("doc_id", fp.cast("int").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
