@@ -47,13 +47,14 @@ def get_spark(
     app_name: str = "realtime-gmall-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession configured for this engine."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
-    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS, **(extra_confs or {})}.items():
         builder = builder.config(k, v)
     builder = builder.config(
         "spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus))

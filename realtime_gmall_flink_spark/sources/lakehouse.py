@@ -1,0 +1,55 @@
+"""Bucketed lakehouse tables: co-located joins without a shuffle.
+
+SURVEY section 4: the reference pins parallelism to Kafka partition count
+so keyed state is co-partitioned end-to-end. The batch/lakehouse analog is
+bucketing — write both sides of a recurring join bucketed by the join key
+with the same bucket count, and Catalyst plans a SortMergeJoin with NO
+Exchange on either side. At 100 TB this converts the nightly
+fact-to-fact join (e.g. order_detail x order_info) from the dominant
+shuffle into a local merge per bucket.
+
+Bucketed tables need the session catalog (`saveAsTable`); the warehouse
+dir defaults next to the checkpoint root. Verify with
+``assert_no_shuffle_join`` — it inspects the physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left: str, right: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables; with matching bucket specs Catalyst
+    emits no Exchange for either side."""
+    return spark.table(left).join(spark.table(right), on, how)
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True when the physical plan contains a shuffle Exchange (broadcast
+    exchanges don't count — those are the cheap kind)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return any(
+        line.strip().startswith(("Exchange", "+- Exchange"))
+        or "Exchange hashpartitioning" in line
+        for line in plan.splitlines()
+    )
