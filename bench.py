@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from realtime_gmall_flink_spark.plans.catalog import catalog
@@ -35,11 +36,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in sorted(headliners.items()):
         t0 = time.perf_counter()
-        df = q.builder(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
-    total = round(sum(timings.values()), 3)
+        try:
+            df = q.builder(spark, sf_dir)
+            n = df.count()
+            assert n >= 0
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not kill the bench
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {

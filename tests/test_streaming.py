@@ -206,3 +206,23 @@ def test_kafka_payload_shape(spark):
     }
     # unkeyed topics get a value-only payload
     assert kafka_payload(df).columns == ["value"]
+
+
+def test_streaming_dws_keyword_job(spark, log_dir):
+    """One reference DWS job run in streaming mode equals its batch form
+    (tumble-agg path of dws.traffic_source_keyword_page_view_window)."""
+    from realtime_gmall_flink_spark.gmall import dws
+
+    def run(raw):
+        page = log_etl.split_log(log_etl.parse_topic_log(raw))["page"]
+        return dws.traffic_source_keyword_page_view_window(page)
+
+    stream_out = jobs.run_to_memory(
+        run(sources.file_stream(spark, log_dir)), mode="complete"
+    )
+    batch_out = run(
+        spark.createDataFrame([(r,) for r in FX.topic_log_rows()], "value string")
+    )
+    cols = ["stt", "edt", "keyword", "keyword_count", "source"]
+    assert _rowset(stream_out, cols) == _rowset(batch_out, cols)
+    assert stream_out.count() == 4
