@@ -226,3 +226,36 @@ def test_streaming_dws_keyword_job(spark, log_dir):
     cols = ["stt", "edt", "keyword", "keyword_count", "source"]
     assert _rowset(stream_out, cols) == _rowset(batch_out, cols)
     assert stream_out.count() == 4
+
+
+def test_tws_first_per_day_matches_batch(spark, log_dir):
+    """A6 via Spark 4 transformWithStateInPandas equals the batch UV."""
+    # the tws runtime needs a functional protobuf install
+    pytest.importorskip("google.protobuf.descriptor")
+    from realtime_gmall_flink_spark.streaming import tws
+
+    raw = sources.file_stream(spark, log_dir)
+    page = log_etl.split_log(log_etl.parse_topic_log(raw))["page"]
+    sess = page.filter(F.col("page.last_page_id").isNull()).select(
+        F.col("common.mid").alias("mid"),
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+        F.col("ts").alias("ts"),
+    ).withWatermark("event_time", "3 seconds")
+    uv = tws.tws_first_per_day(
+        sess,
+        key="mid",
+        ts_col="event_time",
+        out_schema="mid string, ts long",
+        out_cols=["mid", "ts"],
+    )
+    got = _rowset(jobs.run_to_memory(uv, mode="append"), ["mid", "ts"])
+
+    batch_raw = spark.createDataFrame(
+        [(r,) for r in FX.topic_log_rows()], "value string"
+    )
+    batch_page = log_etl.split_log(log_etl.parse_topic_log(batch_raw))["page"]
+    expected = _rowset(
+        log_etl.unique_visitor_detail(batch_page).select("mid", "ts"),
+        ["mid", "ts"],
+    )
+    assert got == expected
