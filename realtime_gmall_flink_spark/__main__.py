@@ -1,0 +1,102 @@
+"""CLI: run catalog queries, inspect plans, or launch the streaming
+warehouse against file-drop directories.
+
+    python -m realtime_gmall_flink_spark list
+    python -m realtime_gmall_flink_spark run <query> [--sf-dir DIR] [--limit N]
+    python -m realtime_gmall_flink_spark explain <query> [--sf-dir DIR]
+    python -m realtime_gmall_flink_spark bench [--sf-dir DIR]
+    python -m realtime_gmall_flink_spark warehouse --log-dir D --db-dir D --out D
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="realtime_gmall_flink_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list catalog queries")
+
+    for cmd in ("run", "explain"):
+        sp = sub.add_parser(cmd)
+        sp.add_argument("query")
+        sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+        if cmd == "run":
+            sp.add_argument("--limit", type=int, default=20)
+
+    sp = sub.add_parser("bench")
+    sp.add_argument("--sf-dir", default=None)
+
+    sp = sub.add_parser("warehouse", help="streaming ODS->DWD over file drops")
+    sp.add_argument("--log-dir", required=True)
+    sp.add_argument("--db-dir", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--checkpoint", default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "bench":
+        import os
+
+        if args.sf_dir:
+            os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+        import bench  # repo-root harness
+
+        bench.main()
+        return 0
+
+    from .plans.catalog import catalog
+
+    if args.cmd == "list":
+        for q in sorted(catalog().values(), key=lambda q: q.name):
+            marks = ("headline" if q.headline else "") + (
+                "" if q.oracle else " rows-only"
+            )
+            print(f"{q.name:36s} [{q.survey}] {marks}")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"gmall-cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd in ("run", "explain"):
+        cat = catalog()
+        if args.query not in cat:
+            print(f"unknown query: {args.query}", file=sys.stderr)
+            print("use `list` to see available queries", file=sys.stderr)
+            return 2
+        df = cat[args.query].builder(spark, args.sf_dir)
+        if args.cmd == "explain":
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "warehouse":
+        import tempfile
+
+        from .schemas import BASE_DIC_SCHEMA
+        from .streaming import warehouse
+
+        ckpt = args.checkpoint or tempfile.mkdtemp(prefix="gmall-ckpt-")
+        base_dic = spark.createDataFrame([], BASE_DIC_SCHEMA)
+        q1 = warehouse.run_log_side(
+            spark, args.log_dir, args.out, f"{ckpt}/log"
+        )
+        q2 = warehouse.run_db_side(
+            spark, args.db_dir, base_dic, args.out, f"{ckpt}/db"
+        )
+        q1.awaitTermination()
+        q2.awaitTermination()
+        print(f"warehouse written to {args.out}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
