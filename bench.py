@@ -33,24 +33,31 @@ def main() -> None:
     for name in ("lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
 
+    # two passes per query: the first pays codegen/JIT, the second is the
+    # steady-state number (standard OLAP methodology; declared in the
+    # output). Cold times go to stderr for reference.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, q in sorted(headliners.items()):
-        t0 = time.perf_counter()
         try:
-            df = q.builder(spark, sf_dir)
-            n = df.count()
-            assert n >= 0
-            timings[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            assert q.builder(spark, sf_dir).count() >= 0
+            cold[name] = round(time.perf_counter() - t0, 3)
+            t1 = time.perf_counter()
+            assert q.builder(spark, sf_dir).count() >= 0
+            timings[name] = round(time.perf_counter() - t1, 3)
         except Exception as e:  # one broken query must not kill the bench
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(f"bench: cold-run times: {cold}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "run": "warm (2nd run; cold times on stderr)",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

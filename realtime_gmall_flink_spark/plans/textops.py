@@ -169,20 +169,27 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    pair_expr = """
-        flatten(transform(ds, a ->
-            filter(transform(ds, b ->
-                IF(a.doc_id < b.doc_id,
-                   struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-                          a.n AS na, b.n AS nb),
-                   CAST(NULL AS
-                        struct<doc_a:bigint,doc_b:bigint,na:int,nb:int>))),
-              p -> p IS NOT NULL)))
-    """
+    # Pair generation as two codegen'd generators + a plain filter (an
+    # interpreted nested-lambda expression was ~20% slower at sf0.1).
+    # The size-ratio prune is exact, not approximate: J(a,b) >= t implies
+    # min(|a|,|b|) >= t * max(|a|,|b|) (inter <= min and
+    # J = inter/(na+nb-inter)), so pruned pairs can never pass the final
+    # threshold — they're dropped before the pair shuffle.
+    t_num, t_den = JACCARD_THRESHOLD.as_integer_ratio()
+    e1 = grouped.select(F.explode("ds").alias("a"), "ds")
+    e2 = e1.select("a", F.explode("ds").alias("b"))
     pairs = (
-        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.*")
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        e2.filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * t_den >= F.col("b.n") * t_num)
+            & (F.col("b.n") * t_den >= F.col("a.n") * t_num)
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     j = pairs.withColumn(
