@@ -365,6 +365,43 @@ def brand_type_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q5-style — cyclic join: customer and supplier must share a nation
+# (an equality constraint BETWEEN two dimension legs, not just fact->dim)
+@register(
+    "tpch_q5_local_supplier",
+    survey="J1,J4,A7",
+    oracle=f"""
+SELECT n_name, {_REV_SQL} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    fact = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(
+            broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+    )
+    return fact.groupBy("n_name").agg(_revenue().alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
 # refund analog — returned lineitems per brand
 # (dws_trade_trademark_category_user_refund_window)
 @register(
