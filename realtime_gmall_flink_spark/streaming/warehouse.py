@@ -93,6 +93,54 @@ def run_db_side(
     return start_foreach_batch(raw, derive, checkpoint)
 
 
+def refresh_dws(
+    spark: SparkSession,
+    out_dir: str,
+    dims: dict[str, DataFrame],
+    dws_dir: str,
+) -> dict[str, DataFrame]:
+    """Materialize the trade/user DWS summaries from the accumulated DWD
+    tables (micro-batch materialized-view refresh; the reference keeps
+    these incrementally in ClickHouse — recompute-over-parquet gives the
+    same tables with batch semantics).
+
+    Log-side DWS jobs consume the page split; they are wired in gmall.dws
+    and tested directly — this covers the db-side chain.
+    """
+    from ..gmall import dws
+
+    def rd(fact: str) -> DataFrame:
+        return spark.read.parquet(dwd_path(out_dir, fact))
+
+    order_det = rd("order_detail")
+    summaries = {
+        "dws_trade_order_window": dws.trade_order_window(order_det),
+        "dws_trade_cart_add_uu_window": dws.trade_cart_add_uu_window(
+            rd("cart_add")
+        ),
+        "dws_trade_payment_suc_window": dws.trade_payment_suc_window(
+            rd("pay_detail_suc")
+        ),
+        "dws_trade_province_order_window": dws.trade_province_order_window(
+            order_det, dims["dim_base_province"]
+        ),
+        "dws_trade_trademark_category_user_spu_order_window":
+            dws.trade_trademark_category_user_spu_order_window(
+                order_det, dims
+            ),
+        "dws_trade_trademark_category_user_refund_window":
+            dws.trade_trademark_category_user_refund_window(
+                rd("order_refund"), dims
+            ),
+        "dws_user_user_register_window": dws.user_user_register_window(
+            rd("user_register")
+        ),
+    }
+    for name, df in summaries.items():
+        df.write.mode("overwrite").parquet(os.path.join(dws_dir, name))
+    return summaries
+
+
 def dwd_path(out_dir: str, fact: str) -> str:
     prefix = (
         "dwd_trade_"

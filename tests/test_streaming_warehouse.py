@@ -79,3 +79,26 @@ def test_dws_over_streamed_dwd(spark, wh):
     w = lambda d, t: datetime.strptime(f"{d} {t}", "%Y-%m-%d %H:%M:%S")  # noqa: E731
     assert got[w(FX.DAY1, "10:01:00")] == (1, 250.0)
     assert got[w(FX.DAY1, "11:01:00")] == (1, 150.0)
+
+
+def test_refresh_dws_layer(spark, wh, tmp_path):
+    from realtime_gmall_flink_spark.gmall import dims as dims_mod
+    from realtime_gmall_flink_spark.gmall import cdc
+
+    raw = spark.createDataFrame(
+        [(r,) for r in FX.topic_db_rows()], "value string"
+    )
+    dims = dims_mod.build_dims(cdc.parse_topic_db(raw))
+    dws_dir = str(tmp_path / "dws")
+    out = warehouse.refresh_dws(spark, wh["out"], dims, dws_dir)
+    assert len(out) == 7
+    prov = spark.read.parquet(
+        f"{dws_dir}/dws_trade_province_order_window"
+    )
+    rows = {
+        (r["province_id"], r["province_name"], r["order_amount"])
+        for r in prov.collect()
+    }
+    assert ("P1", "Beijing-2", 225.0) in rows
+    reg = spark.read.parquet(f"{dws_dir}/dws_user_user_register_window")
+    assert reg.count() == 2
