@@ -146,6 +146,64 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup PAIRS: LSH-bucketed candidate generation, exact
+# cosine verification within buckets. Recall is bounded by the bucketing
+# (similar vectors usually share sign patterns; multi-probe widens recall
+# at scale) — the oracle computes the same bucketed semantics.
+COSINE_DUP_THRESHOLD = 0.4
+
+_COS_AB = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "near_dup_embedding_pairs",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH bk AS (
+    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COS_AB}, 6) AS cos_sim
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_AB} >= {COSINE_DUP_THRESHOLD}
+""",
+)
+def near_dup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", sign_lsh_bucket(F.col("embedding"), bits=8).cast("int")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("__cos", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # bucketed ANN: exact cosine only within the query vector's LSH bucket
 @register(
     "ann_lsh_topk",
