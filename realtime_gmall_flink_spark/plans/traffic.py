@@ -382,6 +382,99 @@ def split_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Beyond the reference (SURVEY 2.6 notes it has no session/sliding
+# windows): both are native Spark windows and core traffic-warehouse
+# operators, so the engine ships them oracle-checked.
+#
+# Session windows: merge a user's events closer than the gap; Spark's
+# session bounds are [first_event, last_event + gap). Oracle: classic
+# gaps-and-islands (new-session flag -> running island id -> group).
+@register(
+    "session_window_stats",
+    survey="W1+(session),A1",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('microsecond', lag(ts) OVER w, ts)
+                    > {SESSION_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '{SESSION_GAP_S} seconds' AS session_end,
+       count(*) AS event_ct
+FROM islands
+GROUP BY user_id, sess_id
+""",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("event_ct"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "event_ct",
+        )
+    )
+
+
+# Sliding (hopping) windows: 20-minute window advancing every 10 minutes —
+# each event lands in 2 overlapping windows. Oracle: explode the hop
+# offsets per event.
+@register(
+    "sliding_window_counts",
+    survey="W1+(sliding),A1",
+    oracle=f"""
+WITH hops AS (
+    SELECT event_type, value,
+           time_bucket(INTERVAL '10 minutes', ts)
+               - (k * INTERVAL '10 minutes') AS wstart,
+           ts
+    FROM events, unnest([0, 1]) AS t(k)
+)
+SELECT wstart AS stt,
+       wstart + INTERVAL '20 minutes' AS edt,
+       event_type,
+       count(*) AS pv_ct,
+       {DSUM_SQL('value')} AS value_sum
+FROM hops
+WHERE ts >= wstart AND ts < wstart + INTERVAL '20 minutes'
+GROUP BY 1, 2, 3
+""",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "20 minutes", "10 minutes")
+    return (
+        ev.groupBy(win.alias("__w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            dsum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("__w.start").alias("stt"),
+            F.col("__w.end").alias("edt"),
+            "event_type",
+            "pv_ct",
+            "value_sum",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # P5 — conditional expression (the cart-add sku_num delta idiom,
 # DwdTradeCartAdd.java:84-93): signed measure by change type, summed per
 # day exactly via decimal.
