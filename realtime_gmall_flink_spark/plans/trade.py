@@ -402,6 +402,72 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Beyond the reference (SURVEY 2.4/2.5 note semi/anti joins and
+# rollup/cube are absent there): both are native Spark and standard
+# warehouse asks, so the engine ships them oracle-checked.
+@register(
+    "parts_never_bulk_ordered",
+    survey="J+(anti/semi)",
+    oracle="""
+SELECT p_partkey, p_brand
+FROM part
+WHERE p_partkey NOT IN (
+    SELECT l_partkey FROM lineitem WHERE l_extendedprice > 90000
+)
+""",
+)
+def parts_never_bulk_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    bulk = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 90000
+    )
+    return part.join(
+        bulk, part["p_partkey"] == bulk["l_partkey"], "left_anti"
+    ).select("p_partkey", "p_brand")
+
+
+@register(
+    "revenue_rollup",
+    survey="A+(rollup)",
+    oracle=f"""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    fact = dim_cascade(
+        fact,
+        [
+            (load_table(spark, sf_dir, "customer"), "o_custkey",
+             "c_custkey", [("c_nationkey", "__nk")]),
+            (load_table(spark, sf_dir, "nation"), "__nk", "n_nationkey",
+             [("n_name", "n_name"), ("n_regionkey", "__rk")]),
+            (load_table(spark, sf_dir, "region"), "__rk", "r_regionkey",
+             [("r_name", "r_name")]),
+        ],
+    )
+    return (
+        fact.rollup("r_name", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # refund analog — returned lineitems per brand
 # (dws_trade_trademark_category_user_refund_window)
 @register(
