@@ -14,6 +14,9 @@
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
+import uuid
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -25,24 +28,71 @@ from ..operators.windows import tumble_agg
 _MEMSINK_SEQ = 0
 
 
+def _compact_error(exc: BaseException, head: int = 1500, tail: int = 300) -> str:
+    """Streaming failures embed the full logical plan in the message; keep
+    the head (the actual error) and a sliver of tail so a harness that
+    truncates long errors still records the cause."""
+    msg = str(exc)
+    if len(msg) <= head + tail:
+        return msg
+    return f"{msg[:head]} ... [{len(msg) - head - tail} chars elided] ... {msg[-tail:]}"
+
+
 def run_to_memory(
     df: DataFrame, mode: str = "complete", name: str | None = None
 ) -> DataFrame:
     """Run a streaming DF with availableNow into a memory sink; block until
     done; return the result table. Complete mode surfaces all windows
-    (append would hold back windows the final watermark hasn't passed)."""
+    (append would hold back windows the final watermark hasn't passed).
+
+    Hardened for external harnesses that share one session across many
+    queries: stops lingering active queries first (a leaked query holding
+    source/checkpoint state can fail a later start), pins an explicit
+    throwaway checkpoint dir (no reliance on implicit temp checkpoints),
+    and retries once with fresh state before surfacing a compact error.
+    """
     global _MEMSINK_SEQ
-    _MEMSINK_SEQ += 1
-    qname = name or f"memsink_{os.getpid()}_{_MEMSINK_SEQ}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(qname)
+    spark = df.sparkSession
+    # a previous caller's un-stopped query (crash, harness timeout) can
+    # wedge the shared session; availableNow runs are finite so anything
+    # still active here is leaked state, not concurrent work we must keep.
+    for active in list(spark.streams.active):
+        try:
+            active.stop()
+        except Exception:
+            pass
+
+    last_err: BaseException | None = None
+    for attempt in range(2):
+        _MEMSINK_SEQ += 1
+        qname = name or f"memsink_{os.getpid()}_{_MEMSINK_SEQ}_{uuid.uuid4().hex[:8]}"
+        ckpt = os.path.join(
+            tempfile.gettempdir(), f"rtg_ckpt_{qname}_{attempt}"
+        )
+        q = None
+        try:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.table(qname)
+        except Exception as exc:  # retry once with fresh name/checkpoint
+            last_err = exc
+            if q is not None:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    raise RuntimeError(
+        f"streaming memory-sink run failed after retry: {_compact_error(last_err)}"
+    ) from last_err
 
 
 def streaming_tumble_agg(

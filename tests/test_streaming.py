@@ -259,3 +259,30 @@ def test_tws_first_per_day_matches_batch(spark, log_dir):
         ["mid", "ts"],
     )
     assert got == expected
+
+
+def test_run_to_memory_survives_lingering_query(spark, log_dir):
+    """Harness-interaction hardening: a previous caller's un-stopped query
+    (crash/timeout in an external harness) must not wedge the next
+    run_to_memory call — it pre-stops leaked queries and still completes."""
+    raw = sources.file_stream(spark, log_dir)
+    lingering = (
+        raw.writeStream.format("memory")
+        .queryName("lingering_leak")
+        .outputMode("append")
+        .start()
+    )
+    assert len(spark.streams.active) >= 1
+    agg = tumble_agg(
+        raw.withColumn("event_time", F.current_timestamp()).select(
+            "event_time", "value"
+        ),
+        "event_time",
+        "10 seconds",
+        [],
+        {"n": F.count(F.lit(1))},
+        watermark="0 seconds",
+    )
+    out = jobs.run_to_memory(agg, mode="complete")
+    assert out.count() >= 0
+    assert not lingering.isActive  # pre-stop cleaned up the leak
