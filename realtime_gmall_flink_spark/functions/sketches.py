@@ -10,10 +10,12 @@ and DuckDB — so every operator here is oracle-checkable.
   candidate pairs share at least one band. The O(n^2) pair space collapses
   to a shuffle on band values — at 100 TB each band bucket is tiny, and the
   band join is an equi-join Catalyst executes as a shuffled hash join.
-- SimHash: 16-bit fingerprint from the first 4 nibbles of each distinct
-  token's md5; per-bit +/-1 voting. Near-dup = small Hamming distance
-  (bit_count(xor)). 16 bits keeps the oracle SQL tractable; widening to 64
-  bits is the same expression over 16 nibbles.
+- SimHash: per-bit +/-1 voting over each distinct token's md5 nibbles;
+  near-dup = small Hamming distance (bit_count(xor)). The catalog runs the
+  64-bit form (plans/textops.py) as 4 x 16-bit bands — pigeonhole makes
+  hamming<=3 pairs share at least one identical band, so candidates come
+  from an equi-join on (band, value) over a 2^16 key space. simhash16
+  below is the compact per-row expression form of the same vote.
 """
 
 from __future__ import annotations

@@ -305,78 +305,109 @@ def near_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash fingerprint (16-bit, md5-nibble voting over distinct tokens)
+# SimHash fingerprint — 64-bit, exposed as 4 x 16-bit band values (b0 = bits
+# 0..15 LSB-first) plus the canonical hex form. Bit j of the fingerprint
+# votes +/-1 per distinct token on bit (j%4) of md5 hex char (j//4 + 1);
+# 16-bit bands keep every value in safe INT range in both engines (a single
+# signed BIGINT would overflow at bit 63 and DuckDB checks overflow).
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
+
+
 def _simhash_sql() -> str:
-    terms = []
-    for i in range(1, 5):
-        for b in range(4):
-            bit = 4 * (i - 1) + b
-            vote = (
-                "list_sum(list_transform(dw, w -> CASE WHEN"
-                f" (CAST(('0x' || substr(md5(w), {i}, 1)) AS BIGINT)"
-                f" & {1 << b}) <> 0 THEN 1 ELSE -1 END))"
+    band_exprs = []
+    for k in range(SIMHASH_BANDS):
+        terms = []
+        for lb in range(SIMHASH_BAND_BITS):
+            j = k * SIMHASH_BAND_BITS + lb
+            i, mask = j // 4 + 1, 1 << (j % 4)
+            ones = (
+                "len(list_filter(hx, x -> (CAST(('0x' || substr(x,"
+                f" {i}, 1)) AS BIGINT) & {mask}) <> 0))"
             )
-            terms.append(
-                f"(CASE WHEN {vote} > 0 THEN {1 << bit} ELSE 0 END)"
-            )
-    fp = " + ".join(terms)
+            terms.append(f"(CASE WHEN 2 * {ones} > nw THEN {1 << lb} ELSE 0 END)")
+        band_exprs.append(
+            f"CAST({' + '.join(terms)} AS INTEGER) AS b{k}"
+        )
     return f"""
 WITH d AS (
     SELECT doc_id, list_distinct({_WORDS_SQL}) AS dw FROM documents
+), h AS (
+    SELECT doc_id, len(dw) AS nw, list_transform(dw, w -> md5(w)) AS hx
+    FROM d
 )
-SELECT doc_id, CAST({fp} AS INTEGER) AS simhash FROM d
+SELECT doc_id,
+       {", ".join(band_exprs)},
+       printf('%04x%04x%04x%04x', b3, b2, b1, b0) AS simhash_hex
+FROM h
 """
 
 
 @register("simhash_fingerprint", survey="F1(ext)", oracle=_simhash_sql())
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Row-explode + 16 conditional-sum aggregates (codegen'd, md5 shared by
-    # subexpression elimination) instead of the per-row expression form
-    # (functions.sketches.simhash16), which inlines the token array 16x.
+    # Row-explode + 64 conditional-sum aggregates (codegen'd; the md5 per
+    # token is computed once and shared across all 64 by subexpression
+    # elimination) instead of a per-row array-aggregate expression form,
+    # which would inline the token array 64x (interpreted, ~10-20x slower).
+    # vote_j > 0 <=> 2 * ones_j > n_tokens, matching the oracle exactly.
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("w")
     )
     votes = []
-    for i in range(1, 5):
-        nib = F.conv(F.substring(F.md5("w"), i, 1), 16, 10).cast("int")
-        for b in range(4):
-            bit = 4 * (i - 1) + b
-            votes.append(
-                F.sum(
-                    F.when(nib.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-                ).alias(f"v{bit}")
-            )
-    sig = tok.groupBy("doc_id").agg(*votes)
-    fp = F.lit(0)
-    for bit in range(16):
-        fp = fp + F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(
-            F.lit(0)
+    for j in range(SIMHASH_BANDS * SIMHASH_BAND_BITS):
+        nib = F.conv(F.substring(F.md5("w"), j // 4 + 1, 1), 16, 10).cast(
+            "int"
         )
-    return sig.select("doc_id", fp.cast("int").alias("simhash"))
+        votes.append(
+            F.sum(
+                F.when(nib.bitwiseAND(F.lit(1 << (j % 4))) != 0, 1).otherwise(
+                    -1
+                )
+            ).alias(f"v{j}")
+        )
+    sig = tok.groupBy("doc_id").agg(*votes)
+    band_cols = []
+    for k in range(SIMHASH_BANDS):
+        band = F.lit(0)
+        for lb in range(SIMHASH_BAND_BITS):
+            j = k * SIMHASH_BAND_BITS + lb
+            band = band + F.when(
+                F.col(f"v{j}") > 0, F.lit(1 << lb)
+            ).otherwise(F.lit(0))
+        band_cols.append(band.cast("int").alias(f"b{k}"))
+    out = sig.select("doc_id", *band_cols)
+    hex4 = lambda c: F.lpad(F.lower(F.hex(F.col(c))), 4, "0")  # noqa: E731
+    return out.withColumn(
+        "simhash_hex", F.concat(hex4("b3"), hex4("b2"), hex4("b1"), hex4("b0"))
+    )
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs, banded: hamming(a,b) <= 2 over 16 bits means at
-# least one of the 4 nibbles is identical (pigeonhole), so candidate
-# generation is an equi-join on (nibble index, nibble value) instead of a
-# cross join — the standard SimHash sharding used at corpus scale.
-SIMHASH_HAMMING_MAX = 2
+# SimHash near-dup pairs, banded: hamming(a,b) <= 3 over 64 bits means at
+# least one of the 4 16-bit bands is identical (pigeonhole), so candidate
+# generation is an equi-join on (band index, band value). Each band key
+# ranges over 2^16 values — at corpus scale a bucket holds ~n/65536 docs,
+# so the candidate space is ~n^2/2^16 per band, vs the all-pairs n^2/2 a
+# cross join would cost (and vs n^2/16 for the old 4-bit nibble bands).
+SIMHASH_HAMMING_MAX = 3
 
 
 def _simhash_pairs_sql() -> str:
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS band_i,"
-        f" (simhash >> {4 * i}) & 15 AS nib FROM fp"
-        for i in range(4)
+        f"SELECT doc_id, b0, b1, b2, b3, {k} AS band_i, b{k} AS bv FROM fp"
+        for k in range(SIMHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(SIMHASH_BANDS)
     )
     return f"""
 WITH fp AS ({_simhash_sql()}), bands AS ({bands})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       CAST({ham} AS INTEGER) AS hamming
 FROM bands a JOIN bands b
-  ON a.band_i = b.band_i AND a.nib = b.nib AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+  ON a.band_i = b.band_i AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE {ham} <= {SIMHASH_HAMMING_MAX}
 """
 
 
@@ -387,34 +418,33 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 )
 def near_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = simhash_fingerprint(spark, sf_dir)
-    nibbles = F.array(
+    band_structs = F.array(
         *[
             F.struct(
-                F.lit(i).alias("band_i"),
-                F.shiftright("simhash", 4 * i)
-                .bitwiseAND(F.lit(15))
-                .alias("nib"),
+                F.lit(k).alias("band_i"), F.col(f"b{k}").alias("bv")
             )
-            for i in range(4)
+            for k in range(SIMHASH_BANDS)
         ]
     )
     bands = fp.select(
-        "doc_id", "simhash", F.explode(nibbles).alias("b")
-    ).select("doc_id", "simhash", "b.band_i", "b.nib")
+        "doc_id", "b0", "b1", "b2", "b3", F.explode(band_structs).alias("x")
+    ).select("doc_id", "b0", "b1", "b2", "b3", "x.band_i", "x.bv")
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(SIMHASH_BANDS)
+    )
     pairs = (
         bands.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.band_i") == F.col("b.band_i"))
-            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            hamming.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .distinct()
