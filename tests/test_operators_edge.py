@@ -126,3 +126,26 @@ def test_cosine_identical_vectors(spark):
         cosine_similarity(F.col("a"), F.col("b")).alias("c")
     ).collect()
     assert abs(out[0]["c"] - 1.0) < 1e-12
+
+
+def test_jaccard_stop_shingle_cap_bounds_pair_space(spark):
+    """One viral shingle shared by every doc must not produce f^2 pairs:
+    with max_df below the viral df, pairs exist only through rarer
+    shingles. Docs 0/1 are true near-dups through non-viral shingles;
+    docs 2..9 overlap ONLY via the viral boilerplate shingle."""
+    from realtime_gmall_flink_spark.plans.textops import jaccard_pairs
+
+    viral = "lorem ipsum dolor"  # one 3-shingle, present in all docs
+    rows = [
+        (0, viral + " alpha beta gamma delta"),
+        (1, viral + " alpha beta gamma delta"),
+    ] + [(i, viral + f" unique{i} only{i} token{i}") for i in range(2, 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_pairs(docs, threshold=0.5, max_df=5).collect()
+    # the viral shingle (df=10 > 5) is dropped; only the 0-1 pair remains
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(0, 1)}
+
+    uncapped = jaccard_pairs(docs, threshold=0.05, max_df=1000)
+    # without the cap the viral shingle alone generates all 45 pairs
+    assert uncapped.count() == 45
