@@ -110,30 +110,61 @@ def streaming_tumble_agg(
     )
 
 
+_UPSERT_BUCKET_COL = "pk_bucket"
+
+
+def _has_parquet(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet")
+        for _root, _, files in os.walk(path)
+        for f in files
+    )
+
+
 def upsert_sink(
-    target_dir: str, keys: list[str], version_col: str
+    target_dir: str,
+    keys: list[str],
+    version_col: str,
+    num_buckets: int = 16,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: collapse the micro-batch to latest-per-key, merge
     with the target, keep max version (D1 applied at the sink boundary).
 
-    The read-union-overwrite is the dependency-free stand-in for
-    ``MERGE INTO target USING batch ON keys WHEN MATCHED AND
-    batch.version > target.version THEN UPDATE``; at 100 TB the target
-    would be a partitioned lakehouse table and the merge touches only
-    matched partitions.
+    The dependency-free stand-in for ``MERGE INTO target USING batch ON
+    keys WHEN MATCHED AND batch.version > target.version THEN UPDATE``.
+    The target is hash-bucketed on the key (``pk_bucket`` partition
+    column); each batch reads back ONLY the buckets its keys hash into
+    (partition pruning on the read) and rewrites ONLY those via dynamic
+    partition overwrite — merge I/O is proportional to touched buckets,
+    not table size. A micro-batch touching k of N buckets leaves the
+    other N-k partitions' files untouched on disk.
+
+    ``num_buckets`` is fixed at table creation (it's baked into the
+    layout); size it so one bucket ~ one comfortable task at the target
+    scale. The per-batch staging write bounds self-overwrite (Spark
+    cannot overwrite partitions it is concurrently reading).
     """
+
+    bucket = F.pmod(F.xxhash64(*keys), F.lit(num_buckets)).cast("int")
 
     def write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         collapsed = latest_row_per_key(
             batch, keys=keys, order_by=[version_col]
-        )
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet")
-            for root, _, files in os.walk(target_dir)
-            for f in files
-        ):
-            current = spark.read.parquet(target_dir)
+        ).withColumn(_UPSERT_BUCKET_COL, bucket)
+        if _has_parquet(target_dir):
+            # touched-bucket set: bounded by num_buckets, metadata-sized
+            touched = [
+                r[0]
+                for r in collapsed.select(
+                    _UPSERT_BUCKET_COL
+                ).distinct().collect()
+            ]
+            if not touched:
+                return
+            current = spark.read.parquet(target_dir).filter(
+                F.col(_UPSERT_BUCKET_COL).isin(touched)
+            )
             merged = latest_row_per_key(
                 current.unionByName(collapsed),
                 keys=keys,
@@ -141,10 +172,18 @@ def upsert_sink(
             )
         else:
             merged = collapsed
-        tmp = target_dir.rstrip("/") + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(target_dir)
+        staging = f"{target_dir.rstrip('/')}.staging-{batch_id}"
+        try:
+            merged.write.mode("overwrite").parquet(staging)
+            (
+                spark.read.parquet(staging)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(_UPSERT_BUCKET_COL)
+                .parquet(target_dir)
+            )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     return write
 

@@ -286,3 +286,78 @@ def test_run_to_memory_survives_lingering_query(spark, log_dir):
     out = jobs.run_to_memory(agg, mode="complete")
     assert out.count() >= 0
     assert not lingering.isActive  # pre-stop cleaned up the leak
+
+
+def test_upsert_sink_untouched_buckets_not_rewritten(spark, tmp_path):
+    """The merge must be partition-scoped: a second batch touching one
+    key's bucket leaves every other bucket's parquet files untouched
+    (same paths, same mtimes) — not a full-table rewrite."""
+    import os as _os
+
+    src_dir = tmp_path / "changelog2"
+    src_dir.mkdir()
+    # 40 keys spread across the 16 hash buckets
+    (src_dir / "b1.txt").write_text(
+        "".join(f"K{i},1,{i}.00\n" for i in range(40))
+    )
+    raw = sources.file_stream(spark, str(src_dir))
+    parsed = raw.select(
+        F.split("value", ",")[0].alias("id"),
+        F.split("value", ",")[1].cast("long").alias("version"),
+        F.split("value", ",")[2].alias("amount"),
+    )
+    target = str(tmp_path / "target2")
+    sink = jobs.upsert_sink(target, keys=["id"], version_col="version")
+    q = jobs.start_foreach_batch(
+        parsed, sink, checkpoint=str(tmp_path / "ckpt3")
+    )
+    q.awaitTermination()
+
+    def file_state():
+        out = {}
+        for root, _, files in _os.walk(target):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = _os.path.join(root, f)
+                    out[p] = _os.stat(p).st_mtime_ns
+        return out
+
+    before = file_state()
+    buckets_before = {
+        p.split("pk_bucket=")[1].split("/")[0] for p in before
+    }
+    assert len(buckets_before) > 1  # keys really spread over buckets
+
+    # second batch updates a single key -> exactly one bucket touched
+    (src_dir / "b2.txt").write_text("K0,2,999.00\n")
+    q = jobs.start_foreach_batch(
+        parsed, sink, checkpoint=str(tmp_path / "ckpt3")
+    )
+    q.awaitTermination()
+    after = file_state()
+
+    touched_bucket = [
+        r[0]
+        for r in spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit("K0")), F.lit(16)).cast("int")
+        )
+        .collect()
+    ][0]
+    untouched_before = {
+        p: t for p, t in before.items()
+        if f"pk_bucket={touched_bucket}/" not in p
+    }
+    untouched_after = {
+        p: t for p, t in after.items()
+        if f"pk_bucket={touched_bucket}/" not in p
+    }
+    assert untouched_before == untouched_after  # same files, same mtimes
+    # and the merge itself is still correct
+    rows = {
+        (r["id"], r["version"], r["amount"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert ("K0", 2, "999.00") in rows
+    assert ("K1", 1, "1.00") in rows
+    assert len(rows) == 40
