@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -92,7 +93,11 @@ def decode_images(df: DataFrame) -> DataFrame:
                         "width": pdf["width"],
                         "height": pdf["height"],
                         "mean_intensity": pdf["content"].map(
-                            lambda b: (sum(b) / len(b)) if len(b) else 0.0
+                            lambda b: float(
+                                np.frombuffer(b, dtype=np.uint8).mean()
+                            )
+                            if len(b)
+                            else 0.0
                         ),
                         "byte_len": pdf["content"].map(len),
                     }
@@ -115,11 +120,9 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             feats = []
             for b in pdf["content"]:
-                counts = [0] * dim
-                for byte in b:
-                    counts[byte % dim] += 1
-                total = len(b) or 1
-                feats.append([c / total for c in counts])
+                arr = np.frombuffer(b, dtype=np.uint8)
+                counts = np.bincount(arr % dim, minlength=dim)
+                feats.append((counts / (len(arr) or 1)).tolist())
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "feature": feats}
             )
@@ -135,23 +138,35 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                n = max(int(r["duration_ms"] // every_ms), 0)
-                blob = bytes(r["content"])
-                for i in range(n):
-                    lo = (i * 17) % max(len(blob), 1)
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": i,
-                            "frame_ts_ms": i * every_ms,
-                            "frame": blob[lo : lo + 8],
-                        }
-                    )
+            ns = np.maximum(
+                pdf["duration_ms"].to_numpy() // every_ms, 0
+            ).astype(np.int64)
+            if ns.sum() == 0:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series([], dtype="int64"),
+                        "frame_idx": pd.Series([], dtype="int64"),
+                        "frame_ts_ms": pd.Series([], dtype="int64"),
+                        "frame": pd.Series([], dtype="object"),
+                    }
+                )
+                continue
+            # vectorized fan-out: row r repeats ns[r] times with a local
+            # frame counter; only the payload slice is per-frame Python
+            frame_idx = np.concatenate([np.arange(n) for n in ns])
+            src_row = np.repeat(np.arange(len(ns)), ns)
+            blobs = [bytes(b) for b in pdf["content"]]
+            frames = []
+            for j, i in zip(src_row, frame_idx):
+                lo = int(i * 17) % max(len(blobs[j]), 1)
+                frames.append(blobs[j][lo : lo + 8])
             yield pd.DataFrame(
-                rows,
-                columns=["media_id", "frame_idx", "frame_ts_ms", "frame"],
+                {
+                    "media_id": pdf["media_id"].to_numpy()[src_row],
+                    "frame_idx": frame_idx,
+                    "frame_ts_ms": frame_idx * every_ms,
+                    "frame": frames,
+                }
             )
 
     return df.filter(df["kind"] == "video").mapInPandas(
