@@ -46,3 +46,23 @@ def sign_lsh_bucket(v: Column, bits: int = 8) -> Column:
         gt = F.element_at(v, 2 * i + 1) > F.element_at(v, 2 * i + 2)
         bucket = bucket + F.when(gt, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def probe_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks with at most ``radius`` of ``bits`` set — the
+    multi-probe neighborhood. A vector whose bucket differs from a query's
+    in <= radius bit positions is reached by exactly one mask, so a probe
+    equi-join finds each hamming<=radius pair exactly once (no DISTINCT).
+    Sizes: radius 1 -> bits+1 masks, radius 2 -> 1+bits+C(bits,2)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(bits)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
+    if radius >= 3:
+        raise ValueError("probe radius > 2 not supported (mask set blows up)")
+    return masks

@@ -1,14 +1,23 @@
 """Similarity search over the ``embeddings`` table (array<float>, dim 64).
 
-Brute-force cosine top-k is the correctness baseline; a deterministic
-sign-LSH bucketing is the scale path (candidate generation becomes an
-equi-join on an 8-bit bucket id, cutting the pair space ~256x; at 100 TB
-you'd use more bits + multi-probe).
+Brute-force cosine top-k is the correctness baseline; deterministic
+sign-LSH bucketing is the scale path. Two bucketed variants:
+- single-bucket (8-bit) — the simplest candidate cut, kept as the
+  bucketed baseline (``ann_lsh_topk``);
+- 16-bit + multi-probe (hamming<=2 neighborhood, 137 probe masks) — the
+  scale path (``ann_multiprobe_topk``, ``near_dup_embedding_pairs``):
+  candidates come from an equi-join on probed bucket ids, so each band
+  bucket holds ~n/2^16 vectors and recall extends to near-neighbors whose
+  sketch differs in up to 2 bits. On a bucket-partitioned lakehouse table
+  the probe list is a literal IN-filter -> partition pruning reads 137 of
+  65,536 partitions.
 
 Parity: all arithmetic is double, folded left-to-right in array order in
 both engines (Spark aggregate/zip_with vs DuckDB list_sum over
 list_transform), so results are bit-identical; ordering ties are broken by
-vec_id.
+vec_id. The DuckDB oracles express the probe neighborhood as
+``bit_count(xor(bucket_a, bucket_b)) <= radius`` — same semantics as the
+probe-mask equi-join (each qualifying pair matches exactly one mask).
 """
 
 from __future__ import annotations
@@ -17,12 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions.similarity import cosine_similarity, sign_lsh_bucket
+from ..functions.similarity import (
+    cosine_similarity,
+    probe_masks,
+    sign_lsh_bucket,
+)
 from ..sources.testdata import load_table
 from .catalog import register
 
 QUERY_VEC_ID = 0
 TOP_K = 10
+ANN_BITS = 16
+ANN_PROBE_RADIUS = 2
+
+_BUCKET16_SQL = " + ".join(
+    f"(CASE WHEN embedding[{2 * i + 1}] > embedding[{2 * i + 2}]"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i in range(ANN_BITS)
+)
 
 # dot(a,b), ||a||, ||b|| as sequential double folds (dim is 64).
 _DOT = (
@@ -146,11 +167,52 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup PAIRS: LSH-bucketed candidate generation, exact
-# cosine verification within buckets. Recall is bounded by the bucketing
-# (similar vectors usually share sign patterns; multi-probe widens recall
-# at scale) — the oracle computes the same bucketed semantics.
+# embedding-cosine near-dup PAIRS: 16-bit sign-LSH + hamming<=2 multi-probe
+# candidate generation, exact cosine verification. One side explodes its
+# 137 probe masks and the pair space collapses to an equi-join on probed
+# bucket ids (~137 * n^2 / 2^16 candidates — vs n^2/256 for the old 8-bit
+# exact-bucket join, with strictly better recall: sketches differing in up
+# to 2 bits still meet). The oracle states the identical neighborhood as a
+# bit_count(xor) predicate.
 COSINE_DUP_THRESHOLD = 0.4
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    bits: int = ANN_BITS,
+    radius: int = ANN_PROBE_RADIUS,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs over ``emb(vec_id, embedding)`` via multi-probe
+    sign-LSH. Each hamming<=radius pair matches exactly one probe mask,
+    so the join needs no DISTINCT."""
+    emb = emb.withColumn(
+        "bucket", sign_lsh_bucket(F.col("embedding"), bits=bits).cast("int")
+    )
+    masks = F.array(*[F.lit(m) for m in probe_masks(bits, radius)])
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.explode(
+            F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+        ).alias("probe"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(
+            b,
+            (F.col("probe") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("__cos", 6).alias("cos_sim"))
+    )
 
 _COS_AB = (
     "list_sum(list_transform(generate_series(1, 64),"
@@ -167,40 +229,19 @@ _COS_AB = (
     survey="J5(ext),J6(ext)",
     oracle=f"""
 WITH bk AS (
-    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+    SELECT vec_id, embedding, CAST({_BUCKET16_SQL} AS INTEGER) AS bucket
     FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_COS_AB}, 6) AS cos_sim
-FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM bk a JOIN bk b
+  ON bit_count(xor(a.bucket, b.bucket)) <= {ANN_PROBE_RADIUS}
+  AND a.vec_id < b.vec_id
 WHERE {_COS_AB} >= {COSINE_DUP_THRESHOLD}
 """,
 )
 def near_dup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).withColumn(
-        "bucket", sign_lsh_bucket(F.col("embedding"), bits=8).cast("int")
-    )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        "bucket",
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
-    return (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= COSINE_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("__cos", 6).alias("cos_sim"))
-    )
+    return embedding_near_dup_pairs(_emb(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +279,61 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != QUERY_VEC_ID)
         )
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-probe bucketed ANN: 16-bit sign-LSH, probe the query bucket's
+# hamming<=2 neighborhood (137 buckets of 65,536), exact cosine re-rank.
+# The probe set is exploded from the broadcast 1-row query side, so the
+# candidate cut is a broadcast hash equi-join on bucket id — on a
+# bucket-partitioned table those 137 literal keys become dynamic partition
+# pruning (read 137/65,536 partitions instead of the full scan the
+# single-bucket 8-bit variant or a bit_count theta-filter would need).
+@register(
+    "ann_multiprobe_topk",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           CAST({_BUCKET16_SQL} AS INTEGER) AS bucket
+    FROM embeddings
+), q AS (
+    SELECT embedding AS qe, bucket AS qbucket FROM b
+    WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id, round({_COS}, 6) AS cos_sim
+FROM b, q
+WHERE bit_count(xor(b.bucket, q.qbucket)) <= {ANN_PROBE_RADIUS}
+  AND vec_id <> {QUERY_VEC_ID}
+ORDER BY round({_COS}, 6) DESC, vec_id
+LIMIT {TOP_K}
+""",
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket",
+        sign_lsh_bucket(F.col("embedding"), bits=ANN_BITS).cast("int"),
+    )
+    masks = F.array(
+        *[F.lit(m) for m in probe_masks(ANN_BITS, ANN_PROBE_RADIUS)]
+    )
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+            ).alias("probe"),
+        )
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        emb.join(broadcast(q), F.col("bucket") == F.col("probe"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
