@@ -25,15 +25,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def streaming_first_per_day(
     df: DataFrame,
-    key: str,
+    key: str | list[str],
     ts_col: str,
     out_schema: str,
     out_cols: list[str],
 ) -> DataFrame:
     """Emit only each key's first row per calendar day (UV-detail operator,
     DwdTrafficUniqueVisitorDetail.java:86-116). ``df`` must be keyed-able
-    on ``key`` with a timestamp ``ts_col``; ``out_cols`` are passed through.
+    on ``key`` (a column or list of columns, e.g. ``[mid, page_id]`` for
+    the per-page UV state of DwsTrafficPageViewWindow) with a timestamp
+    ``ts_col``; ``out_cols`` are passed through.
     """
+    keys = [key] if isinstance(key, str) else list(key)
 
     def fn(
         key_tuple: tuple,
@@ -52,6 +55,68 @@ def streaming_first_per_day(
                     last_date = d
             if keep:
                 outs.append(pdf.loc[keep, out_cols])
+        state.update((last_date,))
+        for o in outs:
+            yield o
+
+    return (
+        df.groupBy(*keys)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="last_date string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_first_per_day_gap(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    out_schema: str,
+    out_cols: list[str],
+    min_gap_days: int = 8,
+    flag_col: str = "is_back",
+) -> DataFrame:
+    """First row per key per day, flagged ``is_back=1`` when the key's
+    previous active date is >= ``min_gap_days`` earlier (the back-flow
+    login detector, DwsUserUserLoginWindow.java:126-181: stored last-login
+    date vs current date). First-ever sighting flags 0, like the batch
+    lag() form (operators.visitor.gap_flag).
+
+    ``out_schema`` must include ``flag_col`` as an int; ``out_cols`` are
+    the passthrough columns (``flag_col`` is appended by the operator).
+    """
+
+    def fn(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (last_date,) = state.get if state.exists else (None,)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            keep, flags = [], []
+            for idx, d in zip(
+                pdf.index, pdf[ts_col].dt.date
+            ):
+                ds = d.strftime("%Y-%m-%d")
+                if ds != last_date:
+                    is_back = 0
+                    if last_date is not None:
+                        prev = pd.Timestamp(last_date).date()
+                        if (d - prev).days >= min_gap_days:
+                            is_back = 1
+                    keep.append(idx)
+                    flags.append(is_back)
+                    last_date = ds
+            if keep:
+                o = pdf.loc[keep, out_cols].copy()
+                o[flag_col] = flags
+                outs.append(o)
         state.update((last_date,))
         for o in outs:
             yield o
