@@ -193,14 +193,22 @@ def log_fanout_sink(
     base_dir: str,
 ) -> Callable[[DataFrame, int], None]:
     """K5: one checkpointed query, N append targets (the reference's 5
-    Kafka producers, BaseLogApp.java:281-285)."""
+    Kafka producers, BaseLogApp.java:281-285).
+
+    Exactly-once on retry: each branch writes to a ``batch=<id>``
+    subdirectory with overwrite — if the job crashes mid-fan-out (some
+    branches written, checkpoint uncommitted), the reprocessed batch
+    replaces its own partial output instead of appending a duplicate.
+    This is the idempotent-producer analog of the reference's Kafka
+    transactions (KafkaUtil.java:26-64); readers see the branch dir as a
+    batch-partitioned table."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
         batch = batch.cache()
         try:
             for name, branch in split_fn(batch).items():
-                branch.write.mode("append").parquet(
-                    os.path.join(base_dir, name)
+                branch.write.mode("overwrite").parquet(
+                    os.path.join(base_dir, name, f"batch={batch_id}")
                 )
         finally:
             batch.unpersist()
