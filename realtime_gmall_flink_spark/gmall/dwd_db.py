@@ -32,8 +32,8 @@ def _row_op_ts(df: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # trade: order pre-process (J1/J2/J3; DwdTradeOrderPreProcess.java:38-217)
-def order_pre_process(env: DataFrame, base_dic: DataFrame) -> DataFrame:
-    od = _row_op_ts(_with_date_id(cdc_extract(
+def _extract_od(env: DataFrame) -> DataFrame:
+    return _row_op_ts(_with_date_id(cdc_extract(
         env,
         "order_detail",
         ["insert"],
@@ -45,7 +45,10 @@ def order_pre_process(env: DataFrame, base_dic: DataFrame) -> DataFrame:
         ],
         keep_meta=True,
     ).drop("type", "old")))
-    oi = cdc_extract(
+
+
+def _extract_oi(env: DataFrame) -> DataFrame:
+    return cdc_extract(
         env,
         "order_info",
         ["insert", "update"],
@@ -60,24 +63,87 @@ def order_pre_process(env: DataFrame, base_dic: DataFrame) -> DataFrame:
         F.col("type").alias("order_type"),
         F.col("old").alias("order_old"),
     )
-    oda = cdc_extract(
+
+
+def _extract_oda(env: DataFrame) -> DataFrame:
+    return cdc_extract(
         env,
         "order_detail_activity",
         ["insert"],
         ["order_detail_id", "activity_id", "activity_rule_id"],
     ).withColumnRenamed("order_detail_id", "oda_detail_id")
-    odc = cdc_extract(
+
+
+def _extract_odc(env: DataFrame) -> DataFrame:
+    return cdc_extract(
         env,
         "order_detail_coupon",
         ["insert"],
         ["order_detail_id", "coupon_id"],
     ).withColumnRenamed("order_detail_id", "odc_detail_id")
 
+
+def order_pre_process(env: DataFrame, base_dic: DataFrame) -> DataFrame:
+    od = _extract_od(env)
+    oi = _extract_oi(env)
+    oda = _extract_oda(env)
+    odc = _extract_odc(env)
+
     joined = (
         od.join(oi, od["order_id"] == oi["order_id_oi"], "inner")
         .join(oda, od["id"] == oda["oda_detail_id"], "left")
         .join(odc, od["id"] == odc["odc_detail_id"], "left")
         .drop("order_id_oi", "oda_detail_id", "odc_detail_id")
+    )
+    return lookup_join(
+        joined, base_dic, "source_type", "dic_code",
+        _DIC_ATTRS("source_type_name"),
+    )
+
+
+def order_pre_process_bucketed(
+    spark,
+    env: DataFrame,
+    base_dic: DataFrame,
+    buckets: int = 32,
+    prefix: str = "bkt_",
+) -> DataFrame:
+    """order_pre_process with the od x oi fact-to-fact join co-located by
+    bucketing (NOTES.md item 1; the batch analog of the reference pinning
+    parallelism to Kafka partitions so keyed state never re-shuffles).
+
+    Both CDC extracts are persisted bucketed by order_id with the same
+    bucket count, so Catalyst plans the big join as a SortMergeJoin with
+    NO shuffle Exchange on either side — at 100 TB this removes the
+    dominant shuffle of the nightly fact join. The small sides (activity,
+    coupon, dic) join via broadcast, which adds no shuffle either.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from ..sources.lakehouse import write_bucketed
+
+    od = _extract_od(env)
+    # rename the oi key to the od-side name so both tables bucket AND join
+    # on the identical column list (the on=["order_id"] equi-join form)
+    oi = _extract_oi(env).withColumnRenamed("order_id_oi", "order_id")
+    write_bucketed(od, f"{prefix}od", ["order_id"], buckets=buckets)
+    write_bucketed(oi, f"{prefix}oi", ["order_id"], buckets=buckets)
+    odb = spark.table(f"{prefix}od")
+    oib = spark.table(f"{prefix}oi")
+
+    joined = (
+        odb.join(oib, ["order_id"], "inner")
+        .join(
+            broadcast(_extract_oda(env)),
+            odb["id"] == F.col("oda_detail_id"),
+            "left",
+        )
+        .join(
+            broadcast(_extract_odc(env)),
+            odb["id"] == F.col("odc_detail_id"),
+            "left",
+        )
+        .drop("oda_detail_id", "odc_detail_id")
     )
     return lookup_join(
         joined, base_dic, "source_type", "dic_code",

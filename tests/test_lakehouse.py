@@ -45,3 +45,38 @@ def test_bucketed_join_no_shuffle(spark, no_broadcast, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_order_pre_process_bucketed_no_shuffle(spark, no_broadcast):
+    """NOTES item 1: the od x oi fact join over bucketed CDC extracts
+    plans with no shuffle Exchange and matches the plain pre-process."""
+    from realtime_gmall_flink_spark.gmall import cdc, dwd_db
+    from realtime_gmall_flink_spark.schemas import BASE_DIC_SCHEMA
+
+    from . import gmall_fixtures as FX
+
+    raw = spark.createDataFrame(
+        [(r,) for r in FX.topic_db_rows()], "value string"
+    )
+    env = cdc.parse_topic_db(raw)
+    base_dic = spark.createDataFrame(FX.base_dic_rows(), BASE_DIC_SCHEMA)
+
+    bucketed = dwd_db.order_pre_process_bucketed(
+        spark, env, base_dic, buckets=4
+    )
+    assert not plan_has_shuffle(bucketed), (
+        bucketed._jdf.queryExecution().executedPlan().toString()
+    )
+
+    plain = dwd_db.order_pre_process(env, base_dic)
+    key = lambda df: {  # noqa: E731
+        (r["id"], r["order_id"], r["order_type"], r["split_total_amount"])
+        for r in df.select(
+            "id", "order_id", "order_type", "split_total_amount"
+        ).collect()
+    }
+    assert key(bucketed) == key(plain)
+    assert bucketed.count() == plain.count() > 0
+
+    spark.sql("DROP TABLE IF EXISTS bkt_od")
+    spark.sql("DROP TABLE IF EXISTS bkt_oi")
