@@ -19,6 +19,23 @@ import time
 from realtime_gmall_flink_spark.plans.catalog import catalog
 from realtime_gmall_flink_spark.session import get_spark
 
+# Warm per-query floor (seconds) from the best recorded round at sf0.1 on
+# local[32] (BENCH_r01.json). A query regressing > REGRESSION_FACTOR x its
+# floor is a perf bug, flagged on stderr — update a floor only when a
+# deliberate trade-off justifies it.
+BASELINE_FLOOR = {
+    "ann_cosine_topk": 1.084,
+    "dedup_latest_event": 0.693,
+    "dim_cascade_region_revenue": 1.42,
+    "keyword_frequency": 0.869,
+    "near_dup_jaccard": 6.094,
+    "tpch_q1": 0.411,
+    "tpch_q3_top_orders": 0.714,
+    "trade_order_window": 0.29,
+    "traffic_event_type_window": 0.454,
+}
+REGRESSION_FACTOR = 1.5
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,6 +68,17 @@ def main() -> None:
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(f"bench: cold-run times: {cold}", file=sys.stderr)
+    is_ref_env = (
+        sf == "0.1" and os.environ.get("SPARK_GRAFT_CPUS", "32") == "32"
+    )
+    for name, t in sorted(timings.items()):
+        floor = BASELINE_FLOOR.get(name)
+        if is_ref_env and floor and t > REGRESSION_FACTOR * floor:
+            print(
+                f"bench: REGRESSION {name}: {t}s > "
+                f"{REGRESSION_FACTOR}x floor {floor}s",
+                file=sys.stderr,
+            )
     print(
         json.dumps(
             {
