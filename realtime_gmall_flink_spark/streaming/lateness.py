@@ -1,0 +1,160 @@
+"""allowedLateness re-fire (W4) as a foreachBatch window corrector.
+
+Flink semantics (DwsTrafficVcChArIsNewPageViewWindow.java:235-237): a
+window fires at watermark, then re-fires an updated (accumulating) result
+for each late row arriving within ``allowedLateness``; rows later than
+that go to a side output. Structured Streaming has no native equivalent —
+its watermark both finalizes windows and drops late rows in one knob.
+
+This operator reproduces the semantic in foreachBatch over the raw
+stream: an accumulating window-results table merged additively per
+micro-batch. Each batch
+1. computes its own per-window partial aggregates (map-side combine
+   shape: the shuffle moves one row per touched window, not raw events);
+2. splits too-late windows off against the stream's high watermark
+   (max event time seen across all batches, kept in a one-row metadata
+   table — driver-side, metadata-sized) and appends those rows' windows
+   to a ``late/`` side output;
+3. merges in-time partials into the target by summing with the already
+   materialized window rows — the re-fire: a touched window's row is
+   replaced by its corrected total, untouched windows are not rewritten
+   (the target is partitioned by window-start date, and only touched
+   date partitions go through dynamic partition overwrite).
+
+Only additive aggregates (counts/sums) can merge this way — the same
+restriction Flink's incremental ReduceFunction windows have.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WM_TABLE = "_high_watermark"
+_LATE_DIR = "late"
+_PART_COL = "win_date"
+
+
+def _read_high_watermark(spark, meta_path: str):
+    try:
+        rows = spark.read.parquet(meta_path).collect()
+        return rows[0]["max_ts"] if rows else None
+    except Exception:
+        return None
+
+
+def late_window_sink(
+    target_dir: str,
+    ts_col: str,
+    size: str,
+    dims: list[str],
+    aggs: Mapping[str, Column],
+    allowed_lateness: str = "10 seconds",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body implementing accumulating windows with
+    allowedLateness. ``aggs`` must be additive (sum/count built on input
+    columns); output columns are stt, edt, dims, then one column per agg.
+
+    Too-late rows' window partials are appended under
+    ``<target>/late/`` (the side-output analog) instead of merging.
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        meta = os.path.join(target_dir, _WM_TABLE)
+        data = os.path.join(target_dir, "windows")
+        late = os.path.join(target_dir, _LATE_DIR)
+
+        win = F.window(F.col(ts_col), size)
+        partial = (
+            batch.groupBy(win.alias("__w"), *[F.col(d) for d in dims])
+            .agg(*[c.alias(n) for n, c in aggs.items()])
+            .select(
+                F.col("__w.start").alias("stt"),
+                F.col("__w.end").alias("edt"),
+                *dims,
+                *aggs,
+            )
+            .withColumn(_PART_COL, F.to_date("stt"))
+        )
+        batch_max = batch.agg(F.max(ts_col)).collect()[0][0]
+        if batch_max is None:
+            return
+
+        # high watermark = max event time across all batches so far
+        prev_wm = _read_high_watermark(spark, meta)
+        high_wm = max(prev_wm, batch_max) if prev_wm else batch_max
+        spark.createDataFrame(
+            [(high_wm,)], f"max_ts {batch.schema[ts_col].dataType.simpleString()}"
+        ).write.mode("overwrite").parquet(meta)
+
+        # too-late: window closed before (watermark - lateness). Rows are
+        # judged against the PREVIOUS batch's watermark, like Flink, where
+        # the watermark only advances behind the records that carried it;
+        # before any batch the watermark is -inf (nothing is late).
+        if prev_wm is not None:
+            horizon = F.lit(prev_wm) - F.expr(
+                f"INTERVAL {allowed_lateness}"
+            )
+            too_late = partial.filter(F.col("edt") <= horizon)
+            in_time = partial.filter(F.col("edt") > horizon)
+            if too_late.limit(1).count() > 0:
+                too_late.drop(_PART_COL).write.mode("append").parquet(late)
+        else:
+            in_time = partial
+
+        has_target = os.path.isdir(data) and any(
+            f.endswith(".parquet")
+            for _r, _, files in os.walk(data)
+            for f in files
+        )
+        if has_target:
+            touched = [
+                r[0]
+                for r in in_time.select(_PART_COL).distinct().collect()
+            ]
+            if not touched:
+                return
+            current = spark.read.parquet(data).filter(
+                F.col(_PART_COL).isin(touched)
+            )
+            merged = (
+                current.unionByName(in_time)
+                .groupBy("stt", "edt", *dims, _PART_COL)
+                .agg(*[F.sum(n).alias(n) for n in aggs])
+            )
+        else:
+            merged = in_time
+        staging = f"{data}.staging-{batch_id}"
+        try:
+            merged.write.mode("overwrite").parquet(staging)
+            (
+                spark.read.parquet(staging)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(_PART_COL)
+                .parquet(data)
+            )
+        finally:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+
+    return write
+
+
+def read_windows(spark, target_dir: str) -> DataFrame:
+    """Current accumulated window results (post all re-fires)."""
+    return spark.read.parquet(os.path.join(target_dir, "windows")).drop(
+        _PART_COL
+    )
+
+
+def read_too_late(spark, target_dir: str) -> DataFrame | None:
+    path = os.path.join(target_dir, _LATE_DIR)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
