@@ -43,17 +43,24 @@ def streaming_first_per_day(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (last_date,) = state.get if state.exists else (None,)
         outs = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(ts_col)
-            dates = pdf[ts_col].dt.strftime("%Y-%m-%d")
-            keep = []
-            for idx, d in zip(pdf.index, dates):
-                if d != last_date:
-                    keep.append(idx)
-                    last_date = d
-            if keep:
+            dates = pdf[ts_col].dt.strftime("%Y-%m-%d").to_numpy()
+            # sorted dates are non-decreasing, so "date changed vs the
+            # running last_date" reduces to: first occurrence of each
+            # distinct date, minus the leading date when the state
+            # already saw it — vectorized instead of a per-row loop
+            keep = np.concatenate(([True], dates[1:] != dates[:-1]))
+            if last_date is not None and dates[0] == last_date:
+                keep[0] = False
+            last_date = dates[-1]
+            if keep.any():
                 outs.append(pdf.loc[keep, out_cols])
         state.update((last_date,))
         for o in outs:
@@ -95,28 +102,34 @@ def streaming_first_per_day_gap(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (last_date,) = state.get if state.exists else (None,)
         outs = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(ts_col)
-            keep, flags = [], []
-            for idx, d in zip(
-                pdf.index, pdf[ts_col].dt.date
-            ):
-                ds = d.strftime("%Y-%m-%d")
-                if ds != last_date:
-                    is_back = 0
-                    if last_date is not None:
-                        prev = pd.Timestamp(last_date).date()
-                        if (d - prev).days >= min_gap_days:
-                            is_back = 1
-                    keep.append(idx)
-                    flags.append(is_back)
-                    last_date = ds
-            if keep:
+            dates = pdf[ts_col].dt.strftime("%Y-%m-%d").to_numpy()
+            keep = np.concatenate(([True], dates[1:] != dates[:-1]))
+            if last_date is not None and dates[0] == last_date:
+                keep[0] = False
+            if keep.any():
                 o = pdf.loc[keep, out_cols].copy()
+                # gap flags need only the (tiny) distinct-date subset:
+                # each kept row's predecessor is the previous kept date,
+                # seeded by the state's last seen date
+                kept_dates = dates[keep]
+                prevs = np.concatenate(([last_date], kept_dates[:-1]))
+                flags = []
+                for d, p in zip(kept_dates, prevs):
+                    gap_ok = p is not None and (
+                        pd.Timestamp(d) - pd.Timestamp(p)
+                    ).days >= min_gap_days
+                    flags.append(1 if gap_ok else 0)
                 o[flag_col] = flags
                 outs.append(o)
+            last_date = dates[-1]
         state.update((last_date,))
         for o in outs:
             yield o
