@@ -495,3 +495,124 @@ def brand_refund_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("refund_amount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4-style — EXISTS semi-join: orders with at least one lineitem
+# shipped after the order date, counted by priority. The semi-join keeps
+# the probe side single-pass (no fact duplication, no distinct needed);
+# Catalyst plans a shuffled hash semi on the equality key with the date
+# predicate applied inside the join.
+@register(
+    "tpch_q4_order_priority",
+    survey="J+(semi)",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_ct
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-style — promo revenue share per ship year: conditional decimal
+# aggregate (P5 over money) against the part dim, broadcast.
+@register(
+    "tpch_q14_promo_revenue",
+    survey="P5,A4,J5",
+    oracle=f"""
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) END),
+            0) AS DOUBLE) AS promo_revenue,
+       {_REV_SQL} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev)), F.lit(0)
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            _revenue().alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7-style — volume shipping: the SAME dim (nation) joined twice
+# under different roles (J4) with an inequality between the legs, bucketed
+# by ship year. Both nation legs broadcast; the fact shuffles only for the
+# orders join and the final aggregate.
+@register(
+    "tpch_q7_volume_shipping",
+    survey="J1,J4,A4",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       {_REV_SQL} AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    fact = (
+        li.join(broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return fact.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(_revenue().alias("volume"))
