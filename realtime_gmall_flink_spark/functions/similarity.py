@@ -66,3 +66,58 @@ def probe_masks(bits: int, radius: int) -> list[int]:
     if radius >= 3:
         raise ValueError("probe radius > 2 not supported (mask set blows up)")
     return masks
+
+
+def cosine_topk_arrow(
+    emb,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Arrow/numpy brute-force cosine top-k: one BLAS matvec per Arrow
+    batch, partial top-k per batch, global top-k over the tiny union.
+
+    MEASURED: ~5x slower than the JVM fold (``cosine_similarity``) at
+    400k x 64 vectors on local[32] — Arrow transfer of the list column
+    dominates the cheap matvec, so the JVM expression path is the scale
+    path for plain cosine. This pattern is retained for workloads where
+    per-batch compute is heavy enough to amortize the transfer (GPU
+    scoring, learned re-rankers). Float addition order also differs from
+    the sequential fold (pairwise/SIMD), so results agree to float
+    precision, not bit-exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    dim = len(query)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # flat concatenate + reshape: one C-level pass over the Arrow
+            # list column instead of a Python-level conversion per row
+            m = np.concatenate(pdf[vec_col].to_numpy()).reshape(-1, dim)
+            m = m.astype(np.float64, copy=False)
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            top = np.argsort(-sims, kind="stable")[:k]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[top],
+                    "cos_sim": sims[top],
+                }
+            )
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, cos_sim double"
+    )
+    return (
+        partial.select(id_col, F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

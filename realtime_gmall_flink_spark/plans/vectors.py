@@ -338,3 +338,26 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# NOTE (measured negative result, kept for the record): an Arrow/numpy
+# mapInPandas variant of ann_cosine_topk (functions.similarity.
+# cosine_topk_arrow) was benchmarked at 400k x 64 synthetic vectors on
+# local[32]: ~5x SLOWER than the JVM fold (Arrow transfer of the list
+# column dominates a cheap matvec). The JVM expression path is the scale
+# path for plain cosine; the Arrow pattern only pays when per-batch
+# compute is heavy (GPU scoring, high-dim re-rank). Equality with the
+# exact fold is still test-enforced (tests/test_vectors_recall.py).
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import cosine_topk_arrow
+
+    emb = _emb(spark, sf_dir)
+    qvec = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    return cosine_topk_arrow(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), list(qvec), TOP_K
+    )

@@ -79,3 +79,20 @@ def test_probe_mask_neighborhood_complete():
     assert len(masks) == len(set(masks))  # exactly-once join matches
     assert len(masks) == 1 + ANN_BITS + ANN_BITS * (ANN_BITS - 1) // 2
     assert all(bin(m).count("1") <= ANN_PROBE_RADIUS for m in masks)
+
+
+def test_arrow_topk_matches_exact_fold(spark):
+    """The vectorized Arrow path must return the same neighbors as the
+    oracle-exact JVM fold (values to float precision, ids exactly)."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ann_cosine_topk,
+        ann_cosine_topk_arrow,
+    )
+
+    from .conftest import SF_DIR
+
+    exact = ann_cosine_topk(spark, SF_DIR).collect()
+    arrow = ann_cosine_topk_arrow(spark, SF_DIR).collect()
+    assert [r["vec_id"] for r in arrow] == [r["vec_id"] for r in exact]
+    for a, e in zip(arrow, exact):
+        assert abs(a["cos_sim"] - e["cos_sim"]) <= 1e-6
