@@ -102,3 +102,59 @@ def test_refresh_dws_layer(spark, wh, tmp_path):
     assert ("P1", "Beijing-2", 225.0) in rows
     reg = spark.read.parquet(f"{dws_dir}/dws_user_user_register_window")
     assert reg.count() == 2
+
+
+def test_db_side_restart_with_late_orders(spark, tmp_path):
+    """Checkpoint-restart for the db-side chain: a self-contained late
+    order (O3 + its detail D4) arrives after a restart; the resumed
+    query appends only the new facts and the refreshed DWS layer equals
+    batch over the full corpus."""
+    rows = FX.topic_db_rows()
+    late = [r for r in rows if '"O3"' in r or '"D4"' in r]
+    assert len(late) == 2  # order_info O3 + order_detail D4
+    first = [r for r in rows if r not in late]
+
+    db_dir = tmp_path / "topic_db"
+    db_dir.mkdir()
+    out = str(tmp_path / "dwd")
+    ckpt = str(tmp_path / "ckpt_db")
+    base_dic = spark.createDataFrame(FX.base_dic_rows(), BASE_DIC_SCHEMA)
+
+    (db_dir / "d0.txt").write_text("\n".join(first) + "\n")
+    q = warehouse.run_db_side(spark, str(db_dir), base_dic, out, ckpt)
+    q.awaitTermination()
+    n_first = spark.read.parquet(
+        warehouse.dwd_path(out, "order_detail")
+    ).count()
+
+    (db_dir / "d1.txt").write_text("\n".join(late) + "\n")
+    q = warehouse.run_db_side(spark, str(db_dir), base_dic, out, ckpt)
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(warehouse.dwd_path(out, "order_detail"))
+    raw = spark.createDataFrame([(r,) for r in rows], "value string")
+    env = cdc.parse_topic_db(raw)
+    batch = dwd_db.order_detail(dwd_db.order_pre_process(env, base_dic))
+    key = lambda df: {  # noqa: E731
+        (r["id"], r["order_id"], r["split_total_amount"])
+        for r in df.select(
+            "id", "order_id", "split_total_amount"
+        ).collect()
+    }
+    assert key(streamed) == key(batch)
+    assert streamed.count() == n_first + 1  # exactly D4 appended, no dups
+
+    # DWS refresh over the resumed DWD equals batch over the full corpus
+    from realtime_gmall_flink_spark.gmall import dims as dims_mod
+    from realtime_gmall_flink_spark.gmall import dws
+
+    dims = dims_mod.build_dims(env)
+    dws_dir = str(tmp_path / "dws")
+    warehouse.refresh_dws(spark, out, dims, dws_dir)
+    got = spark.read.parquet(f"{dws_dir}/dws_trade_order_window")
+    expected = dws.trade_order_window(batch)
+    cols = ["stt", "order_unique_user_count", "order_origin_total_amount"]
+    rs = lambda df: {  # noqa: E731
+        tuple(str(r[c]) for c in cols) for r in df.select(cols).collect()
+    }
+    assert rs(got) == rs(expected)
