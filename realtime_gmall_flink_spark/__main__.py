@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--db-dir", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--checkpoint", default=None)
+    sp.add_argument(
+        "--dws",
+        action="store_true",
+        help="also run the streaming DWS stage (log-side chained queries)",
+    )
 
     args = p.parse_args(argv)
 
@@ -92,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         q1.awaitTermination()
         q2.awaitTermination()
+        if args.dws:
+            from .streaming import dws_jobs
+
+            dws_jobs.run_traffic_user_dws(
+                spark, args.out, f"{args.out}/dws", f"{ckpt}/dws"
+            )
         print(f"warehouse written to {args.out}")
         return 0
 
