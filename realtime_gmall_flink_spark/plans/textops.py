@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.sketches import simhash16, word_shingles
+from ..functions.sketches import simhash16
 from ..functions.textstats import (
     LANG_STOPWORDS,
     doc_fingerprint,
@@ -262,16 +262,29 @@ SELECT doc_id, 3, concat_ws('|', '3', m6, m7) FROM m
 """,
 )
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Explode shingles to rows and take the 8 seed-minima as codegen'd
-    # aggregates. The pure-expression alternative
-    # (functions.sketches.minhash_signature over the shingle array) inlines
-    # the shingle-generation subtree once per hash slot and once per band
-    # element after projection collapsing — measured ~20x slower at sf0.1.
-    # One shuffle on doc_id; min() ignores shingle duplicates, matching the
-    # oracle's list_min over the distinct set.
+    # Shingle STRINGS are required here (the oracle md5s the text), but
+    # they are built in codegen like jaccard_pairs: posexplode + lead()
+    # + concat_ws per row, not an interpreted array transform. The 8
+    # seed-minima are codegen'd aggregates over the exploded rows; the
+    # pure-expression alternative (functions.sketches.minhash_signature
+    # over the shingle array) inlines the shingle-generation subtree once
+    # per hash slot after projection collapsing — measured ~20x slower.
+    # One shuffle on doc_id; min() ignores shingle duplicates, matching
+    # the oracle's list_min over the distinct set.
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "w")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.select(
+            "doc_id",
+            "w",
+            F.lead("w", 1).over(ws).alias("w1"),
+            F.lead("w", 2).over(ws).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("s"))
     )
     sig = sh.groupBy("doc_id").agg(
         *[
