@@ -76,3 +76,47 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["apple", "banana", "cherry", "date", "elder"]),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(DOCS)
+def test_jaccard_pairs_match_python_brute_force(spark_global, token_lists):
+    """The codegen shingle pipeline must equal an O(n^2) pure-Python
+    reference: same pairs, same jaccard values (tiny token alphabet
+    forces shared shingles and duplicate shingles within a doc)."""
+    from realtime_gmall_flink_spark.plans.textops import jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark_global.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(df, threshold=0.2, max_df=1000).collect()
+    }
+
+    def shingles(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    expected = {}
+    sets = {i: shingles(t) for i, t in enumerate(token_lists)}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                j = inter / union
+                if j >= 0.2:
+                    expected[(a, b)] = round(j, 9)
+    assert got == expected
