@@ -581,3 +581,50 @@ def streaming_event_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         to_ntz("stt"), to_ntz("edt"), "event_type", "pv_ct", "value_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation in the driver-checked catalog: the two-stage
+# (key, salt) -> key plan must produce exactly the plain GROUP BY result.
+# events.event_type has few distinct values over many rows — the shape
+# where one hot key funnels a single reducer at 100 TB and salting spreads
+# it over ~32 partials (operators/skew.py). Algebraic measures only.
+@register(
+    "salted_event_type_stats",
+    survey="A4(skew)",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS ev_ct,
+       {DSUM_SQL('value')} AS value_sum,
+       min(user_id) AS min_user,
+       max(user_id) AS max_user
+FROM events
+GROUP BY event_type
+""",
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "ev_ct": ("count", "*"),
+            "min_user": ("min", "user_id"),
+            "max_user": ("max", "user_id"),
+        },
+    )
+    # decimal value_sum merges algebraically too, but salted_agg's fn set
+    # is (sum,count,min,max) over raw columns; do the exact-decimal sum as
+    # its own salted pass and join on the (tiny) key set
+    vs = salted_agg(
+        events.withColumn("__v", F.col("value").cast("decimal(18,2)")),
+        ["event_type"],
+        {"value_sum_dec": ("sum", "__v")},
+    ).select(
+        "event_type", F.col("value_sum_dec").cast("double").alias("value_sum")
+    )
+    return out.join(vs, "event_type").select(
+        "event_type", "ev_ct", "value_sum", "min_user", "max_user"
+    )
