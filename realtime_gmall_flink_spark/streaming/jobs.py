@@ -230,3 +230,21 @@ def start_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """W7: streaming duplicate suppression with bounded state — the
+    proc-time dedup timer of the reference (keyed state + 10 s timer)
+    maps to ``dropDuplicatesWithinWatermark``: a key's duplicates are
+    dropped while its first arrival is within the watermark horizon, and
+    the key's state is evicted once the watermark passes (the timer
+    analog). Unlike dropDuplicates, state does NOT grow with distinct
+    keys forever."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -361,3 +361,30 @@ def test_upsert_sink_untouched_buckets_not_rewritten(spark, tmp_path):
     assert ("K0", 2, "999.00") in rows
     assert ("K1", 1, "1.00") in rows
     assert len(rows) == 40
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """W7 native form: duplicates inside the watermark horizon are
+    suppressed; each key survives exactly once."""
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    (src / "a.txt").write_text(
+        "K1,2024-05-01 10:00:00\n"
+        "K1,2024-05-01 10:00:03\n"  # dup within horizon -> dropped
+        "K2,2024-05-01 10:00:05\n"
+        "K1,2024-05-01 10:00:06\n"  # still within horizon -> dropped
+    )
+    raw = sources.file_stream(spark, str(src))
+    parsed = raw.select(
+        F.split("value", ",")[0].alias("k"),
+        F.to_timestamp(F.split("value", ",")[1]).alias("t"),
+    )
+    out = jobs.run_to_memory(
+        jobs.streaming_dedup(parsed, ["k"], "t", watermark="10 seconds"),
+        mode="append",
+    )
+    got = sorted((r["k"], str(r["t"])) for r in out.collect())
+    assert got == [
+        ("K1", "2024-05-01 10:00:00"),
+        ("K2", "2024-05-01 10:00:05"),
+    ]
