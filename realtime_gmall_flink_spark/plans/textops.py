@@ -598,3 +598,52 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("double") / F.count(F.lit(1))
         ).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency document scoring — the quality-filter signal behind
+# "drop docs made of boilerplate tokens": per doc, the average corpus
+# document frequency of its tokens and the share of rare tokens. The
+# token-frequency table is corpus-sized, so the enrich is a shuffle
+# equi-join co-keyed on the token (both sides partition identically —
+# one shuffle each, no broadcast assumption). All measures are exact
+# integer sums surfaced as doubles, so the oracle matches bit-for-bit
+# (no transcendental functions whose libm rounding could differ).
+@register(
+    "doc_token_rarity",
+    survey="A4(ext),J1(ext)",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+), freq AS (
+    SELECT w, count(*) AS f FROM tok GROUP BY w
+)
+SELECT doc_id,
+       count(*) AS tok_ct,
+       CAST(SUM(f) AS DOUBLE) / count(*) AS avg_token_df,
+       CAST(SUM(CASE WHEN f <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS rare_ratio
+FROM tok JOIN freq USING (w)
+GROUP BY doc_id
+""",
+)
+def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = explode_tokens(docs, "text", "w").select("doc_id", "w")
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tok_ct"),
+            (F.sum("f").cast("double") / F.count(F.lit(1))).alias(
+                "avg_token_df"
+            ),
+            (
+                F.sum(F.when(F.col("f") <= 2, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("rare_ratio"),
+        )
+    )
