@@ -410,3 +410,153 @@ def run_traffic_user_dws(
     for q in run_window_jobs(spark, dwd_dir, dws_dir, ckpt_dir):
         q.awaitTermination()
     return {t: os.path.join(dws_dir, t) for t in DWS_TABLES}
+
+
+# ---------------------------------------------------------------------------
+# db-side always-on DWS jobs — the three insert-only chains (register,
+# cart-add UU, payment-suc). The changelog-consuming windows (order /
+# province / trademark) need retraction semantics Spark streaming
+# aggregation does not provide over re-read tables; those stay on the
+# per-trigger refresh path (warehouse.refresh_dws), which IS their
+# Spark-idiomatic form.
+TRADE_DWS_TABLES = (
+    "dws_user_user_register_window",
+    "dws_trade_cart_add_uu_window",
+    "dws_trade_payment_suc_window",
+)
+
+
+def _peek_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+
+
+def run_trade_detail_jobs(
+    spark: SparkSession, dwd_dir: str, ckpt_dir: str
+) -> list:
+    """Stage 1: stateful unique-user detail queries over insert-only
+    DWD fact streams."""
+    from .stateful import streaming_first_per_day_ever
+
+    queries = []
+
+    cart = _peek_stream(
+        spark, os.path.join(dwd_dir, "dwd_trade_cart_add")
+    ).select(
+        F.col("user_id"),
+        F.col("id"),
+        F.timestamp_seconds(F.col("ts").cast("long")).alias("event_time"),
+        F.col("ts").cast("long").alias("sec"),
+    ).withWatermark("event_time", "3 seconds")
+    cart_first = streaming_first_per_day(
+        cart,
+        key="user_id",
+        ts_col="event_time",
+        out_schema="user_id string, sec long",
+        out_cols=["user_id", "sec"],
+    )
+    queries.append(
+        _start_append_parquet(
+            cart_first,
+            os.path.join(dwd_dir, "dwd_trade_cart_first_detail"),
+            os.path.join(ckpt_dir, "cart_first"),
+        )
+    )
+
+    pay = _peek_stream(
+        spark, os.path.join(dwd_dir, "dwd_trade_pay_detail_suc")
+    ).select(
+        F.col("pay_user_id"),
+        F.to_timestamp("callback_time").alias("event_time"),
+        F.unix_timestamp(F.to_timestamp("callback_time")).alias("sec"),
+    ).withWatermark("event_time", "3 seconds")
+    pay_first = streaming_first_per_day_ever(
+        pay,
+        key="pay_user_id",
+        ts_col="event_time",
+        out_schema="pay_user_id string, sec long, is_first_ever int",
+        out_cols=["pay_user_id", "sec"],
+    )
+    queries.append(
+        _start_append_parquet(
+            pay_first,
+            os.path.join(dwd_dir, "dwd_trade_pay_first_detail"),
+            os.path.join(ckpt_dir, "pay_first"),
+        )
+    )
+    return queries
+
+
+def run_trade_window_jobs(
+    spark: SparkSession, dwd_dir: str, dws_dir: str, ckpt_dir: str
+) -> list:
+    """Stage 2: the three windowed summaries (complete-mode materialized
+    views)."""
+    queries = []
+
+    reg = _peek_stream(
+        spark, os.path.join(dwd_dir, "dwd_user_register")
+    ).withColumn("event_time", F.to_timestamp("create_time"))
+    reg_win = tumble_agg(
+        reg, "event_time", WINDOW, [], {"register_ct": F.count(F.lit(1))}
+    )
+    queries.append(
+        _start_complete(
+            reg_win,
+            os.path.join(dws_dir, TRADE_DWS_TABLES[0]),
+            os.path.join(ckpt_dir, "register_window"),
+        )
+    )
+
+    cart_first = _peek_stream(
+        spark, os.path.join(dwd_dir, "dwd_trade_cart_first_detail")
+    ).withColumn("event_time", F.timestamp_seconds(F.col("sec")))
+    cart_win = tumble_agg(
+        cart_first,
+        "event_time",
+        WINDOW,
+        [],
+        {"cart_add_uu_ct": F.count(F.lit(1))},
+    )
+    queries.append(
+        _start_complete(
+            cart_win,
+            os.path.join(dws_dir, TRADE_DWS_TABLES[1]),
+            os.path.join(ckpt_dir, "cart_window"),
+        )
+    )
+
+    pay_first = _peek_stream(
+        spark, os.path.join(dwd_dir, "dwd_trade_pay_first_detail")
+    ).withColumn("event_time", F.timestamp_seconds(F.col("sec")))
+    pay_win = tumble_agg(
+        pay_first,
+        "event_time",
+        WINDOW,
+        [],
+        {
+            "payment_suc_unique_user_count": F.count(F.lit(1)),
+            "payment_suc_new_user_count": F.sum("is_first_ever"),
+        },
+    )
+    queries.append(
+        _start_complete(
+            pay_win,
+            os.path.join(dws_dir, TRADE_DWS_TABLES[2]),
+            os.path.join(ckpt_dir, "pay_window"),
+        )
+    )
+    return queries
+
+
+def run_trade_user_dws(
+    spark: SparkSession, dwd_dir: str, dws_dir: str, ckpt_dir: str
+) -> dict[str, str]:
+    """Run the insert-only db-side DWS chains once (availableNow);
+    re-runnable with the same checkpoints."""
+    for q in run_trade_detail_jobs(spark, dwd_dir, ckpt_dir):
+        q.awaitTermination()
+    for q in run_trade_window_jobs(spark, dwd_dir, dws_dir, ckpt_dir):
+        q.awaitTermination()
+    return {t: os.path.join(dws_dir, t) for t in TRADE_DWS_TABLES}

@@ -211,3 +211,59 @@ def streaming_jump_out(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_first_per_day_ever(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    out_schema: str,
+    out_cols: list[str],
+    flag_col: str = "is_first_ever",
+) -> DataFrame:
+    """First row per key per day, flagged 1 on the key's FIRST-EVER
+    emission (the lastPayDt/lastOrderDt keyed state of
+    DwsTradePaymentSucWindow / DwsTradeOrderWindow: new-user counting).
+    Batch equivalent: first_per_period + first_visit_repair."""
+
+    def fn(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (last_date,) = state.get if state.exists else (None,)
+        seen_before = last_date is not None
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts_col)
+            dates = pdf[ts_col].dt.strftime("%Y-%m-%d").to_numpy()
+            keep = np.concatenate(([True], dates[1:] != dates[:-1]))
+            if last_date is not None and dates[0] == last_date:
+                keep[0] = False
+            if keep.any():
+                o = pdf.loc[keep, out_cols].copy()
+                flags = [0] * int(keep.sum())
+                if not seen_before:
+                    flags[0] = 1
+                    seen_before = True
+                o[flag_col] = flags
+                outs.append(o)
+            last_date = dates[-1]
+        state.update((last_date,))
+        for o in outs:
+            yield o
+
+    return (
+        df.groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="last_date string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
