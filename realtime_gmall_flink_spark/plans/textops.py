@@ -647,3 +647,37 @@ def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# length-distribution percentiles per source — the corpus-curation view
+# ("what does p99 doc length look like per crawl source"). Exact
+# interpolated percentiles (Spark `percentile` / DuckDB `quantile_cont`):
+# both engines sort and interpolate identically over integer lengths, so
+# the doubles match bit-for-bit. At 100 TB swap `percentile` for
+# `percentile_approx` (t-digest, algebraic) and accept the approximation;
+# the query shape is unchanged.
+@register(
+    "doc_length_percentiles",
+    survey="A4(ext)",
+    oracle="""
+SELECT source,
+       count(*) AS doc_ct,
+       quantile_cont(len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')), 0.5) AS p50_tokens,
+       quantile_cont(len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')), 0.9) AS p90_tokens,
+       quantile_cont(length(text), 0.99) AS p99_chars
+FROM documents
+GROUP BY source
+""",
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = token_count("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.percentile(toks, F.lit(0.5)).alias("p50_tokens"),
+        F.percentile(toks, F.lit(0.9)).alias("p90_tokens"),
+        F.percentile(F.length("text"), F.lit(0.99)).alias("p99_chars"),
+    )

@@ -616,3 +616,44 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_nation",
         F.year("l_shipdate").cast("int").alias("ship_year"),
     ).agg(_revenue().alias("volume"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-style — large-volume orders: a HAVING-filtered aggregate used
+# as a semi-join filter on the fact. The qualifying-keys side is itself an
+# aggregate (not a dim), so both sides shuffle on orderkey and the filter
+# join is a shuffled left-semi on the SAME key — Catalyst reuses the
+# partitioning, no extra exchange for the semi probe.
+@register(
+    "tpch_q18_large_orders",
+    survey="J+(semi),A4,A7",
+    oracle=f"""
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {DSUM_SQL('l_quantity')} AS total_qty
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            big, orders["o_orderkey"] == big["l_orderkey"], "left_semi"
+        )
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
