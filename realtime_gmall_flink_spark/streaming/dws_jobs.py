@@ -560,3 +560,49 @@ def run_trade_user_dws(
     for q in run_trade_window_jobs(spark, dwd_dir, dws_dir, ckpt_dir):
         q.awaitTermination()
     return {t: os.path.join(dws_dir, t) for t in TRADE_DWS_TABLES}
+
+
+# ---------------------------------------------------------------------------
+# W4 in its home job: DwsTrafficVcChArIsNewPageViewWindow carries
+# allowedLateness(10s) (java:235-237). This runner replaces the
+# complete-mode window query with the accumulating late-window corrector
+# (streaming/lateness.py): in-horizon late page views RE-FIRE their
+# window with corrected totals, later ones land in the late/ side output.
+# All five measures are additive, the requirement for corrector merges.
+def run_vc_window_with_lateness(
+    spark: SparkSession,
+    dwd_dir: str,
+    target_dir: str,
+    ckpt: str,
+    allowed_lateness: str = "10 seconds",
+):
+    from .jobs import start_foreach_batch
+    from .lateness import late_window_sink
+
+    pg = page_stream(spark, dwd_dir)
+    pv = pg.select(
+        *_flat_dims(pg),
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+        F.lit(0).alias("uv_ct"),
+        F.when(F.col("page.last_page_id").isNull(), 1)
+        .otherwise(0)
+        .alias("sv_ct"),
+        F.lit(1).alias("pv_ct"),
+        F.coalesce(F.col("page.during_time"), F.lit(0)).alias("dur_sum"),
+        F.lit(0).alias("uj_ct"),
+    )
+    sink = late_window_sink(
+        target_dir,
+        "event_time",
+        WINDOW,
+        _DIM_COLS,
+        {
+            "uv_ct": F.sum("uv_ct"),
+            "sv_ct": F.sum("sv_ct"),
+            "pv_ct": F.sum("pv_ct"),
+            "dur_sum": F.sum("dur_sum"),
+            "uj_ct": F.sum("uj_ct"),
+        },
+        allowed_lateness=allowed_lateness,
+    )
+    return start_foreach_batch(pv, sink, ckpt)

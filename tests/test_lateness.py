@@ -92,3 +92,64 @@ def test_late_row_refires_too_late_row_sidelined(spark, tmp_path):
     ])
     _run(spark, src, sink, ckpt)
     assert _windows(spark, target)[("10:00:00", "x")] == (4, 113)
+
+
+def test_vc_window_job_with_allowed_lateness(spark, tmp_path):
+    """W4 in its home job (DwsTrafficVcChArIsNewPageViewWindow): a late
+    page view within the horizon re-fires its vc/ch/ar window; one past
+    the horizon is side-lined."""
+    from realtime_gmall_flink_spark.streaming import dws_jobs, warehouse
+
+    from . import gmall_fixtures as FX
+
+    log_dir = tmp_path / "topic_log"
+    log_dir.mkdir()
+    rows = FX.topic_log_rows()
+    (log_dir / "d0.txt").write_text("\n".join(rows) + "\n")
+    dwd = str(tmp_path / "dwd")
+    q = warehouse.run_log_side(
+        spark, str(log_dir), dwd, str(tmp_path / "ckpt_log")
+    )
+    q.awaitTermination()
+
+    target = str(tmp_path / "vc_late")
+    q = dws_jobs.run_vc_window_with_lateness(
+        spark, dwd, target, str(tmp_path / "ckpt_vc")
+    )
+    q.awaitTermination()
+    wins = lateness.read_windows(spark, target)
+    # page-view counts must match the batch pv branch of the vc window
+    batch_page = spark.createDataFrame(
+        [(r,) for r in rows], "value string"
+    )
+    from realtime_gmall_flink_spark.gmall import log_etl
+
+    page = log_etl.split_log(log_etl.parse_topic_log(batch_page))["page"]
+    assert wins.agg(F.sum("pv_ct")).collect()[0][0] == page.count()
+
+    # a late page view for M1's first window (watermark is far ahead at
+    # DAY12; the 10s horizon has passed) -> side output, windows intact
+    import json as _json
+
+    late_row = _json.dumps(
+        {
+            "common": {"mid": "M9", "uid": "U9", "vc": "v2.1",
+                       "ch": "app", "ar": "110000", "is_new": "1"},
+            "page": {"page_id": "home", "during_time": 100},
+            "ts": FX.ms(FX.DAY1, "10:00:02"),
+        }
+    )
+    (log_dir / "d1.txt").write_text(late_row + "\n")
+    q = warehouse.run_log_side(
+        spark, str(log_dir), dwd, str(tmp_path / "ckpt_log")
+    )
+    q.awaitTermination()
+    q = dws_jobs.run_vc_window_with_lateness(
+        spark, dwd, target, str(tmp_path / "ckpt_vc")
+    )
+    q.awaitTermination()
+    before_total = page.count()
+    wins2 = lateness.read_windows(spark, target)
+    assert wins2.agg(F.sum("pv_ct")).collect()[0][0] == before_total
+    late = lateness.read_too_late(spark, target)
+    assert late is not None and late.agg(F.sum("pv_ct")).collect()[0][0] == 1
