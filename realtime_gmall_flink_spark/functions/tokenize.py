@@ -22,6 +22,27 @@ def tokenize(col: Column | str, pattern: str = r"\s+") -> Column:
     return F.filter(F.split(c, pattern), lambda t: t != F.lit(""))
 
 
+# GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit runs,
+# punctuation runs (each with an optional leading space), whitespace runs.
+# Restricted to constructs shared by Java regex (Spark) and RE2 (DuckDB) —
+# no lookarounds — so the same string drives both engines bit-identically.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_tokenize(col: Column | str) -> Column:
+    """BPE-ish pre-token array: every non-overlapping match of
+    :data:`BPE_PATTERN`, in document order (JVM-side, codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Pre-token count — the standard proxy for LLM token budgets when no
+    merges table is available (a real BPE only merges within these
+    pre-tokens, so the count is a stable lower bound)."""
+    return F.size(bpe_tokenize(col))
+
+
 def explode_tokens(
     df: DataFrame, text_col: str, out_col: str = "word"
 ) -> DataFrame:

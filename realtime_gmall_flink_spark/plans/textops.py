@@ -29,7 +29,12 @@ from ..functions.textstats import (
     quality_score,
     token_count,
 )
-from ..functions.tokenize import explode_tokens, tokenize
+from ..functions.tokenize import (
+    BPE_PATTERN,
+    bpe_token_count,
+    explode_tokens,
+    tokenize,
+)
 from ..operators.dedup import exact_dedup
 from ..sources.testdata import load_table
 from .catalog import register
@@ -597,6 +602,51 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum(F.length("text")).cast("double") / F.count(F.lit(1))
         ).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token budgeting — whitespace tokens vs GPT-2-style pre-tokens
+# (contractions / letter runs / digit runs / punct runs, optional leading
+# space). The pre-token count is the standard no-merges-table proxy for an
+# LLM token budget; chars_per_token is the compression signal curation
+# pipelines threshold on. Pure codegen regexp per row, no shuffle at all —
+# embarrassingly parallel at any scale.
+_BPE_SQL_PAT = BPE_PATTERN.replace("'", "''")
+
+@register(
+    "doc_token_counts",
+    survey="F1(ext),P10(ext)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, text,
+           len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS bpe
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len({_WORDS_SQL}) AS INTEGER) AS ws_tokens,
+       CAST(bpe AS INTEGER) AS bpe_tokens,
+       CAST(length(text) AS INTEGER) AS chars,
+       round(CASE WHEN bpe > 0
+                  THEN CAST(length(text) AS DOUBLE) / bpe
+                  ELSE 0.0 END, 4) AS chars_per_token
+FROM d
+""",
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bpe = bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length("text").alias("chars"),
+        F.round(
+            F.when(bpe > 0, F.length("text").cast("double") / bpe).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("chars_per_token"),
     )
 
 

@@ -106,6 +106,26 @@ def test_word_shingles_short_text(spark):
     assert out[1]["sh"] == ["one two three"]
 
 
+def test_bpe_pretokenizer_segments(spark):
+    from realtime_gmall_flink_spark.functions.tokenize import (
+        bpe_token_count,
+        bpe_tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [("it's 42%, don't stop",), ("",), ("   ",)], "text string"
+    )
+    rows = df.select(
+        bpe_tokenize("text").alias("t"), bpe_token_count("text").alias("n")
+    ).collect()
+    # contractions split off; digits/punct are their own runs with the
+    # leading space attached; whitespace-only text is one run.
+    assert rows[0]["t"] == [
+        "it", "'s", " 42", "%,", " don", "'t", " stop",
+    ]
+    assert [r["n"] for r in rows] == [7, 0, 1]
+
+
 def test_predict_language_tie_and_none(spark):
     df = spark.createDataFrame(
         [("xyzzy plugh",),          # no stopword hits -> und
