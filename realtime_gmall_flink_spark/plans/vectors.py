@@ -341,6 +341,140 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path. k seed
+# centroids are picked deterministically (smallest md5(vec_id) — a
+# hash-uniform sample, so cells are balanced in expectation); every vector
+# is assigned to its nearest centroid (argmax cosine, one broadcast of k
+# rows against the fact — no shuffle until the tiny argmax window); the
+# query probes its NPROBE nearest cells and exact-reranks only their
+# members. At 100 TB the assignment is materialized once as a table
+# partitioned BY cid, so a query reads NPROBE/k of the data via partition
+# pruning, and Lloyd refinement is a driver loop re-running the same
+# assignment query against avg-per-dimension centroid updates.
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two list columns, same left-to-right double
+    fold as :func:`cosine_similarity`."""
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        "sqrt(list_sum(list_transform(generate_series(1, 64),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        "sqrt(list_sum(list_transform(generate_series(1, 64),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"{dot} / ({na} * {nb})"
+
+
+def ivf_centroids(emb: DataFrame, k: int = IVF_CENTROIDS) -> DataFrame:
+    """Deterministic seed centroids: the k vectors with smallest
+    md5(vec_id) (hash order = uniform pseudo-random, reproducible in any
+    engine)."""
+    return (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+
+
+def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine argmax,
+    ties -> smallest cid). The centroid side is broadcast, so the only
+    shuffle is the per-vector argmax window over k candidate rows."""
+    from pyspark.sql import Window
+
+    cc = F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cc").desc(), F.col("cid").asc()
+    )
+    return (
+        emb.crossJoin(broadcast(cent))
+        .select("vec_id", "embedding", "cid", cc.alias("cc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_CENTROIDS}
+), q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+    SELECT vec_id, embedding, cid FROM scored WHERE rn = 1
+), qcent AS (
+    SELECT c.cid FROM cent c, q
+    ORDER BY round({_cos_sql('c.ce', 'qe')}, 6) DESC, c.cid
+    LIMIT {IVF_NPROBE}
+)
+SELECT a.vec_id, round({_cos_sql('a.embedding', 'qe')}, 6) AS cos_sim
+FROM assigned a JOIN qcent USING (cid), q
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT {TOP_K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(_emb(spark, sf_dir))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    cent = ivf_centroids(emb, k=n_centroids)
+    assigned = ivf_assign(emb, cent)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    qcent = (
+        cent.crossJoin(broadcast(q))
+        .select(
+            "cid",
+            F.round(
+                cosine_similarity(F.col("ce"), F.col("qe")), 6
+            ).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select("cid")
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        assigned.join(broadcast(qcent), "cid")
+        .crossJoin(broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # NOTE (measured negative result, kept for the record): an Arrow/numpy
 # mapInPandas variant of ann_cosine_topk (functions.similarity.
 # cosine_topk_arrow) was benchmarked at 400k x 64 synthetic vectors on

@@ -96,3 +96,31 @@ def test_arrow_topk_matches_exact_fold(spark):
     assert [r["vec_id"] for r in arrow] == [r["vec_id"] for r in exact]
     for a, e in zip(arrow, exact):
         assert abs(a["cos_sim"] - e["cos_sim"]) <= 1e-6
+
+
+def test_ivf_twins_land_in_same_cell(planted):
+    """IVF recall rests on near-duplicates quantizing to the same cell:
+    at cos ~ 0.995 the argmax centroid must agree for >= 0.9 of pairs."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    cells = {
+        r.vec_id: r.cid
+        for r in ivf_assign(planted, ivf_centroids(planted, k=8)).collect()
+    }
+    same = sum(1 for i in range(N_PAIRS) if cells[2 * i] == cells[2 * i + 1])
+    assert same / N_PAIRS >= 0.9, f"co-cell rate {same / N_PAIRS} < 0.9"
+
+
+def test_ivf_topk_finds_planted_twin(planted):
+    """End-to-end IVF probe: querying a base vector must return its
+    perturbed twin first (its own cell is always among the probed)."""
+    from realtime_gmall_flink_spark.plans.vectors import ivf_topk
+
+    top = ivf_topk(
+        planted, query_vec_id=0, k=3, n_centroids=8, nprobe=2
+    ).collect()
+    assert top and top[0]["vec_id"] == 1
+    assert top[0]["cos_sim"] >= 0.9
