@@ -606,3 +606,119 @@ def run_vc_window_with_lateness(
         allowed_lateness=allowed_lateness,
     )
     return start_foreach_batch(pv, sink, ckpt)
+
+
+# ---------------------------------------------------------------------------
+# The changelog-consuming trade order window as a streaming chain. The
+# reference job (DwsTradeOrderWindow) is keyed-state dedup (5 s timer,
+# latest revision wins) -> per-user first/first-ever state -> tumbling
+# multi-measure window. Same three stages here, each a checkpointed query:
+# dedup detail (streaming_latest_per_key) -> user-first detail
+# (streaming_first_per_day_ever) -> union window (amount measures from the
+# deduped stream, user measures from the firsts stream — the full-join +
+# zero-fill of the batch twin expressed as a single additive window).
+ORDER_DEDUP_COLS = [
+    "id", "user_id", "ts", "sku_num", "order_price",
+    "split_activity_amount", "split_coupon_amount", "row_op_ts",
+]
+ORDER_DWS_TABLE = "dws_trade_order_window"
+
+
+def run_trade_order_dws(
+    spark: SparkSession, dwd_dir: str, dws_dir: str, ckpt_dir: str
+) -> str:
+    from .stateful import (
+        streaming_first_per_day_ever,
+        streaming_latest_per_key,
+    )
+
+    # stage 1: latest-wins revision dedup per order-detail id
+    src = (
+        _peek_stream(spark, os.path.join(dwd_dir, "dwd_trade_order_detail"))
+        .select(
+            *ORDER_DEDUP_COLS,
+            F.timestamp_seconds(F.col("ts").cast("long")).alias(
+                "event_time"
+            ),
+        )
+        .withWatermark("event_time", "3 seconds")
+    )
+    ded = streaming_latest_per_key(
+        src,
+        key="id",
+        ts_col="event_time",
+        order_by=["row_op_ts", "ts"],
+        out_schema=(
+            "id string, user_id string, ts string, sku_num string,"
+            " order_price string, split_activity_amount string,"
+            " split_coupon_amount string, row_op_ts long"
+        ),
+        out_cols=ORDER_DEDUP_COLS,
+    )
+    dedup_path = os.path.join(dwd_dir, "dwd_trade_order_detail_dedup")
+    _start_append_parquet(
+        ded, dedup_path, os.path.join(ckpt_dir, "order_dedup")
+    ).awaitTermination()
+
+    # stage 2: per-user first-per-day + first-ever over the deduped stream
+    dd = (
+        _peek_stream(spark, dedup_path)
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("sec"),
+            F.timestamp_seconds(F.col("ts").cast("long")).alias(
+                "event_time"
+            ),
+        )
+        .withWatermark("event_time", "3 seconds")
+    )
+    firsts = streaming_first_per_day_ever(
+        dd,
+        key="user_id",
+        ts_col="event_time",
+        out_schema="user_id string, sec long, is_first_ever int",
+        out_cols=["user_id", "sec"],
+    )
+    firsts_path = os.path.join(dwd_dir, "dwd_trade_order_user_first_detail")
+    _start_append_parquet(
+        firsts, firsts_path, os.path.join(ckpt_dir, "order_firsts")
+    ).awaitTermination()
+
+    # stage 3: one additive window over the union of both detail streams
+    d16 = "decimal(16,2)"
+    amounts = _peek_stream(spark, dedup_path).select(
+        F.timestamp_seconds(F.col("ts").cast("long")).alias("event_time"),
+        F.lit(0).alias("uu"),
+        F.lit(0).alias("first_ever"),
+        F.col("split_activity_amount").cast(d16).alias("activity"),
+        F.col("split_coupon_amount").cast(d16).alias("coupon"),
+        (
+            F.col("sku_num").cast(d16) * F.col("order_price").cast(d16)
+        ).alias("origin"),
+    )
+    users = _peek_stream(spark, firsts_path).select(
+        F.timestamp_seconds(F.col("sec")).alias("event_time"),
+        F.lit(1).alias("uu"),
+        F.col("is_first_ever").alias("first_ever"),
+        F.lit(0).cast(d16).alias("activity"),
+        F.lit(0).cast(d16).alias("coupon"),
+        F.lit(0).cast("decimal(33,4)").alias("origin"),
+    )
+    win = tumble_agg(
+        amounts.unionByName(users),
+        "event_time",
+        WINDOW,
+        [],
+        {
+            "order_unique_user_count": F.sum("uu").cast("long"),
+            "order_new_user_count": F.sum("first_ever").cast("long"),
+            "order_activity_reduce_amount": F.sum("activity").cast("double"),
+            "order_coupon_reduce_amount": F.sum("coupon").cast("double"),
+            "order_origin_total_amount": F.sum("origin").cast("double"),
+        },
+    )
+    target = os.path.join(dws_dir, ORDER_DWS_TABLE)
+    _start_complete(
+        win, target, os.path.join(ckpt_dir, "order_window")
+    ).awaitTermination()
+    return target

@@ -267,3 +267,70 @@ def streaming_first_per_day_ever(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_latest_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    order_by: list[str],
+    out_schema: str,
+    out_cols: list[str],
+    quiesce_seconds: int = 5,
+) -> DataFrame:
+    """W7/D1 streaming latest-wins dedup: hold the greatest row per key by
+    ``order_by`` (lexicographic tuple compare; first arrival wins ties) and
+    emit it once the event-time watermark passes last-seen + quiesce — the
+    DwsTradeOrderWindow keyed-state + 5 s dedup timer
+    (DwsTradeOrderWindow.java, state saves the latest revision; onTimer
+    emits). Batch equivalent: :func:`operators.dedup.latest_row_per_key`.
+
+    State is one JSON row per key, removed at emission — bounded by live
+    (in-revision-flight) keys only, never corpus size.
+    """
+    quiesce_ms = quiesce_seconds * 1000
+
+    def fn(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        best = json.loads(state.get[0]) if state.exists else None
+
+        if state.hasTimedOut:
+            if best is not None:
+                yield pd.DataFrame(
+                    [{c: best[c] for c in out_cols}], columns=out_cols
+                )
+            state.remove()
+            return
+
+        def plain(v):
+            # native Python values only, so the JSON state round-trips
+            # without default=str turning numbers into strings (which
+            # would break ordering compares across a restart)
+            return v.item() if hasattr(v, "item") else v
+
+        last_ms = best["__ts_ms"] if best is not None else 0
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                cand = {c: plain(row[c]) for c in out_cols}
+                cand["__k"] = [plain(row[c]) for c in order_by]
+                ts_ms = int(row[ts_col].timestamp() * 1000)
+                last_ms = max(last_ms, ts_ms)
+                if best is None or cand["__k"] > best["__k"]:
+                    best = cand
+        if best is not None:
+            best["__ts_ms"] = last_ms
+            state.update((json.dumps(best),))
+            state.setTimeoutTimestamp(last_ms + quiesce_ms)
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="best string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

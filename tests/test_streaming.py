@@ -388,3 +388,62 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         ("K1", "2024-05-01 10:00:00"),
         ("K2", "2024-05-01 10:00:05"),
     ]
+
+
+def test_streaming_latest_per_key_dedup(spark, tmp_path):
+    """Latest-wins dedup timer: revisions inside the quiesce horizon
+    collapse to the greatest row by order_by, emitted when the watermark
+    passes; keys still inside the horizon stay pending and fire on the
+    next run (the reference's DwsTradeOrderWindow 5 s state timer)."""
+    from realtime_gmall_flink_spark.streaming.stateful import (
+        streaming_latest_per_key,
+    )
+
+    src = tmp_path / "rev_src"
+    src.mkdir()
+    out = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.txt").write_text(
+        "A,v1,1,2024-05-01 10:00:00\n"
+        "A,v2,2,2024-05-01 10:00:01\n"   # revision -> wins
+        "B,v1,1,2024-05-01 10:00:02\n"
+        "C,v1,1,2024-05-01 12:00:00\n"   # advances watermark; stays pending
+    )
+
+    def run():
+        raw = sources.file_stream(spark, str(src))
+        p = raw.select(
+            F.split("value", ",")[0].alias("k"),
+            F.split("value", ",")[1].alias("payload"),
+            F.split("value", ",")[2].cast("long").alias("rev"),
+            F.to_timestamp(F.split("value", ",")[3]).alias("t"),
+        ).withWatermark("t", "3 seconds")
+        ded = streaming_latest_per_key(
+            p,
+            key="k",
+            ts_col="t",
+            order_by=["rev"],
+            out_schema="k string, payload string, rev long",
+            out_cols=["k", "payload", "rev"],
+        )
+        q = (
+            ded.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["k"], r["payload"], r["rev"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = run()
+    assert got == {("A", "v2", 2), ("B", "v1", 1)}
+
+    # run 2: a later row advances the watermark past C's timer
+    (src / "b.txt").write_text("D,v1,1,2024-05-01 14:00:00\n")
+    got = run()
+    assert got == {("A", "v2", 2), ("B", "v1", 1), ("C", "v1", 1)}

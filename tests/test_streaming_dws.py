@@ -168,3 +168,52 @@ def test_trade_user_dws_streaming_matches_batch(spark, tmp_path):
     for table, batch_df in expected.items():
         got = spark.read.parquet(out[table])
         assert _rowset(got) == _rowset(batch_df), table
+
+
+def test_trade_order_window_streaming_matches_batch(spark, tmp_path):
+    """The changelog-consuming order window runs as a three-stage
+    streaming chain (latest-wins dedup timer -> user-first state ->
+    additive union window) and equals the batch twin. Keys whose dedup
+    timer the watermark has not passed stay pending (Flink holds them in
+    the 5 s timer state too); a later tick row flushes them."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.gmall import cdc, dwd_db
+    from realtime_gmall_flink_spark.gmall import dws as dws_mod
+    from realtime_gmall_flink_spark.schemas import BASE_DIC_SCHEMA
+
+    rows = FX.topic_db_rows()
+    db_dir = tmp_path / "topic_db"
+    db_dir.mkdir()
+    (db_dir / "d0.txt").write_text("\n".join(rows) + "\n")
+    dwd = str(tmp_path / "dwd")
+    dws_dir = str(tmp_path / "dws")
+    ckpt = str(tmp_path / "ckpt")
+    base_dic = spark.createDataFrame(FX.base_dic_rows(), BASE_DIC_SCHEMA)
+    warehouse.run_db_side(
+        spark, str(db_dir), base_dic, dwd, f"{ckpt}/db"
+    ).awaitTermination()
+
+    target = dws_jobs.run_trade_order_dws(spark, dwd, dws_dir, f"{ckpt}/ord")
+
+    # flush pending dedup timers: a far-future tick row advances the
+    # watermark past every real key's quiesce horizon, then re-run
+    tick_sec = 4102444800  # 2100-01-01, far past any fixture ts
+    spark.createDataFrame(
+        [("__tick__", "u0", str(tick_sec), "1", "0", "0", "0", tick_sec)],
+        "id string, user_id string, ts string, sku_num string,"
+        " order_price string, split_activity_amount string,"
+        " split_coupon_amount string, row_op_ts long",
+    ).write.mode("append").parquet(f"{dwd}/dwd_trade_order_detail")
+    dws_jobs.run_trade_order_dws(spark, dwd, dws_dir, f"{ckpt}/ord")
+
+    got = spark.read.parquet(target).filter(
+        F.col("stt") < F.timestamp_seconds(F.lit(tick_sec - 60))
+    )
+    env = cdc.parse_topic_db(
+        spark.createDataFrame([(r,) for r in rows], "value string")
+    )
+    expected = dws_mod.trade_order_window(
+        dwd_db.order_detail(dwd_db.order_pre_process(env, base_dic))
+    )
+    assert _rowset(got) == _rowset(expected)
