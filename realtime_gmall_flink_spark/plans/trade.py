@@ -657,3 +657,131 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity").alias("total_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10-style — returned-item revenue: which customers returned the
+# most in a quarter. Fact-fact shuffle join on orderkey (both sides
+# filtered first, so the shuffle moves only the quarter's orders and the
+# 'R' lines), then broadcast customer+nation enrich AFTER the per-customer
+# aggregate would be wrong (c_name is a group key), so the dims broadcast
+# onto the fact pre-agg — still no large shuffle beyond orderkey/custkey.
+@register(
+    "tpch_q10_returned_revenue",
+    survey="J1,J5,A4",
+    oracle=f"""
+SELECT c_custkey, c_name, {_REV_SQL} AS revenue, c_acctbal,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6-style — forecasting revenue change: pure scan + pushed filters
+# + one global exact-decimal sum; no join, no per-key shuffle at all (a
+# single partial/final agg). The canonical "is the scan path fast" probe.
+@register(
+    "tpch_q6_revenue_change",
+    survey="P7,A4",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS line_ct
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._parity import dsum_product
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & dec("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum_product("l_extendedprice", "l_discount").alias("revenue"),
+        F.count(F.lit(1)).alias("line_ct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12-style — late-shipment accounting per order priority (the
+# testdata lineitem carries no shipmode/commitdate, so lateness is
+# l_shipdate > o_orderdate + 90 days — the same join + conditional-count
+# shape). Interval compare is a direct timestamp comparison (no unit
+# truncation to diverge between engines).
+@register(
+    "shipment_lateness_by_priority",
+    survey="J1,P5,A4",
+    oracle="""
+SELECT o_orderpriority,
+       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) AS late_ct,
+       count(*) AS line_ct,
+       round(CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4
+             ) AS late_share
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def shipment_lateness_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).alias("late_ct"),
+            F.count(F.lit(1)).alias("line_ct"),
+            F.round(
+                F.sum(late).cast("double") / F.count(F.lit(1)), 4
+            ).alias("late_share"),
+        )
+    )
