@@ -651,6 +651,63 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking — fixed-size token windows with overlap, the unit of
+# work a pretraining pipeline feeds the tokenizer/packer. One generator
+# explode per doc (sequence of chunk starts) + a per-row array slice:
+# fully codegen, no shuffle, no Python — embarrassingly parallel; chunk
+# count scales with corpus size, not with any join. Overlap = SIZE-STRIDE
+# tokens so context windows straddle chunk boundaries.
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+@register(
+    "doc_chunks",
+    survey="P8(ext),F1(ext)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, {_WORDS_SQL} AS lw, len({_WORDS_SQL}) AS n
+    FROM documents
+), s AS (
+    SELECT doc_id, lw, n, unnest(range(0, n, {CHUNK_STRIDE})) AS start
+    FROM d WHERE n > 0
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(lw, start + 1, start + {CHUNK_SIZE}))
+            AS INTEGER) AS chunk_tokens,
+       array_to_string(list_slice(lw, start + 1, start + {CHUNK_SIZE}),
+                       ' ') AS chunk_text
+FROM s
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    d = (
+        docs.select("doc_id", tokenize("text").alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") > 0)
+    )
+    chunk = F.slice(F.col("tk"), F.col("start") + 1, F.lit(CHUNK_SIZE))
+    return (
+        d.select(
+            "doc_id",
+            "tk",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE)
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.size(chunk).alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus-frequency document scoring — the quality-filter signal behind
 # "drop docs made of boilerplate tokens": per doc, the average corpus
 # document frequency of its tokens and the share of rare tokens. The

@@ -126,6 +126,30 @@ def test_bpe_pretokenizer_segments(spark):
     assert [r["n"] for r in rows] == [7, 0, 1]
 
 
+def test_doc_chunk_boundaries(spark, tmp_path, monkeypatch):
+    """Chunk windows: stride walks the token array, the last chunk is the
+    clamped remainder, consecutive chunks overlap by SIZE-STRIDE tokens,
+    empty docs produce no chunks."""
+    import realtime_gmall_flink_spark.plans.textops as T
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(T, "_docs", lambda spark, sf: docs)
+    rows = {
+        (r.doc_id, r.chunk_id): (r.chunk_tokens, r.chunk_text.split())
+        for r in T.doc_chunks(spark, "unused").collect()
+    }
+    # doc 1: starts 0,48,96 -> 64, 52, 4 tokens; overlap of 16
+    assert rows[(1, 0)][0] == 64 and rows[(1, 1)][0] == 52
+    assert rows[(1, 2)] == (4, ["t96", "t97", "t98", "t99"])
+    assert rows[(1, 0)][1][48:] == rows[(1, 1)][1][:16]
+    assert rows[(2, 0)] == (2, ["a", "b"])
+    assert not any(d == 3 for d, _ in rows)
+
+
 def test_predict_language_tie_and_none(spark):
     df = spark.createDataFrame(
         [("xyzzy plugh",),          # no stopword hits -> und
