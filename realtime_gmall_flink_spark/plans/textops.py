@@ -651,6 +651,75 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic train/val/test split — hash-bucket assignment on the doc
+# id (md5, engine-portable), 90/5/5. The property that matters at scale:
+# membership is a pure per-row function of the key — no sampling state,
+# no shuffle, stable under reruns/backfills, and any engine reading the
+# same ids reproduces the same split. Stats per split x lang verify the
+# buckets are hash-uniform.
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5
+
+_BUCKET100_SQL = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+    " AS INTEGER) % 100"
+)
+
+
+def split_bucket(col: Column | str) -> Column:
+    """Hash bucket 0-99 from md5 of the key's string form (first 16 bits —
+    uniform, bit-identical across engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def split_name(col: Column | str) -> Column:
+    b = split_bucket(col)
+    return (
+        F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@register(
+    "train_val_split_stats",
+    survey="P9(ext),A4(ext)",
+    oracle=f"""
+WITH d AS (
+    SELECT lang, length(text) AS chars,
+           CASE WHEN {_BUCKET100_SQL} < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {_BUCKET100_SQL} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split, lang, count(*) AS doc_ct,
+       CAST(sum(chars) AS BIGINT) AS char_sum
+FROM d GROUP BY split, lang
+""",
+)
+def train_val_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            split_name("doc_id").alias("split"),
+            "lang",
+            F.length("text").alias("chars"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("chars").alias("char_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document chunking — fixed-size token windows with overlap, the unit of
 # work a pretraining pipeline feeds the tokenizer/packer. One generator
 # explode per doc (sequence of chunk starts) + a per-row array slice:
