@@ -162,6 +162,27 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir))
 
 
+def shingle_hashes(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, h) word-k-shingle hashes, fully codegen:
+    posexplode tokens, lead() window pairs each token with its k-1
+    successors, one multi-arg xxhash64 per window (see jaccard_pairs
+    plan notes; 2.6x over array-transform shingling)."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize(text_col)).alias("pos", "w")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    succ = [F.lead("w", j).over(ws).alias(f"w{j}") for j in range(1, k)]
+    t2 = tok.select("doc_id", "w", *succ).filter(
+        F.col(f"w{k - 1}").isNotNull()
+    )
+    return t2.select(
+        "doc_id",
+        F.xxhash64("w", *[f"w{j}" for j in range(1, k)]).alias("h"),
+    ).distinct()
+
+
 def jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -189,18 +210,7 @@ def jaccard_pairs(
       before the pair explosion, bounding the per-shingle cost at
       max_df^2/2 pairs — without it one viral shingle costs df^2.
     """
-    tok = docs.select(
-        "doc_id", F.posexplode(tokenize(text_col)).alias("pos", "w")
-    )
-    ws = Window.partitionBy("doc_id").orderBy("pos")
-    succ = [F.lead("w", j).over(ws).alias(f"w{j}") for j in range(1, k)]
-    t2 = tok.select("doc_id", "w", *succ).filter(
-        F.col(f"w{k - 1}").isNotNull()
-    )
-    sh_rows = t2.select(
-        "doc_id",
-        F.xxhash64("w", *[f"w{j}" for j in range(1, k)]).alias("h"),
-    ).distinct()
+    sh_rows = shingle_hashes(docs, text_col, k)
     sh = sh_rows.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
@@ -715,6 +725,69 @@ def train_val_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("doc_ct"),
             F.sum("chars").alias("char_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination — for every eval-split document, how much of
+# its shingle set leaks from the train split. Shingles ride the same
+# codegen hash path as Jaccard; the train side collapses to its DISTINCT
+# shingle-hash set before the join, so each eval shingle matches at most
+# one row — no hot-shingle pair explosion, both shuffles linear in corpus
+# size and moving 8-byte hashes. The oracle joins raw shingle strings
+# (xxhash64 collisions are below result precision, same argument as
+# near_dup_jaccard).
+@register(
+    "split_contamination",
+    survey="J1(ext),A4(ext)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, {_WORDS_SQL} AS w,
+           CASE WHEN {_BUCKET100_SQL} < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {_BUCKET100_SQL} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+), sh AS (
+    SELECT doc_id, split, unnest(list_distinct({_SHINGLES_SQL})) AS sh
+    FROM d
+), train_sh AS (
+    SELECT DISTINCT sh FROM sh WHERE split = 'train'
+), ev AS (
+    SELECT doc_id, sh FROM sh WHERE split <> 'train'
+)
+SELECT ev.doc_id,
+       count(*) AS n_shingles,
+       SUM(CASE WHEN train_sh.sh IS NOT NULL THEN 1 ELSE 0 END)
+           AS overlap_ct,
+       round(CAST(SUM(CASE WHEN train_sh.sh IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 4) AS contamination
+FROM ev LEFT JOIN train_sh ON ev.sh = train_sh.sh
+GROUP BY ev.doc_id
+""",
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split membership is a pure function of doc_id, so it attaches to
+    # the shingle rows directly — no join back to the documents table
+    sh = shingle_hashes(_docs(spark, sf_dir)).withColumn(
+        "split", split_name("doc_id")
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("h").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ev = sh.filter(F.col("split") != "train").select("doc_id", "h")
+    hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (
+        ev.join(train_sh, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            hit.alias("overlap_ct"),
+            F.round(hit.cast("double") / F.count(F.lit(1)), 4).alias(
+                "contamination"
+            ),
         )
     )
 
