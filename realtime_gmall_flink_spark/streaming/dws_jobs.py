@@ -618,8 +618,9 @@ def run_vc_window_with_lateness(
 # deduped stream, user measures from the firsts stream — the full-join +
 # zero-fill of the batch twin expressed as a single additive window).
 ORDER_DEDUP_COLS = [
-    "id", "user_id", "ts", "sku_num", "order_price",
-    "split_activity_amount", "split_coupon_amount", "row_op_ts",
+    "id", "order_id", "user_id", "province_id", "ts", "sku_num",
+    "order_price", "split_activity_amount", "split_coupon_amount",
+    "split_total_amount", "row_op_ts",
 ]
 ORDER_DWS_TABLE = "dws_trade_order_window"
 
@@ -649,9 +650,11 @@ def run_trade_order_dws(
         ts_col="event_time",
         order_by=["row_op_ts", "ts"],
         out_schema=(
-            "id string, user_id string, ts string, sku_num string,"
+            "id string, order_id string, user_id string,"
+            " province_id string, ts string, sku_num string,"
             " order_price string, split_activity_amount string,"
-            " split_coupon_amount string, row_op_ts long"
+            " split_coupon_amount string, split_total_amount string,"
+            " row_op_ts long"
         ),
         out_cols=ORDER_DEDUP_COLS,
     )
@@ -721,4 +724,99 @@ def run_trade_order_dws(
     _start_complete(
         win, target, os.path.join(ckpt_dir, "order_window")
     ).awaitTermination()
+    return target
+
+
+# ---------------------------------------------------------------------------
+# The province window (distinct-order count + amount sum per province) as
+# a streaming chain sharing the order chain's dedup detail. Spark
+# streaming has no exact countDistinct — the reference holds a per-window
+# order-id set in state (DwsTradeProvinceOrderWindow); the streaming-
+# native form is the same trick one level down: a first-arrival dedup on
+# order_id (dropDuplicatesWithinWatermark — bounded state, the TTL'd set
+# analog) emits one row per order, and the window then COUNTS. Amounts
+# sum over all detail rows; both measure families union into one additive
+# window. The province dim joins batch-side inside the complete-mode sink
+# (broadcast, per trigger).
+PROVINCE_DWS_TABLE = "dws_trade_province_order_window"
+
+
+def run_trade_province_dws(
+    spark: SparkSession,
+    dwd_dir: str,
+    dws_dir: str,
+    ckpt_dir: str,
+    dim_base_province: DataFrame,
+) -> str:
+    from .jobs import streaming_dedup
+
+    dedup_path = os.path.join(dwd_dir, "dwd_trade_order_detail_dedup")
+
+    # stage 1: one row per order (first detail row wins; an order's
+    # details share create_time/province, so any representative works)
+    dd = (
+        _peek_stream(spark, dedup_path)
+        .withColumn(
+            "event_time",
+            F.timestamp_seconds(F.col("ts").cast("long")),
+        )
+    )
+    per_order = streaming_dedup(
+        dd.select("order_id", "province_id", "event_time"),
+        keys=["order_id"],
+        ts_col="event_time",
+        watermark="10 seconds",
+    )
+    per_order_path = os.path.join(dwd_dir, "dwd_trade_order_per_order")
+    _start_append_parquet(
+        per_order, per_order_path, os.path.join(ckpt_dir, "per_order")
+    ).awaitTermination()
+
+    # stage 2: additive union window (counts from the per-order stream,
+    # amounts from the full detail stream)
+    d16 = "decimal(16,2)"
+    amounts = _peek_stream(spark, dedup_path).select(
+        F.col("province_id"),
+        F.timestamp_seconds(F.col("ts").cast("long")).alias("event_time"),
+        F.lit(0).alias("ord"),
+        F.col("split_total_amount").cast(d16).alias("amount"),
+    )
+    orders = _peek_stream(spark, per_order_path).select(
+        F.col("province_id"),
+        F.col("event_time"),
+        F.lit(1).alias("ord"),
+        F.lit(0).cast(d16).alias("amount"),
+    )
+    win = tumble_agg(
+        amounts.unionByName(orders),
+        "event_time",
+        WINDOW,
+        ["province_id"],
+        {
+            "order_count": F.sum("ord").cast("long"),
+            "order_amount": F.sum("amount").cast("double"),
+        },
+    )
+    dim = dim_base_province.select(
+        F.col("id").alias("__pid"), F.col("name").alias("province_name")
+    )
+
+    target = os.path.join(dws_dir, PROVINCE_DWS_TABLE)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        out = batch.join(
+            F.broadcast(dim), batch["province_id"] == F.col("__pid"), "left"
+        ).drop("__pid")
+        out.write.mode("overwrite").parquet(target)
+
+    q = (
+        win.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(ckpt_dir, "province_window")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return target

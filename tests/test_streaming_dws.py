@@ -200,10 +200,14 @@ def test_trade_order_window_streaming_matches_batch(spark, tmp_path):
     # watermark past every real key's quiesce horizon, then re-run
     tick_sec = 4102444800  # 2100-01-01, far past any fixture ts
     spark.createDataFrame(
-        [("__tick__", "u0", str(tick_sec), "1", "0", "0", "0", tick_sec)],
-        "id string, user_id string, ts string, sku_num string,"
-        " order_price string, split_activity_amount string,"
-        " split_coupon_amount string, row_op_ts long",
+        [(
+            "__tick__", "__tick__", "u0", "P0", str(tick_sec),
+            "1", "0", "0", "0", "0", tick_sec,
+        )],
+        "id string, order_id string, user_id string, province_id string,"
+        " ts string, sku_num string, order_price string,"
+        " split_activity_amount string, split_coupon_amount string,"
+        " split_total_amount string, row_op_ts long",
     ).write.mode("append").parquet(f"{dwd}/dwd_trade_order_detail")
     dws_jobs.run_trade_order_dws(spark, dwd, dws_dir, f"{ckpt}/ord")
 
@@ -215,5 +219,63 @@ def test_trade_order_window_streaming_matches_batch(spark, tmp_path):
     )
     expected = dws_mod.trade_order_window(
         dwd_db.order_detail(dwd_db.order_pre_process(env, base_dic))
+    )
+    assert _rowset(got) == _rowset(expected)
+
+
+def test_trade_province_window_streaming_matches_batch(spark, tmp_path):
+    """The province window streams off the shared dedup detail: a
+    first-arrival per-order dedup stage turns the reference's in-window
+    order-id set state into a countable stream, and the union window +
+    broadcast dim join equals the batch twin."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.gmall import cdc, dwd_db
+    from realtime_gmall_flink_spark.gmall import dims as dims_mod
+    from realtime_gmall_flink_spark.gmall import dws as dws_mod
+    from realtime_gmall_flink_spark.schemas import BASE_DIC_SCHEMA
+
+    rows = FX.topic_db_rows()
+    db_dir = tmp_path / "topic_db"
+    db_dir.mkdir()
+    (db_dir / "d0.txt").write_text("\n".join(rows) + "\n")
+    dwd = str(tmp_path / "dwd")
+    dws_dir = str(tmp_path / "dws")
+    ckpt = str(tmp_path / "ckpt")
+    base_dic = spark.createDataFrame(FX.base_dic_rows(), BASE_DIC_SCHEMA)
+    warehouse.run_db_side(
+        spark, str(db_dir), base_dic, dwd, f"{ckpt}/db"
+    ).awaitTermination()
+
+    env = cdc.parse_topic_db(
+        spark.createDataFrame([(r,) for r in rows], "value string")
+    )
+    dims = dims_mod.build_dims(env)
+
+    # order chain (dedup detail) then province chain; tick flushes timers
+    dws_jobs.run_trade_order_dws(spark, dwd, dws_dir, f"{ckpt}/ord")
+    tick_sec = 4102444800
+    spark.createDataFrame(
+        [(
+            "__tick__", "__tick__", "u0", "P0", str(tick_sec),
+            "1", "0", "0", "0", "0", tick_sec,
+        )],
+        "id string, order_id string, user_id string, province_id string,"
+        " ts string, sku_num string, order_price string,"
+        " split_activity_amount string, split_coupon_amount string,"
+        " split_total_amount string, row_op_ts long",
+    ).write.mode("append").parquet(f"{dwd}/dwd_trade_order_detail")
+    dws_jobs.run_trade_order_dws(spark, dwd, dws_dir, f"{ckpt}/ord")
+
+    target = dws_jobs.run_trade_province_dws(
+        spark, dwd, dws_dir, f"{ckpt}/prov", dims["dim_base_province"]
+    )
+
+    got = spark.read.parquet(target).filter(
+        F.col("stt") < F.timestamp_seconds(F.lit(tick_sec - 60))
+    )
+    expected = dws_mod.trade_province_order_window(
+        dwd_db.order_detail(dwd_db.order_pre_process(env, base_dic)),
+        dims["dim_base_province"],
     )
     assert _rowset(got) == _rowset(expected)
