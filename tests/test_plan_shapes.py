@@ -43,3 +43,51 @@ def test_jaccard_single_scan(spark):
     # one parquet scan of documents, no self-join re-scan
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q6_pure_scan_no_join_no_key_shuffle(spark):
+    df = catalog()["tpch_q6_revenue_change"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    # only the global partial/final agg boundary, no hashpartitioning
+    assert "Exchange hashpartitioning" not in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "l_comment" not in plan and "l_orderkey" not in plan
+
+
+def test_q10_dims_broadcast_fact_shuffles_once(spark):
+    df = catalog()["tpch_q10_returned_revenue"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    # customer + nation always broadcast; at test SF AQE may also
+    # broadcast the quarter-filtered orders side (correct adaptively —
+    # at scale it reverts to a shuffle join on orderkey)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # filter reached the scan
+    # both date bounds pushed too
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_ivf_assignment_is_map_side_top1(spark):
+    df = catalog()["ann_ivf_topk"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    # argmax via WindowGroupLimit partial+final: the assignment shuffle
+    # moves one candidate row per vector, not k
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_contamination_single_scan_hash_joins(spark):
+    df = catalog()["split_contamination"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    # shingle subtree is computed once per side off one documents scan
+    # family; the join key is the 8-byte xxhash64, never shingle text
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_chunks_no_shuffle(spark):
+    df = catalog()["doc_chunks"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
