@@ -334,7 +334,13 @@ def trade_trademark_category_user_spu_order_window(
             "order_amount": _dsum("split_total_amount"),
         },
     )
-    enriched = dim_cascade(
+    return tm_spu_cascade(agg, dims)
+
+
+def tm_spu_cascade(agg: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
+    """The 6-hop enrichment of the spu order window — shared between the
+    batch twin and the streaming sink (streaming/dws_jobs)."""
+    return dim_cascade(
         agg,
         [
             (dims["dim_sku_info"], "sku_id", "id",
@@ -352,7 +358,6 @@ def trade_trademark_category_user_spu_order_window(
              [("name", "category1_name")]),
         ],
     )
-    return enriched
 
 
 # ---------------------------------------------------------------------------
@@ -368,6 +373,14 @@ def trade_trademark_category_user_refund_window(
         ["user_id", "sku_id"],
         {"refund_count": F.countDistinct("order_id")},
     )
+    return tm_refund_cascade(agg, dims)
+
+
+def tm_refund_cascade(
+    agg: DataFrame, dims: dict[str, DataFrame]
+) -> DataFrame:
+    """The 5-hop enrichment of the refund window — shared between the
+    batch twin and the streaming sink (streaming/dws_jobs)."""
     return dim_cascade(
         agg,
         [

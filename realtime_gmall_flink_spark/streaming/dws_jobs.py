@@ -618,9 +618,9 @@ def run_vc_window_with_lateness(
 # deduped stream, user measures from the firsts stream — the full-join +
 # zero-fill of the batch twin expressed as a single additive window).
 ORDER_DEDUP_COLS = [
-    "id", "order_id", "user_id", "province_id", "ts", "sku_num",
-    "order_price", "split_activity_amount", "split_coupon_amount",
-    "split_total_amount", "row_op_ts",
+    "id", "order_id", "user_id", "province_id", "sku_id", "ts",
+    "sku_num", "order_price", "split_activity_amount",
+    "split_coupon_amount", "split_total_amount", "row_op_ts",
 ]
 ORDER_DWS_TABLE = "dws_trade_order_window"
 
@@ -651,10 +651,10 @@ def run_trade_order_dws(
         order_by=["row_op_ts", "ts"],
         out_schema=(
             "id string, order_id string, user_id string,"
-            " province_id string, ts string, sku_num string,"
-            " order_price string, split_activity_amount string,"
-            " split_coupon_amount string, split_total_amount string,"
-            " row_op_ts long"
+            " province_id string, sku_id string, ts string,"
+            " sku_num string, order_price string,"
+            " split_activity_amount string, split_coupon_amount string,"
+            " split_total_amount string, row_op_ts long"
         ),
         out_cols=ORDER_DEDUP_COLS,
     )
@@ -820,3 +820,132 @@ def run_trade_province_dws(
     )
     q.awaitTermination()
     return target
+
+
+# ---------------------------------------------------------------------------
+# The trademark/category windows — the last two changelog-consuming DWS
+# tables — as streaming chains. Same recipe as the province window:
+# countDistinct(order_id) per (user, sku) becomes a first-arrival dedup
+# on (order_id, sku_id) feeding a countable stream; the post-aggregate
+# dim cascade (6 hops spu / 5 hops refund, all broadcast) runs batch-side
+# inside the complete-mode sink per trigger, sharing the cascade spec
+# with the batch twin (gmall.dws.tm_spu_cascade / tm_refund_cascade).
+TM_SPU_DWS_TABLE = "dws_trade_trademark_category_user_spu_order_window"
+TM_REFUND_DWS_TABLE = "dws_trade_trademark_category_user_refund_window"
+
+
+def _cascade_complete_sink(win: DataFrame, cascade, target: str, ckpt: str):
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        cascade(batch).write.mode("overwrite").parquet(target)
+
+    q = (
+        win.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return target
+
+
+def run_trade_tm_spu_dws(
+    spark: SparkSession,
+    dwd_dir: str,
+    dws_dir: str,
+    ckpt_dir: str,
+    dims: dict[str, DataFrame],
+) -> str:
+    from ..gmall.dws import tm_spu_cascade
+    from .jobs import streaming_dedup
+
+    dedup_path = os.path.join(dwd_dir, "dwd_trade_order_detail_dedup")
+
+    dd = _peek_stream(spark, dedup_path).withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts").cast("long"))
+    )
+    per_osku = streaming_dedup(
+        dd.select("order_id", "sku_id", "user_id", "event_time"),
+        keys=["order_id", "sku_id"],
+        ts_col="event_time",
+        watermark="10 seconds",
+    )
+    per_osku_path = os.path.join(dwd_dir, "dwd_trade_order_sku_detail")
+    _start_append_parquet(
+        per_osku, per_osku_path, os.path.join(ckpt_dir, "per_osku")
+    ).awaitTermination()
+
+    d16 = "decimal(16,2)"
+    amounts = _peek_stream(spark, dedup_path).select(
+        "user_id",
+        "sku_id",
+        F.timestamp_seconds(F.col("ts").cast("long")).alias("event_time"),
+        F.lit(0).alias("ord"),
+        F.col("split_total_amount").cast(d16).alias("amount"),
+    )
+    counts = _peek_stream(spark, per_osku_path).select(
+        "user_id",
+        "sku_id",
+        "event_time",
+        F.lit(1).alias("ord"),
+        F.lit(0).cast(d16).alias("amount"),
+    )
+    win = tumble_agg(
+        amounts.unionByName(counts),
+        "event_time",
+        WINDOW,
+        ["user_id", "sku_id"],
+        {
+            "order_count": F.sum("ord").cast("long"),
+            "order_amount": F.sum("amount").cast("double"),
+        },
+    )
+    return _cascade_complete_sink(
+        win,
+        lambda b: tm_spu_cascade(b, dims),
+        os.path.join(dws_dir, TM_SPU_DWS_TABLE),
+        os.path.join(ckpt_dir, "tm_spu_window"),
+    )
+
+
+def run_trade_tm_refund_dws(
+    spark: SparkSession,
+    dwd_dir: str,
+    dws_dir: str,
+    ckpt_dir: str,
+    dims: dict[str, DataFrame],
+) -> str:
+    from ..gmall.dws import tm_refund_cascade
+    from .jobs import streaming_dedup
+
+    # order_refund is an insert-only DWD extract (no revisions), so the
+    # only stateful stage is the per-(order, sku) first-arrival dedup
+    src = _peek_stream(
+        spark, os.path.join(dwd_dir, "dwd_trade_order_refund")
+    ).withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts").cast("long"))
+    )
+    per_osku = streaming_dedup(
+        src.select("order_id", "sku_id", "user_id", "event_time"),
+        keys=["order_id", "sku_id"],
+        ts_col="event_time",
+        watermark="10 seconds",
+    )
+    per_path = os.path.join(dwd_dir, "dwd_trade_refund_sku_detail")
+    _start_append_parquet(
+        per_osku, per_path, os.path.join(ckpt_dir, "refund_osku")
+    ).awaitTermination()
+
+    win = tumble_agg(
+        _peek_stream(spark, per_path),
+        "event_time",
+        WINDOW,
+        ["user_id", "sku_id"],
+        {"refund_count": F.count(F.lit(1)).cast("long")},
+    )
+    return _cascade_complete_sink(
+        win,
+        lambda b: tm_refund_cascade(b, dims),
+        os.path.join(dws_dir, TM_REFUND_DWS_TABLE),
+        os.path.join(ckpt_dir, "tm_refund_window"),
+    )

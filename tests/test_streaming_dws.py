@@ -201,11 +201,11 @@ def test_trade_order_window_streaming_matches_batch(spark, tmp_path):
     tick_sec = 4102444800  # 2100-01-01, far past any fixture ts
     spark.createDataFrame(
         [(
-            "__tick__", "__tick__", "u0", "P0", str(tick_sec),
+            "__tick__", "__tick__", "u0", "P0", "S0", str(tick_sec),
             "1", "0", "0", "0", "0", tick_sec,
         )],
         "id string, order_id string, user_id string, province_id string,"
-        " ts string, sku_num string, order_price string,"
+        " sku_id string, ts string, sku_num string, order_price string,"
         " split_activity_amount string, split_coupon_amount string,"
         " split_total_amount string, row_op_ts long",
     ).write.mode("append").parquet(f"{dwd}/dwd_trade_order_detail")
@@ -223,11 +223,13 @@ def test_trade_order_window_streaming_matches_batch(spark, tmp_path):
     assert _rowset(got) == _rowset(expected)
 
 
-def test_trade_province_window_streaming_matches_batch(spark, tmp_path):
-    """The province window streams off the shared dedup detail: a
-    first-arrival per-order dedup stage turns the reference's in-window
-    order-id set state into a countable stream, and the union window +
-    broadcast dim join equals the batch twin."""
+def test_trade_changelog_windows_streaming_match_batch(spark, tmp_path):
+    """The three remaining changelog-consuming windows (province,
+    trademark/category/user/spu order, trademark/category/user refund)
+    stream off the shared dedup detail: first-arrival dedup stages turn
+    the reference's in-window id-set states into countable streams, and
+    the union windows + batch-side dim cascades equal the batch twins —
+    completing streaming coverage of all 11 DWS tables."""
     from pyspark.sql import functions as F
 
     from realtime_gmall_flink_spark.gmall import cdc, dwd_db
@@ -257,11 +259,11 @@ def test_trade_province_window_streaming_matches_batch(spark, tmp_path):
     tick_sec = 4102444800
     spark.createDataFrame(
         [(
-            "__tick__", "__tick__", "u0", "P0", str(tick_sec),
+            "__tick__", "__tick__", "u0", "P0", "S0", str(tick_sec),
             "1", "0", "0", "0", "0", tick_sec,
         )],
         "id string, order_id string, user_id string, province_id string,"
-        " ts string, sku_num string, order_price string,"
+        " sku_id string, ts string, sku_num string, order_price string,"
         " split_activity_amount string, split_coupon_amount string,"
         " split_total_amount string, row_op_ts long",
     ).write.mode("append").parquet(f"{dwd}/dwd_trade_order_detail")
@@ -274,8 +276,32 @@ def test_trade_province_window_streaming_matches_batch(spark, tmp_path):
     got = spark.read.parquet(target).filter(
         F.col("stt") < F.timestamp_seconds(F.lit(tick_sec - 60))
     )
+    batch_order_det = dwd_db.order_detail(
+        dwd_db.order_pre_process(env, base_dic)
+    )
     expected = dws_mod.trade_province_order_window(
-        dwd_db.order_detail(dwd_db.order_pre_process(env, base_dic)),
-        dims["dim_base_province"],
+        batch_order_det, dims["dim_base_province"]
     )
     assert _rowset(got) == _rowset(expected)
+
+    # trademark/category/user/spu order window (shares the dedup detail)
+    tm_target = dws_jobs.run_trade_tm_spu_dws(
+        spark, dwd, dws_dir, f"{ckpt}/tm_spu", dims
+    )
+    got_tm = spark.read.parquet(tm_target).filter(
+        F.col("stt") < F.timestamp_seconds(F.lit(tick_sec - 60))
+    )
+    exp_tm = dws_mod.trade_trademark_category_user_spu_order_window(
+        batch_order_det, dims
+    )
+    assert _rowset(got_tm) == _rowset(exp_tm)
+
+    # trademark/category/user refund window (insert-only source, no tick)
+    rf_target = dws_jobs.run_trade_tm_refund_dws(
+        spark, dwd, dws_dir, f"{ckpt}/tm_refund", dims
+    )
+    got_rf = spark.read.parquet(rf_target)
+    exp_rf = dws_mod.trade_trademark_category_user_refund_window(
+        dwd_db.order_refund(env, base_dic), dims
+    )
+    assert _rowset(got_rf) == _rowset(exp_rf)
