@@ -930,3 +930,93 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(toks, F.lit(0.9)).alias("p90_tokens"),
         F.percentile(F.length("text"), F.lit(0.99)).alias("p99_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel — the composed corpus-cleaning pipeline as one query:
+# raw -> language known -> quality-passing -> exact-deduped, with
+# per-stage survivor counts. One scan, per-row flags, a single
+# fingerprint window for the dedup stage, one global aggregate — the
+# whole funnel is two shuffles (fingerprint partition + final agg)
+# regardless of corpus size. The per-stage counts are what a 100 TB
+# curation run monitors (yield per filter).
+CURATION_QUALITY_MIN = 0.5
+
+_ALL_SW = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+_PASS_LANG_SQL = (
+    "(CASE WHEN len(list_filter(list_filter(string_split(lower(text), ' '),"
+    " x -> x <> ''), x -> x IN ("
+    + ", ".join(f"'{w}'" for w in _ALL_SW)
+    + "))) > 0 THEN 1 ELSE 0 END)"
+)
+_QUALITY_SQL = (
+    "round(0.6 * least(1.0, CAST(len(list_filter(string_split(text, ' '),"
+    " x -> x <> '')) AS DOUBLE) / 50.0)"
+    " + 0.4 * (CASE WHEN len(list_filter(string_split(text, ' '),"
+    " x -> x <> '')) > 0"
+    " AND (CAST(length(text) AS DOUBLE)"
+    "      - (len(list_filter(string_split(text, ' '), x -> x <> '')) - 1.0))"
+    "     / len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3.0"
+    " AND (CAST(length(text) AS DOUBLE)"
+    "      - (len(list_filter(string_split(text, ' '), x -> x <> '')) - 1.0))"
+    "     / len(list_filter(string_split(text, ' '), x -> x <> '')) <= 9.0"
+    " THEN 1.0 ELSE 0.0 END), 4)"
+)
+
+
+@register(
+    "curation_funnel",
+    survey="P2(ext),P10(ext),D1(ext),A4(ext)",
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id,
+           {_PASS_LANG_SQL} AS pass_lang,
+           CASE WHEN {_PASS_LANG_SQL} = 1
+                 AND {_QUALITY_SQL} >= {CURATION_QUALITY_MIN}
+                THEN 1 ELSE 0 END AS pass_q,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp
+    FROM documents
+), r AS (
+    SELECT f.*, row_number() OVER (
+               PARTITION BY fp, pass_q ORDER BY doc_id) AS rn
+    FROM f
+)
+SELECT count(*) AS raw_ct,
+       SUM(pass_lang) AS lang_known_ct,
+       SUM(pass_q) AS quality_ct,
+       SUM(CASE WHEN pass_q = 1 AND rn = 1 THEN 1 ELSE 0 END)
+           AS deduped_ct,
+       round(CAST(SUM(CASE WHEN pass_q = 1 AND rn = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 4) AS retained_ratio
+FROM r
+""",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pass_lang = (predict_language("text") != "und").cast("int")
+    d = docs.select(
+        "doc_id",
+        pass_lang.alias("pass_lang"),
+        (
+            (pass_lang == 1)
+            & (quality_score("text") >= CURATION_QUALITY_MIN)
+        )
+        .cast("int")
+        .alias("pass_q"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp", "pass_q").orderBy("doc_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    kept = F.sum(
+        F.when((F.col("pass_q") == 1) & (F.col("rn") == 1), 1).otherwise(0)
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("raw_ct"),
+        F.sum("pass_lang").cast("long").alias("lang_known_ct"),
+        F.sum("pass_q").cast("long").alias("quality_ct"),
+        kept.cast("long").alias("deduped_ct"),
+        F.round(kept.cast("double") / F.count(F.lit(1)), 4).alias(
+            "retained_ratio"
+        ),
+    )
