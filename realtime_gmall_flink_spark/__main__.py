@@ -98,11 +98,43 @@ def main(argv: list[str] | None = None) -> int:
         q1.awaitTermination()
         q2.awaitTermination()
         if args.dws:
+            from .gmall import cdc, dims as dims_mod
             from .streaming import dws_jobs
 
             dws_jobs.run_traffic_user_dws(
                 spark, args.out, f"{args.out}/dws", f"{ckpt}/dws"
             )
+            dws_jobs.run_trade_user_dws(
+                spark, args.out, f"{args.out}/dws", f"{ckpt}/dws_trade"
+            )
+            # changelog chains: order window, then the three windows that
+            # share its dedup detail
+            dws_jobs.run_trade_order_dws(
+                spark, args.out, f"{args.out}/dws", f"{ckpt}/dws_order"
+            )
+            import os as _os
+
+            raw_db = spark.read.text(args.db_dir)
+            dims = dims_mod.build_dims(cdc.parse_topic_db(raw_db))
+            if _os.path.isdir(
+                f"{args.out}/dwd_trade_order_detail_dedup"
+            ):
+                dws_jobs.run_trade_province_dws(
+                    spark,
+                    args.out,
+                    f"{args.out}/dws",
+                    f"{ckpt}/dws_prov",
+                    dims["dim_base_province"],
+                )
+                dws_jobs.run_trade_tm_spu_dws(
+                    spark, args.out, f"{args.out}/dws",
+                    f"{ckpt}/dws_tm_spu", dims,
+                )
+            if _os.path.isdir(f"{args.out}/dwd_trade_order_refund"):
+                dws_jobs.run_trade_tm_refund_dws(
+                    spark, args.out, f"{args.out}/dws",
+                    f"{ckpt}/dws_tm_refund", dims,
+                )
         print(f"warehouse written to {args.out}")
         return 0
 
