@@ -628,3 +628,52 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(vs, "event_type").select(
         "event_type", "ev_ct", "value_sum", "min_user", "max_user"
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group — the rank-window OLAP shape (leaderboards, "top sources
+# per channel"). row_number + rn<=N compiles to WindowGroupLimit partial/
+# final (top-N held map-side BEFORE the exchange — same pushdown the D1
+# dedup gets), so the shuffle moves at most N rows per group, not the
+# full per-user count table. Ties break on user_id for determinism.
+TOP_N_USERS = 3
+
+
+@register(
+    "top_users_per_event_type",
+    survey="A4,D1(ext)",
+    oracle=f"""
+WITH c AS (
+    SELECT event_type, user_id,
+           count(*) AS ev_ct,
+           {DSUM_SQL('value')} AS value_sum
+    FROM events
+    GROUP BY event_type, user_id
+), r AS (
+    SELECT c.*, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ev_ct DESC, user_id) AS rn
+    FROM c
+)
+SELECT event_type, user_id, ev_ct, value_sum,
+       CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {TOP_N_USERS}
+""",
+)
+def top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("ev_ct"),
+        dsum("value").alias("value_sum"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ev_ct").desc(), F.col("user_id").asc()
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_N_USERS)
+        .select(
+            "event_type", "user_id", "ev_ct", "value_sum",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

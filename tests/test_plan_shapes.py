@@ -91,3 +91,9 @@ def test_doc_chunks_no_shuffle(spark):
     plan = _plan(df)
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_topn_per_group_pushes_limit_below_exchange(spark):
+    df = catalog()["top_users_per_event_type"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
