@@ -677,3 +677,111 @@ def top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — point-in-time enrichment ("the last purchase strictly
+# before each view"). The operator (operators/joins.py::asof_join) is the
+# union + running-last window form: one shuffle on the key, codegen
+# window, no candidate-pair materialization — the 100 TB-safe as-of
+# strategy. The oracle uses DuckDB's native ASOF LEFT JOIN; identical
+# semantics (latest right row with right_ts < left_ts per key).
+@register(
+    "asof_last_purchase_before_view",
+    survey="J+(asof),J1(ext)",
+    oracle="""
+WITH v AS (
+    SELECT user_id, event_id AS view_id, ts
+    FROM events WHERE event_type = 'view'
+), p AS (
+    SELECT user_id, event_id AS purchase_id, ts AS pts, value AS pval
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.ts, v.view_id,
+       p.purchase_id AS asof_purchase_id,
+       p.pval AS asof_purchase_value
+FROM v ASOF LEFT JOIN p
+  ON v.user_id = p.user_id AND p.pts < v.ts
+""",
+)
+def asof_last_purchase_before_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        right_cols=["purchase_id", "purchase_value"],
+        strict=True,
+        tiebreak="purchase_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval join — Flink's intervalJoin (DwdTradeOrderPreProcess-family
+# stream pairing): purchases within 30 minutes AFTER a view by the same
+# user. Hash equi-join on the key with the time range as a post-join
+# filter; streaming state is bounded by watermark + interval width. The
+# gap surfaces as whole microseconds (exact in both engines).
+@register(
+    "interval_join_purchase_after_view",
+    survey="J+(interval),J1(ext)",
+    oracle="""
+WITH v AS (
+    SELECT user_id, event_id AS view_id, ts FROM events
+    WHERE event_type = 'view'
+), p AS (
+    SELECT user_id, event_id AS purchase_id, ts AS pts FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT v.view_id, p.purchase_id, v.user_id,
+       date_diff('microsecond', v.ts, p.pts) AS gap_us
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.pts > v.ts
+ AND p.pts <= v.ts + INTERVAL 30 MINUTE
+""",
+)
+def interval_join_purchase_after_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    joined = views.join(
+        purchases,
+        (views["user_id"] == purchases["p_user_id"])
+        & (purchases["pts"] > views["ts"])
+        & (
+            purchases["pts"]
+            <= views["ts"] + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, ts, pts)").alias("gap_us"),
+    )

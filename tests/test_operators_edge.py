@@ -150,6 +150,37 @@ def test_doc_chunk_boundaries(spark, tmp_path, monkeypatch):
     assert not any(d == 3 for d, _ in rows)
 
 
+def test_asof_join_strict_inclusive_and_nomatch(spark):
+    from realtime_gmall_flink_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("K", 10, "e1"), ("K", 20, "e2"), ("Q", 5, "e3")],
+        "k string, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [("K", 10, "r10"), ("K", 15, "r15a"), ("K", 15, "r15b")],
+        "k string, t long, rid string",
+    )
+    strict = {
+        r["ev"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, "k", "t", "t", ["rid"], strict=True,
+            tiebreak="rid",
+        ).collect()
+    }
+    # e1@10: r@10 excluded (strict) -> null; e2@20: latest of the two
+    # equal-ts r@15 rows by tiebreak; Q has no right rows at all
+    assert strict == {"e1": None, "e2": "r15b", "e3": None}
+    incl = {
+        r["ev"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, "k", "t", "t", ["rid"], strict=False,
+            tiebreak="rid",
+        ).collect()
+    }
+    assert incl["e1"] == "r10"
+
+
 def test_predict_language_tie_and_none(spark):
     df = spark.createDataFrame(
         [("xyzzy plugh",),          # no stopword hits -> und
