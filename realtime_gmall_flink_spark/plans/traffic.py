@@ -785,3 +785,52 @@ def interval_join_purchase_after_view(
         "user_id",
         F.expr("timestampdiff(MICROSECOND, ts, pts)").alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join — non-equi banding against a tiny tier table ("which price
+# band does each event fall in"). The tier side is literal/broadcast, so
+# the non-equi predicate compiles to BroadcastNestedLoopJoin over k tier
+# rows — per-row O(k) map-side work, no shuffle for the join itself; the
+# only exchange is the final aggregate. (For range joins against a LARGE
+# right side, bucket both sides by floor(value/width) first and equi-join
+# the bucket id — the interval_join / LSH pattern.)
+VALUE_TIERS = [
+    ("low", 0.0, 10.0),
+    ("mid", 10.0, 100.0),
+    ("high", 100.0, 1000.0),
+]
+
+
+@register(
+    "value_tier_counts",
+    survey="J+(range),J6(ext),A4",
+    oracle=f"""
+WITH tiers(tier, lo, hi) AS (
+    VALUES {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in VALUE_TIERS)}
+)
+SELECT tier, count(*) AS ev_ct,
+       {DSUM_SQL('value')} AS value_sum
+FROM events JOIN tiers
+  ON value >= lo AND value < hi
+GROUP BY tier
+""",
+)
+def value_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        VALUE_TIERS, "tier string, lo double, hi double"
+    )
+    return (
+        ev.join(
+            broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("ev_ct"),
+            dsum("value").alias("value_sum"),
+        )
+    )
