@@ -447,3 +447,63 @@ def test_streaming_latest_per_key_dedup(spark, tmp_path):
     (src / "b.txt").write_text("D,v1,1,2024-05-01 14:00:00\n")
     got = run()
     assert got == {("A", "v2", 2), ("B", "v1", 1), ("C", "v1", 1)}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Flink's intervalJoin maps NATIVELY to a Spark stream-stream inner
+    join with watermarks + a time-range condition (state auto-evicted
+    past watermark + interval width). Same operator body as the batch
+    interval_join; results must equal the batch run on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    # watermarks require TIMESTAMP (LTZ); the driver tables are NTZ
+    views_b = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    pur_b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    vdir, pdir = str(tmp_path / "v"), str(tmp_path / "p")
+    views_b.write.parquet(vdir)
+    pur_b.write.parquet(pdir)
+
+    v = (
+        spark.readStream.schema(views_b.schema)
+        .parquet(vdir)
+        .withWatermark("ts", "10 seconds")
+    )
+    p = (
+        spark.readStream.schema(pur_b.schema)
+        .parquet(pdir)
+        .withWatermark("pts", "10 seconds")
+    )
+    joined = v.join(
+        p,
+        (v["user_id"] == p["p_user_id"])
+        & (p["pts"] > v["ts"])
+        & (p["pts"] <= v["ts"] + F.expr("INTERVAL 30 MINUTES")),
+    ).select("view_id", "purchase_id", "user_id")
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in jobs.run_to_memory(joined, mode="append").collect()
+    }
+    expected = {
+        (r["view_id"], r["purchase_id"])
+        for r in views_b.join(
+            pur_b,
+            (views_b["user_id"] == pur_b["p_user_id"])
+            & (pur_b["pts"] > views_b["ts"])
+            & (pur_b["pts"] <= views_b["ts"] + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("view_id", "purchase_id")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
