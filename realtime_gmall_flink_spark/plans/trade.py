@@ -785,3 +785,52 @@ def shipment_lateness_by_priority(
             ).alias("late_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all 2^k grouping-set combinations in one pass (the OLAP
+# dashboard "slice by any subset" query). One expand + one hash agg: at
+# scale this beats k separate groupBys by reading the fact once. Nulls
+# from the grouping sets are disambiguated with coalesce sentinels (same
+# idiom as revenue_rollup).
+@register(
+    "revenue_cube",
+    survey="A+(cube)",
+    oracle=f"""
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(CAST(CAST(year(o_orderdate) AS INTEGER) AS VARCHAR),
+                'ALL') AS order_year,
+       {_REV_SQL} AS revenue,
+       count(*) AS line_ct
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, CAST(year(o_orderdate) AS INTEGER))
+""",
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    fact = dim_cascade(
+        fact,
+        [
+            (load_table(spark, sf_dir, "customer"), "o_custkey",
+             "c_custkey", [("c_nationkey", "__nk")]),
+            (load_table(spark, sf_dir, "nation"), "__nk", "n_nationkey",
+             [("n_name", "n_name")]),
+        ],
+    ).withColumn("__yr", F.year("o_orderdate").cast("int"))
+    return (
+        fact.cube("n_name", "__yr")
+        .agg(_revenue().alias("revenue"), F.count(F.lit(1)).alias("line_ct"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("__yr").cast("string"), F.lit("ALL")).alias(
+                "order_year"
+            ),
+            "revenue",
+            "line_ct",
+        )
+    )

@@ -53,3 +53,15 @@ def plan_has_shuffle(df: DataFrame) -> bool:
         or "Exchange hashpartitioning" in line
         for line in plan.splitlines()
     )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned parquet layout (one directory per partition
+    value). At 100 TB this is what turns time/tenant predicates into
+    PARTITION PRUNING: the scan's `PartitionFilters` eliminate whole
+    directories before any I/O, where an unpartitioned table would read
+    (then discard) every row group. Pair with `write_bucketed` inside
+    each partition for co-located joins."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

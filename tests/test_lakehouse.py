@@ -80,3 +80,33 @@ def test_order_pre_process_bucketed_no_shuffle(spark, no_broadcast):
 
     spark.sql("DROP TABLE IF EXISTS bkt_od")
     spark.sql("DROP TABLE IF EXISTS bkt_oi")
+
+
+def test_date_partitioned_scan_prunes(spark, tmp_path):
+    """A date filter over a date-partitioned table must land in the
+    scan's PartitionFilters (directory-level pruning, zero I/O for the
+    excluded days) — the time-series layout for the events table."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.sources.lakehouse import (
+        write_partitioned,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["dt"])
+
+    days = [r["dt"] for r in spark.read.parquet(path).select("dt").distinct().collect()]
+    assert len(days) > 1  # pruning is only meaningful with >1 partition
+    target = sorted(days)[0]
+    df = spark.read.parquet(path).filter(F.col("dt") == F.lit(target))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # row-level check: only that day's rows come back
+    got = df.select("dt").distinct().collect()
+    assert [r["dt"] for r in got] == [target]
