@@ -834,3 +834,215 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line_ct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8-style — market share: one supplier nation's fraction of a
+# region's volume per year. Dim pyramid (part/supplier/customer/nation x2/
+# region all broadcast), fact shuffles only for the orderkey join and the
+# year aggregate; the share is a conditional-sum / sum ratio of exact
+# decimal sums (deterministic division of bit-identical doubles).
+@register(
+    "tpch_q8_market_share",
+    survey="J1,J4,J5,P5,A4",
+    oracle=f"""
+WITH v AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+           sn.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+)
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                           THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume
+FROM v GROUP BY o_year
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_rk"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    one = F.lit(1).cast("decimal(18,2)")
+    vol = dec("l_extendedprice") * (one - dec("l_discount"))
+    v = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            broadcast(region), F.col("cn_rk") == region["r_regionkey"]
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    nat_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+    ).cast("double")
+    tot = F.sum("volume").cast("double")
+    return v.groupBy("o_year").agg(
+        F.round(nat_vol / tot, 6).alias("mkt_share"),
+        tot.alias("total_volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15-style — top supplier by quarterly revenue. The revenue ranking
+# is a two-level aggregate (per-supplier sum, then deterministic top-1 by
+# rounded revenue + key); broadcast supplier enriches AFTER the aggregate
+# (k rows), not before (the fact never carries supplier attributes).
+@register(
+    "tpch_q15_top_supplier",
+    survey="J5,A4,D1(ext)",
+    oracle=f"""
+WITH rev AS (
+    SELECT l_suppkey, {_REV_SQL} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY total_revenue DESC, s_suppkey
+LIMIT 3
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(_revenue().alias("total_revenue"))
+    return (
+        rev.join(
+            broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"]
+        )
+        .orderBy(F.col("total_revenue").desc(), F.col("s_suppkey").asc())
+        .limit(3)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-style — small-quantity-order revenue: lineitems of one brand
+# below 20% of their part's average quantity. The per-part average is an
+# aggregate used as a join-side threshold — both sides shuffle on partkey
+# and Catalyst reuses the partitioning for the probe. The average is an
+# exact decimal sum divided once (deterministic), so the 0.2x threshold
+# compare cannot flip on summation order.
+@register(
+    "tpch_q17_small_qty_revenue",
+    survey="J1,A4,P5",
+    oracle=f"""
+WITH pa AS (
+    SELECT l_partkey AS pk,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 4) AS avg_yearly,
+       count(*) AS line_ct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa   ON l_partkey = pk
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+""",
+)
+def tpch_q17_small_qty_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(pa, li["l_partkey"] == pa["pk"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / 7.0, 4
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("line_ct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19-style — OR-banded predicate revenue (brand x size x quantity
+# bands; the testdata part table has no container column, so bands use
+# brand/size/quantity only). The disjunction lives in ONE scan's pushed
+# filter set — no union of three scans.
+@register(
+    "tpch_q19_banded_revenue",
+    survey="P5,P7,A4",
+    oracle=f"""
+SELECT {_REV_SQL} AS revenue, count(*) AS line_ct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+)
+def tpch_q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    bands = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(bands)
+        .agg(
+            _revenue().alias("revenue"),
+            F.count(F.lit(1)).alias("line_ct"),
+        )
+    )
