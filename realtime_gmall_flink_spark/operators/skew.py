@@ -61,3 +61,35 @@ def salted_agg(
         for name, (fn, _) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    buckets: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when the small side does NOT fit in a
+    broadcast and one key dominates the big side: salt the skewed side's
+    rows (deterministic id-mod, no rand()), REPLICATE the other side once
+    per salt value (explode over 0..buckets-1), and equi-join on
+    (key, salt). The hot key's rows land on ``buckets`` reducers instead
+    of one. Costs buckets x |other| on the replicated side — use after
+    broadcast is ruled out and AQE's runtime skew split isn't available
+    (e.g. streaming-static joins, bucketed-table joins that must keep
+    their partitioning).
+
+    ``how`` supports inner/left (left = the skewed side's nulls survive,
+    as in a plain left join).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(buckets)])),
+    )
+    out = left.join(right, [*on, "__salt"], how)
+    return out.drop("__salt")

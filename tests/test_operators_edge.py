@@ -224,3 +224,32 @@ def test_jaccard_stop_shingle_cap_bounds_pair_space(spark):
     uncapped = jaccard_pairs(docs, threshold=0.05, max_df=1000)
     # without the cap the viral shingle alone generates all 45 pairs
     assert uncapped.count() == 45
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must return exactly the plain join's rows (inner and
+    left), with the hot key's probe spread across salt buckets."""
+    from realtime_gmall_flink_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", 0), ("miss", 1)],
+        "k string, v long",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")],
+        "k string, attr string",
+    )
+    plain = big.join(dim, "k").select("k", "v", "attr")
+    salted = salted_join(big, dim, ["k"], buckets=8).select(
+        "k", "v", "attr"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    plain_l = big.join(dim, "k", "left").select("k", "v", "attr")
+    salted_l = salted_join(big, dim, ["k"], buckets=8, how="left").select(
+        "k", "v", "attr"
+    )
+    assert sorted(
+        map(tuple, salted_l.collect()), key=str
+    ) == sorted(map(tuple, plain_l.collect()), key=str)
