@@ -315,13 +315,27 @@ def streaming_latest_per_key(
 
         last_ms = best["__ts_ms"] if best is not None else 0
         for pdf in pdfs:
-            for _, row in pdf.sort_values(ts_col).iterrows():
-                cand = {c: plain(row[c]) for c in out_cols}
-                cand["__k"] = [plain(row[c]) for c in order_by]
-                ts_ms = int(row[ts_col].timestamp() * 1000)
-                last_ms = max(last_ms, ts_ms)
-                if best is None or cand["__k"] > best["__k"]:
-                    best = cand
+            if not len(pdf):
+                continue
+            # vectorized batch argmax: stable-sort by the ordering tuple;
+            # the max key is the last row's; among equal-max rows the
+            # FIRST arrival (ts order) wins, matching the strict-`>`
+            # state compare below
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            last_ms = max(
+                last_ms, int(pdf[ts_col].max().timestamp() * 1000)
+            )
+            srt = pdf.sort_values(order_by, kind="stable")
+            max_key = [plain(srt.iloc[-1][c]) for c in order_by]
+            is_max = None
+            for c, v in zip(order_by, max_key):
+                m = pdf[c] == v
+                is_max = m if is_max is None else (is_max & m)
+            row = pdf[is_max].iloc[0]
+            cand = {c: plain(row[c]) for c in out_cols}
+            cand["__k"] = [plain(row[c]) for c in order_by]
+            if best is None or cand["__k"] > best["__k"]:
+                best = cand
         if best is not None:
             best["__ts_ms"] = last_ms
             state.update((json.dumps(best),))
