@@ -253,3 +253,32 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(
         map(tuple, salted_l.collect()), key=str
     ) == sorted(map(tuple, plain_l.collect()), key=str)
+
+
+def test_asof_join_as_event_time_temporal_join(spark):
+    """Flink's event-time temporal table join (FOR SYSTEM_TIME AS OF —
+    the versioned-dim variant of J3): enrich each fact with the dim
+    version in effect AT ITS EVENT TIME, not the latest snapshot.
+    asof_join with strict=False is exactly that operator."""
+    from realtime_gmall_flink_spark.operators.joins import asof_join
+
+    dim_versions = spark.createDataFrame(
+        [("sku1", 100, "9.99"), ("sku1", 200, "12.99"),
+         ("sku2", 150, "5.00")],
+        "sku string, valid_from long, price string",
+    )
+    facts = spark.createDataFrame(
+        [("sku1", 150, "o1"),   # between v1 and v2 -> 9.99
+         ("sku1", 200, "o2"),   # exactly at v2 -> 12.99 (inclusive)
+         ("sku1", 250, "o3"),   # after v2 -> 12.99
+         ("sku2", 100, "o4")],  # before any version -> null
+        "sku string, ts long, order_id string",
+    )
+    got = {
+        r["order_id"]: r["asof_price"]
+        for r in asof_join(
+            facts, dim_versions, "sku", "ts", "valid_from",
+            ["price"], strict=False, tiebreak="price",
+        ).collect()
+    }
+    assert got == {"o1": "9.99", "o2": "12.99", "o3": "12.99", "o4": None}
