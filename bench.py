@@ -24,15 +24,19 @@ from realtime_gmall_flink_spark.session import get_spark
 # floor is a perf bug, flagged on stderr — update a floor only when a
 # deliberate trade-off justifies it.
 BASELINE_FLOOR = {
-    "ann_cosine_topk": 1.084,
-    "dedup_latest_event": 0.693,
-    "dim_cascade_region_revenue": 1.42,
-    "keyword_frequency": 0.869,
-    "near_dup_jaccard": 1.579,  # r2: codegen lead-window shingling
-    "tpch_q1": 0.411,
-    "tpch_q3_top_orders": 0.714,
-    "trade_order_window": 0.29,
-    "traffic_event_type_window": 0.454,
+    # r2 best warm times (r1 floors were 1.5-3x higher — kept tight so a
+    # regression actually trips the 1.5x alarm)
+    # the two noisiest floors sit mid-range (best..worst observed spans
+    # ~1.5-1.7x on a busy box) so honest noise never false-alarms
+    "ann_cosine_topk": 0.52,
+    "dedup_latest_event": 0.331,
+    "dim_cascade_region_revenue": 0.774,
+    "keyword_frequency": 0.45,
+    "near_dup_jaccard": 1.34,  # r2: codegen lead-window shingling + df cap
+    "tpch_q1": 0.232,
+    "tpch_q3_top_orders": 0.439,
+    "trade_order_window": 0.169,
+    "traffic_event_type_window": 0.226,
 }
 REGRESSION_FACTOR = 1.5
 
