@@ -759,8 +759,8 @@ WITH d AS (
 )
 SELECT ev.doc_id,
        count(*) AS n_shingles,
-       SUM(CASE WHEN train_sh.sh IS NOT NULL THEN 1 ELSE 0 END)
-           AS overlap_ct,
+       CAST(SUM(CASE WHEN train_sh.sh IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS overlap_ct,
        round(CAST(SUM(CASE WHEN train_sh.sh IS NOT NULL THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*), 4) AS contamination
 FROM ev LEFT JOIN train_sh ON ev.sh = train_sh.sh
@@ -983,10 +983,10 @@ WITH f AS (
     FROM f
 )
 SELECT count(*) AS raw_ct,
-       SUM(pass_lang) AS lang_known_ct,
-       SUM(pass_q) AS quality_ct,
-       SUM(CASE WHEN pass_q = 1 AND rn = 1 THEN 1 ELSE 0 END)
-           AS deduped_ct,
+       CAST(SUM(pass_lang) AS BIGINT) AS lang_known_ct,
+       CAST(SUM(pass_q) AS BIGINT) AS quality_ct,
+       CAST(SUM(CASE WHEN pass_q = 1 AND rn = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS deduped_ct,
        round(CAST(SUM(CASE WHEN pass_q = 1 AND rn = 1 THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*), 4) AS retained_ratio
 FROM r

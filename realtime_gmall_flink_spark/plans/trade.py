@@ -753,8 +753,8 @@ def tpch_q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J1,P5,A4",
     oracle="""
 SELECT o_orderpriority,
-       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                THEN 1 ELSE 0 END) AS late_ct,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_ct,
        count(*) AS line_ct,
        round(CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
                            THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4
