@@ -45,6 +45,19 @@ def tumble_agg(
     unbounded ``df``; ignored semantically in batch.
     """
     if watermark is not None and df.isStreaming:
+        # withWatermark requires TIMESTAMP (with local tz). Parquet file
+        # sources surface naive timestamps as TIMESTAMP_NTZ, so lift the NTZ
+        # wall clock onto the identical UTC instant with timezone-free
+        # arithmetic (no session-tz dependence; window alignment operates on
+        # the underlying epoch micros either way).
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(
+                ts_col,
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND,"
+                    f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col}))"
+                ),
+            )
         df = df.withWatermark(ts_col, watermark)
     win = tumble(ts_col, size)
     grouped = df.groupBy(win.alias("__w"), *[F.col(d) for d in dims])
