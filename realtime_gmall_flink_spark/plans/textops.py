@@ -221,19 +221,23 @@ def jaccard_pairs(
     )
     # Pair generation as two codegen'd generators + a plain filter (an
     # interpreted nested-lambda expression was ~20% slower at sf0.1).
-    # The size-ratio prune is exact, not approximate: J(a,b) >= t implies
-    # min(|a|,|b|) >= t * max(|a|,|b|) (inter <= min and
-    # J = inter/(na+nb-inter)), so pruned pairs can never pass the final
-    # threshold — they're dropped before the pair shuffle.
-    t_num, t_den = threshold.as_integer_ratio()
+    # The size-ratio prune is computed in the SAME double form as the final
+    # threshold filter: inter <= min(|a|,|b|) and union >= max(|a|,|b|), so
+    # J <= min/max as exact rationals, and IEEE division/rounding is
+    # monotone — double(J) >= t implies double(min/max) >= t. Hence the
+    # prune can never drop a pair the final filter keeps. (An earlier
+    # integer form via float.as_integer_ratio() was 1 ulp stricter than the
+    # float filter — dropping pairs at exactly J = t for non-dyadic t — and
+    # its n * denominator product overflowed BIGINT past 511 shingles.)
     e1 = grouped.select(F.explode("ds").alias("a"), "ds")
     e2 = e1.select("a", F.explode("ds").alias("b"))
+    size_prune = (
+        F.least(F.col("a.n"), F.col("b.n")).cast("double")
+        / F.greatest(F.col("a.n"), F.col("b.n"))
+        >= F.lit(threshold)
+    )
     pairs = (
-        e2.filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n") * t_den >= F.col("b.n") * t_num)
-            & (F.col("b.n") * t_den >= F.col("a.n") * t_num)
-        )
+        e2.filter((F.col("a.doc_id") < F.col("b.doc_id")) & size_prune)
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

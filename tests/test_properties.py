@@ -120,3 +120,36 @@ def test_jaccard_pairs_match_python_brute_force(spark_global, token_lists):
                 if j >= 0.2:
                     expected[(a, b)] = round(j, 9)
     assert got == expected
+
+
+def test_jaccard_exact_threshold_non_dyadic(spark_global):
+    """A pair at exactly J = 1/5 must survive threshold=0.2: double(1/5)
+    equals double(0.2), so the float filter keeps it, and the size prune
+    must not be 1 ulp stricter (regression for the as_integer_ratio
+    prune that dropped it)."""
+    from realtime_gmall_flink_spark.plans.textops import jaccard_pairs
+
+    # 3 shingles each, sharing exactly one -> inter=1, union=5, J=1/5
+    rows = [(0, "x y z p q"), (1, "x y z r s")]
+    df = spark_global.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=0.2, max_df=1000).collect()
+    }
+    assert got == {(0, 1): 0.2}
+
+
+def test_jaccard_many_shingles_no_overflow(spark_global):
+    """Docs with >511 shingles must still pair up under a non-dyadic
+    threshold (regression for n * t_den BIGINT overflow in the old
+    integer-ratio prune)."""
+    from realtime_gmall_flink_spark.plans.textops import jaccard_pairs
+
+    text = " ".join(f"w{i}" for i in range(600))  # 598 distinct shingles
+    df = spark_global.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    got = jaccard_pairs(df, threshold=0.2, max_df=1000).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [
+        (0, 1, 1.0)
+    ]
