@@ -195,7 +195,15 @@ def streaming_jump_out(
                 pending["__ts_ms"] = ts_ms
         if pending is not None:
             state.update((json.dumps(pending, default=str),))
-            state.setTimeoutTimestamp(pending["__ts_ms"] + timeout_ms)
+            # a key lagging behind the watermark would otherwise request a
+            # timer <= watermark, which Spark rejects (query crash); the
+            # clamped timer fires on the next watermark advance instead
+            state.setTimeoutTimestamp(
+                max(
+                    pending["__ts_ms"] + timeout_ms,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         else:
             state.remove()
         if out:
@@ -339,7 +347,15 @@ def streaming_latest_per_key(
         if best is not None:
             best["__ts_ms"] = last_ms
             state.update((json.dumps(best),))
-            state.setTimeoutTimestamp(last_ms + quiesce_ms)
+            # clamp past the watermark: a lagging key's last_ms + quiesce
+            # can be <= the current watermark, and Spark rejects such
+            # timers (query crash) — fire on the next advance instead
+            state.setTimeoutTimestamp(
+                max(
+                    last_ms + quiesce_ms,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
 
     return df.groupBy(key).applyInPandasWithState(
         fn,

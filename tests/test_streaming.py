@@ -449,6 +449,124 @@ def test_streaming_latest_per_key_dedup(spark, tmp_path):
     assert got == {("A", "v2", 2), ("B", "v1", 1), ("C", "v1", 1)}
 
 
+def test_streaming_latest_per_key_lagging_key(spark, tmp_path):
+    """A revision for a key whose event time lags the global watermark
+    must not crash the query. Spark's late-events filter runs one batch
+    behind the eviction watermark, so a lagging (but not yet filtered)
+    row reaches the operator while last_ms + quiesce is already at or
+    below the watermark — Spark rejects such a timer. The operator
+    clamps to watermark + 1 and emits on the next advance (regression:
+    this killed the stream with 'timeout timestamp cannot be earlier
+    than the current watermark')."""
+    import time
+
+    from realtime_gmall_flink_spark.streaming.stateful import (
+        streaming_latest_per_key,
+    )
+
+    src = tmp_path / "lag_src"
+    src.mkdir()
+    out = str(tmp_path / "lag_out")
+    ckpt = str(tmp_path / "lag_ckpt")
+
+    # one file per micro-batch (mod-time ordered): batch 1 drives the
+    # watermark to ~11:59:57; batch 2's lagging revision still passes
+    # the (one-batch-behind) late filter; batch 3 fires all timers
+    (src / "a.txt").write_text(
+        "A,v1,1,2024-05-01 10:00:00\n"
+        "Z,v1,1,2024-05-01 12:00:00\n"
+    )
+    time.sleep(0.3)
+    (src / "b.txt").write_text("A,v2,2,2024-05-01 10:00:05\n")
+    time.sleep(0.3)
+    (src / "c.txt").write_text("Y,v1,1,2024-05-01 14:00:00\n")
+
+    raw = sources.file_stream(spark, str(src), max_files_per_trigger=1)
+    p = raw.select(
+        F.split("value", ",")[0].alias("k"),
+        F.split("value", ",")[1].alias("payload"),
+        F.split("value", ",")[2].cast("long").alias("rev"),
+        F.to_timestamp(F.split("value", ",")[3]).alias("t"),
+    ).withWatermark("t", "3 seconds")
+    ded = streaming_latest_per_key(
+        p,
+        key="k",
+        ts_col="t",
+        order_by=["rev"],
+        out_schema="k string, payload string, rev long",
+        out_cols=["k", "payload", "rev"],
+    )
+    q = (
+        ded.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["k"], r["payload"], r["rev"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("A", "v2", 2), ("Z", "v1", 1)}
+
+
+def test_streaming_jump_out_lagging_key(spark, tmp_path):
+    """Same lagging-key clamp for the jump-out timer: a session start
+    lagging the eviction watermark (but passing the one-batch-behind
+    late filter) must set a valid timer (watermark + 1) and be emitted
+    as a jump-out on the next advance instead of crashing."""
+    import time
+
+    from realtime_gmall_flink_spark.streaming.stateful import (
+        streaming_jump_out,
+    )
+
+    src = tmp_path / "jump_lag_src"
+    src.mkdir()
+    out = str(tmp_path / "jump_lag_out")
+    ckpt = str(tmp_path / "jump_lag_ckpt")
+
+    (src / "a.txt").write_text(
+        "M1,home,x,2024-05-01 10:00:00\n"
+        "Z,home,x,2024-05-01 12:00:00\n"
+    )
+    time.sleep(0.3)
+    (src / "b.txt").write_text("M2,home,x,2024-05-01 10:00:05\n")
+    time.sleep(0.3)
+    (src / "c.txt").write_text("Y,detail,x,2024-05-01 14:00:00\n")
+
+    raw = sources.file_stream(spark, str(src), max_files_per_trigger=1)
+    p = raw.select(
+        F.split("value", ",")[0].alias("mid"),
+        F.split("value", ",")[1].alias("page"),
+        F.to_timestamp(F.split("value", ",")[3]).alias("t"),
+    ).withWatermark("t", "3 seconds")
+    p = p.withColumn("is_start", F.col("page") == "home")
+    jd = streaming_jump_out(
+        p,
+        key="mid",
+        ts_col="t",
+        start_col="is_start",
+        out_schema="mid string, page string",
+        out_cols=["mid", "page"],
+    )
+    q = (
+        jd.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["mid"], r["page"]) for r in spark.read.parquet(out).collect()
+    }
+    assert {("M1", "home"), ("M2", "home"), ("Z", "home")} <= got
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Flink's intervalJoin maps NATIVELY to a Spark stream-stream inner
     join with watermarks + a time-range condition (state auto-evicted
