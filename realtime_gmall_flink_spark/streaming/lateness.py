@@ -23,6 +23,20 @@ micro-batch. Each batch
 
 Only additive aggregates (counts/sums) can merge this way — the same
 restriction Flink's incremental ReduceFunction windows have.
+
+Replay safety (a foreachBatch body re-runs its batch when the process
+crashes before the checkpoint commit):
+- the metadata row carries the last MERGED batch_id and is written only
+  AFTER the data merge; a replayed batch that already fully merged is
+  skipped outright (also keeping its late/in-time classification pinned
+  to the watermark it originally saw);
+- every accumulated window row is stamped with the batch that last
+  touched it; if the crash landed between the data merge and the meta
+  write, the replay sees its own stamp and keeps those rows as-is
+  instead of adding the batch's partials a second time;
+- too-late side outputs go to ``late/batch=<id>`` with overwrite (the
+  log_fanout pattern) so a replay replaces its own rows, never appends
+  duplicates.
 """
 
 from __future__ import annotations
@@ -36,14 +50,18 @@ from pyspark.sql import functions as F
 _WM_TABLE = "_high_watermark"
 _LATE_DIR = "late"
 _PART_COL = "win_date"
+_BATCH_COL = "last_merged_batch"
 
 
-def _read_high_watermark(spark, meta_path: str):
+def _read_meta(spark, meta_path: str):
+    """(high watermark, last merged batch_id) or (None, None)."""
     try:
         rows = spark.read.parquet(meta_path).collect()
-        return rows[0]["max_ts"] if rows else None
+        if not rows:
+            return None, None
+        return rows[0]["max_ts"], rows[0]["batch_id"]
     except Exception:
-        return None
+        return None, None
 
 
 def late_window_sink(
@@ -68,6 +86,14 @@ def late_window_sink(
         data = os.path.join(target_dir, "windows")
         late = os.path.join(target_dir, _LATE_DIR)
 
+        # replay of a fully merged batch (crash AFTER the meta write,
+        # before the checkpoint commit): everything below already
+        # happened, and re-classifying against the advanced watermark
+        # would judge the batch's own rows late — skip outright.
+        prev_wm, last_merged = _read_meta(spark, meta)
+        if last_merged is not None and batch_id <= last_merged:
+            return
+
         win = F.window(F.col(ts_col), size)
         partial = (
             batch.groupBy(win.alias("__w"), *[F.col(d) for d in dims])
@@ -84,13 +110,6 @@ def late_window_sink(
         if batch_max is None:
             return
 
-        # high watermark = max event time across all batches so far
-        prev_wm = _read_high_watermark(spark, meta)
-        high_wm = max(prev_wm, batch_max) if prev_wm else batch_max
-        spark.createDataFrame(
-            [(high_wm,)], f"max_ts {batch.schema[ts_col].dataType.simpleString()}"
-        ).write.mode("overwrite").parquet(meta)
-
         # too-late: window closed before (watermark - lateness). Rows are
         # judged against the PREVIOUS batch's watermark, like Flink, where
         # the watermark only advances behind the records that carried it;
@@ -102,46 +121,75 @@ def late_window_sink(
             too_late = partial.filter(F.col("edt") <= horizon)
             in_time = partial.filter(F.col("edt") > horizon)
             if too_late.limit(1).count() > 0:
-                too_late.drop(_PART_COL).write.mode("append").parquet(late)
+                # per-batch overwrite dir: a replayed batch replaces its
+                # own side output instead of appending duplicates
+                too_late.drop(_PART_COL).write.mode("overwrite").parquet(
+                    os.path.join(late, f"batch={batch_id}")
+                )
         else:
             in_time = partial
+        in_time = in_time.withColumn(_BATCH_COL, F.lit(batch_id))
 
         has_target = os.path.isdir(data) and any(
             f.endswith(".parquet")
             for _r, _, files in os.walk(data)
             for f in files
         )
+        merged = None
         if has_target:
             touched = [
                 r[0]
                 for r in in_time.select(_PART_COL).distinct().collect()
             ]
-            if not touched:
-                return
-            current = spark.read.parquet(data).filter(
-                F.col(_PART_COL).isin(touched)
-            )
-            merged = (
-                current.unionByName(in_time)
-                .groupBy("stt", "edt", *dims, _PART_COL)
-                .agg(*[F.sum(n).alias(n) for n in aggs])
-            )
-        else:
+            if touched:
+                current = spark.read.parquet(data).filter(
+                    F.col(_PART_COL).isin(touched)
+                )
+                # rows already stamped with THIS batch mean the crash hit
+                # between the data merge and the meta write: their totals
+                # already include this batch's partials — keep them
+                # untouched and add partials only to unstamped windows.
+                already = current.filter(F.col(_BATCH_COL) == batch_id)
+                stale = current.filter(F.col(_BATCH_COL) != batch_id)
+                fresh = in_time.join(
+                    already.select("stt", "edt", *dims),
+                    on=["stt", "edt", *dims],
+                    how="left_anti",
+                )
+                merged = (
+                    stale.unionByName(fresh)
+                    .groupBy("stt", "edt", *dims, _PART_COL)
+                    .agg(
+                        *[F.sum(n).alias(n) for n in aggs],
+                        F.max(_BATCH_COL).alias(_BATCH_COL),
+                    )
+                    .unionByName(already)
+                )
+        elif in_time.limit(1).count() > 0:
             merged = in_time
-        staging = f"{data}.staging-{batch_id}"
-        try:
-            merged.write.mode("overwrite").parquet(staging)
-            (
-                spark.read.parquet(staging)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(_PART_COL)
-                .parquet(data)
-            )
-        finally:
-            import shutil
+        if merged is not None:
+            staging = f"{data}.staging-{batch_id}"
+            try:
+                merged.write.mode("overwrite").parquet(staging)
+                (
+                    spark.read.parquet(staging)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(_PART_COL)
+                    .parquet(data)
+                )
+            finally:
+                import shutil
 
-            shutil.rmtree(staging, ignore_errors=True)
+                shutil.rmtree(staging, ignore_errors=True)
+
+        # watermark + merged-batch marker advance only after the merge:
+        # a crash anywhere above replays with the original classification
+        high_wm = max(prev_wm, batch_max) if prev_wm else batch_max
+        ts_type = batch.schema[ts_col].dataType.simpleString()
+        spark.createDataFrame(
+            [(high_wm, batch_id)], f"max_ts {ts_type}, batch_id long"
+        ).write.mode("overwrite").parquet(meta)
 
     return write
 
@@ -149,7 +197,7 @@ def late_window_sink(
 def read_windows(spark, target_dir: str) -> DataFrame:
     """Current accumulated window results (post all re-fires)."""
     return spark.read.parquet(os.path.join(target_dir, "windows")).drop(
-        _PART_COL
+        _PART_COL, _BATCH_COL
     )
 
 
@@ -157,4 +205,5 @@ def read_too_late(spark, target_dir: str) -> DataFrame | None:
     path = os.path.join(target_dir, _LATE_DIR)
     if not os.path.isdir(path):
         return None
-    return spark.read.parquet(path)
+    # drop the batch=<id> partition dir column (replay bookkeeping)
+    return spark.read.parquet(path).drop("batch")

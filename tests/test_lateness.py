@@ -94,6 +94,117 @@ def test_late_row_refires_too_late_row_sidelined(spark, tmp_path):
     assert _windows(spark, target)[("10:00:00", "x")] == (4, 113)
 
 
+def test_late_sink_crash_mid_batch_recovers(spark, tmp_path):
+    """Crash AFTER the sink body completed but BEFORE the checkpoint
+    commit: the replayed batch must not double-count window totals or
+    duplicate the late side output (the meta's last-merged batch_id
+    short-circuits it)."""
+    import pytest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "wins")
+    ckpt = str(tmp_path / "ckpt")
+    sink = lateness.late_window_sink(
+        target,
+        "t",
+        "10 seconds",
+        ["k"],
+        {"cnt": F.count(F.lit(1)), "vsum": F.sum("v")},
+        allowed_lateness="10 seconds",
+    )
+
+    _drop(src, "a.txt", [
+        {"t": "2024-05-01 10:00:01", "k": "x", "v": 1},
+        {"t": "2024-05-01 10:00:12", "k": "x", "v": 5},
+    ])
+    _run(spark, src, sink, ckpt)
+
+    def crashing(batch, batch_id):
+        sink(batch, batch_id)
+        raise RuntimeError("injected crash after body, before commit")
+
+    # batch 2: a re-fire for the 10:00:00 window plus a too-late row
+    _drop(src, "b.txt", [
+        {"t": "2024-05-01 10:00:05", "k": "x", "v": 10},
+        {"t": "2024-05-01 09:59:01", "k": "x", "v": 99},
+    ])
+    raw = sources.file_stream(spark, str(src))
+    parsed = raw.select(
+        F.to_timestamp(F.get_json_object("value", "$.t")).alias("t"),
+        F.get_json_object("value", "$.k").alias("k"),
+        F.get_json_object("value", "$.v").cast("long").alias("v"),
+    )
+    q = jobs.start_foreach_batch(parsed, crashing, ckpt)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+
+    # restart: the uncommitted batch replays; totals must be exactly-once
+    _run(spark, src, sink, ckpt)
+    got = _windows(spark, target)
+    assert got[("10:00:00", "x")] == (2, 11)
+    assert got[("10:00:10", "x")] == (1, 5)
+    late = lateness.read_too_late(spark, target)
+    late_rows = [
+        (str(r["stt"])[11:19], r["k"], r["vsum"]) for r in late.collect()
+    ]
+    assert late_rows == [("09:59:00", "x", 99)]
+
+
+def test_late_sink_crash_between_merge_and_meta(spark, tmp_path):
+    """Crash in the narrower window: data merge done, meta NOT yet
+    advanced. The replay re-enters the merge path, but rows stamped with
+    its own batch_id are kept as-is instead of re-adding the partials
+    (row-level idempotency), and the late/batch=<id> overwrite replaces
+    its own side output."""
+    import shutil
+
+    target = str(tmp_path / "wins")
+    meta = str(tmp_path / "wins/_high_watermark")
+    meta_bak = str(tmp_path / "meta_bak")
+    sink = lateness.late_window_sink(
+        target,
+        "t",
+        "10 seconds",
+        ["k"],
+        {"cnt": F.count(F.lit(1)), "vsum": F.sum("v")},
+        allowed_lateness="10 seconds",
+    )
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            [(r["t"], r["k"], r["v"]) for r in rows],
+            "t string, k string, v long",
+        ).select(F.to_timestamp("t").alias("t"), "k", "v")
+
+    b1 = batch_df([
+        {"t": "2024-05-01 10:00:01", "k": "x", "v": 1},
+        {"t": "2024-05-01 10:00:12", "k": "x", "v": 5},
+    ])
+    sink(b1, 0)
+    shutil.copytree(meta, meta_bak)
+
+    b2 = batch_df([
+        {"t": "2024-05-01 10:00:05", "k": "x", "v": 10},
+        {"t": "2024-05-01 09:59:01", "k": "x", "v": 99},
+    ])
+    sink(b2, 1)
+    # simulate the crash: roll the meta back to its pre-batch-2 state,
+    # leaving the merged data and late output in place, then replay
+    shutil.rmtree(meta)
+    shutil.copytree(meta_bak, meta)
+    sink(b2, 1)
+
+    got = _windows(spark, target)
+    assert got[("10:00:00", "x")] == (2, 11)
+    assert got[("10:00:10", "x")] == (1, 5)
+    late = lateness.read_too_late(spark, target)
+    late_rows = [
+        (str(r["stt"])[11:19], r["k"], r["vsum"]) for r in late.collect()
+    ]
+    assert late_rows == [("09:59:00", "x", 99)]
+
+
 def test_vc_window_job_with_allowed_lateness(spark, tmp_path):
     """W4 in its home job (DwsTrafficVcChArIsNewPageViewWindow): a late
     page view within the horizon re-fires its vc/ch/ar window; one past
