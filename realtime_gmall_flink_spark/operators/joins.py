@@ -148,7 +148,9 @@ def interval_join(
     upper: str,
 ) -> DataFrame:
     """Flink ``intervalJoin`` analog: pairs where
-    ``left_ts + lower < right_ts <= left_ts + upper`` per key. Compiles
+    ``left_ts + lower <= right_ts <= left_ts + upper`` per key —
+    inclusive on BOTH bounds, exactly like ``intervalJoin.between``
+    (KeyedStream.IntervalJoined; a boundary-equal row joins). Compiles
     to a hash equi-join on the key with the range as a post-join filter
     — the right strategy when keys are selective (the common case);
     state-bounded in streaming by watermark + the interval width.
@@ -156,6 +158,6 @@ def interval_join(
     return left.join(
         right,
         (left[key] == right[key])
-        & (right[right_ts] > left[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (right[right_ts] >= left[left_ts] + F.expr(f"INTERVAL {lower}"))
         & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}")),
     )

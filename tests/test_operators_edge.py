@@ -181,6 +181,66 @@ def test_asof_join_strict_inclusive_and_nomatch(spark):
     assert incl["e1"] == "r10"
 
 
+def test_interval_join_bounds_inclusive_vs_duckdb(spark):
+    """Flink's intervalJoin.between is inclusive on BOTH bounds; rows
+    landing exactly on left_ts + lower and left_ts + upper must join
+    (regression: the lower bound was strict). Expected pairs come from a
+    DuckDB oracle over the same rows."""
+    import duckdb
+
+    from realtime_gmall_flink_spark.operators.joins import interval_join
+
+    lrows = [("K", "2024-05-01 10:00:00", "L1")]
+    rrows = [
+        ("K", "2024-05-01 10:00:04", "before_lower"),
+        ("K", "2024-05-01 10:00:05", "on_lower"),
+        ("K", "2024-05-01 10:10:00", "inside"),
+        ("K", "2024-05-01 10:30:00", "on_upper"),
+        ("K", "2024-05-01 10:30:01", "after_upper"),
+    ]
+    left = spark.createDataFrame(
+        lrows, "k string, lt string, lid string"
+    ).select("k", F.to_timestamp("lt").alias("lt"), "lid")
+    right = spark.createDataFrame(
+        rrows, "k string, rt string, rid string"
+    ).select(F.col("k").alias("rk"), F.to_timestamp("rt").alias("rt"), "rid")
+
+    got = {
+        r["rid"]
+        for r in interval_join(
+            left,
+            right.withColumnRenamed("rk", "k"),
+            "k",
+            "lt",
+            "rt",
+            "5 seconds",
+            "30 minutes",
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{k}', TIMESTAMP '{t}', '{i}')" for k, t, i in lrows)
+        + ") t(k, lt, lid)"
+    )
+    con.execute(
+        "CREATE TABLE r AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{k}', TIMESTAMP '{t}', '{i}')" for k, t, i in rrows)
+        + ") t(k, rt, rid)"
+    )
+    expected = {
+        row[0]
+        for row in con.execute(
+            "SELECT rid FROM l JOIN r ON l.k = r.k"
+            " AND r.rt >= l.lt + INTERVAL 5 SECOND"
+            " AND r.rt <= l.lt + INTERVAL 30 MINUTE"
+        ).fetchall()
+    }
+    assert expected == {"on_lower", "inside", "on_upper"}
+    assert got == expected
+
+
 def test_predict_language_tie_and_none(spark):
     df = spark.createDataFrame(
         [("xyzzy plugh",),          # no stopword hits -> und
