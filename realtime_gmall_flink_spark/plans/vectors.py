@@ -344,8 +344,8 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF (inverted-file) ANN — the coarse-quantizer scale path. k seed
 # centroids are picked deterministically (smallest md5(vec_id) — a
 # hash-uniform sample, so cells are balanced in expectation); every vector
-# is assigned to its nearest centroid (argmax cosine, one broadcast of k
-# rows against the fact — no shuffle until the tiny argmax window); the
+# is assigned to its nearest centroid (per-row argmax over a broadcast
+# centroid array — zero shuffle in the assignment); the
 # query probes its NPROBE nearest cells and exact-reranks only their
 # members. At 100 TB the assignment is materialized once as a table
 # partitioned BY cid, so a query reads NPROBE/k of the data via partition
@@ -386,20 +386,29 @@ def ivf_centroids(emb: DataFrame, k: int = IVF_CENTROIDS) -> DataFrame:
 
 def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid (cosine argmax,
-    ties -> smallest cid). The centroid side is broadcast, so the only
-    shuffle is the per-vector argmax window over k candidate rows."""
-    from pyspark.sql import Window
-
-    cc = F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 6)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cc").desc(), F.col("cid").asc()
+    ties -> smallest cid), shuffle-free: the k centroids collapse into a
+    one-row array that is broadcast, and the argmax is a per-row
+    ``array_max`` over (cos, -cid) structs. The previous crossJoin +
+    row_number form exploded n*k rows and shuffled them for the
+    per-vector window — at 100 TB that shuffle dwarfs the probe join;
+    this plan has NO Exchange between the scan and the probe join."""
+    carr = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("__cents"))
+    # struct comparison is lexicographic: greatest cos first, then
+    # greatest -cid == smallest cid (the deterministic tie-break)
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.round(
+                    cosine_similarity(F.col("embedding"), c["ce"]), 6
+                ).alias("cc"),
+                (-c["cid"]).alias("neg_cid"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
-    return (
-        emb.crossJoin(broadcast(cent))
-        .select("vec_id", "embedding", "cid", cc.alias("cc"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+    return emb.crossJoin(broadcast(carr)).select(
+        "vec_id", "embedding", best["cid"].alias("cid")
     )
 
 

@@ -68,13 +68,26 @@ def test_q10_dims_broadcast_fact_shuffles_once(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
-def test_ivf_assignment_is_map_side_top1(spark):
-    df = catalog()["ann_ivf_topk"].builder(spark, SF_DIR)
-    plan = _plan(df)
-    # argmax via WindowGroupLimit partial+final: the assignment shuffle
-    # moves one candidate row per vector, not k
-    assert "WindowGroupLimit" in plan
-    assert "Partial" in plan
+def test_ivf_assignment_shuffle_free(spark):
+    """The centroid assignment is a per-row array_max over a broadcast
+    centroid array: no per-vector hash shuffle, no window operator — the
+    fact side flows from scan to probe join without an Exchange (the old
+    crossJoin + row_number form shuffled n*k rows)."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(ivf_assign(emb, ivf_centroids(emb)))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid array side
+
+    # the full query keeps that property end to end
+    full = _plan(catalog()["ann_ivf_topk"].builder(spark, SF_DIR))
+    assert "Window" not in full
 
 
 def test_contamination_single_scan_hash_joins(spark):
