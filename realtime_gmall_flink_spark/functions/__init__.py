@@ -7,7 +7,7 @@ from .textstats import (
     language_scores,
     predict_language,
 )
-from .sketches import word_shingles, minhash_hex, simhash16
+from .sketches import word_shingles, minhash_hex
 from .similarity import cosine_similarity, dot_product, l2_norm
 
 __all__ = [
@@ -21,7 +21,6 @@ __all__ = [
     "predict_language",
     "word_shingles",
     "minhash_hex",
-    "simhash16",
     "cosine_similarity",
     "dot_product",
     "l2_norm",

@@ -14,8 +14,7 @@ and DuckDB — so every operator here is oracle-checkable.
   near-dup = small Hamming distance (bit_count(xor)). The catalog runs the
   64-bit form (plans/textops.py) as 4 x 16-bit bands — pigeonhole makes
   hamming<=3 pairs share at least one identical band, so candidates come
-  from an equi-join on (band, value) over a 2^16 key space. simhash16
-  below is the compact per-row expression form of the same vote.
+  from an equi-join on (band, value) over a 2^16 key space.
 """
 
 from __future__ import annotations
@@ -63,32 +62,3 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
         ]
         keys.append(F.concat_ws("|", F.lit(str(b)), *parts))
     return F.array(*keys)
-
-
-_HEX_NIBBLE = "conv(substring(md5({w}), {i}, 1), 16, 10)"
-
-
-def simhash16(tokens: Column) -> Column:
-    """16-bit SimHash over a *distinct* token array.
-
-    For nibble i (1..4) of each token's md5 and bit b (0..3): vote +1 when
-    the bit is set else -1; fingerprint bit (4*(i-1)+b) is 1 when the vote
-    sum is positive. Pure JVM expressions (aggregate over the array).
-    """
-    distinct = F.array_distinct(tokens)
-
-    def vote_step(i: int, b: int):
-        def step(acc: Column, w: Column) -> Column:
-            nibble = F.conv(F.substring(F.md5(w), i, 1), 16, 10).cast("int")
-            is_set = nibble.bitwiseAND(F.lit(1 << b)) != 0
-            return acc + F.when(is_set, F.lit(1)).otherwise(F.lit(-1))
-
-        return step
-
-    fp = F.lit(0)
-    for i in range(1, 5):
-        for b in range(4):
-            bit = 4 * (i - 1) + b
-            vote = F.aggregate(distinct, F.lit(0), vote_step(i, b))
-            fp = fp + F.when(vote > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-    return fp

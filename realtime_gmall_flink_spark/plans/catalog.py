@@ -140,5 +140,6 @@ def catalog() -> dict[str, QueryDef]:
     missing = [n for n in DRIVER_WINDOW if n not in _REGISTRY]
     if missing:
         raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
-    tail = [n for n in _REGISTRY if n not in set(DRIVER_WINDOW)]
+    window = set(DRIVER_WINDOW)
+    tail = [n for n in _REGISTRY if n not in window]
     return {n: _REGISTRY[n] for n in (*DRIVER_WINDOW, *tail)}

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.sketches import simhash16
 from ..functions.textstats import (
     LANG_STOPWORDS,
     doc_fingerprint,

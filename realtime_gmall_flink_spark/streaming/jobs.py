@@ -53,12 +53,15 @@ def run_to_memory(
     """
     global _MEMSINK_SEQ
     spark = df.sparkSession
-    # a previous caller's un-stopped query (crash, harness timeout) can
-    # wedge the shared session; availableNow runs are finite so anything
-    # still active here is leaked state, not concurrent work we must keep.
+    # a previous caller's un-stopped memory-sink query (crash, harness
+    # timeout) can wedge the shared session; availableNow runs are finite
+    # so a lingering memsink query is leaked state. Only this function's
+    # own query family is stopped — concurrent foreachBatch/DWS runners
+    # sharing the session are someone else's live work.
     for active in list(spark.streams.active):
         try:
-            active.stop()
+            if (active.name or "").startswith("memsink_"):
+                active.stop()
         except Exception:
             pass
 

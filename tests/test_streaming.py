@@ -262,30 +262,45 @@ def test_tws_first_per_day_matches_batch(spark, log_dir):
 
 
 def test_run_to_memory_survives_lingering_query(spark, log_dir):
-    """Harness-interaction hardening: a previous caller's un-stopped query
-    (crash/timeout in an external harness) must not wedge the next
-    run_to_memory call — it pre-stops leaked queries and still completes."""
+    """Harness-interaction hardening, scoped: a leaked memsink query from
+    a previous run_to_memory caller is pre-stopped, but a CONCURRENT
+    foreign query (e.g. a DWS runner sharing the session) must be left
+    running — run_to_memory completes alongside it."""
     raw = sources.file_stream(spark, log_dir)
-    lingering = (
+    foreign = (
         raw.writeStream.format("memory")
-        .queryName("lingering_leak")
+        .queryName("dws_runner_concurrent")
         .outputMode("append")
         .start()
     )
-    assert len(spark.streams.active) >= 1
-    agg = tumble_agg(
-        raw.withColumn("event_time", F.current_timestamp()).select(
-            "event_time", "value"
-        ),
-        "event_time",
-        "10 seconds",
-        [],
-        {"n": F.count(F.lit(1))},
-        watermark="0 seconds",
+    stale_memsink = (
+        raw.writeStream.format("memory")
+        .queryName("memsink_stale_leak")
+        .outputMode("append")
+        .start()
     )
-    out = jobs.run_to_memory(agg, mode="complete")
-    assert out.count() >= 0
-    assert not lingering.isActive  # pre-stop cleaned up the leak
+    try:
+        assert len(spark.streams.active) >= 2
+        agg = tumble_agg(
+            raw.withColumn("event_time", F.current_timestamp()).select(
+                "event_time", "value"
+            ),
+            "event_time",
+            "10 seconds",
+            [],
+            {"n": F.count(F.lit(1))},
+            watermark="0 seconds",
+        )
+        out = jobs.run_to_memory(agg, mode="complete")
+        assert out.count() >= 0
+        assert not stale_memsink.isActive  # own family reaped
+        assert foreign.isActive  # concurrent work untouched
+    finally:
+        for q in (foreign, stale_memsink):
+            try:
+                q.stop()
+            except Exception:
+                pass
 
 
 def test_upsert_sink_untouched_buckets_not_rewritten(spark, tmp_path):
