@@ -532,6 +532,7 @@ def traffic_uv_window_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_event_type_window",
     survey="W1,W3,S1,K1(streaming)",
+    headline=True,
     oracle=f"""
 SELECT {_BUCKET} AS stt,
        {_BUCKET} + INTERVAL '10 minutes' AS edt,

@@ -415,6 +415,7 @@ def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
 @register(
     "ann_ivf_topk",
     survey="J5(ext),J6(ext)",
+    headline=True,
     oracle=f"""
 WITH cent AS (
     SELECT vec_id AS cid, embedding AS ce FROM embeddings
