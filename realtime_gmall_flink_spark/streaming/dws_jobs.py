@@ -12,12 +12,19 @@ parquet directories (the Kafka-topic analog, QUIRKS.md):
   ``applyInPandasWithState`` queries writing detail tables. These are the
   reference's DwdTrafficUniqueVisitorDetail / DwdTrafficUserJumpDetail
   jobs plus the keyed state the two DWS jobs hold internally.
-- stage 2 (DWS windows, complete -> foreachBatch overwrite): pure
-  windowed aggregations over the detail/page streams. Complete mode keeps
-  the aggregation state incrementally and re-emits the full (small)
-  summary per trigger — the ClickHouse-replace analog. At 100 TB you'd
-  flip to append + watermark per window and accept emission latency; the
-  aggregation plan is identical.
+- stage 2 (DWS windows): pure windowed aggregations over the
+  detail/page streams, in one of two modes:
+  * ``complete`` (default) -> foreachBatch overwrite: the aggregation
+    state re-emits the full (small) summary per trigger — the
+    ClickHouse-replace analog. State grows with the number of distinct
+    windows, fine while summaries stay small.
+  * ``append`` -> watermarked parquet append: each window emits exactly
+    once when the watermark passes its end, then its state is EVICTED —
+    bounded state, the declared 100 TB mode. The cost is emission
+    latency: a window's row appears only after later events advance the
+    watermark past window end + delay, so the stream's tail windows stay
+    pending until more data arrives. The aggregation plan is identical
+    in both modes; only sink/state lifecycle differ.
 
 Two stages cannot fuse into one query: applyInPandasWithState followed by
 a windowed aggregation is outside Spark's supported multi-stateful-operator
@@ -97,6 +104,25 @@ def _start_append_parquet(df: DataFrame, target: str, ckpt: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# watermark delay for append-mode window stages (matches the detail
+# stage's delay — the reference's 3 s bounded out-of-orderness)
+_WINDOW_WM = "3 seconds"
+
+
+def _window_mode(mode: str) -> str | None:
+    """Validate the stage-2 mode; returns the watermark to pass to
+    tumble_agg (None keeps complete-mode unbounded accumulation)."""
+    if mode not in ("complete", "append"):
+        raise ValueError(f"mode must be 'complete' or 'append': {mode!r}")
+    return _WINDOW_WM if mode == "append" else None
+
+
+def _start_window(df: DataFrame, target: str, ckpt: str, mode: str):
+    if mode == "append":
+        return _start_append_parquet(df, target, ckpt)
+    return _start_complete(df, target, ckpt)
 
 
 def run_detail_jobs(
@@ -244,10 +270,18 @@ def _detail_stream(
 
 
 def run_window_jobs(
-    spark: SparkSession, dwd_dir: str, dws_dir: str, ckpt_dir: str
+    spark: SparkSession,
+    dwd_dir: str,
+    dws_dir: str,
+    ckpt_dir: str,
+    mode: str = "complete",
 ) -> list:
-    """Stage 2: the four windowed DWS queries (complete-mode materialized
-    views over the detail/page streams)."""
+    """Stage 2: the four windowed DWS queries over the detail/page
+    streams — complete-mode materialized views by default, or bounded-
+    state watermarked append with ``mode="append"`` (see module
+    docstring; use distinct dws/ckpt dirs per mode, the state formats
+    and sink layouts are not interchangeable)."""
+    wm = _window_mode(mode)
     queries = []
     flat_schema = (
         "mid string, vc string, ch string, ar string,"
@@ -272,12 +306,14 @@ def run_window_jobs(
         WINDOW,
         ["keyword"],
         {"keyword_count": F.count(F.lit(1))},
+        watermark=wm,
     ).withColumn("source", F.lit("SEARCH"))
     queries.append(
-        _start_complete(
+        _start_window(
             kw,
             os.path.join(dws_dir, DWS_TABLES[0]),
             os.path.join(ckpt_dir, "kw_window"),
+            mode,
         )
     )
 
@@ -335,12 +371,14 @@ def run_window_jobs(
             "dur_sum": F.sum("dur_sum"),
             "uj_ct": F.sum("uj_ct"),
         },
+        watermark=wm,
     )
     queries.append(
-        _start_complete(
+        _start_window(
             vc,
             os.path.join(dws_dir, DWS_TABLES[1]),
             os.path.join(ckpt_dir, "vc_window"),
+            mode,
         )
     )
 
@@ -364,12 +402,14 @@ def run_window_jobs(
                 F.when(F.col("page_id") == "good_detail", 1).otherwise(0)
             ),
         },
+        watermark=wm,
     )
     queries.append(
-        _start_complete(
+        _start_window(
             pv_win,
             os.path.join(dws_dir, DWS_TABLES[2]),
             os.path.join(ckpt_dir, "pv_window"),
+            mode,
         )
     )
 
@@ -386,19 +426,25 @@ def run_window_jobs(
         WINDOW,
         [],
         {"uu_ct": F.count(F.lit(1)), "back_ct": F.sum("is_back")},
+        watermark=wm,
     )
     queries.append(
-        _start_complete(
+        _start_window(
             lg_win,
             os.path.join(dws_dir, DWS_TABLES[3]),
             os.path.join(ckpt_dir, "login_window"),
+            mode,
         )
     )
     return queries
 
 
 def run_traffic_user_dws(
-    spark: SparkSession, dwd_dir: str, dws_dir: str, ckpt_dir: str
+    spark: SparkSession,
+    dwd_dir: str,
+    dws_dir: str,
+    ckpt_dir: str,
+    mode: str = "complete",
 ) -> dict[str, str]:
     """Run the full log-side DWS chain once (availableNow): detail stage,
     then window stage. Re-runnable: checkpoints make each stage resume
@@ -407,7 +453,7 @@ def run_traffic_user_dws(
         q.awaitTermination()
     # ensure detail dirs exist even when a stage-1 query emitted 0 rows
     # (schema peek in stage 2 needs the directory)
-    for q in run_window_jobs(spark, dwd_dir, dws_dir, ckpt_dir):
+    for q in run_window_jobs(spark, dwd_dir, dws_dir, ckpt_dir, mode=mode):
         q.awaitTermination()
     return {t: os.path.join(dws_dir, t) for t in DWS_TABLES}
 
@@ -489,23 +535,35 @@ def run_trade_detail_jobs(
 
 
 def run_trade_window_jobs(
-    spark: SparkSession, dwd_dir: str, dws_dir: str, ckpt_dir: str
+    spark: SparkSession,
+    dwd_dir: str,
+    dws_dir: str,
+    ckpt_dir: str,
+    mode: str = "complete",
 ) -> list:
-    """Stage 2: the three windowed summaries (complete-mode materialized
-    views)."""
+    """Stage 2: the three windowed summaries — complete-mode materialized
+    views by default, bounded-state watermarked append with
+    ``mode="append"`` (module docstring)."""
+    wm = _window_mode(mode)
     queries = []
 
     reg = _peek_stream(
         spark, os.path.join(dwd_dir, "dwd_user_register")
     ).withColumn("event_time", F.to_timestamp("create_time"))
     reg_win = tumble_agg(
-        reg, "event_time", WINDOW, [], {"register_ct": F.count(F.lit(1))}
+        reg,
+        "event_time",
+        WINDOW,
+        [],
+        {"register_ct": F.count(F.lit(1))},
+        watermark=wm,
     )
     queries.append(
-        _start_complete(
+        _start_window(
             reg_win,
             os.path.join(dws_dir, TRADE_DWS_TABLES[0]),
             os.path.join(ckpt_dir, "register_window"),
+            mode,
         )
     )
 
@@ -518,12 +576,14 @@ def run_trade_window_jobs(
         WINDOW,
         [],
         {"cart_add_uu_ct": F.count(F.lit(1))},
+        watermark=wm,
     )
     queries.append(
-        _start_complete(
+        _start_window(
             cart_win,
             os.path.join(dws_dir, TRADE_DWS_TABLES[1]),
             os.path.join(ckpt_dir, "cart_window"),
+            mode,
         )
     )
 
@@ -539,25 +599,31 @@ def run_trade_window_jobs(
             "payment_suc_unique_user_count": F.count(F.lit(1)),
             "payment_suc_new_user_count": F.sum("is_first_ever"),
         },
+        watermark=wm,
     )
     queries.append(
-        _start_complete(
+        _start_window(
             pay_win,
             os.path.join(dws_dir, TRADE_DWS_TABLES[2]),
             os.path.join(ckpt_dir, "pay_window"),
+            mode,
         )
     )
     return queries
 
 
 def run_trade_user_dws(
-    spark: SparkSession, dwd_dir: str, dws_dir: str, ckpt_dir: str
+    spark: SparkSession,
+    dwd_dir: str,
+    dws_dir: str,
+    ckpt_dir: str,
+    mode: str = "complete",
 ) -> dict[str, str]:
     """Run the insert-only db-side DWS chains once (availableNow);
     re-runnable with the same checkpoints."""
     for q in run_trade_detail_jobs(spark, dwd_dir, ckpt_dir):
         q.awaitTermination()
-    for q in run_trade_window_jobs(spark, dwd_dir, dws_dir, ckpt_dir):
+    for q in run_trade_window_jobs(spark, dwd_dir, dws_dir, ckpt_dir, mode=mode):
         q.awaitTermination()
     return {t: os.path.join(dws_dir, t) for t in TRADE_DWS_TABLES}
 

@@ -110,6 +110,95 @@ def test_restart_with_late_files_matches_batch_full(spark, chain):
     }
 
 
+def _rowlist(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in df.select(cols).collect()
+    )
+
+
+def _sentinel_rows():
+    """Far-future rows that push EVERY stage-2 source's watermark past
+    the real corpus, so append mode finalizes all real windows:
+    - a keyword search row (the kw query's watermark advances only on
+      post-filter search rows);
+    - two session starts 20 s apart for one mid with a uid on home
+      pages: the first-per-day emission advances the uv / pv-first /
+      login detail streams, and the 20 s gap > jump timeout makes the
+      first start emit as a jump-out, advancing the jump detail stream.
+    Each sentinel's own window stays above the relevant watermark (or
+    past the comparison cutoff), so parity against the sentinel-free
+    batch corpus holds."""
+    return [
+        FX._log("SENT_K", uid="SU0", is_new="0",
+                page={"page_id": "good_list", "last_page_id": "search",
+                      "item": "sentinel probe", "item_type": "keyword",
+                      "during_time": 1},
+                ts=FX.ms(FX.DAY12, "23:00:00")),
+        FX._log("SENT_M", uid="SU1", is_new="0",
+                page={"page_id": "home", "during_time": 1},
+                ts=FX.ms(FX.DAY12, "23:00:00")),
+        FX._log("SENT_M", uid="SU1", is_new="0",
+                page={"page_id": "home", "during_time": 1},
+                ts=FX.ms(FX.DAY12, "23:00:20")),
+    ]
+
+
+def test_append_mode_windows_match_batch_with_restart(spark, tmp_path):
+    """Stage 2 in bounded-state mode (mode="append"): watermarked windows
+    emit exactly once when the watermark passes, state is evicted. After
+    a checkpointed restart with the late tail plus the far-future
+    sentinel, the appended tables equal the batch pipeline row-for-row
+    (list compare, so a replayed/double emission would surface as a
+    duplicate)."""
+    import pathlib
+
+    log_dir = tmp_path / "topic_log"
+    log_dir.mkdir()
+    rows = FX.topic_log_rows()
+    first = [rows[i] for i in (0, 1, 2, 3, 4, 6, 7)]
+    late = [rows[5]] + rows[8:]
+    (log_dir / "d0.txt").write_text("\n".join(first) + "\n")
+    dirs = {
+        "log": str(log_dir),
+        "dwd": str(tmp_path / "dwd"),
+        "dws": str(tmp_path / "dws_append"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+    def run_chain():
+        q = warehouse.run_log_side(
+            spark, dirs["log"], dirs["dwd"], f"{dirs['ckpt']}/log_side"
+        )
+        q.awaitTermination()
+        dws_jobs.run_traffic_user_dws(
+            spark,
+            dirs["dwd"],
+            dirs["dws"],
+            f"{dirs['ckpt']}/dws",
+            mode="append",
+        )
+
+    run_chain()
+    (pathlib.Path(dirs["log"]) / "d1.txt").write_text(
+        "\n".join(late) + "\n"
+    )
+    (pathlib.Path(dirs["log"]) / "d2.txt").write_text(
+        "\n".join(_sentinel_rows()) + "\n"
+    )
+    run_chain()
+
+    # real corpus ends DAY12 13:00; sentinels live at DAY12 23:00 — any
+    # window at/after the cutoff is sentinel-only bookkeeping
+    cutoff = F.to_timestamp(F.lit(f"{FX.DAY12} 14:00:00"))
+    expected = _batch_dws(_batch_page(spark, rows))
+    for table, batch_df in expected.items():
+        got = spark.read.parquet(f"{dirs['dws']}/{table}").filter(
+            F.col("stt") < cutoff
+        )
+        assert _rowlist(got) == _rowlist(batch_df), table
+
+
 def test_trade_user_dws_streaming_matches_batch(spark, tmp_path):
     """The three insert-only db-side DWS chains (register, cart-add UU,
     payment-suc) run as chained streaming queries and equal the batch
@@ -168,6 +257,106 @@ def test_trade_user_dws_streaming_matches_batch(spark, tmp_path):
     for table, batch_df in expected.items():
         got = spark.read.parquet(out[table])
         assert _rowset(got) == _rowset(batch_df), table
+
+
+def test_trade_window_jobs_append_mode(spark, tmp_path):
+    """The three db-side window stages in bounded-state append mode:
+    windows finalize once the watermark (driven by a far-future sentinel
+    row per source) passes, and a checkpointed re-run with a newer file
+    emits the previously-pending window exactly once."""
+    from realtime_gmall_flink_spark.operators.windows import tumble_agg
+
+    dwd = tmp_path / "dwd"
+    dwd.mkdir()
+    dws = str(tmp_path / "dws")
+    ckpt = str(tmp_path / "ckpt")
+    S1 = FX.sec(FX.DAY1, "10:00:01")
+    S2 = FX.sec(FX.DAY1, "10:00:03")
+    S3 = FX.sec(FX.DAY1, "10:00:12")
+    SENT = FX.sec(FX.DAY12, "23:00:00")
+    cutoff = F.to_timestamp(F.lit(f"{FX.DAY12} 14:00:00"))
+
+    reg_schema = "id string, create_time string"
+    reg_rows = [
+        ("R1", f"{FX.DAY1} 10:00:01"),
+        ("R2", f"{FX.DAY1} 10:00:03"),
+        ("R3", f"{FX.DAY1} 10:00:12"),
+    ]
+    reg_sent = [("RS", f"{FX.DAY12} 23:00:00")]
+    cart_schema = "user_id string, sec long"
+    cart_rows = [("U1", S1), ("U2", S3)]
+    cart_sent = [("US", SENT)]
+    pay_schema = "pay_user_id string, sec long, is_first_ever int"
+    pay_rows = [("U1", S1, 1), ("U2", S2, 0)]
+    pay_sent = [("US", SENT, 0)]
+
+    for name, schema, rows in (
+        ("dwd_user_register", reg_schema, reg_rows + reg_sent),
+        ("dwd_trade_cart_first_detail", cart_schema, cart_rows + cart_sent),
+        ("dwd_trade_pay_first_detail", pay_schema, pay_rows + pay_sent),
+    ):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(dwd / name)
+        )
+
+    def run():
+        for q in dws_jobs.run_trade_window_jobs(
+            spark, str(dwd), dws, ckpt, mode="append"
+        ):
+            q.awaitTermination()
+
+    run()
+
+    def batch_win(rows, schema, ts_expr, aggs):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "event_time", ts_expr
+        )
+        return tumble_agg(df, "event_time", "10 seconds", [], aggs)
+
+    expected = {
+        "dws_user_user_register_window": batch_win(
+            reg_rows, reg_schema, F.to_timestamp("create_time"),
+            {"register_ct": F.count(F.lit(1))},
+        ),
+        "dws_trade_cart_add_uu_window": batch_win(
+            cart_rows, cart_schema, F.timestamp_seconds(F.col("sec")),
+            {"cart_add_uu_ct": F.count(F.lit(1))},
+        ),
+        "dws_trade_payment_suc_window": batch_win(
+            pay_rows, pay_schema, F.timestamp_seconds(F.col("sec")),
+            {
+                "payment_suc_unique_user_count": F.count(F.lit(1)),
+                "payment_suc_new_user_count": F.sum("is_first_ever"),
+            },
+        ),
+    }
+    for table, batch_df in expected.items():
+        got = spark.read.parquet(f"{dws}/{table}").filter(
+            F.col("stt") < cutoff
+        )
+        assert _rowlist(got) == _rowlist(batch_df), table
+
+    # restart: a register row AHEAD of the restored watermark (22:59:57
+    # — anything behind it is correctly dropped as late) plus a farther
+    # sentinel that finalizes both it and the first sentinel's window;
+    # exactly-once means the re-run adds those windows without
+    # duplicating any earlier one
+    spark.createDataFrame(
+        [("R4", f"{FX.DAY12} 23:10:01"), ("RS2", f"{FX.DAY12} 23:30:00")],
+        reg_schema,
+    ).write.mode("append").parquet(str(dwd / "dwd_user_register"))
+    run()
+    cutoff2 = F.to_timestamp(F.lit(f"{FX.DAY12} 23:20:00"))
+    got = spark.read.parquet(f"{dws}/dws_user_user_register_window").filter(
+        F.col("stt") < cutoff2
+    )
+    expected_reg = batch_win(
+        reg_rows + reg_sent + [("R4", f"{FX.DAY12} 23:10:01")],
+        reg_schema,
+        F.to_timestamp("create_time"),
+        {"register_ct": F.count(F.lit(1))},
+    )
+    assert _rowlist(got) == _rowlist(expected_reg)
 
 
 def test_trade_order_window_streaming_matches_batch(spark, tmp_path):
