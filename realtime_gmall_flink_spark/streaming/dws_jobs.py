@@ -106,17 +106,19 @@ def _start_append_parquet(df: DataFrame, target: str, ckpt: str):
     )
 
 
-# watermark delay for append-mode window stages (matches the detail
-# stage's delay — the reference's 3 s bounded out-of-orderness)
+# default watermark delay for append-mode window stages (matches the
+# detail stage's delay — the reference's 3 s bounded out-of-orderness).
+# Runners accept a ``watermark`` override for sources with a different
+# lateness tolerance (emission latency vs lateness trade-off).
 _WINDOW_WM = "3 seconds"
 
 
-def _window_mode(mode: str) -> str | None:
+def _window_mode(mode: str, watermark: str | None = None) -> str | None:
     """Validate the stage-2 mode; returns the watermark to pass to
     tumble_agg (None keeps complete-mode unbounded accumulation)."""
     if mode not in ("complete", "append"):
         raise ValueError(f"mode must be 'complete' or 'append': {mode!r}")
-    return _WINDOW_WM if mode == "append" else None
+    return (watermark or _WINDOW_WM) if mode == "append" else None
 
 
 def _start_window(df: DataFrame, target: str, ckpt: str, mode: str):
@@ -275,13 +277,15 @@ def run_window_jobs(
     dws_dir: str,
     ckpt_dir: str,
     mode: str = "complete",
+    watermark: str | None = None,
 ) -> list:
     """Stage 2: the four windowed DWS queries over the detail/page
     streams — complete-mode materialized views by default, or bounded-
     state watermarked append with ``mode="append"`` (see module
     docstring; use distinct dws/ckpt dirs per mode, the state formats
-    and sink layouts are not interchangeable)."""
-    wm = _window_mode(mode)
+    and sink layouts are not interchangeable). ``watermark`` overrides
+    the append-mode delay (default ``_WINDOW_WM``)."""
+    wm = _window_mode(mode, watermark)
     queries = []
     flat_schema = (
         "mid string, vc string, ch string, ar string,"
@@ -461,10 +465,10 @@ def run_traffic_user_dws(
 # ---------------------------------------------------------------------------
 # db-side always-on DWS jobs — the three insert-only chains (register,
 # cart-add UU, payment-suc). The changelog-consuming windows (order /
-# province / trademark) need retraction semantics Spark streaming
-# aggregation does not provide over re-read tables; those stay on the
-# per-trigger refresh path (warehouse.refresh_dws), which IS their
-# Spark-idiomatic form.
+# province / trademark) get their retraction semantics from dedicated
+# stateful dedup stages further down (run_trade_order_dws and friends),
+# which turn the changelog into insert-only detail streams; they support
+# the same complete/append modes as the chains here.
 TRADE_DWS_TABLES = (
     "dws_user_user_register_window",
     "dws_trade_cart_add_uu_window",
@@ -540,11 +544,14 @@ def run_trade_window_jobs(
     dws_dir: str,
     ckpt_dir: str,
     mode: str = "complete",
+    watermark: str | None = None,
 ) -> list:
     """Stage 2: the three windowed summaries — complete-mode materialized
     views by default, bounded-state watermarked append with
-    ``mode="append"`` (module docstring)."""
-    wm = _window_mode(mode)
+    ``mode="append"`` (module docstring). ``watermark`` overrides the
+    append-mode delay — these db-side sources are not the 3 s
+    bounded-out-of-orderness log stream, so tune as needed."""
+    wm = _window_mode(mode, watermark)
     queries = []
 
     reg = _peek_stream(
@@ -692,12 +699,19 @@ ORDER_DWS_TABLE = "dws_trade_order_window"
 
 
 def run_trade_order_dws(
-    spark: SparkSession, dwd_dir: str, dws_dir: str, ckpt_dir: str
+    spark: SparkSession,
+    dwd_dir: str,
+    dws_dir: str,
+    ckpt_dir: str,
+    mode: str = "complete",
+    watermark: str | None = None,
 ) -> str:
     from .stateful import (
         streaming_first_per_day_ever,
         streaming_latest_per_key,
     )
+
+    wm = _window_mode(mode, watermark)
 
     # stage 1: latest-wins revision dedup per order-detail id
     src = (
@@ -785,10 +799,11 @@ def run_trade_order_dws(
             "order_coupon_reduce_amount": F.sum("coupon").cast("double"),
             "order_origin_total_amount": F.sum("origin").cast("double"),
         },
+        watermark=wm,
     )
     target = os.path.join(dws_dir, ORDER_DWS_TABLE)
-    _start_complete(
-        win, target, os.path.join(ckpt_dir, "order_window")
+    _start_window(
+        win, target, os.path.join(ckpt_dir, "order_window"), mode
     ).awaitTermination()
     return target
 
@@ -802,8 +817,9 @@ def run_trade_order_dws(
 # order_id (dropDuplicatesWithinWatermark — bounded state, the TTL'd set
 # analog) emits one row per order, and the window then COUNTS. Amounts
 # sum over all detail rows; both measure families union into one additive
-# window. The province dim joins batch-side inside the complete-mode sink
-# (broadcast, per trigger).
+# window. The province dim joins as a broadcast stream-static join —
+# batch-side inside the complete-mode sink (per trigger), in-stream
+# before the exactly-once parquet sink in append mode.
 PROVINCE_DWS_TABLE = "dws_trade_province_order_window"
 
 
@@ -813,8 +829,12 @@ def run_trade_province_dws(
     dws_dir: str,
     ckpt_dir: str,
     dim_base_province: DataFrame,
+    mode: str = "complete",
+    watermark: str | None = None,
 ) -> str:
     from .jobs import streaming_dedup
+
+    wm = _window_mode(mode, watermark)
 
     dedup_path = os.path.join(dwd_dir, "dwd_trade_order_detail_dedup")
 
@@ -862,12 +882,23 @@ def run_trade_province_dws(
             "order_count": F.sum("ord").cast("long"),
             "order_amount": F.sum("amount").cast("double"),
         },
+        watermark=wm,
     )
     dim = dim_base_province.select(
         F.col("id").alias("__pid"), F.col("name").alias("province_name")
     )
 
     target = os.path.join(dws_dir, PROVINCE_DWS_TABLE)
+    ckpt = os.path.join(ckpt_dir, "province_window")
+
+    if mode == "append":
+        # stateless stream-static broadcast join after the watermarked
+        # agg; the parquet sink keeps exactly-once via _spark_metadata
+        out = win.join(
+            F.broadcast(dim), win["province_id"] == F.col("__pid"), "left"
+        ).drop("__pid")
+        _start_append_parquet(out, target, ckpt).awaitTermination()
+        return target
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         out = batch.join(
@@ -878,9 +909,7 @@ def run_trade_province_dws(
     q = (
         win.writeStream.outputMode("complete")
         .foreachBatch(sink)
-        .option(
-            "checkpointLocation", os.path.join(ckpt_dir, "province_window")
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -893,14 +922,23 @@ def run_trade_province_dws(
 # tables — as streaming chains. Same recipe as the province window:
 # countDistinct(order_id) per (user, sku) becomes a first-arrival dedup
 # on (order_id, sku_id) feeding a countable stream; the post-aggregate
-# dim cascade (6 hops spu / 5 hops refund, all broadcast) runs batch-side
-# inside the complete-mode sink per trigger, sharing the cascade spec
-# with the batch twin (gmall.dws.tm_spu_cascade / tm_refund_cascade).
+# dim cascade (6 hops spu / 5 hops refund, all broadcast stream-static
+# joins) runs batch-side inside the complete-mode sink per trigger, or
+# in-stream ahead of the exactly-once parquet sink in append mode —
+# sharing the cascade spec with the batch twin
+# (gmall.dws.tm_spu_cascade / tm_refund_cascade).
 TM_SPU_DWS_TABLE = "dws_trade_trademark_category_user_spu_order_window"
 TM_REFUND_DWS_TABLE = "dws_trade_trademark_category_user_refund_window"
 
 
-def _cascade_complete_sink(win: DataFrame, cascade, target: str, ckpt: str):
+def _cascade_sink(win: DataFrame, cascade, target: str, ckpt: str, mode: str):
+    if mode == "append":
+        # the cascade is a chain of stateless broadcast lookups — apply
+        # it to the streaming aggregate and let the parquet sink keep
+        # exactly-once
+        _start_append_parquet(cascade(win), target, ckpt).awaitTermination()
+        return target
+
     def sink(batch: DataFrame, batch_id: int) -> None:
         cascade(batch).write.mode("overwrite").parquet(target)
 
@@ -921,10 +959,13 @@ def run_trade_tm_spu_dws(
     dws_dir: str,
     ckpt_dir: str,
     dims: dict[str, DataFrame],
+    mode: str = "complete",
+    watermark: str | None = None,
 ) -> str:
     from ..gmall.dws import tm_spu_cascade
     from .jobs import streaming_dedup
 
+    wm = _window_mode(mode, watermark)
     dedup_path = os.path.join(dwd_dir, "dwd_trade_order_detail_dedup")
 
     dd = _peek_stream(spark, dedup_path).withColumn(
@@ -965,12 +1006,14 @@ def run_trade_tm_spu_dws(
             "order_count": F.sum("ord").cast("long"),
             "order_amount": F.sum("amount").cast("double"),
         },
+        watermark=wm,
     )
-    return _cascade_complete_sink(
+    return _cascade_sink(
         win,
         lambda b: tm_spu_cascade(b, dims),
         os.path.join(dws_dir, TM_SPU_DWS_TABLE),
         os.path.join(ckpt_dir, "tm_spu_window"),
+        mode,
     )
 
 
@@ -980,9 +1023,13 @@ def run_trade_tm_refund_dws(
     dws_dir: str,
     ckpt_dir: str,
     dims: dict[str, DataFrame],
+    mode: str = "complete",
+    watermark: str | None = None,
 ) -> str:
     from ..gmall.dws import tm_refund_cascade
     from .jobs import streaming_dedup
+
+    wm = _window_mode(mode, watermark)
 
     # order_refund is an insert-only DWD extract (no revisions), so the
     # only stateful stage is the per-(order, sku) first-arrival dedup
@@ -1008,10 +1055,12 @@ def run_trade_tm_refund_dws(
         WINDOW,
         ["user_id", "sku_id"],
         {"refund_count": F.count(F.lit(1)).cast("long")},
+        watermark=wm,
     )
-    return _cascade_complete_sink(
+    return _cascade_sink(
         win,
         lambda b: tm_refund_cascade(b, dims),
         os.path.join(dws_dir, TM_REFUND_DWS_TABLE),
         os.path.join(ckpt_dir, "tm_refund_window"),
+        mode,
     )
