@@ -1,7 +1,11 @@
 """Every catalog query with an oracle must match DuckDB at sf0.001 —
-the same gate the driver applies at sf0.01."""
+the same gate the driver applies at sf0.01. An opt-in leg re-runs the
+full catalog at sf0.01 itself (GMALL_PARITY_SF=0.01 or -m sf001) to
+catch scale-dependent divergences before the driver does."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -9,6 +13,8 @@ from realtime_gmall_flink_spark.plans.catalog import catalog
 
 from .conftest import SF_DIR
 from .oracle_utils import compare
+
+SF001_DIR = "/root/testdata/sf0.01"
 
 _QUERIES = sorted(catalog().values(), key=lambda q: q.name)
 
@@ -19,6 +25,23 @@ _QUERIES = sorted(catalog().values(), key=lambda q: q.name)
 def test_oracle_parity(spark, qdef):
     df = qdef.builder(spark, SF_DIR)
     problems = compare(df, qdef.oracle, SF_DIR)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.sf001
+@pytest.mark.skipif(
+    os.environ.get("GMALL_PARITY_SF") != "0.01",
+    reason="opt-in driver-scale leg: set GMALL_PARITY_SF=0.01",
+)
+@pytest.mark.parametrize(
+    "qdef", [q for q in _QUERIES if q.oracle], ids=lambda q: q.name
+)
+def test_oracle_parity_sf001(spark, qdef):
+    """The driver grades at sf0.01; sf0.001 parity can pass while sf0.01
+    diverges (dtype widening, percentile interpolation — r2's
+    shipment_lateness hash miss was exactly this class)."""
+    df = qdef.builder(spark, SF001_DIR)
+    problems = compare(df, qdef.oracle, SF001_DIR)
     assert not problems, "\n".join(problems)
 
 
@@ -44,6 +67,48 @@ def test_driver_window_invariants():
     assert len(DRIVER_WINDOW) == DRIVER_CAP
     assert len(set(DRIVER_WINDOW)) == DRIVER_CAP
     assert list(catalog())[:DRIVER_CAP] == list(DRIVER_WINDOW)
+
+
+def test_uv_window_approx_within_rsd_of_exact(spark):
+    """Accuracy gate for the one oracle-less numeric entry: the HLL
+    estimate in traffic_uv_window_approx (rsd=0.02) must land within
+    3x the configured rsd of exact countDistinct per window at sf0.01
+    (3 standard errors; small windows get an absolute floor of 2 since
+    sparse-mode HLL is near-exact there). A wrong rsd, wrong column, or
+    broken sketch fails this even though the driver's check is
+    rows-only."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.operators.windows import tumble_agg
+    from realtime_gmall_flink_spark.plans.traffic import (
+        traffic_uv_window_approx,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    approx = traffic_uv_window_approx(spark, SF001_DIR)
+    ev = load_table(spark, SF001_DIR, "events")
+
+    exact = tumble_agg(
+        ev,
+        "ts",
+        "10 minutes",
+        ["event_type"],
+        {"uv_ct_exact": F.countDistinct("user_id")},
+    )
+    joined = approx.join(exact, ["stt", "edt", "event_type"], "full").select(
+        "uv_ct_approx", "uv_ct_exact"
+    )
+    rows = joined.collect()
+    assert rows, "no windows to compare"
+    bad = [
+        (r.uv_ct_approx, r.uv_ct_exact)
+        for r in rows
+        if r.uv_ct_approx is None
+        or r.uv_ct_exact is None
+        or abs(r.uv_ct_approx - r.uv_ct_exact)
+        > max(3 * 0.02 * r.uv_ct_exact, 2)
+    ]
+    assert not bad, f"HLL outside 3*rsd of exact: {bad[:5]}"
 
 
 def test_driver_window_oracles_no_hugeint():
