@@ -37,6 +37,13 @@ crashes before the checkpoint commit):
 - too-late side outputs go to ``late/batch=<id>`` with overwrite (the
   log_fanout pattern) so a replay replaces its own rows, never appends
   duplicates.
+
+Migration: a ``windows/`` dir from before the replay-guard layout (no
+batch-stamp column) is backfilled with a ``-1`` sentinel on read, and a
+meta row without ``batch_id`` reads as "no replay guard yet". Old FLAT
+``late/`` files (pre-``late/batch=<id>``) are NOT auto-migrated — they
+break partition discovery when mixed with the partitioned layout; move
+them into a ``late/batch=-1`` subdir or rebuild the target.
 """
 
 from __future__ import annotations
@@ -54,14 +61,19 @@ _BATCH_COL = "last_merged_batch"
 
 
 def _read_meta(spark, meta_path: str):
-    """(high watermark, last merged batch_id) or (None, None)."""
-    try:
-        rows = spark.read.parquet(meta_path).collect()
-        if not rows:
-            return None, None
-        return rows[0]["max_ts"], rows[0]["batch_id"]
-    except Exception:
+    """(high watermark, last merged batch_id) or (None, None) when no
+    meta exists yet. Only a MISSING path means "fresh target"; an
+    existing-but-unreadable meta raises — swallowing corruption would
+    silently reset the watermark to None and merge genuinely too-late
+    rows as in-time. A legacy meta row without batch_id (pre-replay-
+    guard layout) reads defensively as (max_ts, None)."""
+    if not os.path.isdir(meta_path):
         return None, None
+    rows = spark.read.parquet(meta_path).collect()
+    if not rows:
+        return None, None
+    d = rows[0].asDict()
+    return d.get("max_ts"), d.get("batch_id")
 
 
 def late_window_sink(
@@ -89,10 +101,24 @@ def late_window_sink(
         # replay of a fully merged batch (crash AFTER the meta write,
         # before the checkpoint commit): everything below already
         # happened, and re-classifying against the advanced watermark
-        # would judge the batch's own rows late — skip outright.
+        # would judge the batch's own rows late — skip outright. Only
+        # the EXACT last-merged batch can legitimately replay; a batch
+        # id BEHIND it means the target dir is being driven by a
+        # different (fresh) checkpoint whose ids restarted at 0 —
+        # silently skipping would drop every early batch, so fail.
         prev_wm, last_merged = _read_meta(spark, meta)
-        if last_merged is not None and batch_id <= last_merged:
-            return
+        if last_merged is not None:
+            if batch_id < last_merged:
+                raise RuntimeError(
+                    f"late_window_sink target {target_dir!r}: batch"
+                    f" {batch_id} is behind the last merged batch"
+                    f" {last_merged}. The target dir is coupled to the"
+                    " checkpoint that wrote it (batch ids restart on a"
+                    " fresh checkpoint); rebuild the target or restore"
+                    " the original checkpoint."
+                )
+            if batch_id == last_merged:
+                return
 
         win = F.window(F.col(ts_col), size)
         partial = (
@@ -145,6 +171,14 @@ def late_window_sink(
                 current = spark.read.parquet(data).filter(
                     F.col(_PART_COL).isin(touched)
                 )
+                # windows dirs written before the replay-guard layout
+                # carry no batch stamps: backfill a sentinel that can
+                # never equal a real batch id, so legacy rows merge as
+                # ordinary unstamped state
+                if _BATCH_COL not in current.columns:
+                    current = current.withColumn(
+                        _BATCH_COL, F.lit(-1).cast("long")
+                    )
                 # rows already stamped with THIS batch mean the crash hit
                 # between the data merge and the meta write: their totals
                 # already include this batch's partials — keep them

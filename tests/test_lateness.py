@@ -264,3 +264,86 @@ def test_vc_window_job_with_allowed_lateness(spark, tmp_path):
     assert wins2.agg(F.sum("pv_ct")).collect()[0][0] == before_total
     late = lateness.read_too_late(spark, target)
     assert late is not None and late.agg(F.sum("pv_ct")).collect()[0][0] == 1
+
+
+def _direct_sink(spark, target):
+    return lateness.late_window_sink(
+        target,
+        "t",
+        "10 seconds",
+        ["k"],
+        {"cnt": F.count(F.lit(1)), "vsum": F.sum("v")},
+        allowed_lateness="10 seconds",
+    )
+
+
+def _batch_df(spark, rows):
+    return spark.createDataFrame(
+        [(r["t"], r["k"], r["v"]) for r in rows],
+        "t string, k string, v long",
+    ).select(F.to_timestamp("t").alias("t"), "k", "v")
+
+
+def test_garbled_meta_raises_instead_of_resetting_watermark(
+    spark, tmp_path
+):
+    """A corrupt meta parquet must raise, not silently read as "no
+    watermark yet" — a silent reset would merge genuinely too-late rows
+    as in-time."""
+    import pytest
+
+    target = str(tmp_path / "wins")
+    sink = _direct_sink(spark, target)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:00:01", "k": "x", "v": 1}]), 0)
+
+    meta = tmp_path / "wins" / "_high_watermark"
+    for f in meta.iterdir():
+        if f.suffix == ".parquet":
+            f.write_bytes(b"not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|corrupt"):
+        sink(
+            _batch_df(spark, [{"t": "2024-05-01 10:00:21", "k": "x", "v": 2}]),
+            1,
+        )
+
+
+def test_fresh_checkpoint_against_old_target_fails_loudly(spark, tmp_path):
+    """Reusing a target dir with a FRESH checkpoint restarts batch ids at
+    0; the sink must refuse (silently skipping would drop every early
+    batch of the new run)."""
+    import pytest
+
+    target = str(tmp_path / "wins")
+    sink = _direct_sink(spark, target)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:00:01", "k": "x", "v": 1}]), 0)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:00:12", "k": "x", "v": 5}]), 1)
+
+    with pytest.raises(RuntimeError, match="behind the last merged"):
+        sink(
+            _batch_df(spark, [{"t": "2024-05-01 10:00:21", "k": "x", "v": 2}]),
+            0,
+        )
+
+
+def test_legacy_windows_dir_without_batch_stamp_merges(spark, tmp_path):
+    """A windows/ dir written before the replay-guard layout (no
+    last_merged_batch column) must merge instead of raising
+    AnalysisException: the stamp column is backfilled with -1."""
+    target = str(tmp_path / "wins")
+    sink = _direct_sink(spark, target)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:00:01", "k": "x", "v": 1}]), 0)
+
+    # strip the stamp column in place, simulating the pre-guard layout
+    data = f"{target}/windows"
+    legacy = spark.read.parquet(data).drop("last_merged_batch")
+    legacy.write.mode("overwrite").parquet(f"{target}/legacy")
+    import shutil
+
+    shutil.rmtree(data)
+    shutil.copytree(f"{target}/legacy", data)
+
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:00:05", "k": "x", "v": 10}]), 1)
+    all_rows = lateness.read_windows(spark, target).collect()
+    assert len(all_rows) == 1  # no duplicate layout remnants
+    got = _windows(spark, target)
+    assert got[("10:00:00", "x")] == (2, 11)
