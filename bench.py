@@ -22,30 +22,33 @@ import time
 from realtime_gmall_flink_spark.plans.catalog import catalog
 from realtime_gmall_flink_spark.session import get_spark
 
-# Warm per-query floor (seconds): the best MEDIAN-of-3 observed at sf0.1
-# on local[32]. A query regressing > REGRESSION_FACTOR x its floor is a
-# perf bug, flagged on stderr — update a floor only when a deliberate
-# trade-off justifies it.
-#
-# Recalibrated in r4: the r2 single-run floors were unreproducible on the
-# r3/r4 box (the r3 judge re-run measured ~1.3-1.6x above them on an
-# UNCHANGED tree — machine delta, not regression). Floors now pair with
-# the median-of-3 reporting, so a trip means a real plan change, not a
-# scheduler hiccup.
-BASELINE_FLOOR = {
-    "ann_cosine_topk": 0.68,
-    "ann_ivf_topk": 0.94,
-    "dedup_latest_event": 0.34,
-    "dim_cascade_region_revenue": 1.13,
-    "keyword_frequency": 0.40,
-    "near_dup_jaccard": 1.24,
-    "streaming_event_type_window": 1.43,
-    "tpch_q1": 0.30,
-    "tpch_q3_top_orders": 0.56,
-    "trade_order_window": 0.22,
-    "traffic_event_type_window": 0.24,
-}
+# Warm per-query floors (seconds, best median-of-3 at sf0.1 on local[32])
+# live in bench_floors.json next to this file, pinned to the box that
+# recorded them and carrying a provenance entry per recalibration — a
+# floor may only move together with a provenance line demonstrating the
+# unchanged-tree delta on the same box (or naming the deliberate
+# semantic change). A query regressing > REGRESSION_FACTOR x its floor
+# is flagged on stderr; floors from a DIFFERENT box are advisory and
+# the mismatch is printed alongside any flag.
 REGRESSION_FACTOR = 1.5
+
+
+def _load_floors() -> tuple[dict[str, float], str]:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_floors.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return rec.get("floors", {}), rec.get("box", "?")
+    except (OSError, ValueError) as e:
+        print(f"bench: no usable floors file ({e})", file=sys.stderr)
+        return {}, "?"
+
+
+def _box_id() -> str:
+    import platform
+
+    return f"{platform.node()}/{os.cpu_count()}cpu"
 
 
 def main() -> None:
@@ -89,12 +92,18 @@ def main() -> None:
     is_ref_env = (
         sf == "0.1" and os.environ.get("SPARK_GRAFT_CPUS", "32") == "32"
     )
+    floors, floor_box = _load_floors()
+    box = _box_id()
+    box_note = (
+        "" if box == floor_box
+        else f" [advisory: floors recorded on {floor_box}, this is {box}]"
+    )
     for name, t in sorted(timings.items()):
-        floor = BASELINE_FLOOR.get(name)
+        floor = floors.get(name)
         if is_ref_env and floor and t > REGRESSION_FACTOR * floor:
             print(
                 f"bench: REGRESSION {name}: {t}s > "
-                f"{REGRESSION_FACTOR}x floor {floor}s",
+                f"{REGRESSION_FACTOR}x floor {floor}s{box_note}",
                 file=sys.stderr,
             )
     print(

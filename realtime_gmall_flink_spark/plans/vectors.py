@@ -353,6 +353,7 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment query against avg-per-dimension centroid updates.
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
+IVF_LLOYD_ITERS = 1
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -412,17 +413,67 @@ def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def ivf_refine(
+    emb: DataFrame, cent: DataFrame, iters: int = IVF_LLOYD_ITERS
+) -> DataFrame:
+    """Lloyd refinement in DataFrame form: assign -> per-cell per-dim
+    mean -> new centroids (cells keep their seed cid label). This is the
+    spherical k-means step: cosine against the member mean equals cosine
+    against the normalized mean, so no explicit normalization is needed.
+    Deterministic given the seed centroids (mean is permutation-stable
+    up to double rounding, absorbed by the 6-dp cos rounding).
+
+    Scale: posexplode fans each row into dim (cid, pos, val) triples,
+    but map-side combine collapses them to k*dim partial sums per
+    partition before the exchange — the shuffle moves kilobytes, not the
+    corpus. Two small shuffles per iteration; the driver loop itself is
+    metadata-only (no collect of vector data)."""
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cent)
+        means = (
+            assigned.select(
+                "cid", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        )
+        cent = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("ce")
+        )
+    return cent
+
+
 @register(
     "ann_ivf_topk",
     survey="J5(ext),J6(ext)",
     headline=True,
     oracle=f"""
-WITH cent AS (
+WITH cent0 AS (
     SELECT vec_id AS cid, embedding AS ce FROM embeddings
     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
     LIMIT {IVF_CENTROIDS}
 ), q AS (
     SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), scored0 AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent0 c
+), assigned0 AS (
+    SELECT vec_id, embedding, cid FROM scored0 WHERE rn = 1
+), dimmeans AS (
+    SELECT cid, gs.pos AS pos,
+           avg(CAST(embedding[gs.pos] AS DOUBLE)) AS m
+    FROM assigned0 CROSS JOIN generate_series(1, 64) AS gs(pos)
+    GROUP BY cid, gs.pos
+), cent AS (
+    SELECT cid, list(m ORDER BY pos) AS ce FROM dimmeans GROUP BY cid
 ), scored AS (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (
@@ -455,8 +506,11 @@ def ivf_topk(
     k: int = TOP_K,
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    lloyd_iters: int = IVF_LLOYD_ITERS,
 ) -> DataFrame:
-    cent = ivf_centroids(emb, k=n_centroids)
+    cent = ivf_refine(
+        emb, ivf_centroids(emb, k=n_centroids), iters=lloyd_iters
+    )
     assigned = ivf_assign(emb, cent)
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qe")

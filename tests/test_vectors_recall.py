@@ -100,18 +100,33 @@ def test_arrow_topk_matches_exact_fold(spark):
 
 def test_ivf_twins_land_in_same_cell(planted):
     """IVF recall rests on near-duplicates quantizing to the same cell:
-    at cos ~ 0.995 the argmax centroid must agree for >= 0.9 of pairs."""
+    with one Lloyd refinement of the hash-seeded centroids the argmax
+    centroid must agree for >= 0.95 of pairs (the seed centroids alone
+    manage ~0.92 on this fixture; refinement is what buys the gate)."""
     from realtime_gmall_flink_spark.plans.vectors import (
         ivf_assign,
         ivf_centroids,
+        ivf_refine,
     )
 
+    seed = ivf_centroids(planted, k=8)
     cells = {
         r.vec_id: r.cid
-        for r in ivf_assign(planted, ivf_centroids(planted, k=8)).collect()
+        for r in ivf_assign(planted, ivf_refine(planted, seed, 1)).collect()
     }
     same = sum(1 for i in range(N_PAIRS) if cells[2 * i] == cells[2 * i + 1])
-    assert same / N_PAIRS >= 0.9, f"co-cell rate {same / N_PAIRS} < 0.9"
+    assert same / N_PAIRS >= 0.95, f"co-cell rate {same / N_PAIRS} < 0.95"
+
+    # the refinement must not be a no-op: it should beat (or at least
+    # match) the raw seed assignment on the planted twins
+    seed_cells = {
+        r.vec_id: r.cid for r in ivf_assign(planted, seed).collect()
+    }
+    seed_same = sum(
+        1 for i in range(N_PAIRS)
+        if seed_cells[2 * i] == seed_cells[2 * i + 1]
+    )
+    assert same >= seed_same
 
 
 def test_ivf_topk_finds_planted_twin(planted):
