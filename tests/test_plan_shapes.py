@@ -110,3 +110,94 @@ def test_topn_per_group_pushes_limit_below_exchange(spark):
     df = catalog()["top_users_per_event_type"].builder(spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+
+
+# ---------------------------------------------------------------------------
+# Scale probes: the same load-bearing plan properties, asserted against an
+# 8x self-union of the fact tables (~sf0.8) materialized as real parquet —
+# dims stay 1x, like a real scale-up. This turns the "survives 100x"
+# claims from prose into regression tests: the properties that make the
+# plans linear (WindowGroupLimit both sides, broadcast-only dim pyramids,
+# shuffle-free IVF assignment, single-scan self-joins) must not flip to
+# quadratic/shuffling shapes when the optimizer sees 8x the rows, and
+# result sizes must stay aggregate-sized (no driver materialization that
+# grows with the input).
+import pytest
+
+_SF8_BASE = "/root/testdata/sf0.1"
+_SF8_FACTS = {"events", "documents", "embeddings", "lineitem", "orders"}
+_SF8_DIMS = {"customer", "nation", "region", "part", "supplier"}
+
+
+@pytest.fixture(scope="module")
+def sf8_dir(spark, tmp_path_factory):
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    root = tmp_path_factory.mktemp("sf8")
+    for name in sorted(_SF8_FACTS | _SF8_DIMS):
+        df = load_table(spark, _SF8_BASE, name)
+        if name in _SF8_FACTS:
+            for _ in range(3):
+                df = df.unionByName(df)
+        df.write.mode("overwrite").parquet(str(root / f"{name}.parquet"))
+    return str(root)
+
+
+@pytest.mark.scale
+def test_scale8_dedup_window_group_limit_both_sides(spark, sf8_dir):
+    df = catalog()["dedup_latest_event"].builder(spark, sf8_dir)
+    plan = _plan(df)
+    # partial (map-side) AND final: the per-key top-1 prunes before the
+    # exchange, so the shuffle moves one row per key per mapper, not 8x
+    # the corpus
+    assert plan.count("WindowGroupLimit") == 2
+    # output is one row per key — identical to the un-unioned base, i.e.
+    # independent of the 8x blow-up (row_number, not rank, breaks ties)
+    base = catalog()["dedup_latest_event"].builder(spark, _SF8_BASE)
+    assert df.count() == base.count()
+
+
+@pytest.mark.scale
+def test_scale8_ivf_assignment_still_shuffle_free(spark, sf8_dir):
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf8_dir, "embeddings")
+    plan = _plan(ivf_assign(emb, ivf_centroids(emb)))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.scale
+def test_scale8_cascade_broadcast_pyramid_holds(spark, sf8_dir):
+    df = catalog()["dim_cascade_region_revenue"].builder(spark, sf8_dir)
+    plan = _plan(df)
+    # the three dim hops stay broadcast at 8x the fact rows (the fact
+    # side never exchanges for enrichment); the lineitem-orders join may
+    # legitimately be a shuffle join at this size, but never cartesian
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    # aggregate-sized output: 25 (region x nation) rows regardless of 8x
+    assert df.count() == 25
+
+
+@pytest.mark.scale
+def test_scale8_jaccard_single_scan_no_cartesian(spark, sf8_dir):
+    df = catalog()["near_dup_jaccard"].builder(spark, sf8_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1  # shingle subtree reused
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.scale
+def test_scale8_topk_stays_take_ordered(spark, sf8_dir):
+    """ann_cosine_topk at 8x: the top-k must remain a TakeOrdered (driver
+    receives k rows, not a sorted corpus)."""
+    df = catalog()["ann_cosine_topk"].builder(spark, sf8_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert len(df.collect()) == 10
