@@ -1,0 +1,261 @@
+"""Small-file compaction for streaming parquet topic dirs.
+
+Append-mode sinks write one parquet file per micro-batch per partition
+(dws_jobs._start_append_parquet, the jobs.py fan-out, lateness side
+outputs). At 100 TB with frequent triggers that is the classic
+small-file death: listing cost grows linearly with trigger count and
+scan tasks shrink to kilobytes. This module rewrites over-fragmented
+directories into size-targeted files, preserving results exactly.
+
+Two layouts:
+
+- Plain / hive-partitioned dirs (foreachBatch appenders, ``late/batch=N``
+  side outputs, bucketed upsert targets): each LEAF directory whose
+  parquet-file count exceeds the threshold is rewritten independently —
+  the touched-bucket pattern, untouched leaves keep their files
+  byte-identical.
+- Streaming-sink dirs carrying a ``_spark_metadata`` FileStreamSink log:
+  readers trust the log, not the directory listing, so the log is
+  rewritten in lock-step: every existing log file keeps its NAME (batch
+  ids and the arithmetic compact positions must not move), earlier
+  entries become header-only, and the latest lists exactly the
+  compacted files. Hadoop ``.crc`` sidecars of rewritten files are
+  dropped (a stale checksum would fail the next read). The streaming
+  query keeps its numbering on restart: the next micro-batch appends
+  batch N+1 as if compaction never happened.
+
+Operational contract: run while the writing query is STOPPED (between
+availableNow runs, or in the trigger gap of a maintenance window) —
+parquet directories are not transactional, and the old-file deletion at
+the end of a leaf rewrite is not atomic with the move-in (a crash in
+that window leaves duplicate rows that the next compaction pass
+removes... only for plain dirs; log-dirs are crash-safe because readers
+follow the log, which flips in a single rename). On a lakehouse table
+(Delta/Iceberg) this whole module is ``OPTIMIZE``; the parquet form
+keeps the container dependency-free, same plan shape.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+_META = "_spark_metadata"
+_LOG_HEADER = "v1"
+
+
+def _parquet_files(d: str) -> list[str]:
+    return sorted(
+        f
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def _leaf_dirs(root: str):
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if d != _META and not d.startswith(".")
+        ]
+        if any(
+            f.endswith(".parquet") and not f.startswith(".")
+            for f in filenames
+        ):
+            yield dirpath
+
+
+def _drop_crc(d: str, name: str) -> None:
+    crc = os.path.join(d, f".{name}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def _rewrite_leaf(
+    spark: SparkSession, leaf: str, files: list[str], target_bytes: int
+) -> int:
+    total = sum(os.path.getsize(os.path.join(leaf, f)) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    run = uuid.uuid4().hex[:8]
+    staging = os.path.join(leaf, f".compact-staging-{run}")
+    (
+        spark.read.parquet(*[os.path.join(leaf, f) for f in files])
+        .coalesce(n_out)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    new_names = []
+    for i, f in enumerate(_parquet_files(staging)):
+        name = f"compacted-{run}-{i:05d}.snappy.parquet"
+        os.replace(os.path.join(staging, f), os.path.join(leaf, name))
+        new_names.append(name)
+    for f in files:
+        os.remove(os.path.join(leaf, f))
+        _drop_crc(leaf, f)
+    shutil.rmtree(staging, ignore_errors=True)
+    return len(new_names)
+
+
+def _read_log_entries(meta: str, name: str) -> list[dict]:
+    with open(os.path.join(meta, name)) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    if not lines or lines[0] != _LOG_HEADER:
+        raise ValueError(
+            f"unrecognized FileStreamSink log format in {meta}/{name}"
+        )
+    return [json.loads(ln) for ln in lines[1:]]
+
+
+def _write_log_file(meta: str, name: str, entries: list[dict]) -> None:
+    tmp = os.path.join(meta, f".{name}.compact-tmp")
+    with open(tmp, "w") as f:
+        f.write(_LOG_HEADER)
+        for e in entries:
+            f.write("\n" + json.dumps(e, separators=(",", ":")))
+    os.replace(tmp, os.path.join(meta, name))
+    _drop_crc(meta, name)
+
+
+def _log_file_names(meta: str) -> list[str]:
+    names = [
+        f
+        for f in os.listdir(meta)
+        if not f.startswith(".") and f.split(".")[0].isdigit()
+    ]
+    return sorted(names, key=lambda f: int(f.split(".")[0]))
+
+
+def _valid_log_entries(meta: str, names: list[str]) -> list[dict]:
+    """The file set a reader resolves: the latest ``.compact`` snapshot
+    plus every delta after it (CompactibleFileStreamLog semantics)."""
+    compacts = [n for n in names if n.endswith(".compact")]
+    start = int(compacts[-1].split(".")[0]) if compacts else -1
+    entries: list[dict] = []
+    for n in names:
+        bid = int(n.split(".")[0])
+        if n.endswith(".compact"):
+            if bid == start:
+                entries = list(_read_log_entries(meta, n))
+        elif bid > start:
+            entries.extend(_read_log_entries(meta, n))
+    return [e for e in entries if e.get("action") == "add"]
+
+
+def _local_path(uri: str) -> str:
+    if uri.startswith("file://"):
+        return uri[len("file:") :]
+    return uri
+
+
+def _compact_sink_log_dir(
+    spark: SparkSession, path: str, max_files: int, target_bytes: int
+) -> dict[str, tuple[int, int]]:
+    meta = os.path.join(path, _META)
+    names = _log_file_names(meta)
+    if not names:
+        return {}
+    entries = _valid_log_entries(meta, names)
+    if any("=" in os.path.relpath(_local_path(e["path"]), path)
+           for e in entries):
+        raise NotImplementedError(
+            "compaction of PARTITIONED FileStreamSink dirs is not"
+            " supported (flat rewrite would strip partition pruning);"
+            f" dir: {path}"
+        )
+    old_local = [_local_path(e["path"]) for e in entries]
+    if len(old_local) <= max_files:
+        return {path: (len(old_local), len(old_local))}
+
+    total = sum(e.get("size") or 0 for e in entries) or sum(
+        os.path.getsize(p) for p in old_local if os.path.exists(p)
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    run = uuid.uuid4().hex[:8]
+    staging = os.path.join(path, f".compact-staging-{run}")
+    # read THROUGH the log (spark.read honors _spark_metadata), so
+    # exactly the committed file set is compacted
+    (
+        spark.read.parquet(path)
+        .coalesce(n_out)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    new_entries = []
+    for i, f in enumerate(_parquet_files(staging)):
+        name = f"compacted-{run}-{i:05d}.snappy.parquet"
+        dst = os.path.join(path, name)
+        os.replace(os.path.join(staging, f), dst)
+        st = os.stat(dst)
+        new_entries.append(
+            {
+                "path": f"file://{dst}",
+                "size": st.st_size,
+                "isDir": False,
+                "modificationTime": int(st.st_mtime * 1000),
+                "blockReplication": 1,
+                "blockSize": 33554432,
+                "action": "add",
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # the log flip: earlier files become header-only, the LATEST carries
+    # the compacted set. Names (batch ids, .compact suffixes) must not
+    # change — the reader finds compact snapshots by batch-id arithmetic
+    # and the writer resumes numbering from the latest id.
+    for n in names[:-1]:
+        _write_log_file(meta, n, [])
+    _write_log_file(meta, names[-1], new_entries)
+
+    for p in old_local:
+        if os.path.exists(p):
+            os.remove(p)
+            _drop_crc(os.path.dirname(p), os.path.basename(p))
+    return {path: (len(old_local), len(new_entries))}
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 8,
+    target_bytes: int = 128 << 20,
+) -> dict[str, tuple[int, int]]:
+    """Compact one topic directory; returns {dir: (files_before,
+    files_after)} for every directory actually rewritten (threshold
+    check makes re-runs no-ops). Dispatches on layout: FileStreamSink
+    dirs go through the log-rewriting path, everything else is
+    per-leaf."""
+    if os.path.isdir(os.path.join(path, _META)):
+        return _compact_sink_log_dir(spark, path, max_files, target_bytes)
+    out: dict[str, tuple[int, int]] = {}
+    for leaf in _leaf_dirs(path):
+        files = _parquet_files(leaf)
+        if len(files) <= max_files:
+            continue
+        out[leaf] = (
+            len(files),
+            _rewrite_leaf(spark, leaf, files, target_bytes),
+        )
+    return out
+
+
+def compact_topics(
+    spark: SparkSession,
+    root: str,
+    max_files: int = 8,
+    target_bytes: int = 128 << 20,
+) -> dict[str, tuple[int, int]]:
+    """Compact every topic table under a dwd/dws root (one subdir per
+    table, the layout run_traffic_user_dws and friends produce)."""
+    out: dict[str, tuple[int, int]] = {}
+    if not os.path.isdir(root):
+        return out
+    for table in sorted(os.listdir(root)):
+        d = os.path.join(root, table)
+        if os.path.isdir(d):
+            out.update(compact_dir(spark, d, max_files, target_bytes))
+    return out

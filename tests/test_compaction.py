@@ -1,0 +1,162 @@
+"""Small-file compaction: multi-batch streaming appends end with bounded
+file counts and byte-identical query results — including through the
+FileStreamSink metadata log and across a checkpointed restart."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_gmall_flink_spark.streaming.compaction import (
+    compact_dir,
+    compact_topics,
+)
+
+
+def _rowset(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in df.select(cols).collect()
+    )
+
+
+def _pq_count(d):
+    return sum(
+        1
+        for root, dirs, files in os.walk(d)
+        if "_spark_metadata" not in root
+        for f in files
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def test_plain_append_dir_compacts_and_preserves_rows(spark, tmp_path):
+    d = str(tmp_path / "topic")
+    for i in range(12):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(d)
+    before = _rowset(spark.read.parquet(d))
+    assert _pq_count(d) >= 12
+
+    stats = compact_dir(spark, d, max_files=8)
+    assert stats and _pq_count(d) <= 8
+    assert _rowset(spark.read.parquet(d)) == before
+
+    # re-run is a no-op below the threshold
+    assert compact_dir(spark, d, max_files=8) == {}
+    assert _rowset(spark.read.parquet(d)) == before
+
+
+def test_partitioned_dir_compacts_only_fragmented_leaves(spark, tmp_path):
+    d = str(tmp_path / "topic")
+    for i in range(12):
+        spark.createDataFrame(
+            [("2024-05-01", i)], "win_date string, v long"
+        ).write.mode("append").parquet(f"{d}/win_date=2024-05-01")
+    spark.createDataFrame(
+        [("x", 99)], "k string, v long"
+    ).write.mode("append").parquet(f"{d}/win_date=2024-05-02")
+    untouched = sorted(os.listdir(f"{d}/win_date=2024-05-02"))
+    before = _rowset(spark.read.parquet(d))
+
+    stats = compact_dir(spark, d, max_files=8)
+    assert list(stats) == [f"{d}/win_date=2024-05-01"]
+    assert sorted(os.listdir(f"{d}/win_date=2024-05-02")) == untouched
+    assert _rowset(spark.read.parquet(d)) == before
+
+
+def _start_stream(spark, src, out, ckpt):
+    q = (
+        spark.readStream.schema("id long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_sink_log_dir_compacts_and_survives_restart(spark, tmp_path):
+    """The FileStreamSink case: per-micro-batch files collapse, the
+    metadata log is rewritten in place (names preserved), reads keep
+    going THROUGH the log, and a restarted query continues appending
+    with its original batch numbering — no loss, no duplicates."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for i in range(12):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(src)
+    _start_stream(spark, src, out, ckpt)
+    assert _pq_count(out) >= 12
+    before = _rowset(spark.read.parquet(out))
+    assert len(before) == 12
+
+    stats = compact_dir(spark, out, max_files=8)
+    assert stats[out][0] >= 12 and stats[out][1] <= 8
+    assert _pq_count(out) <= 8
+    # the read follows the rewritten log, not stray directory listings
+    assert _rowset(spark.read.parquet(out)) == before
+
+    # restart with MORE source data: the sink must resume numbering and
+    # append on top of the compacted history
+    spark.createDataFrame(
+        [(100, "late1"), (101, "late2")], "id long, v string"
+    ).write.mode("append").parquet(src)
+    _start_stream(spark, src, out, ckpt)
+    after = _rowset(spark.read.parquet(out))
+    assert len(after) == 14
+    assert set(before) <= set(after)
+
+    # and a second compaction pass over the grown dir still round-trips
+    compact_dir(spark, out, max_files=1)
+    assert _rowset(spark.read.parquet(out)) == after
+
+
+def test_partitioned_sink_log_dir_refused(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, part string"
+    ).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema("id long, part string")
+        .parquet(src)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .partitionBy("part")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        compact_dir(spark, out, max_files=0)
+
+
+def test_compact_topics_sweeps_table_dirs(spark, tmp_path):
+    root = str(tmp_path / "dws")
+    for t in ("t1", "t2"):
+        for i in range(10):
+            spark.createDataFrame(
+                [(i,)], "v long"
+            ).write.mode("append").parquet(f"{root}/{t}")
+    before = {
+        t: _rowset(spark.read.parquet(f"{root}/{t}")) for t in ("t1", "t2")
+    }
+    stats = compact_topics(spark, root, max_files=4)
+    assert set(stats) == {f"{root}/t1", f"{root}/t2"}
+    for t in ("t1", "t2"):
+        assert _pq_count(f"{root}/{t}") <= 4
+        assert _rowset(spark.read.parquet(f"{root}/{t}")) == before[t]
