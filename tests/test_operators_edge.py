@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from realtime_gmall_flink_spark.functions.sketches import word_shingles
@@ -342,3 +343,42 @@ def test_asof_join_as_event_time_temporal_join(spark):
         ).collect()
     }
     assert got == {"o1": "9.99", "o2": "12.99", "o3": "12.99", "o4": None}
+
+
+def _jieba_available() -> bool:
+    try:
+        import jieba  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_jieba_tokenizer_gate_matches_availability():
+    """The optional CJK tokenizer must mirror package availability:
+    None (callers fall back to the pinned split tokenizer, the QUIRKS.md
+    divergence) when jieba is absent, a usable UDF when present."""
+    from realtime_gmall_flink_spark.functions.tokenize import (
+        jieba_tokenizer,
+    )
+
+    udf = jieba_tokenizer()
+    assert (udf is not None) == _jieba_available()
+
+
+@pytest.mark.skipif(not _jieba_available(), reason="jieba not installed")
+def test_jieba_tokenizer_cuts_cjk(spark):
+    """Runs only where jieba exists (not this container): CJK text must
+    split into multi-char words, not single codepoints."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.functions.tokenize import (
+        jieba_tokenizer,
+    )
+
+    cut = jieba_tokenizer()
+    rows = spark.createDataFrame(
+        [("小米手机京东自营",)], "item string"
+    ).select(cut(F.col("item")).alias("words")).collect()
+    words = rows[0]["words"]
+    assert words and any(len(w) > 1 for w in words)
