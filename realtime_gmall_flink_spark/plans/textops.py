@@ -1023,3 +1023,171 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retained_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition quality rules: the classic "is this doc
+# degenerate boilerplate" signals — distinct-word ratio, most-frequent-
+# term domination, duplicate-bigram fraction. Scale shape: the per-term
+# stats go through an exploded (doc_id, word) groupBy (map-side combine
+# collapses each partition to its local term counts before the
+# exchange); the bigram fraction is a pure column expression on the
+# original row, no explode and no shuffle for that branch.
+@register(
+    "doc_repetition_stats",
+    survey="A4(ext),P10(ext)",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+), c AS (
+    SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+), agg AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+           count(*) AS distinct_ct, max(c) AS top_ct
+    FROM c GROUP BY 1
+), bg AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(wl) - 1, 0)),
+                          i -> wl[i] || ' ' || wl[i+1]) AS bigrams
+    FROM (SELECT doc_id, {_WORDS_SQL} AS wl FROM documents)
+)
+SELECT a.doc_id,
+       n_words,
+       round(CAST(distinct_ct AS DOUBLE) / n_words, 6)
+           AS distinct_word_ratio,
+       round(CAST(top_ct AS DOUBLE) / n_words, 6) AS top_term_ratio,
+       CASE WHEN len(bigrams) > 0
+            THEN round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                             / len(bigrams), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM agg a JOIN bg USING (doc_id)
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = explode_tokens(docs, "text", "word").select("doc_id", "word")
+    per_term = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("distinct_ct"),
+        F.max("c").alias("top_ct"),
+    )
+    # duplicate-bigram fraction as a columnar branch. NB Spark's
+    # sequence(1, 0) yields a DESCENDING [1, 0] (DuckDB's
+    # generate_series(1, 0) is empty), so short docs need the explicit
+    # size guard.
+    bg = docs.select(
+        "doc_id", tokenize("text").alias("wl")
+    ).select(
+        "doc_id",
+        F.when(
+            F.size("wl") >= 2,
+            F.expr(
+                "transform(sequence(1, size(wl) - 1),"
+                " i -> concat(wl[i-1], ' ', wl[i]))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bigrams"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.size("bigrams") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("bigrams")).cast("double")
+                / F.size("bigrams"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    return agg.join(bg, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.col("distinct_ct").cast("double") / F.col("n_words"), 6
+        ).alias("distinct_word_ratio"),
+        F.round(F.col("top_ct").cast("double") / F.col("n_words"), 6).alias(
+            "top_term_ratio"
+        ),
+        "dup_bigram_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-3 terms per doc by tf*idf — the standard
+# "what is this document about" curation feature. Ranking happens on the
+# ROUNDED score (6 dp) with a term tie-break so both engines rank
+# identically despite last-ulp ln() differences. Scale shape: term and
+# doc-frequency tables come off one exploded scan (combine-collapsed);
+# the corpus doc count joins as a broadcast one-row aggregate; the only
+# per-doc window is over the ~distinct-terms-per-doc rows, partitioned
+# by doc_id.
+@register(
+    "tfidf_top_terms",
+    survey="A4(ext),J5(ext)",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+), tf AS (
+    SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2
+), dl AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1
+), df AS (
+    SELECT w, count(*) AS dfreq FROM tf GROUP BY 1
+), nd AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.w,
+           round((CAST(c AS DOUBLE) / n)
+                 * ln(CAST(n_docs AS DOUBLE) / dfreq), 6) AS score
+    FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN nd
+), ranked AS (
+    SELECT doc_id, w, score,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, w
+           ) AS rn
+    FROM scored
+)
+SELECT doc_id, w AS term, score, CAST(rn AS BIGINT) AS term_rank
+FROM ranked WHERE rn <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = explode_tokens(docs, "text", "w").select("doc_id", "w")
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                6,
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "score",
+            F.col("rn").cast("long").alias("term_rank"),
+        )
+    )
