@@ -134,7 +134,7 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near_dup_jaccard",
     survey="J1(ext),A7(ext)",
     headline=True,
-    oracle=f"""
+    oracle=(_JACCARD_PAIR_ORACLE := f"""
 WITH w AS (
     SELECT doc_id, {_WORDS_SQL} AS w FROM documents
 ), sh AS (
@@ -155,7 +155,7 @@ FROM pairs
 JOIN sizes na ON doc_a = na.doc_id
 JOIN sizes nb ON doc_b = nb.doc_id
 WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
-""",
+"""),
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir))
@@ -1191,3 +1191,68 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("term_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTER assignment: connected components over the jaccard
+# pair graph, every doc labeled with the smallest doc_id reachable from
+# it (singletons label themselves) — the step that turns pairwise
+# near-dup hits into "keep one per cluster" curation decisions. This is
+# the catalog's iterative-algorithm representative: the Spark side is
+# min-label propagation to fixpoint (a driver loop of joins — the
+# GraphX/Pregel shape in plain DataFrames, lineage cut per round with
+# localCheckpoint, convergence checked on a one-row aggregate), and it
+# still gets a REAL oracle because DuckDB expresses the same fixpoint as
+# a recursive CTE. Iteration count is bounded by component diameter
+# (near-dup clusters are tiny); each round is two hash joins + a
+# combine-collapsed min, all linear in |edges|.
+@register(
+    "near_dup_clusters",
+    survey="D1(ext),J1(ext)",
+    oracle=f"""
+WITH RECURSIVE jp AS ({_JACCARD_PAIR_ORACLE}
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM jp
+    UNION ALL
+    SELECT doc_b, doc_a FROM jp
+), walk(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+""",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = jaccard_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)  # scanned once, reused every round
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    prev_sum = None
+    while True:
+        neigh = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        labels = (
+            labels.withColumnRenamed("cluster_id", "cur")
+            .join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cur"), F.coalesce(F.col("nmin"), F.col("cur")))
+                .alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)  # cut per-round lineage growth
+        )
+        # monotone convergence witness: the label sum strictly decreases
+        # until the fixpoint (one-row driver read per round)
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
