@@ -1227,32 +1227,50 @@ FROM walk GROUP BY node
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     pairs = jaccard_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    return min_label_components(docs, pairs, "doc_id", "cluster_id")
+
+
+def min_label_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """Connected components over an undirected pair graph: every node
+    labeled with the smallest node id in its component. Min-label
+    propagation to fixpoint — two hash joins + a combine-collapsed min
+    per round, lineage cut with localCheckpoint, iteration count bounded
+    by component diameter. ``pairs`` is (a, b) in any column names;
+    property-tested against a pure-Python union-find
+    (tests/test_properties.py)."""
+    a, b = pairs.columns[:2]
     edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
+        pairs.select(F.col(a), F.col(b))
+        .union(pairs.select(F.col(b), F.col(a)))
         .toDF("src", "dst")
         .localCheckpoint(eager=True)  # scanned once, reused every round
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias(label_col))
     prev_sum = None
     while True:
         neigh = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nmin"))
+            edges.join(labels, edges["src"] == labels[id_col])
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min(label_col).alias("nmin"))
         )
         labels = (
-            labels.withColumnRenamed("cluster_id", "cur")
-            .join(neigh, "doc_id", "left")
+            labels.withColumnRenamed(label_col, "cur")
+            .join(neigh, id_col, "left")
             .select(
-                "doc_id",
+                id_col,
                 F.least(F.col("cur"), F.coalesce(F.col("nmin"), F.col("cur")))
-                .alias("cluster_id"),
+                .alias(label_col),
             )
             .localCheckpoint(eager=True)  # cut per-round lineage growth
         )
         # monotone convergence witness: the label sum strictly decreases
         # until the fixpoint (one-row driver read per round)
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        cur_sum = labels.agg(F.sum(label_col)).collect()[0][0]
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum

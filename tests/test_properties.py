@@ -153,3 +153,114 @@ def test_jaccard_many_shingles_no_overflow(spark_global):
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [
         (0, 1, 1.0)
     ]
+
+
+EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(EDGE_LISTS)
+def test_min_label_components_match_union_find(spark_global, edge_list):
+    """The iterative DataFrame propagation must equal a pure-Python
+    union-find on arbitrary graphs (self-loops, parallel edges, multiple
+    components, isolated nodes)."""
+    from realtime_gmall_flink_spark.plans.textops import (
+        min_label_components,
+    )
+
+    n = 16
+    nodes = spark_global.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+    pairs = spark_global.createDataFrame(
+        [(a, b) for a, b in edge_list] or [(0, 0)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in min_label_components(nodes, pairs).collect()
+    }
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for i in range(n):
+        root = find(i)
+        expected[i] = min(j for j in range(n) if find(j) == root)
+    assert got == expected
+
+
+DOC_TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+        min_size=0,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(DOC_TEXTS)
+def test_repetition_stats_match_python(spark_global, token_lists):
+    """doc_repetition_stats (exploded term stats + columnar bigram
+    branch) must equal a direct Python computation, including 1-token
+    docs (empty bigram list — the sequence(1,0) descending-array trap)
+    and empty docs (dropped, like the oracle)."""
+    from unittest.mock import patch
+
+    from realtime_gmall_flink_spark.plans import textops
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark_global.createDataFrame(rows, "doc_id long, text string")
+    with patch.object(textops, "_docs", lambda spark, sf: df):
+        got = {
+            r["doc_id"]: (
+                r["n_words"],
+                round(r["distinct_word_ratio"], 9),
+                round(r["top_term_ratio"], 9),
+                round(r["dup_bigram_frac"], 9),
+            )
+            for r in textops.doc_repetition_stats(
+                spark_global, "unused"
+            ).collect()
+        }
+
+    expected = {}
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            continue  # no tokens -> no term rows -> doc absent
+        n = len(toks)
+        from collections import Counter
+
+        c = Counter(toks)
+        bigrams = [
+            f"{toks[j]} {toks[j + 1]}" for j in range(n - 1)
+        ]
+        dup = (
+            round(1.0 - len(set(bigrams)) / len(bigrams), 6)
+            if bigrams
+            else 0.0
+        )
+        expected[i] = (
+            n,
+            round(round(len(c) / n, 6), 9),
+            round(round(max(c.values()) / n, 6), 9),
+            round(dup, 9),
+        )
+    assert got == expected
