@@ -160,3 +160,40 @@ def test_compact_topics_sweeps_table_dirs(spark, tmp_path):
     for t in ("t1", "t2"):
         assert _pq_count(f"{root}/{t}") <= 4
         assert _rowset(spark.read.parquet(f"{root}/{t}")) == before[t]
+
+
+def test_sink_log_dir_ignores_orphan_files(spark, tmp_path):
+    """Crash window of the log-dir path: compacted data files written
+    but the log NOT yet flipped. Readers resolve through the log, so the
+    orphans must be invisible — no duplicates, no phantom rows — and a
+    subsequent compaction run still round-trips."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    for i in range(10):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(src)
+    _start_stream(spark, src, out, str(tmp_path / "ckpt"))
+    before = _rowset(spark.read.parquet(out))
+
+    # simulate the crashed attempt: valid-looking parquet dropped into
+    # the dir without a log entry
+    spark.createDataFrame(
+        [(999, "orphan")], "id long, v string"
+    ).write.parquet(str(tmp_path / "orphan"))
+    import shutil
+
+    part = next(
+        f
+        for f in os.listdir(str(tmp_path / "orphan"))
+        if f.endswith(".parquet")
+    )
+    shutil.copy(
+        str(tmp_path / "orphan" / part),
+        os.path.join(out, "compacted-deadbeef-99999.snappy.parquet"),
+    )
+
+    assert _rowset(spark.read.parquet(out)) == before
+    compact_dir(spark, out, max_files=4)
+    assert _rowset(spark.read.parquet(out)) == before
