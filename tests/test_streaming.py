@@ -640,3 +640,47 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_text_scoring_matches_batch(spark):
+    """The LLM text-pipeline scoring surface (language ID, quality,
+    token/fingerprint columns — all codegen expressions) composes with
+    Structured Streaming unchanged: scoring the documents table as a
+    file stream equals the batch result row-for-row. This is the
+    streaming-ingestion curation path (score-on-arrival) for the
+    pipeline operators."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.functions.textstats import (
+        doc_fingerprint,
+        predict_language,
+        quality_score,
+        token_count,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+    from realtime_gmall_flink_spark.streaming.jobs import run_to_memory
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = load_table(spark, sf_dir, "documents")
+
+    def score(df):
+        return df.select(
+            "doc_id",
+            predict_language("text").alias("lang_pred"),
+            F.round(quality_score("text"), 6).alias("quality"),
+            token_count("text").alias("tok_ct"),
+            doc_fingerprint("text").alias("fp"),
+        )
+
+    # the streaming file source wants a directory; glob-filter to the
+    # one table file inside the sf dir
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    got = run_to_memory(score(stream), mode="append")
+    expected = score(batch)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
