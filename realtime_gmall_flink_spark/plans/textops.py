@@ -935,6 +935,30 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 100 TB variant: percentile_approx (t-digest-style, algebraic — no
+# per-group sort/materialization) in the exact query's shape. Engine-
+# specific sketch -> rows-only driver check, but numerically gated in
+# pytest: each approximation must land inside the exact +/-0.05 quantile
+# band (tests/test_catalog_parity.py).
+@register(
+    "doc_length_percentiles_approx", survey="A4(ext,scale)", oracle=None
+)
+def doc_length_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = token_count("text")
+    acc = F.lit(10000)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.percentile_approx(toks, F.lit(0.5), acc).alias("p50_tokens"),
+        F.percentile_approx(toks, F.lit(0.9), acc).alias("p90_tokens"),
+        F.percentile_approx(F.length("text"), F.lit(0.99), acc).alias(
+            "p99_chars"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Curation funnel — the composed corpus-cleaning pipeline as one query:
 # raw -> language known -> quality-passing -> exact-deduped, with

@@ -111,6 +111,47 @@ def test_uv_window_approx_within_rsd_of_exact(spark):
     assert not bad, f"HLL outside 3*rsd of exact: {bad[:5]}"
 
 
+def test_length_percentiles_approx_within_band(spark):
+    """Accuracy gate for the second oracle-less scale variant: each
+    percentile_approx value must land inside the exact +/-0.05 quantile
+    band of its group at sf0.01 (percentile_approx returns a real data
+    value near the target quantile; the band is the principled bound)."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.functions.textstats import token_count
+    from realtime_gmall_flink_spark.plans.textops import (
+        doc_length_percentiles_approx,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    approx = {
+        r["source"]: r
+        for r in doc_length_percentiles_approx(spark, SF001_DIR).collect()
+    }
+    docs = load_table(spark, SF001_DIR, "documents")
+    bands = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(
+            *[
+                F.percentile(token_count("text"), F.lit(q)).alias(
+                    f"tok_{int(q * 100)}"
+                )
+                for q in (0.45, 0.55, 0.85, 0.95)
+            ],
+            F.percentile(F.length("text"), F.lit(0.94)).alias("ch_94"),
+            F.percentile(F.length("text"), F.lit(1.0)).alias("ch_100"),
+        )
+        .collect()
+    }
+    assert approx and set(approx) == set(bands)
+    for src, a in approx.items():
+        b = bands[src]
+        assert b["tok_45"] <= a["p50_tokens"] <= b["tok_55"], src
+        assert b["tok_85"] <= a["p90_tokens"] <= b["tok_95"], src
+        assert b["ch_94"] <= a["p99_chars"] <= b["ch_100"], src
+
+
 def test_driver_window_oracles_no_hugeint():
     """An un-cast SUM in a DuckDB oracle yields HUGEINT, which the
     driver's value-hash cannot reproduce from Spark's bigint/double —
