@@ -1046,3 +1046,91 @@ def tpch_q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("line_ct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q2 shape: correlated SCALAR subquery (min price per part) — the
+# decorrelation feature the catalog otherwise lacks. Expressed through
+# the SQL API on purpose: Catalyst rewrites the correlated subquery into
+# a left-semi-style aggregate join (no per-row re-execution); the
+# DataFrame equivalent would hand-build that join and skip the feature.
+# The testdata has no partsupp table, so "supply cost" is the exact
+# decimal l_extendedprice minimum over the part's lineitems (no
+# division, so the correlated equality compares exactly in both
+# engines). DISTINCT collapses repeat sales at the min price.
+@register(
+    "tpch_q2_min_price_supplier",
+    survey="J1,A4(subquery)",
+    oracle="""
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+       CAST(l.l_extendedprice AS DOUBLE) AS min_price
+FROM part p, lineitem l, supplier s, nation n
+WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = n.n_nationkey
+  AND p.p_size >= 30
+  AND l.l_extendedprice = (
+      SELECT min(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey)
+""",
+)
+def tpch_q2_min_price_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = {
+        n: f"parquet.`{sf_dir}/{n}.parquet`"
+        for n in ("part", "lineitem", "supplier", "nation")
+    }
+    return spark.sql(f"""
+        SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+               n.n_name, CAST(l.l_extendedprice AS DOUBLE) AS min_price
+        FROM {t['part']} p, {t['lineitem']} l, {t['supplier']} s,
+             {t['nation']} n
+        WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+          AND s.s_nationkey = n.n_nationkey
+          AND p.p_size >= 30
+          AND l.l_extendedprice = (
+              SELECT min(l2.l_extendedprice) FROM {t['lineitem']} l2
+              WHERE l2.l_partkey = p.p_partkey)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q22 shape: uncorrelated scalar subquery (global average) feeding
+# a filter PLUS a NOT EXISTS anti-join — the other classic subquery
+# rewrite. Customers above the average positive balance with no URGENT
+# orders (the unqualified form is empty on this dense testdata),
+# summarized per nation. Balances average through DOUBLE in both
+# engines (2-dp decimal inputs sit far from the threshold's last-ulp
+# wobble); the balance sum itself stays decimal-exact until the final
+# cast.
+@register(
+    "tpch_q22_dormant_customers",
+    survey="J1(anti),A4(subquery)",
+    oracle="""
+SELECT c.c_nationkey AS nationkey, count(*) AS cust_ct,
+       CAST(SUM(c.c_acctbal) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(CAST(c2.c_acctbal AS DOUBLE))
+                     FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+""",
+)
+def tpch_q22_dormant_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = f"parquet.`{sf_dir}/customer.parquet`"
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    return spark.sql(f"""
+        SELECT c.c_nationkey AS nationkey, count(*) AS cust_ct,
+               CAST(SUM(c.c_acctbal) AS DOUBLE) AS total_acctbal
+        FROM {cust} c
+        WHERE c.c_acctbal > (SELECT AVG(CAST(c2.c_acctbal AS DOUBLE))
+                             FROM {cust} c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM {orders} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_nationkey
+    """)
