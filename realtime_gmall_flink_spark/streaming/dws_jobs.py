@@ -449,6 +449,7 @@ def run_traffic_user_dws(
     dws_dir: str,
     ckpt_dir: str,
     mode: str = "complete",
+    watermark: str | None = None,
 ) -> dict[str, str]:
     """Run the full log-side DWS chain once (availableNow): detail stage,
     then window stage. Re-runnable: checkpoints make each stage resume
@@ -457,7 +458,9 @@ def run_traffic_user_dws(
         q.awaitTermination()
     # ensure detail dirs exist even when a stage-1 query emitted 0 rows
     # (schema peek in stage 2 needs the directory)
-    for q in run_window_jobs(spark, dwd_dir, dws_dir, ckpt_dir, mode=mode):
+    for q in run_window_jobs(
+        spark, dwd_dir, dws_dir, ckpt_dir, mode=mode, watermark=watermark
+    ):
         q.awaitTermination()
     return {t: os.path.join(dws_dir, t) for t in DWS_TABLES}
 
@@ -625,12 +628,15 @@ def run_trade_user_dws(
     dws_dir: str,
     ckpt_dir: str,
     mode: str = "complete",
+    watermark: str | None = None,
 ) -> dict[str, str]:
     """Run the insert-only db-side DWS chains once (availableNow);
     re-runnable with the same checkpoints."""
     for q in run_trade_detail_jobs(spark, dwd_dir, ckpt_dir):
         q.awaitTermination()
-    for q in run_trade_window_jobs(spark, dwd_dir, dws_dir, ckpt_dir, mode=mode):
+    for q in run_trade_window_jobs(
+        spark, dwd_dir, dws_dir, ckpt_dir, mode=mode, watermark=watermark
+    ):
         q.awaitTermination()
     return {t: os.path.join(dws_dir, t) for t in TRADE_DWS_TABLES}
 
