@@ -1188,9 +1188,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # dfreq grows with corpus VOCABULARY, which is unbounded at 100 TB —
+    # no broadcast hint: tf is already hash-partitioned on (doc_id, w)
+    # so the w-keyed join shuffles only the aggregate-sized dfreq side,
+    # and AQE may still elect a broadcast when the vocab is small. Only
+    # the one-row doc count is force-broadcast.
     scored = (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "w")
+        .join(dfreq, "w")
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",

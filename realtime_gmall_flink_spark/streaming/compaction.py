@@ -29,10 +29,19 @@ availableNow runs, or in the trigger gap of a maintenance window) —
 parquet directories are not transactional, and the old-file deletion at
 the end of a leaf rewrite is not atomic with the move-in (a crash in
 that window leaves duplicate rows that the next compaction pass
-removes... only for plain dirs; log-dirs are crash-safe because readers
-follow the log, which flips in a single rename). On a lakehouse table
-(Delta/Iceberg) this whole module is ``OPTIMIZE``; the parquet form
-keeps the container dependency-free, same plan shape.
+removes). Log-dirs are crash-RECOVERABLE rather than crash-atomic:
+when the flip must touch more than one log file, the originals are
+first copied into a manifest-stamped backup dir inside
+``_spark_metadata``; a crash mid-flip is healed by the next
+``compact_dir`` call (or an explicit :func:`recover_sink_log_dir`),
+which restores the original log byte-for-byte and deletes that
+attempt's orphaned ``compacted-*`` data files. The only flip that is a
+true single rename is the common steady-state case where the newest
+log file is already a ``.compact`` snapshot — then one ``os.replace``
+switches readers to the compacted set and no other log file needs to
+change. On a lakehouse table (Delta/Iceberg) this whole module is
+``OPTIMIZE``; the parquet form keeps the container dependency-free,
+same plan shape.
 """
 
 from __future__ import annotations
@@ -151,10 +160,53 @@ def _local_path(uri: str) -> str:
     return uri
 
 
+_BACKUP_PREFIX = ".compact-backup-"
+_MANIFEST = "MANIFEST"
+
+
+def recover_sink_log_dir(path: str) -> bool:
+    """Heal a crashed multi-file log flip. Returns True if a recovery
+    was performed.
+
+    Protocol: a flip that must rewrite more than one log file first
+    copies every original into ``_spark_metadata/.compact-backup-<run>/``
+    and stamps a MANIFEST (written atomically last, so its presence
+    means the backup is complete). Recovery restores the listed files
+    byte-for-byte, deletes the crashed attempt's ``compacted-<run>-*``
+    data files (orphans either way — the restored log never references
+    them), and removes the backup. A backup dir WITHOUT a manifest is a
+    crash during backup itself: the live log was never touched, so the
+    half-copied backup is simply discarded."""
+    meta = os.path.join(path, _META)
+    if not os.path.isdir(meta):
+        return False
+    recovered = False
+    for d in sorted(os.listdir(meta)):
+        if not d.startswith(_BACKUP_PREFIX):
+            continue
+        bdir = os.path.join(meta, d)
+        manifest = os.path.join(bdir, _MANIFEST)
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                names = json.load(f)
+            for n in names:
+                os.replace(os.path.join(bdir, n), os.path.join(meta, n))
+                _drop_crc(meta, n)
+            run = d[len(_BACKUP_PREFIX):]
+            for f in os.listdir(path):
+                if f.startswith(f"compacted-{run}-"):
+                    os.remove(os.path.join(path, f))
+                    _drop_crc(path, f)
+            recovered = True
+        shutil.rmtree(bdir, ignore_errors=True)
+    return recovered
+
+
 def _compact_sink_log_dir(
     spark: SparkSession, path: str, max_files: int, target_bytes: int
 ) -> dict[str, tuple[int, int]]:
     meta = os.path.join(path, _META)
+    recover_sink_log_dir(path)
     names = _log_file_names(meta)
     if not names:
         return {}
@@ -168,7 +220,7 @@ def _compact_sink_log_dir(
         )
     old_local = [_local_path(e["path"]) for e in entries]
     if len(old_local) <= max_files:
-        return {path: (len(old_local), len(old_local))}
+        return {}
 
     total = sum(e.get("size") or 0 for e in entries) or sum(
         os.path.getsize(p) for p in old_local if os.path.exists(p)
@@ -203,13 +255,37 @@ def _compact_sink_log_dir(
         )
     shutil.rmtree(staging, ignore_errors=True)
 
-    # the log flip: earlier files become header-only, the LATEST carries
-    # the compacted set. Names (batch ids, .compact suffixes) must not
+    # the log flip: the LATEST log file ends up carrying exactly the
+    # compacted set. Names (batch ids, .compact suffixes) must not
     # change — the reader finds compact snapshots by batch-id arithmetic
     # and the writer resumes numbering from the latest id.
-    for n in names[:-1]:
-        _write_log_file(meta, n, [])
-    _write_log_file(meta, names[-1], new_entries)
+    #
+    # Crash-safety is case-split:
+    # - newest file is a .compact snapshot → readers resolve ONLY that
+    #   file, so rewriting it is the whole flip: one atomic os.replace,
+    #   earlier log files stay untouched (readers and the resuming
+    #   writer both ignore pre-snapshot deltas).
+    # - newest file is a delta → readers resolve snapshot+deltas, so
+    #   every earlier-than-latest file must also become header-only and
+    #   no single-file ordering keeps intermediate states exact. Back
+    #   the originals up first (manifest written last = backup valid);
+    #   any crash mid-flip is healed by recover_sink_log_dir at the
+    #   next compaction (restore originals, drop this run's orphans).
+    if names[-1].endswith(".compact"):
+        _write_log_file(meta, names[-1], new_entries)
+    else:
+        bdir = os.path.join(meta, f"{_BACKUP_PREFIX}{run}")
+        os.makedirs(bdir)
+        for n in names:
+            shutil.copyfile(os.path.join(meta, n), os.path.join(bdir, n))
+        mtmp = os.path.join(bdir, f".{_MANIFEST}.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(names, f)
+        os.replace(mtmp, os.path.join(bdir, _MANIFEST))
+        for n in names[:-1]:
+            _write_log_file(meta, n, [])
+        _write_log_file(meta, names[-1], new_entries)
+        shutil.rmtree(bdir, ignore_errors=True)
 
     for p in old_local:
         if os.path.exists(p):

@@ -60,13 +60,47 @@ _PART_COL = "win_date"
 _BATCH_COL = "last_merged_batch"
 
 
+def _recover_meta(meta_path: str) -> None:
+    """The meta write protocol is: build the new row in a sibling
+    ``<meta>.tmp-<batch>`` dir, remove the old meta, rename the tmp into
+    place. Its only crash window therefore yields a MISSING meta with a
+    COMPLETE tmp beside it (the tmp write finished — Spark stamped its
+    ``_SUCCESS`` — before the old meta was removed). Heal that here:
+    rename the newest complete tmp into place; discard incomplete tmps
+    (crash mid-tmp-write — the live meta was never touched)."""
+    parent, base = os.path.split(meta_path)
+    if not os.path.isdir(parent):
+        return
+    tmps = [
+        d
+        for d in os.listdir(parent)
+        if d.startswith(f"{base}.tmp-")
+        and os.path.isdir(os.path.join(parent, d))
+    ]
+    complete = sorted(
+        (d for d in tmps
+         if os.path.exists(os.path.join(parent, d, "_SUCCESS"))),
+        key=lambda d: int(d.rsplit("-", 1)[1]),
+    )
+    if not os.path.isdir(meta_path) and complete:
+        newest = complete.pop()
+        os.rename(os.path.join(parent, newest), meta_path)
+        tmps.remove(newest)
+    import shutil
+
+    for d in tmps:
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+
 def _read_meta(spark, meta_path: str):
     """(high watermark, last merged batch_id) or (None, None) when no
     meta exists yet. Only a MISSING path means "fresh target"; an
     existing-but-unreadable meta raises — swallowing corruption would
     silently reset the watermark to None and merge genuinely too-late
     rows as in-time. A legacy meta row without batch_id (pre-replay-
-    guard layout) reads defensively as (max_ts, None)."""
+    guard layout) reads defensively as (max_ts, None). A crashed
+    atomic-rename meta write is healed first (_recover_meta)."""
+    _recover_meta(meta_path)
     if not os.path.isdir(meta_path):
         return None, None
     rows = spark.read.parquet(meta_path).collect()
@@ -218,12 +252,22 @@ def late_window_sink(
                 shutil.rmtree(staging, ignore_errors=True)
 
         # watermark + merged-batch marker advance only after the merge:
-        # a crash anywhere above replays with the original classification
+        # a crash anywhere above replays with the original classification.
+        # The write itself is tmp-then-rename so its own crash windows
+        # can only yield missing-or-complete meta (a missing meta reads
+        # as fresh, and the batch-stamp guard keeps the re-merge
+        # idempotent; _recover_meta restores the complete tmp anyway) —
+        # never a partially-written dir that would wedge the sink.
         high_wm = max(prev_wm, batch_max) if prev_wm else batch_max
         ts_type = batch.schema[ts_col].dataType.simpleString()
+        meta_tmp = f"{meta}.tmp-{batch_id}"
         spark.createDataFrame(
             [(high_wm, batch_id)], f"max_ts {ts_type}, batch_id long"
-        ).write.mode("overwrite").parquet(meta)
+        ).write.mode("overwrite").parquet(meta_tmp)
+        import shutil
+
+        shutil.rmtree(meta, ignore_errors=True)
+        os.rename(meta_tmp, meta)
 
     return write
 

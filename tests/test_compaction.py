@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from realtime_gmall_flink_spark.streaming.compaction import (
     compact_dir,
     compact_topics,
+    recover_sink_log_dir,
 )
 
 
@@ -160,6 +161,111 @@ def test_compact_topics_sweeps_table_dirs(spark, tmp_path):
     for t in ("t1", "t2"):
         assert _pq_count(f"{root}/{t}") <= 4
         assert _rowset(spark.read.parquet(f"{root}/{t}")) == before[t]
+
+
+def test_sink_log_dir_noop_below_threshold_returns_empty(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(src)
+    _start_stream(spark, src, out, str(tmp_path / "ckpt"))
+    # both layouts report below-threshold dirs identically: {}
+    assert compact_dir(spark, out, max_files=8) == {}
+
+
+def test_sink_log_flip_crash_is_recovered(spark, tmp_path):
+    """Crash INSIDE the multi-file log flip: the backup manifest exists,
+    an earlier log file has already been emptied, and the attempt's
+    compacted data files sit in the dir. That intermediate state loses
+    rows for a naive reader — recovery (run implicitly by the next
+    compact_dir) must restore the original log byte-for-byte, drop the
+    crashed run's orphans, and then compact cleanly."""
+    import json as _json
+    import shutil as _shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    for i in range(12):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(src)
+    _start_stream(spark, src, out, str(tmp_path / "ckpt"))
+    before = _rowset(spark.read.parquet(out))
+    assert len(before) == 12
+
+    meta = os.path.join(out, "_spark_metadata")
+    log_names = sorted(
+        (f for f in os.listdir(meta) if not f.startswith(".")),
+        key=lambda f: int(f.split(".")[0]),
+    )
+    originals = {
+        n: open(os.path.join(meta, n), "rb").read() for n in log_names
+    }
+    # the latest log file must be a DELTA for the multi-file flip path
+    assert not log_names[-1].endswith(".compact")
+
+    # hand-build the crash state a mid-flip failure leaves behind
+    run = "cafe0123"
+    bdir = os.path.join(meta, f".compact-backup-{run}")
+    os.makedirs(bdir)
+    for n in log_names:
+        _shutil.copyfile(os.path.join(meta, n), os.path.join(bdir, n))
+    with open(os.path.join(bdir, "MANIFEST"), "w") as f:
+        _json.dump(log_names, f)
+    # orphan data file from the crashed run
+    spark.createDataFrame(
+        [(999, "orphan")], "id long, v string"
+    ).write.parquet(str(tmp_path / "orphan"))
+    part = next(
+        f
+        for f in os.listdir(str(tmp_path / "orphan"))
+        if f.endswith(".parquet")
+    )
+    _shutil.copy(
+        str(tmp_path / "orphan" / part),
+        os.path.join(out, f"compacted-{run}-00000.snappy.parquet"),
+    )
+    # ... and the flip died after emptying the first earlier log file
+    victim = [n for n in log_names if not n.endswith(".compact")][0]
+    with open(os.path.join(meta, victim), "w") as f:
+        f.write("v1")
+
+    assert recover_sink_log_dir(out) is True
+    for n in log_names:
+        assert open(os.path.join(meta, n), "rb").read() == originals[n]
+    assert not any(f.startswith(f"compacted-{run}-") for f in os.listdir(out))
+    assert _rowset(spark.read.parquet(out)) == before
+
+    # a fresh compaction on the healed dir round-trips
+    stats = compact_dir(spark, out, max_files=8)
+    assert stats and _rowset(spark.read.parquet(out)) == before
+
+
+def test_sink_log_backup_without_manifest_is_discarded(spark, tmp_path):
+    """Crash DURING backup creation (no manifest yet): the live log was
+    never touched, so recovery just discards the partial backup."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(src)
+    _start_stream(spark, src, out, str(tmp_path / "ckpt"))
+    before = _rowset(spark.read.parquet(out))
+    meta = os.path.join(out, "_spark_metadata")
+    bdir = os.path.join(meta, ".compact-backup-deadbeef")
+    os.makedirs(bdir)
+    with open(os.path.join(bdir, "0"), "w") as f:
+        f.write("half-copied")
+
+    assert recover_sink_log_dir(out) is False
+    assert not os.path.isdir(bdir)
+    assert _rowset(spark.read.parquet(out)) == before
 
 
 def test_sink_log_dir_ignores_orphan_files(spark, tmp_path):

@@ -6,6 +6,7 @@ window untouched — the one Flink window semantic Spark lacks natively
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -323,6 +324,54 @@ def test_fresh_checkpoint_against_old_target_fails_loudly(spark, tmp_path):
             _batch_df(spark, [{"t": "2024-05-01 10:00:21", "k": "x", "v": 2}]),
             0,
         )
+
+
+def test_meta_write_crash_window_recovers_from_tmp(spark, tmp_path):
+    """The meta write is tmp-then-rename; its only crash window is
+    "old meta removed, complete tmp not yet renamed". Recovery must
+    restore the tmp as the live meta, preserving the watermark — the
+    sink keeps classifying late rows instead of resetting to -inf."""
+    import shutil
+
+    target = str(tmp_path / "wins")
+    sink = _direct_sink(spark, target)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:00:01", "k": "x", "v": 1}]), 0)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:01:00", "k": "x", "v": 5}]), 1)
+
+    # reconstruct the crash state: meta gone, batch-1 tmp complete
+    meta = f"{target}/_high_watermark"
+    shutil.copytree(meta, f"{meta}.tmp-1")
+    shutil.rmtree(meta)
+
+    wm, last = lateness._read_meta(spark, meta)
+    assert last == 1 and wm is not None
+    assert os.path.isdir(meta) and not os.path.isdir(f"{meta}.tmp-1")
+
+    # too-late row (window closed > 10s+10s before the restored wm)
+    # still lands in the side output, proving the watermark survived
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:00:02", "k": "x", "v": 9}]), 2)
+    late = lateness.read_too_late(spark, target)
+    assert late is not None and late.count() == 1
+    got = _windows(spark, target)
+    assert got[("10:00:00", "x")] == (1, 1)  # not re-merged
+
+
+def test_meta_incomplete_tmp_is_discarded(spark, tmp_path):
+    """A tmp WITHOUT _SUCCESS is a crash mid-tmp-write: the live meta
+    was never touched, so the junk is discarded and the meta stands."""
+    target = str(tmp_path / "wins")
+    sink = _direct_sink(spark, target)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:00:01", "k": "x", "v": 1}]), 0)
+
+    meta = f"{target}/_high_watermark"
+    junk = f"{meta}.tmp-1"
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial garbage")
+
+    wm, last = lateness._read_meta(spark, meta)
+    assert last == 0 and wm is not None
+    assert not os.path.isdir(junk)
 
 
 def test_legacy_windows_dir_without_batch_stamp_merges(spark, tmp_path):
