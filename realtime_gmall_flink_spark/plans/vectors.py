@@ -347,10 +347,11 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is assigned to its nearest centroid (per-row argmax over a broadcast
 # centroid array — zero shuffle in the assignment); the
 # query probes its NPROBE nearest cells and exact-reranks only their
-# members. At 100 TB the assignment is materialized once as a table
-# partitioned BY cid, so a query reads NPROBE/k of the data via partition
-# pruning, and Lloyd refinement is a driver loop re-running the same
-# assignment query against avg-per-dimension centroid updates.
+# members. The build-once/probe-many split lives below (ivf_build /
+# ivf_probe): the assignment IS materialized as a table partitioned BY
+# cid, so a probe reads NPROBE/k of the data via partition pruning;
+# Lloyd refinement is a driver loop re-running the same assignment query
+# against avg-per-dimension centroid updates.
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 IVF_LLOYD_ITERS = 1
@@ -446,6 +447,123 @@ def ivf_refine(
     return cent
 
 
+# --- persisted IVF index: build-once / probe-many -------------------------
+# The 100 TB shape: the expensive part of IVF (seed selection + Lloyd +
+# full-corpus assignment = three corpus scans) runs ONCE into a
+# materialized index — Lloyd-refined centroids (k rows) plus the
+# assignment written ``partitionBy("cid")`` — and every query after that
+# touches only its NPROBE cell partitions via partition pruning (the
+# probed cids are literal values, so the FileScan carries
+# ``PartitionFilters: cid IN (...)`` and never lists the other cells).
+# The catalog entry caches the index per (source file, params) under the
+# system temp dir; on a cluster the index dir would live beside the table.
+IVF_INDEX_FORMAT = 1
+
+
+def ivf_index_dir(
+    sf_dir: str,
+    n_centroids: int = IVF_CENTROIDS,
+    lloyd_iters: int = IVF_LLOYD_ITERS,
+) -> str:
+    """Deterministic per-(source, params) cache location. The source
+    file's (mtime, size) is part of the key, so regenerated testdata
+    gets a fresh index instead of a stale hit."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = src
+    key = hashlib.md5(
+        f"{fp}|k={n_centroids}|lloyd={lloyd_iters}"
+        f"|v={IVF_INDEX_FORMAT}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"gmall-ivf-{key}")
+
+
+def ivf_build(
+    emb: DataFrame,
+    index_dir: str,
+    n_centroids: int = IVF_CENTROIDS,
+    lloyd_iters: int = IVF_LLOYD_ITERS,
+) -> str:
+    """Materialize the IVF index: ``centroids/`` (k rows, Lloyd-refined)
+    and ``assignment/`` partitioned by cid. Built into a staging dir and
+    renamed into place, so a crashed or concurrent build can never leave
+    a half-index at ``index_dir`` (losers of the rename race discard
+    their staging). The assignment is computed FROM the persisted
+    centroids (read back — k rows), so index contents are exactly
+    self-consistent even across engine/rounding changes."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.isdir(index_dir):
+        return index_dir
+    spark = emb.sparkSession
+    staging = f"{index_dir}.building-{uuid.uuid4().hex[:8]}"
+    cent_path = os.path.join(staging, "centroids")
+    ivf_refine(
+        emb, ivf_centroids(emb, k=n_centroids), iters=lloyd_iters
+    ).write.parquet(cent_path)
+    cent = spark.read.parquet(cent_path)
+    ivf_assign(emb, cent).write.partitionBy("cid").parquet(
+        os.path.join(staging, "assignment")
+    )
+    try:
+        os.rename(staging, index_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # concurrent build won
+    return index_dir
+
+
+def ivf_probe(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    exclude_vec_id: int | None = None,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Probe a persisted index with a one-row query side ``q(qe)``.
+    The NPROBE nearest centroids are collected driver-side (nprobe rows,
+    metadata-sized) so the assignment filter is a LITERAL ``cid IN``
+    predicate — the partition-pruning path: only nprobe of k cell
+    partitions are listed and scanned."""
+    import os
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    probe_rows = (
+        cent.crossJoin(broadcast(q))
+        .select(
+            "cid",
+            F.round(
+                cosine_similarity(F.col("ce"), F.col("qe")), 6
+            ).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    cids = [r["cid"] for r in probe_rows]
+    assigned = spark.read.parquet(
+        os.path.join(index_dir, "assignment")
+    ).filter(F.col("cid").isin(cids))
+    if exclude_vec_id is not None:
+        assigned = assigned.filter(F.col("vec_id") != exclude_vec_id)
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        assigned.crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 @register(
     "ann_ivf_topk",
     survey="J5(ext),J6(ext)",
@@ -497,7 +615,14 @@ LIMIT {TOP_K}
 """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_topk(_emb(spark, sf_dir))
+    idx = ivf_index_dir(sf_dir)
+    ivf_build(_emb(spark, sf_dir), idx)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"))
+    )
+    return ivf_probe(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
 
 
 def ivf_topk(
@@ -508,6 +633,8 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     lloyd_iters: int = IVF_LLOYD_ITERS,
 ) -> DataFrame:
+    """One-shot in-memory IVF (no persistence) — the test/ad-hoc path;
+    repeated queries should go through ivf_build + ivf_probe."""
     cent = ivf_refine(
         emb, ivf_centroids(emb, k=n_centroids), iters=lloyd_iters
     )

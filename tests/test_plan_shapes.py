@@ -90,6 +90,48 @@ def test_ivf_assignment_shuffle_free(spark):
     assert "Window" not in full
 
 
+def test_ivf_probe_scans_only_nprobe_partitions(spark, tmp_path):
+    """The persisted-index probe (build-once/probe-many): the assignment
+    FileScan must carry a literal cid IN PartitionFilter — NPROBE of k
+    cell partitions listed and read, never the full corpus — and the
+    probe plan must not rebuild centroids (no aggregate over the
+    embeddings source at all: its only scans are the index itself and
+    the one-row query lookup)."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_NPROBE,
+        QUERY_VEC_ID,
+        ivf_build,
+        ivf_probe,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_build(emb, str(tmp_path / "ivf-index"))
+    import os
+
+    cells = [d for d in os.listdir(f"{idx}/assignment")
+             if d.startswith("cid=")]
+    assert len(cells) > IVF_NPROBE  # pruning has something to prune
+
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    df = ivf_probe(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
+    plan = _plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)\]", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == IVF_NPROBE
+    # probe-side plan reads the index, not the corpus: exactly one scan
+    # of the embeddings source (the query-vector lookup) and no Lloyd
+    # machinery (posexplode/avg aggregation) anywhere
+    assert plan.count("embeddings.parquet") == 1
+    assert "posexplode" not in plan
+
+
 def test_contamination_single_scan_hash_joins(spark):
     df = catalog()["split_contamination"].builder(spark, SF_DIR)
     plan = _plan(df)
