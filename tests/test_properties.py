@@ -204,6 +204,70 @@ def test_min_label_components_match_union_find(spark_global, edge_list):
     assert got == expected
 
 
+@settings(max_examples=8, deadline=None)
+@given(EDGE_LISTS)
+def test_star_contraction_components_match_union_find(
+    spark_global, edge_list
+):
+    """Large-star/small-star contraction must equal the same pure-Python
+    union-find on arbitrary graphs (self-loops, parallel edges,
+    multiple components, isolated nodes)."""
+    from realtime_gmall_flink_spark.plans.textops import (
+        star_contraction_components,
+    )
+
+    n = 16
+    nodes = spark_global.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+    pairs = spark_global.createDataFrame(
+        [(a, b) for a, b in edge_list] or [(0, 0)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_contraction_components(nodes, pairs).collect()
+    }
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for i in range(n):
+        root = find(i)
+        expected[i] = min(j for j in range(n) if find(j) == root)
+    assert got == expected
+
+
+def test_star_contraction_chain_rounds_logarithmic(spark_global):
+    """A 64-node path graph: min-label propagation needs 63 rounds (one
+    per hop of diameter); contraction must label it in <=8 — the
+    log-vs-diameter property that makes the 100 TB near-dup graph
+    tractable."""
+    from realtime_gmall_flink_spark.plans.textops import _star_contraction
+
+    n = 64
+    nodes = spark_global.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+    chain = spark_global.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = _star_contraction(nodes, chain, "doc_id", "cluster_id")
+    assert rounds <= 8, f"contraction took {rounds} rounds on a 64-chain"
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 DOC_TEXTS = st.lists(
     st.lists(
         st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
