@@ -48,14 +48,21 @@ def _try_pil():
         return False
 
 
-def decode_images(df: DataFrame) -> DataFrame:
+def decode_images(df: DataFrame, codec: str = "auto") -> DataFrame:
     """Decode image blobs to (width, height, mean intensity).
 
     Real path: PIL decode. Fake path (no PIL in this container): dimensions
     from metadata, intensity = mean byte value — DETERMINISTIC FAKE, not a
     real decode; swap in the PIL branch on a cluster image that ships it.
+
+    ``codec``: "auto" picks PIL when importable; "fake" pins the
+    deterministic byte-statistics path — required when the blobs are not
+    actual images (the catalog's synthesized media table), where a real
+    decoder would rightly refuse them.
     """
-    has_pil = _try_pil()
+    if codec not in ("auto", "fake"):
+        raise ValueError(f"unknown codec mode: {codec!r}")
+    has_pil = codec == "auto" and _try_pil()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

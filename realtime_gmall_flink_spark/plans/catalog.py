@@ -71,7 +71,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "parts_never_bulk_ordered",
     "revenue_rollup",
     "brand_refund_window",
-    "shipment_lateness_by_priority",
+    # multimodal representative (mapInPandas over a binary column);
+    # replaced shipment_lateness_by_priority, whose conditional-agg
+    # family stays covered by conditional_net_value — it keeps
+    # pytest-oracle parity past the window
+    "media_image_decode_stats",
     # LLM data-pipeline: dedup / fingerprints / text analysis / assembly
     "keyword_frequency",
     "dedup_exact_documents",
@@ -105,6 +109,7 @@ _MODULES = (
     "realtime_gmall_flink_spark.plans.trade",
     "realtime_gmall_flink_spark.plans.textops",
     "realtime_gmall_flink_spark.plans.vectors",
+    "realtime_gmall_flink_spark.plans.media",
 )
 
 

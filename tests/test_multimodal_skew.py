@@ -51,6 +51,56 @@ def test_sample_frames_fanout(spark):
     assert all(r["frame_ts_ms"] == r["frame_idx"] * 1000 for r in rows)
 
 
+def test_decode_images_codec_pin(spark):
+    """codec='fake' must run the byte-statistics path regardless of PIL
+    availability (the catalog's synthesized blobs are not real images),
+    and reject unknown modes."""
+    import pytest
+
+    media = MM.synth_media(spark, 6)
+    rows = {
+        r["media_id"]: r
+        for r in MM.decode_images(media, codec="fake").collect()
+    }
+    # fake path surfaces the METADATA dimensions, not a decode
+    assert rows[0]["width"] == 64 and rows[0]["height"] == 48
+    with pytest.raises(ValueError, match="codec"):
+        MM.decode_images(media, codec="png")
+
+
+def test_documents_text_is_ascii_at_all_sfs():
+    """The media_image_decode_stats oracle enumerates bytes via
+    ascii(substring(text, i, 1)), which equals the UTF-8 byte only for
+    ASCII text — pin that property of the shipped testdata at every SF
+    (octet_length == char length <=> pure ASCII)."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        (diff,) = con.execute(
+            "SELECT coalesce(max(octet_length(encode(text))"
+            f" - length(text)), 0) FROM read_parquet('{path}')"
+        ).fetchone()
+        assert diff == 0, f"non-ASCII text in {path}"
+
+
+def test_media_catalog_entry_uses_map_in_pandas(spark):
+    """The driver-window multimodal entry must actually exercise the
+    Arrow mapInPandas stage (not a rewrite into pure expressions)."""
+    from realtime_gmall_flink_spark.plans.catalog import catalog
+
+    from .conftest import SF_DIR
+
+    df = catalog()["media_image_decode_stats"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
 def test_salted_agg_matches_plain(spark):
     df = spark.range(0, 10000).select(
         (F.col("id") % 7).alias("k"),
