@@ -127,6 +127,29 @@ def _start_window(df: DataFrame, target: str, ckpt: str, mode: str):
     return _start_complete(df, target, ckpt)
 
 
+def _auto_compact(spark, targets, max_files: int | None) -> None:
+    """Opt-in post-run small-file compaction, hooked by the chain
+    runners via their ``auto_compact`` parameter (the small-file-count
+    threshold; None = off). Runs in the trigger gap — after every query
+    of the availableNow run has terminated — which is exactly the
+    stopped-writer window streaming/compaction.py's contract requires.
+
+    ONLY terminal topic dirs (the paths a runner returns) are eligible.
+    Intermediate detail dirs are consumed by the next stage as FILE
+    STREAMS whose checkpoints remember the original file names; a
+    chained FileStreamSource treats compacted files as brand-new input
+    and re-processes every row (pinned by
+    tests/test_compaction.py::test_compacting_chained_detail_dir_duplicates),
+    so compacting them mid-chain corrupts downstream results."""
+    if max_files is None:
+        return
+    from .compaction import compact_dir
+
+    for t in targets:
+        if os.path.isdir(t):
+            compact_dir(spark, t, max_files=max_files)
+
+
 def run_detail_jobs(
     spark: SparkSession, dwd_dir: str, ckpt_dir: str
 ) -> list:
@@ -450,10 +473,13 @@ def run_traffic_user_dws(
     ckpt_dir: str,
     mode: str = "complete",
     watermark: str | None = None,
+    auto_compact: int | None = None,
 ) -> dict[str, str]:
     """Run the full log-side DWS chain once (availableNow): detail stage,
     then window stage. Re-runnable: checkpoints make each stage resume
-    from unprocessed files only. Returns {dws_table: path}."""
+    from unprocessed files only. Returns {dws_table: path}.
+    ``auto_compact``: small-file threshold for post-run compaction of
+    the terminal DWS table dirs (None = off; see _auto_compact)."""
     for q in run_detail_jobs(spark, dwd_dir, ckpt_dir):
         q.awaitTermination()
     # ensure detail dirs exist even when a stage-1 query emitted 0 rows
@@ -462,7 +488,9 @@ def run_traffic_user_dws(
         spark, dwd_dir, dws_dir, ckpt_dir, mode=mode, watermark=watermark
     ):
         q.awaitTermination()
-    return {t: os.path.join(dws_dir, t) for t in DWS_TABLES}
+    out = {t: os.path.join(dws_dir, t) for t in DWS_TABLES}
+    _auto_compact(spark, out.values(), auto_compact)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -629,6 +657,7 @@ def run_trade_user_dws(
     ckpt_dir: str,
     mode: str = "complete",
     watermark: str | None = None,
+    auto_compact: int | None = None,
 ) -> dict[str, str]:
     """Run the insert-only db-side DWS chains once (availableNow);
     re-runnable with the same checkpoints."""
@@ -638,7 +667,9 @@ def run_trade_user_dws(
         spark, dwd_dir, dws_dir, ckpt_dir, mode=mode, watermark=watermark
     ):
         q.awaitTermination()
-    return {t: os.path.join(dws_dir, t) for t in TRADE_DWS_TABLES}
+    out = {t: os.path.join(dws_dir, t) for t in TRADE_DWS_TABLES}
+    _auto_compact(spark, out.values(), auto_compact)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -711,6 +742,7 @@ def run_trade_order_dws(
     ckpt_dir: str,
     mode: str = "complete",
     watermark: str | None = None,
+    auto_compact: int | None = None,
 ) -> str:
     from .stateful import (
         streaming_first_per_day_ever,
@@ -811,6 +843,7 @@ def run_trade_order_dws(
     _start_window(
         win, target, os.path.join(ckpt_dir, "order_window"), mode
     ).awaitTermination()
+    _auto_compact(spark, [target], auto_compact)
     return target
 
 
@@ -837,6 +870,7 @@ def run_trade_province_dws(
     dim_base_province: DataFrame,
     mode: str = "complete",
     watermark: str | None = None,
+    auto_compact: int | None = None,
 ) -> str:
     from .jobs import streaming_dedup
 
@@ -904,6 +938,7 @@ def run_trade_province_dws(
             F.broadcast(dim), win["province_id"] == F.col("__pid"), "left"
         ).drop("__pid")
         _start_append_parquet(out, target, ckpt).awaitTermination()
+        _auto_compact(spark, [target], auto_compact)
         return target
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -920,6 +955,7 @@ def run_trade_province_dws(
         .start()
     )
     q.awaitTermination()
+    _auto_compact(spark, [target], auto_compact)
     return target
 
 
@@ -937,12 +973,21 @@ TM_SPU_DWS_TABLE = "dws_trade_trademark_category_user_spu_order_window"
 TM_REFUND_DWS_TABLE = "dws_trade_trademark_category_user_refund_window"
 
 
-def _cascade_sink(win: DataFrame, cascade, target: str, ckpt: str, mode: str):
+def _cascade_sink(
+    win: DataFrame,
+    cascade,
+    target: str,
+    ckpt: str,
+    mode: str,
+    auto_compact: int | None = None,
+):
     if mode == "append":
         # the cascade is a chain of stateless broadcast lookups — apply
         # it to the streaming aggregate and let the parquet sink keep
         # exactly-once
-        _start_append_parquet(cascade(win), target, ckpt).awaitTermination()
+        q = _start_append_parquet(cascade(win), target, ckpt)
+        q.awaitTermination()
+        _auto_compact(win.sparkSession, [target], auto_compact)
         return target
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -956,6 +1001,7 @@ def _cascade_sink(win: DataFrame, cascade, target: str, ckpt: str, mode: str):
         .start()
     )
     q.awaitTermination()
+    _auto_compact(win.sparkSession, [target], auto_compact)
     return target
 
 
@@ -967,6 +1013,7 @@ def run_trade_tm_spu_dws(
     dims: dict[str, DataFrame],
     mode: str = "complete",
     watermark: str | None = None,
+    auto_compact: int | None = None,
 ) -> str:
     from ..gmall.dws import tm_spu_cascade
     from .jobs import streaming_dedup
@@ -1020,6 +1067,7 @@ def run_trade_tm_spu_dws(
         os.path.join(dws_dir, TM_SPU_DWS_TABLE),
         os.path.join(ckpt_dir, "tm_spu_window"),
         mode,
+        auto_compact,
     )
 
 
@@ -1031,6 +1079,7 @@ def run_trade_tm_refund_dws(
     dims: dict[str, DataFrame],
     mode: str = "complete",
     watermark: str | None = None,
+    auto_compact: int | None = None,
 ) -> str:
     from ..gmall.dws import tm_refund_cascade
     from .jobs import streaming_dedup
@@ -1069,4 +1118,5 @@ def run_trade_tm_refund_dws(
         os.path.join(dws_dir, TM_REFUND_DWS_TABLE),
         os.path.join(ckpt_dir, "tm_refund_window"),
         mode,
+        auto_compact,
     )

@@ -268,6 +268,37 @@ def test_sink_log_backup_without_manifest_is_discarded(spark, tmp_path):
     assert _rowset(spark.read.parquet(out)) == before
 
 
+def test_compacting_chained_detail_dir_duplicates(spark, tmp_path):
+    """PINNED HAZARD — why the runners' auto-compact hook refuses
+    intermediate dirs: a downstream FileStreamSource checkpoint
+    remembers the ORIGINAL file names, so after an upstream compaction
+    it treats the compacted files as brand-new input and re-processes
+    every row. Compaction is only safe for terminal topic dirs (batch
+    readers go through the rewritten _spark_metadata and see identical
+    rows; the sink's own restart resumes numbering)."""
+    src = str(tmp_path / "src")
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    os.makedirs(src)
+    for i in range(12):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(src)
+    _start_stream(spark, src, a, str(tmp_path / "ck_a"))
+    _start_stream(spark, a, b, str(tmp_path / "ck_b"))
+    assert spark.read.parquet(b).count() == 12
+
+    compact_dir(spark, a, max_files=4)
+    spark.createDataFrame(
+        [(100, "late")], "id long, v string"
+    ).write.mode("append").parquet(src)
+    _start_stream(spark, src, a, str(tmp_path / "ck_a"))
+    _start_stream(spark, a, b, str(tmp_path / "ck_b"))
+    # 13 would mean chained sources dedup compacted files — they don't:
+    # the 12 pre-compaction rows are re-read from the compacted files
+    assert spark.read.parquet(b).count() == 12 + 1 + 12
+
+
 def test_sink_log_dir_ignores_orphan_files(spark, tmp_path):
     """Crash window of the log-dir path: compacted data files written
     but the log NOT yet flipped. Readers resolve through the log, so the

@@ -359,6 +359,95 @@ def test_trade_window_jobs_append_mode(spark, tmp_path):
     assert _rowlist(got) == _rowlist(expected_reg)
 
 
+def test_auto_compact_hook_matches_uncompacted_twin(spark, tmp_path):
+    """The runners' opt-in auto_compact hook: after each availableNow
+    run the TERMINAL dws table dirs are compacted (file counts bounded,
+    _spark_metadata rewritten), intermediate detail dirs stay
+    untouched, and across a mid-run compaction + checkpointed re-run
+    with new data every downstream reader of the chain's output sees
+    rows identical to an uncompacted twin chain."""
+    import os
+
+    S1 = FX.sec(FX.DAY1, "10:00:01")
+    S3 = FX.sec(FX.DAY1, "10:00:12")
+    SENT1 = FX.sec(FX.DAY12, "23:00:00")
+    SENT2 = FX.sec(FX.DAY12, "23:30:00")
+
+    def seed(dwd):
+        os.makedirs(dwd)
+        spark.createDataFrame(
+            [
+                ("R1", f"{FX.DAY1} 10:00:01"),
+                ("R2", f"{FX.DAY1} 10:00:12"),
+                ("RS1", f"{FX.DAY12} 23:00:00"),
+                ("RS2", f"{FX.DAY12} 23:30:00"),
+            ],
+            "id string, create_time string",
+        ).write.mode("append").parquet(f"{dwd}/dwd_user_register")
+        # stateful stage-1 chains need TWO far-future sentinels: the
+        # first flushes real keys (held by its own quiesce timer), the
+        # second flushes the first, whose event time then advances the
+        # window stage (NOTES.md)
+        spark.createDataFrame(
+            [
+                ("C1", "U1", S1),
+                ("C2", "U2", S3),
+                ("CS1", "ZA", SENT1),
+                ("CS2", "ZB", SENT2),
+            ],
+            "id string, user_id string, ts long",
+        ).write.mode("append").parquet(f"{dwd}/dwd_trade_cart_add")
+        spark.createDataFrame(
+            [
+                ("U1", f"{FX.DAY1} 10:00:01"),
+                ("U2", f"{FX.DAY1} 10:00:03"),
+                ("ZA", f"{FX.DAY12} 23:00:00"),
+                ("ZB", f"{FX.DAY12} 23:30:00"),
+            ],
+            "pay_user_id string, callback_time string",
+        ).write.mode("append").parquet(f"{dwd}/dwd_trade_pay_detail_suc")
+
+    results = {}
+    for variant, ac in (("compacted", 1), ("plain", None)):
+        dwd = str(tmp_path / f"{variant}_dwd")
+        dws_dir = str(tmp_path / f"{variant}_dws")
+        ckpt = str(tmp_path / f"{variant}_ckpt")
+        seed(dwd)
+        out = dws_jobs.run_trade_user_dws(
+            spark, dwd, dws_dir, ckpt, mode="append", auto_compact=ac
+        )
+        # mid-run: new register data ahead of the restored watermark,
+        # then the chain re-runs on the compacted (or plain) history
+        spark.createDataFrame(
+            [
+                ("R4", f"{FX.DAY12} 23:40:01"),
+                ("RS3", f"{FX.DAY12} 23:59:00"),
+            ],
+            "id string, create_time string",
+        ).write.mode("append").parquet(f"{dwd}/dwd_user_register")
+        out = dws_jobs.run_trade_user_dws(
+            spark, dwd, dws_dir, ckpt, mode="append", auto_compact=ac
+        )
+        results[variant] = {
+            t: _rowset(spark.read.parquet(p)) for t, p in out.items()
+        }
+        if ac is not None:
+            reg_dir = out["dws_user_user_register_window"]
+            names = os.listdir(reg_dir)
+            assert any(n.startswith("compacted-") for n in names)
+            # intermediate (stream-consumed) detail dirs must be intact
+            for d in ("dwd_trade_cart_first_detail",
+                      "dwd_trade_pay_first_detail"):
+                assert not any(
+                    n.startswith("compacted-")
+                    for n in os.listdir(f"{dwd}/{d}")
+                ), d
+
+    assert results["compacted"] == results["plain"]
+    for table, rows in results["compacted"].items():
+        assert rows, f"{table} empty — vacuous parity"
+
+
 def test_trade_order_window_streaming_matches_batch(spark, tmp_path):
     """The changelog-consuming order window runs as a three-stage
     streaming chain (latest-wins dedup timer -> user-first state ->
