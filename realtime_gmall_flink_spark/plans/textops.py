@@ -663,6 +663,29 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact BPE counts for the SHIPPED merges table (functions/tokenize.py:
+# bpe_exact_count_udf — Arrow-batched merge folding within pre-tokens).
+# The apply loop is iterative per token, so there is no DuckDB-SQL
+# oracle; the numeric gate is a pure-Python recomputation at sf0.001
+# (tests/test_operators_edge.py::test_bpe_exact_catalog_matches_python)
+# plus fixture-pinned hand-computed counts.
+@register(
+    "doc_token_counts_bpe_exact",
+    survey="F1(ext)",
+    oracle=None,
+)
+def doc_token_counts_bpe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tokenize import bpe_exact_count_udf
+
+    docs = _docs(spark, sf_dir)
+    exact = bpe_exact_count_udf(spark)
+    return docs.select(
+        "doc_id",
+        exact(F.col("text")).alias("bpe_exact_tokens"),
+        bpe_token_count("text").alias("bpe_pre_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic train/val/test split — hash-bucket assignment on the doc
 # id (md5, engine-portable), 90/5/5. The property that matters at scale:

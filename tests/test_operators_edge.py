@@ -127,6 +127,81 @@ def test_bpe_pretokenizer_segments(spark):
     assert [r["n"] for r in rows] == [7, 0, 1]
 
 
+def test_bpe_exact_counts_fixture_pinned(spark):
+    """Merged counts for the shipped merges table, hand-computed: 'the'
+    folds t+h then th+e to ONE symbol; ' cat' only merges a+t; 'running'
+    folds i+n then in+g."""
+    from realtime_gmall_flink_spark.functions.tokenize import (
+        bpe_apply,
+        bpe_exact_count_udf,
+        load_merges,
+    )
+
+    ranks = {p: i for i, p in enumerate(load_merges())}
+    assert bpe_apply("the", ranks) == ["the"]
+    assert bpe_apply(" cat", ranks) == [" ", "c", "at"]
+    assert bpe_apply("running", ranks) == ["r", "u", "n", "n", "ing"]
+
+    cnt = bpe_exact_count_udf(spark)
+    df = spark.createDataFrame(
+        [("the cat",), ("running",), ("",), (None,)], "text string"
+    )
+    rows = df.select(cnt("text").alias("n")).collect()
+    assert [r["n"] for r in rows] == [4, 5, 0, 0]
+
+
+def test_bpe_exact_at_least_pre_token_proxy(spark):
+    """Per doc: merged-symbol count >= pre-token count (each pre-token
+    folds to >= 1 symbol) — the 'stable lower bound' claim of the
+    proxy, now checked against the real fold."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.catalog import catalog
+
+    from .conftest import SF_DIR
+
+    df = catalog()["doc_token_counts_bpe_exact"].builder(spark, SF_DIR)
+    bad = df.filter(
+        F.col("bpe_exact_tokens") < F.col("bpe_pre_tokens")
+    ).count()
+    assert bad == 0
+
+
+def test_bpe_exact_catalog_matches_python(spark):
+    """The catalog entry's numeric gate (no DuckDB oracle exists for an
+    iterative fold): the Spark UDF column must equal a direct Python
+    recomputation over every sf0.001 document."""
+    import re
+
+    from realtime_gmall_flink_spark.functions.tokenize import (
+        BPE_PATTERN,
+        bpe_apply,
+        load_merges,
+    )
+    from realtime_gmall_flink_spark.plans.catalog import catalog
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    ranks = {p: i for i, p in enumerate(load_merges())}
+    pat = re.compile(BPE_PATTERN)
+    expected = {
+        r["doc_id"]: sum(
+            len(bpe_apply(tok, ranks)) for tok in pat.findall(r["text"])
+        )
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r["bpe_exact_tokens"]
+        for r in catalog()["doc_token_counts_bpe_exact"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert got == expected
+
+
 def test_doc_chunk_boundaries(spark, tmp_path, monkeypatch):
     """Chunk windows: stride walks the token array, the last chunk is the
     clamped remainder, consecutive chunks overlap by SIZE-STRIDE tokens,
