@@ -1,0 +1,110 @@
+"""Streaming embedding ingest: score-on-arrival against a persisted IVF
+index (the probe-side twin of plans/vectors.ivf_build).
+
+New embedding rows arriving on a file stream get, in-stream and
+stateless (append-safe):
+- their sign-LSH fingerprint (``bucket`` — the multi-probe layout key);
+- their IVF cell assignment (``cid``) against the PERSISTED centroids —
+  the same per-row argmax over a broadcast centroid array as the batch
+  assignment (plans/vectors.ivf_assign), so an ingested row lands in
+  exactly the cell a full index rebuild would give it.
+
+A foreachBatch near-dup check then joins each micro-batch against the
+persisted assignment ON the cell id — candidates are same-cell only,
+so the check reads the batch's touched cells, never the corpus — and
+writes (new_vec, dup_of, cos_sim) pairs over the threshold to a
+``near_dups/batch=<id>`` side output (per-batch overwrite dirs: a
+replayed batch replaces its own rows, the log-fanout replay pattern).
+Scored rows land in ``scored/batch=<id>`` the same way.
+
+Scale: the centroid array is k rows broadcast once; per micro-batch
+work is one map-side assignment plus one cid-equi-join whose index side
+is partition-pruned by the batch's cell set; no state, no shuffle of
+the arriving vectors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_similarity, sign_lsh_bucket
+from ..plans.vectors import ANN_BITS, COSINE_DUP_THRESHOLD, ivf_assign
+
+
+def score_embedding_stream(
+    stream: DataFrame, cent: DataFrame, bits: int = ANN_BITS
+) -> DataFrame:
+    """Stateless in-stream scoring: cell assignment against the (batch)
+    centroid table + sign-LSH bucket. Works identically on a batch
+    DataFrame — the parity tests run both forms."""
+    assigned = ivf_assign(stream, cent)
+    return assigned.withColumn(
+        "bucket",
+        sign_lsh_bucket(F.col("embedding"), bits=bits).cast("int"),
+    )
+
+
+def run_embedding_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    out_dir: str,
+    ckpt: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+):
+    """Start the availableNow ingest over ``src_dir`` (a parquet topic
+    dir of (vec_id, embedding, ...) rows) against the persisted index at
+    ``index_dir``. Returns the started query."""
+    base = spark.read.parquet(os.path.join(index_dir, "assignment"))
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    scored = score_embedding_stream(
+        stream.select("vec_id", "embedding"), cent
+    )
+    scored_dir = os.path.join(out_dir, "scored")
+    dup_dir = os.path.join(out_dir, "near_dups")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # score once, use twice
+        batch.write.mode("overwrite").parquet(
+            os.path.join(scored_dir, f"batch={batch_id}")
+        )
+        cos = cosine_similarity(F.col("n.embedding"), F.col("b.embedding"))
+        pairs = (
+            batch.alias("n")
+            .join(base.alias("b"), F.col("n.cid") == F.col("b.cid"))
+            .filter(F.col("n.vec_id") != F.col("b.vec_id"))
+            .withColumn("__cos", cos)
+            .filter(F.col("__cos") >= threshold)
+            .select(
+                F.col("n.vec_id").alias("new_vec"),
+                F.col("b.vec_id").alias("dup_of"),
+                F.round("__cos", 6).alias("cos_sim"),
+            )
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(dup_dir, f"batch={batch_id}")
+        )
+
+    return (
+        scored.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_scored(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "scored")).drop("batch")
+
+
+def read_near_dups(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = os.path.join(out_dir, "near_dups")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).drop("batch")

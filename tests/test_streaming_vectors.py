@@ -1,0 +1,107 @@
+"""Streaming embedding ingest parity: score-on-arrival (cell assignment
++ LSH fingerprint against the persisted IVF index) over a file stream
+must equal the batch computation row-for-row, across a checkpointed
+restart, and the foreachBatch near-dup check must flag planted copies
+against the indexed corpus."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from realtime_gmall_flink_spark.functions.similarity import (
+    cosine_similarity,
+)
+from realtime_gmall_flink_spark.plans.vectors import (
+    COSINE_DUP_THRESHOLD,
+    ivf_build,
+)
+from realtime_gmall_flink_spark.sources.testdata import load_table
+from realtime_gmall_flink_spark.streaming import vector_ingest as VI
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rowset(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in df.select(cols).collect()
+    )
+
+
+def _arrivals(spark, base_ids, offset):
+    """Exact copies of indexed vectors under new ids — guaranteed
+    cosine 1.0 near-dups that must land in their source's cell."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    return (
+        emb.filter(F.col("vec_id").isin(base_ids))
+        .select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            "embedding",
+        )
+    )
+
+
+def test_embedding_ingest_matches_batch_with_restart(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_build(emb, str(tmp_path / "ivf"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    part1 = list(range(10))
+    part2 = list(range(10, 15))
+    _arrivals(spark, part1, 100000).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, idx, out, ckpt).awaitTermination()
+
+    # restart with more arrivals on the same checkpoint
+    _arrivals(spark, part2, 100000).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, idx, out, ckpt).awaitTermination()
+
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    base = spark.read.parquet(os.path.join(idx, "assignment"))
+    all_arrivals = _arrivals(spark, part1 + part2, 100000)
+
+    # scored parity: streaming result == batch scoring of all arrivals
+    got = VI.read_scored(spark, out)
+    expected = VI.score_embedding_stream(all_arrivals, cent)
+    assert _rowset(got) == _rowset(expected)
+    # restart added part2 exactly once — no replays, no loss
+    assert got.count() == len(part1) + len(part2)
+
+    # a copy must land in its source vector's cell
+    src_cells = {
+        r["vec_id"]: r["cid"]
+        for r in base.filter(
+            F.col("vec_id").isin(part1 + part2)
+        ).collect()
+    }
+    for r in got.collect():
+        assert r["cid"] == src_cells[r["vec_id"] - 100000], r["vec_id"]
+
+    # near-dup parity: streaming side output == the same-cell batch join
+    dups = VI.read_near_dups(spark, out)
+    assert dups is not None
+    cos = cosine_similarity(F.col("n.embedding"), F.col("b.embedding"))
+    scored_b = VI.score_embedding_stream(all_arrivals, cent)
+    expected_dups = (
+        scored_b.alias("n")
+        .join(base.alias("b"), F.col("n.cid") == F.col("b.cid"))
+        .filter(F.col("n.vec_id") != F.col("b.vec_id"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= COSINE_DUP_THRESHOLD)
+        .select(
+            F.col("n.vec_id").alias("new_vec"),
+            F.col("b.vec_id").alias("dup_of"),
+            F.round("__cos", 6).alias("cos_sim"),
+        )
+    )
+    assert _rowset(dups) == _rowset(expected_dups)
+    # every planted copy is flagged against its source at cosine 1.0
+    flagged = {
+        (r["new_vec"], r["dup_of"])
+        for r in dups.filter(F.col("cos_sim") == 1.0).collect()
+    }
+    for i in part1 + part2:
+        assert (i + 100000, i) in flagged
