@@ -1264,6 +1264,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_clusters",
     survey="D1(ext),J1(ext)",
+    headline=True,  # the bench's iterative-algorithm representative
     oracle=f"""
 WITH RECURSIVE jp AS ({_JACCARD_PAIR_ORACLE}
 ), edges AS (
