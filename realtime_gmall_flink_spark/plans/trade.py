@@ -1134,3 +1134,49 @@ def tpch_q22_dormant_customers(
                             AND o.o_orderpriority = '1-URGENT')
         GROUP BY c.c_nationkey
     """)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q13 shape: LEFT OUTER join with the filter in the JOIN condition
+# (unmatched customers must survive as zero-order rows — moving the
+# predicate to WHERE would silently drop them) feeding a two-level
+# aggregation whose outer level is a histogram-of-counts. DataFrame API
+# on purpose (q2/q22 cover the SQL-with-subqueries surface): the ON-side
+# filter and the count(o_orderkey)-ignores-nulls semantics are the two
+# classic left-join foot-guns this entry pins.
+# Scale: one shuffle per aggregation level; the second input is already
+# one row per customer, so the histogram shuffle is customer-count
+# sized, and the final result is at most max-orders-per-customer rows.
+@register(
+    "tpch_q13_order_distribution",
+    survey="J2,A3(histogram)",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def tpch_q13_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            cust["c_custkey"] == orders["o_custkey"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
