@@ -1332,6 +1332,15 @@ def min_label_components(
         prev_sum = cur_sum
 
 
+# Edge-count ceiling for the driver union-find fall-through: 2^16 edges
+# (~1 MB collected) — far below driver capacity, far above what a round
+# of distributed contraction costs to schedule. Near-dup pair graphs are
+# aggregate-sized relative to the corpus (the band/cell/df-cap designs
+# bound them), so most real runs take this path; anything larger runs
+# the log-round contraction loop.
+STAR_DRIVER_FALLTHROUGH = 1 << 16
+
+
 def star_contraction_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -1343,11 +1352,68 @@ def star_contraction_components(
     in component SIZE, where min-label propagation needs one round per
     hop of component DIAMETER — the difference between ~60 and ~6
     rounds on a 64-node near-dup chain (asserted in
-    tests/test_operators_edge.py). Same join/groupBy primitives and the
+    tests/test_properties.py). Same join/groupBy primitives and the
     same output contract as :func:`min_label_components`: every node
-    labeled with the smallest node id in its component."""
+    labeled with the smallest node id in its component.
+
+    Edge sets at or under :data:`STAR_DRIVER_FALLTHROUGH` skip the
+    driver loop entirely: a per-round job costs ~2 Spark jobs of pure
+    scheduling latency, so a bounded collect + union-find + broadcast
+    label join wins by an order of magnitude on the aggregate-sized
+    graphs near-dup detection actually produces. Both paths share the
+    contract and the union-find property tests."""
     labels, _rounds = _star_contraction(nodes, pairs, id_col, label_col)
     return labels
+
+
+def _driver_union_find(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Label assignment for a collected (bounded) edge list: classic
+    path-halving union-find on the driver, labels joined back as a
+    broadcast map. Only reached under STAR_DRIVER_FALLTHROUGH edges."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r["u"], r["v"]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    labels = [(x, find(x)) for x in parent]
+    if not labels:
+        return nodes.select(
+            F.col(id_col), F.col(id_col).alias(label_col)
+        )
+    spark = nodes.sparkSession
+    from pyspark.sql.types import StructField, StructType
+
+    dt = nodes.schema[id_col].dataType
+    lmap = spark.createDataFrame(
+        labels,
+        StructType(
+            [StructField(id_col, dt), StructField("__m", dt)]
+        ),
+    )
+    return (
+        nodes.select(F.col(id_col))
+        .join(F.broadcast(lmap), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__m"), F.col(id_col)).alias(label_col),
+        )
+    )
 
 
 def _star_contraction(
@@ -1356,6 +1422,7 @@ def _star_contraction(
     id_col: str,
     label_col: str,
     max_rounds: int = 64,
+    driver_fallthrough_max: int = STAR_DRIVER_FALLTHROUGH,
 ) -> tuple[DataFrame, int]:
     """Returns (labels, rounds-to-converge). Each round:
 
@@ -1394,6 +1461,10 @@ def _star_contraction(
         return (row["c"], row["h"])
 
     prev_fp = fingerprint(edges)
+    if prev_fp[0] <= driver_fallthrough_max:
+        # aggregate-sized graph: one bounded collect + broadcast join
+        # beats any number of 2-job contraction rounds
+        return _driver_union_find(nodes, edges, id_col, label_col), 0
     rounds = 0
     while prev_fp[0] and rounds < max_rounds:
         rounds += 1

@@ -211,8 +211,11 @@ def test_star_contraction_components_match_union_find(
 ):
     """Large-star/small-star contraction must equal the same pure-Python
     union-find on arbitrary graphs (self-loops, parallel edges,
-    multiple components, isolated nodes)."""
+    multiple components, isolated nodes) — on BOTH paths: the
+    driver-fall-through (default for these sizes) and the distributed
+    contraction loop (forced with driver_fallthrough_max=0)."""
     from realtime_gmall_flink_spark.plans.textops import (
+        _star_contraction,
         star_contraction_components,
     )
 
@@ -228,6 +231,13 @@ def test_star_contraction_components_match_union_find(
         r["doc_id"]: r["cluster_id"]
         for r in star_contraction_components(nodes, pairs).collect()
     }
+    dist_labels, _ = _star_contraction(
+        nodes, pairs, "doc_id", "cluster_id", driver_fallthrough_max=0
+    )
+    got_dist = {
+        r["doc_id"]: r["cluster_id"] for r in dist_labels.collect()
+    }
+    assert got == got_dist
 
     parent = list(range(n))
 
@@ -262,8 +272,10 @@ def test_star_contraction_chain_rounds_logarithmic(spark_global):
     chain = spark_global.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    labels, rounds = _star_contraction(nodes, chain, "doc_id", "cluster_id")
-    assert rounds <= 8, f"contraction took {rounds} rounds on a 64-chain"
+    labels, rounds = _star_contraction(
+        nodes, chain, "doc_id", "cluster_id", driver_fallthrough_max=0
+    )
+    assert 0 < rounds <= 8, f"contraction took {rounds} rounds on a 64-chain"
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
 
