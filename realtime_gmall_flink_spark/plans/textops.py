@@ -1515,3 +1515,99 @@ def _star_contraction(
         )
     )
     return labels, rounds
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction — the curation step every training-data
+# pipeline runs before anything else. Pure codegen: three RE2/Java-
+# compatible regexes (email, NANP-style phone, IPv4) counted with
+# regexp_extract_all and scrubbed with a regexp_replace chain whose
+# result is fingerprinted (the redacted text itself never needs to
+# leave the executor — downstream equality checks compare md5s). The
+# shipped documents corpus is digit-free, so the query first injects
+# deterministic doc_id-derived PII into a fraction of docs with the
+# IDENTICAL expression on both engines — the operator under test is the
+# detection/redaction, the injection just makes its oracle non-vacuous.
+# Scale: scan-only, zero shuffle, linear with executors.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+_PII_DIRTY_SQL = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' contact agent'"
+    " || CAST(doc_id AS VARCHAR) || '@example.com for help'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END"
+)
+
+
+@register(
+    "doc_pii_redaction_stats",
+    survey="P2(ext),F1(ext)",
+    oracle=f"""
+WITH dirty AS (
+    SELECT doc_id, {_PII_DIRTY_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER)
+           AS email_ct,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INTEGER)
+           AS phone_ct,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INTEGER) AS ip_ct,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS redacted_fp
+FROM dirty
+""",
+)
+def doc_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact agent"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com for help"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = F.col("__t")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("<IP>"),
+    )
+    return docs.select("doc_id", dirty.alias("__t")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("int")
+        .alias("email_ct"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("int")
+        .alias("phone_ct"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0)))
+        .cast("int")
+        .alias("ip_ct"),
+        F.md5(redacted.cast("binary")).alias("redacted_fp"),
+    )
