@@ -132,6 +132,18 @@ def test_ivf_probe_scans_only_nprobe_partitions(spark, tmp_path):
     assert "posexplode" not in plan
 
 
+def test_pii_redaction_scan_only(spark):
+    """doc_pii_redaction_stats is the scan-only family: per-row regex
+    count + redaction fingerprint, no hash exchange anywhere (the only
+    Exchange allowed is the deliberate round-robin CPU-spread of the
+    single-row-group test file, which disappears on real multi-file
+    input)."""
+    df = catalog()["doc_pii_redaction_stats"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
 def test_contamination_single_scan_hash_joins(spark):
     df = catalog()["split_contamination"].builder(spark, SF_DIR)
     plan = _plan(df)
