@@ -665,6 +665,84 @@ def ivf_topk(
     )
 
 
+# --- persisted LSH bucket layout: build-once / multi-probe-many -----------
+# The materialized twin of ann_multiprobe_topk, closing the "on a
+# bucket-partitioned table the probe list becomes partition pruning"
+# design note: the corpus is written partitioned by the HIGH BYTE of
+# the 16-bit sign-LSH bucket (256 dirs — the full 65,536 would drown
+# local filesystems in directories; the high byte already prunes a
+# hamming<=2 probe to at most 1 + 8 + C(8,2) = 37 of 256 partitions,
+# and the exact bucket equi-join inside does the rest). The probe's
+# FileScan carries a literal `bkt_hi IN (...)` PartitionFilter.
+LSH_HI_SHIFT = 8
+
+
+def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
+    """Materialize (vec_id, embedding, bucket) partitioned by the
+    bucket's high byte. Staged + renamed like ivf_build."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.isdir(index_dir):
+        return index_dir
+    staging = f"{index_dir}.building-{uuid.uuid4().hex[:8]}"
+    (
+        emb.select(
+            "vec_id",
+            "embedding",
+            sign_lsh_bucket(F.col("embedding"), bits=bits)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .withColumn(
+            "bkt_hi", F.shiftrightunsigned("bucket", LSH_HI_SHIFT)
+        )
+        .write.partitionBy("bkt_hi")
+        .parquet(os.path.join(staging, "buckets"))
+    )
+    try:
+        os.rename(staging, index_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return index_dir
+
+
+def lsh_probe(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    query_bucket: int,
+    exclude_vec_id: int | None = None,
+    k: int = TOP_K,
+    bits: int = ANN_BITS,
+    radius: int = ANN_PROBE_RADIUS,
+) -> DataFrame:
+    """Multi-probe top-k over the persisted layout: the hamming<=radius
+    probe buckets are literals (computed driver-side from the query's
+    own bucket — no data touched), so the scan prunes to their distinct
+    high bytes and the exact bucket equi-join inside those partitions
+    cuts to the probed buckets; cosine re-ranks."""
+    import os
+
+    probes = sorted({query_bucket ^ m for m in probe_masks(bits, radius)})
+    his = sorted({b >> LSH_HI_SHIFT for b in probes})
+    cand = (
+        spark.read.parquet(os.path.join(index_dir, "buckets"))
+        .filter(F.col("bkt_hi").isin(his))
+        .filter(F.col("bucket").isin(probes))
+    )
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        cand.crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # NOTE (measured negative result, kept for the record): an Arrow/numpy
 # mapInPandas variant of ann_cosine_topk (functions.similarity.

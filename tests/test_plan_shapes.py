@@ -132,6 +132,63 @@ def test_ivf_probe_scans_only_nprobe_partitions(spark, tmp_path):
     assert "posexplode" not in plan
 
 
+def test_lsh_probe_prunes_to_probed_high_bytes(spark, tmp_path):
+    """The persisted LSH layout: the multi-probe scan must carry a
+    literal bkt_hi IN PartitionFilter (<=37 of 256 high bytes for a
+    hamming<=2 probe) and return exactly the in-memory multiprobe
+    result."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.functions.similarity import (
+        sign_lsh_bucket,
+    )
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        lsh_build,
+        lsh_probe,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = lsh_build(emb, str(tmp_path / "lsh-index"))
+    assert os.path.isdir(f"{idx}/buckets")
+
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("qe"),
+            sign_lsh_bucket(F.col("embedding"), bits=16)
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()[0]
+    )
+    q = spark.createDataFrame([(qrow["qe"],)], ["qe"])
+    df = lsh_probe(
+        spark, idx, q, qrow["b"], exclude_vec_id=QUERY_VEC_ID
+    )
+    # the 137-bucket INSET blows past toString's field cap, truncating
+    # the FileScan line — formatted explain prints PartitionFilters on
+    # its own (complete) line
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(
+        r"PartitionFilters: \[bkt_hi#\d+ INSET ([0-9, ]+)\]", plan
+    )
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 37
+
+    expected = catalog()["ann_multiprobe_topk"].builder(spark, SF_DIR)
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in expected.collect()
+    ]
+
+
 def test_pii_redaction_scan_only(spark):
     """doc_pii_redaction_stats is the scan-only family: per-row regex
     count + redaction fingerprint, no hash exchange anywhere (the only
