@@ -88,3 +88,46 @@ def media_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 6).alias("mean_intensity"),
         F.col("byte_len").cast("long").alias("byte_len"),
     )
+
+
+def _media_with_duration(docs: DataFrame) -> DataFrame:
+    """Media table variant giving video rows a doc_id-derived duration
+    so the frame-sampling fan-out has deterministic, oracle-computable
+    row counts."""
+    return synth_media_from_docs(docs).withColumn(
+        "duration_ms",
+        F.when(
+            F.col("kind") == "video",
+            (F.col("media_id") % 7) * 1000 + 500,
+        ).otherwise(F.lit(0)),
+    )
+
+
+@register(
+    "media_frame_sample_stats",
+    survey="LLM(multimodal),U2(ext)",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST((doc_id % 7) AS INTEGER) AS frame_ct,
+       CAST(CASE WHEN doc_id % 7 > 0
+                 THEN (doc_id % 7 - 1) * 1000 ELSE NULL
+            END AS BIGINT) AS max_frame_ts_ms
+FROM documents
+WHERE doc_id % 3 = 2 AND doc_id % 7 > 0
+""",
+)
+def media_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1->N frame-sampling fan-out (mapInPandas flat map) under the
+    oracle gate: per video, the sampled frame count and last frame
+    timestamp must equal the duration arithmetic (duration_ms //
+    every_ms frames at every_ms spacing; zero-frame videos produce no
+    rows). The frame payloads themselves are the stubbed codec's
+    content slices and stay out of the compared columns."""
+    from ..functions.multimodal import sample_frames
+
+    docs = _docs(spark, sf_dir)
+    frames = sample_frames(_media_with_duration(docs), every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("frame_ct"),
+        F.max("frame_ts_ms").cast("long").alias("max_frame_ts_ms"),
+    )
