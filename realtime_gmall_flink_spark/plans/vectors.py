@@ -665,6 +665,145 @@ def ivf_topk(
     )
 
 
+IVF_BATCH_QIDS = (0, 1, 2)
+
+
+@register(
+    "ann_ivf_batch_topk",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH cent0 AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_CENTROIDS}
+), scored0 AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent0 c
+), assigned0 AS (
+    SELECT vec_id, embedding, cid FROM scored0 WHERE rn = 1
+), dimmeans AS (
+    SELECT cid, gs.pos AS pos,
+           avg(CAST(embedding[gs.pos] AS DOUBLE)) AS m
+    FROM assigned0 CROSS JOIN generate_series(1, 64) AS gs(pos)
+    GROUP BY cid, gs.pos
+), cent AS (
+    SELECT cid, list(m ORDER BY pos) AS ce FROM dimmeans GROUP BY cid
+), scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+    SELECT vec_id, embedding, cid FROM scored WHERE rn = 1
+), q AS (
+    SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    WHERE vec_id IN {IVF_BATCH_QIDS}
+), qcent AS (
+    SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round({_cos_sql('c.ce', 'q.qe')}, 6) DESC,
+                            c.cid
+               ) AS rn
+        FROM cent c CROSS JOIN q)
+    WHERE rn <= {IVF_NPROBE}
+), ranked AS (
+    SELECT q.qid, a.vec_id,
+           round({_cos_sql('a.embedding', 'q.qe')}, 6) AS cos_sim,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round({_cos_sql('a.embedding', 'q.qe')}, 6) DESC,
+                        a.vec_id
+           ) AS rk
+    FROM assigned a JOIN qcent USING (cid) JOIN q USING (qid)
+    WHERE a.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {TOP_K}
+""",
+)
+def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN search: top-k for several query vectors in ONE pass
+    over the persisted index (the probe-many shape — contrast
+    ann_ivf_topk's single query). Query ids are corpus vectors, so each
+    excludes its self-match."""
+    idx = ivf_index_dir(sf_dir)
+    ivf_build(_emb(spark, sf_dir), idx)
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(list(IVF_BATCH_QIDS)))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    )
+    return ivf_probe_batch(spark, idx, queries)
+
+
+def ivf_probe_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Top-k for MANY query vectors in one pass over the persisted
+    index — the probe-many shape batch ANN search actually runs.
+    ``queries`` is (qid, qe). Per-query probe cells come from ranking
+    the k-row centroid table per qid (a window over nq*k rows); the
+    (qid, cid) probe pairs are collected driver-side (nq*nprobe rows —
+    metadata-sized for any sane query batch) so the assignment scan is
+    pruned to the UNION of all probed cells with a literal filter, then
+    the broadcast probe-pair join restores per-query cell scoping and a
+    per-qid window takes the top k. One index scan total, regardless of
+    query count."""
+    import os
+
+    from pyspark.sql import Window
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    qc = F.round(cosine_similarity(F.col("ce"), F.col("qe")), 6)
+    rank_w = Window.partitionBy("qid").orderBy(
+        F.col("__qc").desc(), F.col("cid").asc()
+    )
+    probe_pairs = (
+        queries.crossJoin(broadcast(cent))
+        .select("qid", "cid", qc.alias("__qc"))
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("qid", "cid")
+        .collect()
+    )
+    cids = sorted({r["cid"] for r in probe_pairs})
+    pairs_df = spark.createDataFrame(
+        [(r["qid"], r["cid"]) for r in probe_pairs], "qid long, cid long"
+    )
+    assigned = spark.read.parquet(
+        os.path.join(index_dir, "assignment")
+    ).filter(F.col("cid").isin(cids))
+    cos = F.round(
+        cosine_similarity(F.col("embedding"), F.col("qe")), 6
+    )
+    topk_w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.join(broadcast(pairs_df), "cid")
+        .join(broadcast(queries), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(topk_w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vec_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 # --- persisted LSH bucket layout: build-once / multi-probe-many -----------
 # The materialized twin of ann_multiprobe_topk, closing the "on a
 # bucket-partitioned table the probe list becomes partition pruning"
