@@ -1611,3 +1611,59 @@ def doc_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ip_ct"),
         F.md5(redacted.cast("binary")).alias("redacted_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — down-sample the over-represented languages by a
+# per-language KEEP RATE, the standard corpus-rebalancing step before
+# training. Deterministic and engine-portable: the keep decision is the
+# same md5 hash bucket the train/val split uses (< rate%), and the rate
+# table is a broadcast config join (the J6 config-routing shape — at
+# 100 TB the rates live in a tiny dimension table, the corpus never
+# shuffles, and the sample is reproducible row-for-row across runs and
+# engines). Unlisted languages default to keep-all via the left join.
+SAMPLE_RATES = {"en": 20, "zh": 40, "es": 60, "de": 80}
+
+
+@register(
+    "stratified_sample_stats",
+    survey="J6(ext),A4(ext)",
+    oracle=f"""
+WITH rates(lang, rate) AS (
+    VALUES {", ".join(f"('{k}', {v})" for k, v in SAMPLE_RATES.items())}
+), d AS (
+    SELECT d.lang, length(d.text) AS chars,
+           {_BUCKET100_SQL} AS bucket,
+           coalesce(r.rate, 100) AS rate
+    FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+)
+SELECT lang, count(*) AS sampled_ct,
+       CAST(sum(chars) AS BIGINT) AS char_sum
+FROM d WHERE bucket < rate
+GROUP BY lang
+""",
+)
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    rates = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            list(SAMPLE_RATES.items()), "lang string, rate int"
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10)
+        .cast("int")
+        % 100
+    )
+    return (
+        docs.select("doc_id", "lang", F.length("text").alias("chars"))
+        .withColumn("bucket", bucket)
+        .join(rates, "lang", "left")
+        .filter(F.col("bucket") < F.coalesce(F.col("rate"), F.lit(100)))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_ct"),
+            F.sum("chars").alias("char_sum"),
+        )
+    )
