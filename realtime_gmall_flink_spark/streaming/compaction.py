@@ -190,7 +190,13 @@ def recover_sink_log_dir(path: str) -> bool:
             with open(manifest) as f:
                 names = json.load(f)
             for n in names:
-                os.replace(os.path.join(bdir, n), os.path.join(meta, n))
+                # COPY out of the backup (tmp + atomic rename), never
+                # move: recovery itself can crash, and a re-run must
+                # still find every manifest-listed file in the backup
+                # (a move-based restore would wedge on the second pass)
+                tmp = os.path.join(meta, f".{n}.recover-tmp")
+                shutil.copyfile(os.path.join(bdir, n), tmp)
+                os.replace(tmp, os.path.join(meta, n))
                 _drop_crc(meta, n)
             run = d[len(_BACKUP_PREFIX):]
             for f in os.listdir(path):

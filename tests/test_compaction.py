@@ -245,6 +245,59 @@ def test_sink_log_flip_crash_is_recovered(spark, tmp_path):
     assert stats and _rowset(spark.read.parquet(out)) == before
 
 
+def test_sink_log_recovery_is_idempotent(spark, tmp_path):
+    """Recovery itself can crash mid-restore; a second pass must still
+    find every manifest-listed file in the backup and converge to the
+    same healed state (restore copies out of the backup — it never
+    consumes it)."""
+    import json as _json
+    import shutil as _shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    for i in range(6):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(src)
+    _start_stream(spark, src, out, str(tmp_path / "ckpt"))
+    before = _rowset(spark.read.parquet(out))
+    meta = os.path.join(out, "_spark_metadata")
+    log_names = sorted(
+        (f for f in os.listdir(meta) if not f.startswith(".")),
+        key=lambda f: int(f.split(".")[0]),
+    )
+    originals = {
+        n: open(os.path.join(meta, n), "rb").read() for n in log_names
+    }
+
+    bdir = os.path.join(meta, ".compact-backup-feed0001")
+    os.makedirs(bdir)
+    for n in log_names:
+        _shutil.copyfile(os.path.join(meta, n), os.path.join(bdir, n))
+    with open(os.path.join(bdir, "MANIFEST"), "w") as f:
+        _json.dump(log_names, f)
+    # simulate a crash mid-flip AND a prior recovery attempt that died
+    # after restoring only the first file: live log half-mangled, but
+    # the backup is complete
+    with open(os.path.join(meta, log_names[0]), "w") as f:
+        f.write("v1")
+
+    # two consecutive recoveries: both succeed, same healed state
+    assert recover_sink_log_dir(out) is True
+    # re-create the crash state for the second pass (backup was cleaned
+    # up by the successful first pass)
+    os.makedirs(bdir)
+    for n in log_names:
+        _shutil.copyfile(os.path.join(meta, n), os.path.join(bdir, n))
+    with open(os.path.join(bdir, "MANIFEST"), "w") as f:
+        _json.dump(log_names, f)
+    assert recover_sink_log_dir(out) is True
+    for n in log_names:
+        assert open(os.path.join(meta, n), "rb").read() == originals[n]
+    assert _rowset(spark.read.parquet(out)) == before
+
+
 def test_sink_log_backup_without_manifest_is_discarded(spark, tmp_path):
     """Crash DURING backup creation (no manifest yet): the live log was
     never touched, so recovery just discards the partial backup."""
