@@ -110,3 +110,57 @@ def test_date_partitioned_scan_prunes(spark, tmp_path):
     # row-level check: only that day's rows come back
     got = df.select("dt").distinct().collect()
     assert [r["dt"] for r in got] == [target]
+
+
+def test_range_clustered_layout_has_narrow_file_stats(spark, tmp_path):
+    """write_range_clustered must produce files whose parquet footers
+    carry near-disjoint min/max ranges for the cluster column — the
+    stats row-group pruning skips on — and a range filter must read the
+    same rows as from an unclustered copy."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.sources.lakehouse import (
+        write_range_clustered,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(li, out, ["l_shipdate"], files=8)
+
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        col = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    # contiguous range clustering: sorted file ranges must not overlap
+    # beyond their shared boundary value
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # and the clustered copy answers a range query identically
+    pred = (F.col("l_shipdate") >= "1995-01-01") & (
+        F.col("l_shipdate") < "1996-01-01"
+    )
+    got = spark.read.parquet(out).filter(pred)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, li.filter(pred).collect())
+    )
