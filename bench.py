@@ -52,81 +52,18 @@ def _box_id() -> str:
 
 
 def _bench_stateful_dedup(spark, sf_dir):
-    """Stateful-streaming headliner (the workload class the catalog
-    headliners don't cover): latest-row-per-user dedup over the events
-    file stream via applyInPandasWithState (streaming_latest_per_key —
-    per-key JSON state, event-time quiesce timers), flushed by a
-    far-future sentinel row. Measures Arrow state-op throughput
-    end-to-end: source listing, state store, timer sweep, memory sink.
-    Fresh work dir + checkpoint per call so every run processes the full
-    corpus."""
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from realtime_gmall_flink_spark.streaming.jobs import run_to_memory
-    from realtime_gmall_flink_spark.streaming.stateful import (
-        streaming_latest_per_key,
+    """Stateful-streaming headliner (the workload class the catalog's
+    batch headliners don't cover): latest-row-per-user dedup over the
+    events file stream via applyInPandasWithState, flushed by a
+    far-future sentinel. Delegates to the oracle-checked catalog entry
+    (plans.traffic.streaming_dedup_latest_stateful) so the benched code
+    path is exactly the hash-verified one; fresh work dir + checkpoint
+    per call, so every run processes the full corpus."""
+    from realtime_gmall_flink_spark.plans.traffic import (
+        streaming_dedup_latest_stateful,
     )
 
-    work = tempfile.mkdtemp(prefix="bench-stateful-")
-    try:
-        src = os.path.join(work, "src")
-        os.makedirs(src)
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(src, "events.parquet"),
-        )
-        batch = spark.read.parquet(src)
-        ts_is_long = dict(batch.dtypes)["ts"] == "bigint"
-        # sentinel at 2100-01-01: advances the watermark past every real
-        # key's quiesce timer so the bounded run emits all keys. Same ts
-        # dtype as the source file (nanos-long or native timestamp,
-        # depending on the session's nanosAsLong setting).
-        sent_ts = (
-            F.lit(4102444800 * 10**9).cast("long")
-            if ts_is_long
-            else F.lit("2100-01-01 00:00:00").cast(
-                batch.schema["ts"].dataType
-            )
-        )
-        batch.limit(1).select(
-            F.lit(-1).cast("long").alias("event_id"),
-            sent_ts.alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("sentinel").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("").alias("props"),
-        ).write.mode("append").parquet(src)
-        if ts_is_long:
-            ev = F.timestamp_micros(F.expr("ts div 1000"))
-            ts_long = F.col("ts")
-        else:
-            ev = F.col("ts").cast("timestamp")  # watermark wants LTZ
-            ts_long = F.unix_micros(F.col("ts").cast("timestamp"))
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .parquet(src)
-            .select(
-                "event_id",
-                "user_id",
-                ts_long.alias("ts"),
-                ev.alias("event_time"),
-            )
-            .withWatermark("event_time", "3 seconds")
-        )
-        ded = streaming_latest_per_key(
-            stream,
-            key="user_id",
-            ts_col="event_time",
-            order_by=["ts", "event_id"],
-            out_schema="user_id long, event_id long, ts long",
-            out_cols=["user_id", "event_id", "ts"],
-        )
-        return run_to_memory(ded, mode="append")
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    return streaming_dedup_latest_stateful(spark, sf_dir)
 
 
 class _ExtraQuery:
@@ -136,8 +73,9 @@ class _ExtraQuery:
         self.builder = builder
 
 
-# bench-only workloads: not catalog queries (no DuckDB oracle fits a
-# stateful stream), but graded workload classes with recorded floors.
+# bench-only NAMES (kept stable for bench_floors.json) whose builders
+# live in the catalog; listed here rather than via the headline flag so
+# the floor key and the catalog name can differ.
 EXTRA_HEADLINERS = {
     "stateful_latest_dedup": _ExtraQuery(_bench_stateful_dedup),
 }

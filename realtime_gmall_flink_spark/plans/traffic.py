@@ -835,3 +835,94 @@ def value_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("value_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The stateful-streaming operator class under the ORACLE gate (not just
+# rows-only): latest-row-per-user over the events table executed through
+# applyInPandasWithState (streaming_latest_per_key — per-key state,
+# event-time quiesce timers), hash-matching the same window-function
+# dedup in DuckDB. Bounded-run mechanics: the builder stages a work dir
+# (events symlinked + one far-future sentinel row) so the final
+# watermark passes every real key's quiesce timer; the sentinel key
+# itself stays in state and is filtered defensively. The emitted
+# timestamp is normalized to epoch MICROseconds on both engines, so the
+# entry is insensitive to whether the session reads the nanos parquet
+# column as long (nanosAsLong) or TIMESTAMP_NTZ.
+@register(
+    "streaming_dedup_latest_stateful",
+    survey="W7,D1,F3(streaming)",
+    oracle="""
+SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events)
+WHERE rn = 1
+""",
+)
+def streaming_dedup_latest_stateful(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import run_to_memory
+    from ..streaming.stateful import streaming_latest_per_key
+
+    work = tempfile.mkdtemp(prefix="gmall-stateful-dedup-")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        batch = spark.read.parquet(src)
+        ts_is_long = dict(batch.dtypes)["ts"] == "bigint"
+        sent_ts = (
+            F.lit(4102444800 * 10**9).cast("long")
+            if ts_is_long
+            else F.lit("2100-01-01 00:00:00").cast(
+                batch.schema["ts"].dataType
+            )
+        )
+        batch.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            sent_ts.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        ).write.mode("append").parquet(src)
+        if ts_is_long:
+            ev = F.timestamp_micros(F.expr("ts div 1000"))
+            ts_us = F.expr("ts div 1000")
+        else:
+            ev = F.col("ts").cast("timestamp")  # watermark wants LTZ
+            ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+            .select(
+                "event_id",
+                "user_id",
+                ts_us.alias("ts_us"),
+                ev.alias("event_time"),
+            )
+            .withWatermark("event_time", "3 seconds")
+        )
+        ded = streaming_latest_per_key(
+            stream,
+            key="user_id",
+            ts_col="event_time",
+            order_by=["ts_us", "event_id"],
+            out_schema="user_id long, event_id long, ts_us long",
+            out_cols=["user_id", "event_id", "ts_us"],
+        )
+        result = run_to_memory(ded, mode="append")
+        return result.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

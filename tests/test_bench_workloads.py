@@ -18,7 +18,7 @@ def test_stateful_latest_dedup_bench_workload(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     got = _bench_stateful_dedup(spark, sf_dir)
-    rows = {r["user_id"]: (r["ts"], r["event_id"]) for r in got.collect()}
+    rows = {r["user_id"]: (r["ts_us"], r["event_id"]) for r in got.collect()}
     assert -1 not in rows  # sentinel held by its own quiesce timer
 
     expected = {
@@ -38,9 +38,7 @@ def test_stateful_latest_dedup_bench_workload(spark):
         ).fetchall()
     }
     assert len(rows) == len(expected) == 15
-    for u, (ts, eid) in expected.items():
-        got_ts, got_eid = rows[u]
-        assert got_eid == eid and abs(got_ts - ts) < 1000, u
+    assert rows == {u: (ts, eid) for u, (ts, eid) in expected.items()}
 
 
 def test_extra_headliners_registered():
