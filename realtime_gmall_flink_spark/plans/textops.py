@@ -1212,10 +1212,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     # dfreq grows with corpus VOCABULARY, which is unbounded at 100 TB —
-    # no broadcast hint: tf is already hash-partitioned on (doc_id, w)
-    # so the w-keyed join shuffles only the aggregate-sized dfreq side,
-    # and AQE may still elect a broadcast when the vocab is small. Only
-    # the one-row doc count is force-broadcast.
+    # no broadcast hint. The honest cost: when AQE does NOT elect a
+    # broadcast (the large-vocab case), the w-keyed join re-shuffles the
+    # corpus-sized tf side on w (its (doc_id, w) partitioning doesn't
+    # satisfy a join on w alone) plus the aggregate-sized dfreq side;
+    # both shuffles move ids+counts, never text. A forced broadcast
+    # trades that for an unbounded vocabulary table on every executor —
+    # the worse failure mode. Only the one-row doc count is
+    # force-broadcast.
     scored = (
         tf.join(dl, "doc_id")
         .join(dfreq, "w")
@@ -1466,6 +1470,7 @@ def _star_contraction(
         # beats any number of 2-job contraction rounds
         return _driver_union_find(nodes, edges, id_col, label_col), 0
     rounds = 0
+    converged = prev_fp[0] == 0
     while prev_fp[0] and rounds < max_rounds:
         rounds += 1
         # large-star over the bidirected view: (v, m) for v > u
@@ -1495,12 +1500,22 @@ def _star_contraction(
         )
         fp = fingerprint(small)
         edges = small
-        if fp == prev_fp:
+        if fp == prev_fp or fp[0] == 0:
+            converged = True
             break
         prev_fp = fp
 
-    # at the fixpoint every u carries exactly one star edge; the min-agg
-    # is a no-op there and only defends a max_rounds early exit
+    if not converged:
+        # labeling un-contracted edges would silently assign each node
+        # its current minimum NEIGHBOR, not the component minimum —
+        # wrong clusters that downstream curation would act on. 64
+        # rounds covers any component of < 2^64 nodes; reaching here
+        # means a bug, so fail loudly.
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+
+    # at the fixpoint every u carries exactly one star edge
     star = edges.groupBy("u").agg(F.min("v").alias("__m"))
     labels = (
         nodes.select(F.col(id_col))
@@ -1650,15 +1665,12 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             list(SAMPLE_RATES.items()), "lang string, rate int"
         )
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-               16, 10)
-        .cast("int")
-        % 100
-    )
+    # same hash bucket as the train/val split (split_bucket) — all
+    # sampling/splitting decisions share ONE bucket definition, so the
+    # stratified sample nests consistently inside the split
     return (
         docs.select("doc_id", "lang", F.length("text").alias("chars"))
-        .withColumn("bucket", bucket)
+        .withColumn("bucket", split_bucket("doc_id"))
         .join(rates, "lang", "left")
         .filter(F.col("bucket") < F.coalesce(F.col("rate"), F.lit(100)))
         .groupBy("lang")

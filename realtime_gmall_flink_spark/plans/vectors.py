@@ -482,7 +482,13 @@ def ivf_index_dir(
         f"{fp}|k={n_centroids}|lloyd={lloyd_iters}"
         f"|v={IVF_INDEX_FORMAT}".encode()
     ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"gmall-ivf-{key}")
+    # per-user parent dir: the system temp dir is world-shared, and a
+    # foreign (or maliciously pre-created) dir at a predictable path
+    # must never be trusted as an index
+    uid = getattr(os, "getuid", lambda: "u")()
+    parent = os.path.join(tempfile.gettempdir(), f"gmall-ivf-{uid}")
+    os.makedirs(parent, exist_ok=True)
+    return os.path.join(parent, key)
 
 
 def ivf_build(
@@ -502,8 +508,18 @@ def ivf_build(
     import shutil
     import uuid
 
+    def _valid(d: str) -> bool:
+        return os.path.isdir(os.path.join(d, "centroids")) and os.path.isdir(
+            os.path.join(d, "assignment")
+        )
+
     if os.path.isdir(index_dir):
-        return index_dir
+        if _valid(index_dir):
+            return index_dir
+        # half-built or foreign debris at the index path: never trust
+        # it — clear and rebuild (the staged rename means OUR builds
+        # are all-or-nothing, so an invalid dir is not ours-in-flight)
+        shutil.rmtree(index_dir, ignore_errors=True)
     spark = emb.sparkSession
     staging = f"{index_dir}.building-{uuid.uuid4().hex[:8]}"
     cent_path = os.path.join(staging, "centroids")
@@ -518,6 +534,10 @@ def ivf_build(
         os.rename(staging, index_dir)
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)  # concurrent build won
+    if not _valid(index_dir):
+        raise RuntimeError(
+            f"IVF index at {index_dir!r} is invalid after build"
+        )
     return index_dir
 
 

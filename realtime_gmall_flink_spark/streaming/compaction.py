@@ -162,21 +162,59 @@ def _local_path(uri: str) -> str:
 
 _BACKUP_PREFIX = ".compact-backup-"
 _MANIFEST = "MANIFEST"
+_COMMITTED = "COMMITTED"
+
+
+def _sweep_unreferenced(path: str, meta: str) -> None:
+    """Delete ``compacted-*`` data files and staging dirs no log entry
+    anywhere references — debris of attempts that crashed before their
+    backup existed. Safe: a file absent from EVERY log file (not just
+    the valid reader window) is invisible to every reader, present or
+    future (future compacts fold from resolved entries only)."""
+    referenced = set()
+    for n in _log_file_names(meta):
+        try:
+            for e in _read_log_entries(meta, n):
+                referenced.add(
+                    os.path.basename(_local_path(e.get("path", "")))
+                )
+        except (OSError, ValueError, json.JSONDecodeError):
+            return  # mid-flip log state: never sweep on partial info
+    for f in os.listdir(path):
+        full = os.path.join(path, f)
+        if f.startswith(".compact-staging-") and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        elif f.startswith("compacted-") and f not in referenced:
+            os.remove(full)
+            _drop_crc(path, f)
 
 
 def recover_sink_log_dir(path: str) -> bool:
-    """Heal a crashed multi-file log flip. Returns True if a recovery
-    was performed.
+    """Heal a crashed multi-file log flip (two-phase). Returns True if
+    a roll-back or roll-forward was performed.
 
     Protocol: a flip that must rewrite more than one log file first
     copies every original into ``_spark_metadata/.compact-backup-<run>/``
     and stamps a MANIFEST (written atomically last, so its presence
-    means the backup is complete). Recovery restores the listed files
-    byte-for-byte, deletes the crashed attempt's ``compacted-<run>-*``
-    data files (orphans either way — the restored log never references
-    them), and removes the backup. A backup dir WITHOUT a manifest is a
-    crash during backup itself: the live log was never touched, so the
-    half-copied backup is simply discarded."""
+    means the backup is complete: ``{"log_files": [...],
+    "old_data_files": [...]}``). After every log file is rewritten, a
+    COMMITTED marker lands in the backup; only then are the old data
+    files deleted and the backup removed. Recovery therefore decides by
+    marker, never by guesswork:
+
+    - MANIFEST without COMMITTED → the flip may be half-done: ROLL BACK
+      (restore the listed log files byte-for-byte — by copy, so a
+      crashed recovery re-runs cleanly — and delete the attempt's
+      ``compacted-<run>-*`` files, which no restored entry references).
+    - MANIFEST with COMMITTED → the flip finished and newer log files
+      may already reference the compacted files: ROLL FORWARD (finish
+      deleting the manifest-listed old data files, keep the log as-is).
+      Restoring here would corrupt a log the stream has since built on.
+    - no MANIFEST → crash during backup; the live log was never
+      touched: discard the partial backup.
+
+    Finishes with a sweep of compacted files referenced by NO log entry
+    (debris of attempts that died before their backup existed)."""
     meta = os.path.join(path, _META)
     if not os.path.isdir(meta):
         return False
@@ -188,23 +226,37 @@ def recover_sink_log_dir(path: str) -> bool:
         manifest = os.path.join(bdir, _MANIFEST)
         if os.path.exists(manifest):
             with open(manifest) as f:
-                names = json.load(f)
-            for n in names:
-                # COPY out of the backup (tmp + atomic rename), never
-                # move: recovery itself can crash, and a re-run must
-                # still find every manifest-listed file in the backup
-                # (a move-based restore would wedge on the second pass)
-                tmp = os.path.join(meta, f".{n}.recover-tmp")
-                shutil.copyfile(os.path.join(bdir, n), tmp)
-                os.replace(tmp, os.path.join(meta, n))
-                _drop_crc(meta, n)
-            run = d[len(_BACKUP_PREFIX):]
-            for f in os.listdir(path):
-                if f.startswith(f"compacted-{run}-"):
-                    os.remove(os.path.join(path, f))
-                    _drop_crc(path, f)
+                m = json.load(f)
+            # legacy manifests were a bare name list (roll-back only)
+            names = m["log_files"] if isinstance(m, dict) else m
+            old_files = m.get("old_data_files", []) if isinstance(
+                m, dict
+            ) else []
+            if os.path.exists(os.path.join(bdir, _COMMITTED)):
+                for p in old_files:
+                    if os.path.exists(p):
+                        os.remove(p)
+                        _drop_crc(
+                            os.path.dirname(p), os.path.basename(p)
+                        )
+            else:
+                for n in names:
+                    # COPY out of the backup (tmp + atomic rename),
+                    # never move: recovery itself can crash, and a
+                    # re-run must still find every manifest-listed file
+                    # in the backup
+                    tmp = os.path.join(meta, f".{n}.recover-tmp")
+                    shutil.copyfile(os.path.join(bdir, n), tmp)
+                    os.replace(tmp, os.path.join(meta, n))
+                    _drop_crc(meta, n)
+                run = d[len(_BACKUP_PREFIX):]
+                for f in os.listdir(path):
+                    if f.startswith(f"compacted-{run}-"):
+                        os.remove(os.path.join(path, f))
+                        _drop_crc(path, f)
             recovered = True
         shutil.rmtree(bdir, ignore_errors=True)
+    _sweep_unreferenced(path, meta)
     return recovered
 
 
@@ -279,6 +331,10 @@ def _compact_sink_log_dir(
     #   next compaction (restore originals, drop this run's orphans).
     if names[-1].endswith(".compact"):
         _write_log_file(meta, names[-1], new_entries)
+        for p in old_local:
+            if os.path.exists(p):
+                os.remove(p)
+                _drop_crc(os.path.dirname(p), os.path.basename(p))
     else:
         bdir = os.path.join(meta, f"{_BACKUP_PREFIX}{run}")
         os.makedirs(bdir)
@@ -286,17 +342,25 @@ def _compact_sink_log_dir(
             shutil.copyfile(os.path.join(meta, n), os.path.join(bdir, n))
         mtmp = os.path.join(bdir, f".{_MANIFEST}.tmp")
         with open(mtmp, "w") as f:
-            json.dump(names, f)
+            json.dump(
+                {"log_files": names, "old_data_files": old_local}, f
+            )
         os.replace(mtmp, os.path.join(bdir, _MANIFEST))
         for n in names[:-1]:
             _write_log_file(meta, n, [])
         _write_log_file(meta, names[-1], new_entries)
+        # phase 2: the flip is complete — mark it so a crash below
+        # rolls FORWARD (finish old-file deletion) instead of
+        # restoring a log that later batches may build on
+        ctmp = os.path.join(bdir, f".{_COMMITTED}.tmp")
+        with open(ctmp, "w") as f:
+            f.write("1")
+        os.replace(ctmp, os.path.join(bdir, _COMMITTED))
+        for p in old_local:
+            if os.path.exists(p):
+                os.remove(p)
+                _drop_crc(os.path.dirname(p), os.path.basename(p))
         shutil.rmtree(bdir, ignore_errors=True)
-
-    for p in old_local:
-        if os.path.exists(p):
-            os.remove(p)
-            _drop_crc(os.path.dirname(p), os.path.basename(p))
     return {path: (len(old_local), len(new_entries))}
 
 

@@ -127,6 +127,18 @@ def _start_window(df: DataFrame, target: str, ckpt: str, mode: str):
     return _start_complete(df, target, ckpt)
 
 
+def _recover_compaction_targets(targets) -> None:
+    """Heal crashed compactions BEFORE any stage query starts: a sink
+    resuming on a mid-flip log would append (and eventually fold a new
+    .compact) on top of corrupted state, turning a recoverable crash
+    into permanent row loss. Cheap no-op when no backup marker exists."""
+    from .compaction import recover_sink_log_dir
+
+    for t in targets:
+        if os.path.isdir(os.path.join(t, "_spark_metadata")):
+            recover_sink_log_dir(t)
+
+
 def _auto_compact(spark, targets, max_files: int | None) -> None:
     """Opt-in post-run small-file compaction, hooked by the chain
     runners via their ``auto_compact`` parameter (the small-file-count
@@ -480,6 +492,9 @@ def run_traffic_user_dws(
     from unprocessed files only. Returns {dws_table: path}.
     ``auto_compact``: small-file threshold for post-run compaction of
     the terminal DWS table dirs (None = off; see _auto_compact)."""
+    _recover_compaction_targets(
+        os.path.join(dws_dir, t) for t in DWS_TABLES
+    )
     for q in run_detail_jobs(spark, dwd_dir, ckpt_dir):
         q.awaitTermination()
     # ensure detail dirs exist even when a stage-1 query emitted 0 rows
@@ -661,6 +676,9 @@ def run_trade_user_dws(
 ) -> dict[str, str]:
     """Run the insert-only db-side DWS chains once (availableNow);
     re-runnable with the same checkpoints."""
+    _recover_compaction_targets(
+        os.path.join(dws_dir, t) for t in TRADE_DWS_TABLES
+    )
     for q in run_trade_detail_jobs(spark, dwd_dir, ckpt_dir):
         q.awaitTermination()
     for q in run_trade_window_jobs(
@@ -750,6 +768,7 @@ def run_trade_order_dws(
     )
 
     wm = _window_mode(mode, watermark)
+    _recover_compaction_targets([os.path.join(dws_dir, ORDER_DWS_TABLE)])
 
     # stage 1: latest-wins revision dedup per order-detail id
     src = (
@@ -875,6 +894,7 @@ def run_trade_province_dws(
     from .jobs import streaming_dedup
 
     wm = _window_mode(mode, watermark)
+    _recover_compaction_targets([os.path.join(dws_dir, PROVINCE_DWS_TABLE)])
 
     dedup_path = os.path.join(dwd_dir, "dwd_trade_order_detail_dedup")
 
@@ -1019,6 +1039,7 @@ def run_trade_tm_spu_dws(
     from .jobs import streaming_dedup
 
     wm = _window_mode(mode, watermark)
+    _recover_compaction_targets([os.path.join(dws_dir, TM_SPU_DWS_TABLE)])
     dedup_path = os.path.join(dwd_dir, "dwd_trade_order_detail_dedup")
 
     dd = _peek_stream(spark, dedup_path).withColumn(
@@ -1085,6 +1106,7 @@ def run_trade_tm_refund_dws(
     from .jobs import streaming_dedup
 
     wm = _window_mode(mode, watermark)
+    _recover_compaction_targets([os.path.join(dws_dir, TM_REFUND_DWS_TABLE)])
 
     # order_refund is an insert-only DWD extract (no revisions), so the
     # only stateful stage is the per-(order, sku) first-arrival dedup

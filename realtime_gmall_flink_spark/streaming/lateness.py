@@ -63,11 +63,18 @@ _BATCH_COL = "last_merged_batch"
 def _recover_meta(meta_path: str) -> None:
     """The meta write protocol is: build the new row in a sibling
     ``<meta>.tmp-<batch>`` dir, remove the old meta, rename the tmp into
-    place. Its only crash window therefore yields a MISSING meta with a
-    COMPLETE tmp beside it (the tmp write finished — Spark stamped its
-    ``_SUCCESS`` — before the old meta was removed). Heal that here:
-    rename the newest complete tmp into place; discard incomplete tmps
-    (crash mid-tmp-write — the live meta was never touched)."""
+    place. A COMPLETE tmp (Spark stamped its ``_SUCCESS``) therefore IS
+    the newest committed meta state, and once it exists the old meta is
+    disposable — the crashed writer was about to delete it, and a crash
+    mid-``rmtree`` can leave it as a gutted, unreadable directory.
+    Recovery ROLLS FORWARD: whenever a complete tmp exists, finish the
+    protocol (remove whatever remains of the old meta, rename the
+    newest complete tmp into place). Incomplete tmps (crash mid-write —
+    the live meta was never touched) are discarded. The replayed batch
+    then sees its own batch id in the restored meta and skips, exactly
+    as if the write had finished."""
+    import shutil
+
     parent, base = os.path.split(meta_path)
     if not os.path.isdir(parent):
         return
@@ -82,12 +89,11 @@ def _recover_meta(meta_path: str) -> None:
          if os.path.exists(os.path.join(parent, d, "_SUCCESS"))),
         key=lambda d: int(d.rsplit("-", 1)[1]),
     )
-    if not os.path.isdir(meta_path) and complete:
+    if complete:
         newest = complete.pop()
+        shutil.rmtree(meta_path, ignore_errors=True)
         os.rename(os.path.join(parent, newest), meta_path)
         tmps.remove(newest)
-    import shutil
-
     for d in tmps:
         shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 

@@ -73,10 +73,23 @@ def run_embedding_ingest(
         batch.write.mode("overwrite").parquet(
             os.path.join(scored_dir, f"batch={batch_id}")
         )
+        # the batch's touched cells as LITERALS (one aggregate-sized
+        # collect): dynamic pruning can't fire from an un-filtered
+        # stream side, so without this the join scans the ENTIRE
+        # cid-partitioned assignment every micro-batch
+        cells = [
+            r["cid"]
+            for r in batch.select("cid").distinct().collect()
+        ]
+        if not cells:
+            return
         cos = cosine_similarity(F.col("n.embedding"), F.col("b.embedding"))
         pairs = (
             batch.alias("n")
-            .join(base.alias("b"), F.col("n.cid") == F.col("b.cid"))
+            .join(
+                base.filter(F.col("cid").isin(cells)).alias("b"),
+                F.col("n.cid") == F.col("b.cid"),
+            )
             .filter(F.col("n.vec_id") != F.col("b.vec_id"))
             .withColumn("__cos", cos)
             .filter(F.col("__cos") >= threshold)

@@ -215,7 +215,7 @@ def test_sink_log_flip_crash_is_recovered(spark, tmp_path):
     for n in log_names:
         _shutil.copyfile(os.path.join(meta, n), os.path.join(bdir, n))
     with open(os.path.join(bdir, "MANIFEST"), "w") as f:
-        _json.dump(log_names, f)
+        _json.dump({"log_files": log_names, "old_data_files": []}, f)
     # orphan data file from the crashed run
     spark.createDataFrame(
         [(999, "orphan")], "id long, v string"
@@ -243,6 +243,69 @@ def test_sink_log_flip_crash_is_recovered(spark, tmp_path):
     # a fresh compaction on the healed dir round-trips
     stats = compact_dir(spark, out, max_files=8)
     assert stats and _rowset(spark.read.parquet(out)) == before
+
+
+def test_sink_log_committed_flip_rolls_forward(spark, tmp_path):
+    """Crash AFTER the flip completed (COMMITTED marker stamped) but
+    before old-file deletion / backup cleanup. The stream may have
+    appended — even folded a new .compact referencing the compacted
+    files — so recovery must NOT restore the pre-flip log; it finishes
+    the job instead: delete the manifest-listed old data files, keep
+    the live log, drop the backup."""
+    import json as _json
+    import shutil as _shutil
+
+    from realtime_gmall_flink_spark.streaming.compaction import (
+        recover_sink_log_dir,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    for i in range(12):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(src)
+    _start_stream(spark, src, out, str(tmp_path / "ckpt"))
+    before = _rowset(spark.read.parquet(out))
+
+    # run a REAL compaction, then reconstruct the crash state it would
+    # have left mid-phase-2: backup + manifest + COMMITTED, one stale
+    # old data file undeleted
+    meta = os.path.join(out, "_spark_metadata")
+    pre_log = {
+        n: open(os.path.join(meta, n), "rb").read()
+        for n in os.listdir(meta)
+        if not n.startswith(".")
+    }
+    stats = compact_dir(spark, out, max_files=8)
+    assert stats
+    post_log = {
+        n: open(os.path.join(meta, n), "rb").read()
+        for n in os.listdir(meta)
+        if not n.startswith(".")
+    }
+    stale = os.path.join(out, "stale-old-file.snappy.parquet")
+    with open(stale, "wb") as f:
+        f.write(b"PAR1junkPAR1")
+    bdir = os.path.join(meta, ".compact-backup-0ddba11a")
+    os.makedirs(bdir)
+    for n, content in pre_log.items():
+        with open(os.path.join(bdir, n), "wb") as f:
+            f.write(content)
+    with open(os.path.join(bdir, "MANIFEST"), "w") as f:
+        _json.dump(
+            {"log_files": sorted(pre_log), "old_data_files": [stale]}, f
+        )
+    with open(os.path.join(bdir, "COMMITTED"), "w") as f:
+        f.write("1")
+
+    assert recover_sink_log_dir(out) is True
+    assert not os.path.exists(stale)  # roll-forward finished deletion
+    assert not os.path.isdir(bdir)
+    for n, content in post_log.items():  # live log untouched
+        assert open(os.path.join(meta, n), "rb").read() == content
+    assert _rowset(spark.read.parquet(out)) == before
 
 
 def test_sink_log_recovery_is_idempotent(spark, tmp_path):

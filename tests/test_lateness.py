@@ -356,6 +356,37 @@ def test_meta_write_crash_window_recovers_from_tmp(spark, tmp_path):
     assert got[("10:00:00", "x")] == (1, 1)  # not re-merged
 
 
+def test_meta_gutted_dir_with_complete_tmp_rolls_forward(spark, tmp_path):
+    """Crash mid-rmtree of the OLD meta (the step between tmp write and
+    rename): meta still exists as a gutted, unreadable directory while
+    the complete tmp sits beside it. Recovery must roll FORWARD — the
+    tmp is the committed state — instead of trusting the corpse and
+    discarding the one artifact that can heal the sink."""
+    import shutil
+
+    target = str(tmp_path / "wins")
+    sink = _direct_sink(spark, target)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:00:01", "k": "x", "v": 1}]), 0)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:01:00", "k": "x", "v": 5}]), 1)
+
+    meta = f"{target}/_high_watermark"
+    # crash state: batch-1 meta copied to a complete tmp, live meta
+    # gutted mid-rmtree (parquet part gone, _SUCCESS left behind)
+    shutil.copytree(meta, f"{meta}.tmp-1")
+    for f in os.listdir(meta):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(meta, f))
+
+    wm, last = lateness._read_meta(spark, meta)
+    assert last == 1 and wm is not None
+    assert os.path.isdir(meta) and not os.path.isdir(f"{meta}.tmp-1")
+    # the sink keeps working (replay of batch 1 skips, batch 2 merges)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:01:00", "k": "x", "v": 5}]), 1)
+    sink(_batch_df(spark, [{"t": "2024-05-01 10:02:00", "k": "x", "v": 7}]), 2)
+    got = _windows(spark, target)
+    assert got[("10:02:00", "x")] == (1, 7)
+
+
 def test_meta_incomplete_tmp_is_discarded(spark, tmp_path):
     """A tmp WITHOUT _SUCCESS is a crash mid-tmp-write: the live meta
     was never touched, so the junk is discarded and the meta stands."""
