@@ -1679,3 +1679,79 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").alias("char_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via two-pass Misra-Gries — the sketch pattern for
+# "which tokens exceed phi of the corpus" when a full vocabulary groupBy
+# is too big to hold. Pass 1 runs the classic Misra-Gries summary
+# (k = 2/phi counters) PER PARTITION inside mapInPandas (dict state
+# carried across that partition's Arrow batches); the union of
+# per-partition candidates is a guaranteed superset of every global
+# heavy hitter (pigeonhole: freq > n*phi implies freq_p > n_p*phi in
+# some partition). Pass 2 counts ONLY the candidate tokens exactly
+# (broadcast semi-join, aggregate-sized groupBy) and filters by the
+# exact threshold — so the final answer is EXACT and DuckDB-checkable,
+# while the full-vocabulary shuffle never happens. At 100 TB: pass 1 is
+# scan-only with O(k) memory per task; pass 2 shuffles only candidate
+# counts (<= partitions * k rows).
+HEAVY_HITTER_PHI = 0.002
+
+
+def misra_gries_candidates(
+    words: DataFrame, word_col: str, k: int
+) -> DataFrame:
+    """Per-partition Misra-Gries(k) candidate tokens (distinct union)."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf[word_col]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    dead = [
+                        key for key in counters
+                        if counters[key] == 1
+                    ]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({word_col: list(counters)})
+
+    return words.mapInPandas(
+        mg, schema=f"{word_col} string"
+    ).distinct()
+
+
+@register(
+    "heavy_hitter_words",
+    survey="A7(ext),F3(ext)",
+    oracle=f"""
+WITH tok AS (
+    SELECT unnest({_WORDS_SQL}) AS w FROM documents
+), n AS (
+    SELECT count(*) AS total FROM tok
+)
+SELECT w, count(*) AS word_ct
+FROM tok, n
+GROUP BY w, total
+HAVING count(*) > total * {HEAVY_HITTER_PHI}
+""",
+)
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = explode_tokens(docs, "text", "w").select("w")
+    k = int(2 / HEAVY_HITTER_PHI)
+    cand = misra_gries_candidates(words, "w", k)
+    total = words.count()  # one scalar; the oracle's total is the same
+    return (
+        words.join(F.broadcast(cand), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("word_ct"))
+        .filter(F.col("word_ct") > total * HEAVY_HITTER_PHI)
+    )

@@ -202,6 +202,52 @@ def test_bpe_exact_catalog_matches_python(spark):
     assert got == expected
 
 
+def test_misra_gries_candidates_superset(spark):
+    """Every token above the global threshold must survive pass 1 —
+    including one drowned in distinct noise and arriving LAST in its
+    partition (the adversarial order for counter eviction)."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.textops import (
+        misra_gries_candidates,
+    )
+
+    noise = [(f"noise{i}",) for i in range(5000)]
+    heavy = [("hot",)] * 300
+    df = spark.createDataFrame(noise + heavy, "w string").repartition(4)
+    k = 50  # threshold n/k = 106; 'hot' (300) must survive
+    cand = {
+        r["w"] for r in misra_gries_candidates(df, "w", k).collect()
+    }
+    assert "hot" in cand
+    # and the two-pass result is exact: candidates verified by count
+    total = df.count()
+    exact = {
+        r["w"]
+        for r in df.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > total / k)
+        .collect()
+    }
+    got = {
+        r["w"]
+        for r in df.join(
+            F.broadcast(
+                misra_gries_candidates(df, "w", k).withColumnRenamed(
+                    "w", "w"
+                )
+            ),
+            "w",
+            "left_semi",
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > total / k)
+        .collect()
+    }
+    assert got == exact == {"hot"}
+
+
 def test_doc_chunk_boundaries(spark, tmp_path, monkeypatch):
     """Chunk windows: stride walks the token array, the last chunk is the
     clamped remainder, consecutive chunks overlap by SIZE-STRIDE tokens,
