@@ -132,6 +132,47 @@ def test_ivf_probe_scans_only_nprobe_partitions(spark, tmp_path):
     assert "posexplode" not in plan
 
 
+def test_runtime_bloom_filter_fires_on_selective_join(spark):
+    """Spark's runtime Bloom-filter join pruning (on by default, gated
+    by scan-size thresholds that test SFs never reach): a selective dim
+    filter injects bloom_filter_agg on the build side and might_contain
+    into the fact scan, cutting shuffled fact rows before the join. At
+    100 TB the default thresholds are met naturally; here they're
+    lowered to pin that the engine's session config keeps the feature
+    ARMED (a conf regression would silently lose it at scale)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled"
+            )
+            == "true"
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_lsh_probe_prunes_to_probed_high_bytes(spark, tmp_path):
     """The persisted LSH layout: the multi-probe scan must carry a
     literal bkt_hi IN PartitionFilter (<=37 of 256 high bytes for a
