@@ -132,7 +132,42 @@ def test_ivf_probe_scans_only_nprobe_partitions(spark, tmp_path):
     assert "posexplode" not in plan
 
 
-def test_runtime_bloom_filter_fires_on_selective_join(spark):
+def test_ivf_batch_probe_single_pruned_index_scan(spark, tmp_path):
+    """ivf_probe_batch: ONE scan of the persisted assignment regardless
+    of query count, pruned to the union of all probed cells; no Lloyd
+    machinery in the probe plan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_NPROBE,
+        ivf_build,
+        ivf_probe_batch,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_build(emb, str(tmp_path / "ivf-batch-index"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    df = ivf_probe_batch(spark, idx, queries)
+    # toString truncates long FileScan lines; formatted explain prints
+    # PartitionFilters complete (IN for short lists, INSET past 10)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(
+        r"PartitionFilters: \[cid#\d+ (?:IN \(([^)]*)\)|INSET ([0-9, ]+?)[,\]])",
+        plan,
+    )
+    assert m, plan
+    cells = (m.group(1) or m.group(2)).split(",")
+    assert len(cells) <= 3 * IVF_NPROBE
+    assert plan.count("ivf-batch-index/assignment") == 1
+    assert "posexplode" not in plan
     """Spark's runtime Bloom-filter join pruning (on by default, gated
     by scan-size thresholds that test SFs never reach): a selective dim
     filter injects bloom_filter_agg on the build side and might_contain
