@@ -684,3 +684,103 @@ def test_streaming_text_scoring_matches_batch(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native session windows compose with Structured Streaming: the
+    watermarked streaming session_window aggregation (append mode,
+    state evicted as sessions close) equals the batch sessionization
+    row-for-row. Two checkpointed availableNow passes with far-future
+    sentinels: the second pass's watermark advance deterministically
+    flushes any session the first pass still held (the trailing
+    no-data-batch flush is not guaranteed to drain everything in one
+    run). Window bounds compare as epoch micros so the check is
+    independent of session-timezone rendering."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.traffic import SESSION_GAP_S
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    batch0 = spark.read.parquet(src)
+    ts_long = dict(batch0.dtypes)["ts"] == "bigint"
+
+    def add_sentinel(stamp, ns):
+        sent_ts = (
+            F.lit(ns).cast("long")
+            if ts_long
+            else F.lit(stamp).cast(batch0.schema["ts"].dataType)
+        )
+        batch0.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            sent_ts.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        ).write.mode("append").parquet(src)
+
+    def ev_col(df):
+        if ts_long:
+            return F.timestamp_micros(F.expr("ts div 1000"))
+        return F.col("ts").cast("timestamp")
+
+    def sessions(df):
+        return (
+            df.groupBy(
+                F.session_window(
+                    "event_time", f"{SESSION_GAP_S} seconds"
+                ),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("event_ct"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("session_window.start")).alias("s_us"),
+                F.unix_micros(F.col("session_window.end")).alias("e_us"),
+                "event_ct",
+            )
+        )
+
+    def run_pass():
+        full = spark.read.parquet(src)
+        stream = (
+            spark.readStream.schema(full.schema)
+            .parquet(src)
+            .select("user_id", ev_col(full).alias("event_time"))
+            .withWatermark("event_time", "3 seconds")
+        )
+        q = (
+            sessions(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    add_sentinel("2100-01-01 00:00:00", 4102444800 * 10**9)
+    run_pass()
+    add_sentinel("2100-02-01 00:00:00", 4105123200 * 10**9)
+    run_pass()
+
+    full = spark.read.parquet(src)
+    expected = sessions(
+        full.select("user_id", ev_col(full).alias("event_time"))
+    ).filter(F.col("user_id") >= 0)
+    got = spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    assert got.count() > 0
