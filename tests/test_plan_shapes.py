@@ -168,6 +168,9 @@ def test_ivf_batch_probe_single_pruned_index_scan(spark, tmp_path):
     assert len(cells) <= 3 * IVF_NPROBE
     assert plan.count("ivf-batch-index/assignment") == 1
     assert "posexplode" not in plan
+
+
+def test_runtime_bloom_filter_fires_on_selective_join(spark):
     """Spark's runtime Bloom-filter join pruning (on by default, gated
     by scan-size thresholds that test SFs never reach): a selective dim
     filter injects bloom_filter_agg on the build side and might_contain
@@ -388,3 +391,32 @@ def test_scale8_topk_stays_take_ordered(spark, sf8_dir):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert len(df.collect()) == 10
+
+
+@pytest.mark.scale
+def test_scale8_heavy_hitter_candidates_stay_bounded(spark, sf8_dir):
+    """Pass 1 of the heavy-hitter sketch at 8x: the candidate set must
+    stay bounded by partitions * k (O(k) memory per task), and the
+    exact pass 2 output must be IDENTICAL to the un-unioned base — an
+    8x duplication multiplies every count and the threshold alike, so
+    the heavy-hitter set is invariant."""
+    from realtime_gmall_flink_spark.plans.textops import (
+        HEAVY_HITTER_PHI,
+        misra_gries_candidates,
+    )
+    from realtime_gmall_flink_spark.plans.textops import _docs
+    from realtime_gmall_flink_spark.functions.tokenize import (
+        explode_tokens,
+    )
+
+    words = explode_tokens(_docs(spark, sf8_dir), "text", "w").select("w")
+    k = int(2 / HEAVY_HITTER_PHI)
+    n_part = words.rdd.getNumPartitions()
+    cand_ct = misra_gries_candidates(words, "w", k).count()
+    assert cand_ct <= n_part * k
+
+    got = catalog()["heavy_hitter_words"].builder(spark, sf8_dir)
+    base = catalog()["heavy_hitter_words"].builder(spark, _SF8_BASE)
+    got_set = {(r["w"], r["word_ct"]) for r in got.collect()}
+    base_set = {(r["w"], r["word_ct"] * 8) for r in base.collect()}
+    assert got_set == base_set
