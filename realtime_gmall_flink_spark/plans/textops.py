@@ -1470,7 +1470,7 @@ def _star_contraction(
         # beats any number of 2-job contraction rounds
         return _driver_union_find(nodes, edges, id_col, label_col), 0
     rounds = 0
-    converged = prev_fp[0] == 0
+    converged = False  # edges here are always non-empty (> fallthrough)
     while prev_fp[0] and rounds < max_rounds:
         rounds += 1
         # large-star over the bidirected view: (v, m) for v > u
@@ -1698,16 +1698,21 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 HEAVY_HITTER_PHI = 0.002
 
 
-def misra_gries_candidates(
+def misra_gries_sketch(
     words: DataFrame, word_col: str, k: int
 ) -> DataFrame:
-    """Per-partition Misra-Gries(k) candidate tokens (distinct union)."""
+    """Per-partition Misra-Gries(k) sketch: one row per surviving
+    counter PLUS one null-keyed row carrying the partition's token
+    count — so the same single corpus scan yields both the candidate
+    set and the global total (no separate count job)."""
     import pandas as pd
 
     def mg(batches):
         counters: dict[str, int] = {}
+        n = 0
         for pdf in batches:
             for w in pdf[word_col]:
+                n += 1
                 if w in counters:
                     counters[w] += 1
                 elif len(counters) < k:
@@ -1721,11 +1726,26 @@ def misra_gries_candidates(
                         counters[key] -= 1
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame({word_col: list(counters)})
+        yield pd.DataFrame(
+            {
+                word_col: list(counters) + [None],
+                "part_rows": [0] * len(counters) + [n],
+            }
+        )
 
-    return words.mapInPandas(
-        mg, schema=f"{word_col} string"
-    ).distinct()
+    return words.mapInPandas(mg, schema=f"{word_col} string, part_rows long")
+
+
+def misra_gries_candidates(
+    words: DataFrame, word_col: str, k: int
+) -> DataFrame:
+    """Per-partition Misra-Gries(k) candidate tokens (distinct union)."""
+    return (
+        misra_gries_sketch(words, word_col, k)
+        .filter(F.col(word_col).isNotNull())
+        .select(word_col)
+        .distinct()
+    )
 
 
 @register(
@@ -1747,8 +1767,13 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     words = explode_tokens(docs, "text", "w").select("w")
     k = int(2 / HEAVY_HITTER_PHI)
-    cand = misra_gries_candidates(words, "w", k)
-    total = words.count()  # one scalar; the oracle's total is the same
+    # ONE sketch scan yields candidates AND the corpus total (the
+    # null-keyed partition-count rows); pass 2 is the only other scan
+    sketch = misra_gries_sketch(words, "w", k).localCheckpoint(
+        eager=True  # aggregate-sized; scanned twice below
+    )
+    cand = sketch.filter(F.col("w").isNotNull()).select("w").distinct()
+    total = sketch.agg(F.sum("part_rows")).collect()[0][0]
     return (
         words.join(F.broadcast(cand), "w", "left_semi")
         .groupBy("w")

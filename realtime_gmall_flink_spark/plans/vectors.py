@@ -484,10 +484,21 @@ def ivf_index_dir(
     ).hexdigest()[:16]
     # per-user parent dir: the system temp dir is world-shared, and a
     # foreign (or maliciously pre-created) dir at a predictable path
-    # must never be trusted as an index
-    uid = getattr(os, "getuid", lambda: "u")()
+    # must never be trusted as an index. mkdir with 0o700 and then
+    # VERIFY ownership+mode (mkdtemp-style) — exist_ok alone would
+    # happily adopt an attacker-pre-created dir of the same name.
+    uid = getattr(os, "getuid", lambda: None)()
     parent = os.path.join(tempfile.gettempdir(), f"gmall-ivf-{uid}")
-    os.makedirs(parent, exist_ok=True)
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    st = os.stat(parent)
+    if uid is not None:
+        if st.st_uid != uid:
+            raise RuntimeError(
+                f"refusing IVF cache parent {parent!r}: owned by uid"
+                f" {st.st_uid}, not {uid} — possible squatting"
+            )
+        if st.st_mode & 0o077:  # our own pre-hardening dir: tighten it
+            os.chmod(parent, 0o700)
     return os.path.join(parent, key)
 
 

@@ -166,11 +166,16 @@ _COMMITTED = "COMMITTED"
 
 
 def _sweep_unreferenced(path: str, meta: str) -> None:
-    """Delete ``compacted-*`` data files and staging dirs no log entry
-    anywhere references — debris of attempts that crashed before their
-    backup existed. Safe: a file absent from EVERY log file (not just
-    the valid reader window) is invisible to every reader, present or
-    future (future compacts fold from resolved entries only)."""
+    """Delete parquet data files and staging dirs no log entry anywhere
+    references — debris of compactions that crashed before their backup
+    existed (compacted-* from a pre-manifest crash) AND old part files
+    orphaned by a crash between the single-file .compact flip and its
+    old-file deletion loop. Safe: FileStreamSink readers resolve files
+    only through the log, and a file absent from EVERY log file (not
+    just the valid reader window) is invisible to every reader, present
+    or future — a restarted sink writes fresh file names, never these
+    (and the sweep only runs in stopped-writer windows: inside
+    compact_dir and the runners' pre-start recovery)."""
     referenced = set()
     for n in _log_file_names(meta):
         try:
@@ -184,7 +189,12 @@ def _sweep_unreferenced(path: str, meta: str) -> None:
         full = os.path.join(path, f)
         if f.startswith(".compact-staging-") and os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
-        elif f.startswith("compacted-") and f not in referenced:
+        elif (
+            f.endswith(".parquet")
+            and not f.startswith(".")
+            and os.path.isfile(full)
+            and f not in referenced
+        ):
             os.remove(full)
             _drop_crc(path, f)
 

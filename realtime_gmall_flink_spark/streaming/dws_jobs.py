@@ -135,8 +135,7 @@ def _recover_compaction_targets(targets) -> None:
     from .compaction import recover_sink_log_dir
 
     for t in targets:
-        if os.path.isdir(os.path.join(t, "_spark_metadata")):
-            recover_sink_log_dir(t)
+        recover_sink_log_dir(t)  # no-op without a _spark_metadata dir
 
 
 def _auto_compact(spark, targets, max_files: int | None) -> None:

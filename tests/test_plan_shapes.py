@@ -159,12 +159,16 @@ def test_ivf_batch_probe_single_pruned_index_scan(spark, tmp_path):
         "formatted"
     )
     plan = df._jdf.queryExecution().explainString(mode)
+    # greedy number-list capture: a lazy form would stop at the first
+    # comma and make the cell-count assertion vacuous for INSET
     m = re.search(
-        r"PartitionFilters: \[cid#\d+ (?:IN \(([^)]*)\)|INSET ([0-9, ]+?)[,\]])",
+        r"PartitionFilters: \[cid#\d+ "
+        r"(?:IN \(([0-9]+(?:, ?[0-9]+)*)\)|INSET ([0-9]+(?:, ?[0-9]+)*))",
         plan,
     )
     assert m, plan
     cells = (m.group(1) or m.group(2)).split(",")
+    assert len(cells) > 1  # the capture really got the list
     assert len(cells) <= 3 * IVF_NPROBE
     assert plan.count("ivf-batch-index/assignment") == 1
     assert "posexplode" not in plan
