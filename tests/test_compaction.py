@@ -384,6 +384,78 @@ def test_sink_log_backup_without_manifest_is_discarded(spark, tmp_path):
     assert _rowset(spark.read.parquet(out)) == before
 
 
+def test_sink_log_flip_killpoint_fuzz(spark, tmp_path, monkeypatch):
+    """Deterministic kill-point sweep over the multi-file flip: inject a
+    crash at the 1st/2nd/3rd call of each mutating primitive (backup
+    copy, log rewrite), then heal with a plain compact_dir re-run. Every
+    kill-point must leave a recoverable dir whose rows after heal +
+    compaction equal the pristine baseline — the property the two-phase
+    protocol claims for ALL its crash windows, not just the hand-picked
+    ones in the tests above."""
+    import shutil as real_shutil
+
+    from realtime_gmall_flink_spark.streaming import compaction as C
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(12):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").write.mode(
+            "append"
+        ).parquet(src)
+
+    class Kill(Exception):
+        pass
+
+    real_write = C._write_log_file
+    real_copy = real_shutil.copyfile
+    cases = [("write_log", n) for n in (1, 2, 3)] + [
+        ("copyfile", n) for n in (1, 2, 3)
+    ]
+    before = None
+    for i, (prim, kill_at) in enumerate(cases):
+        # each case gets its own streamed sink dir: the log stores
+        # ABSOLUTE data-file paths, so copytree'd twins would share
+        # (and then compact away) one underlying file set
+        out = str(tmp_path / f"case{i}")
+        _start_stream(spark, src, out, str(tmp_path / f"ckpt{i}"))
+        if before is None:
+            before = _rowset(spark.read.parquet(out))
+            assert len(before) == 12
+        calls = {"n": 0}
+
+        def dying_write(meta, name, entries):
+            if prim == "write_log":
+                calls["n"] += 1
+                if calls["n"] >= kill_at:
+                    raise Kill()
+            return real_write(meta, name, entries)
+
+        def dying_copy(a, b):
+            if prim == "copyfile":
+                calls["n"] += 1
+                if calls["n"] >= kill_at:
+                    raise Kill()
+            return real_copy(a, b)
+
+        monkeypatch.setattr(C, "_write_log_file", dying_write)
+        monkeypatch.setattr(C.shutil, "copyfile", dying_copy)
+        try:
+            compact_dir(spark, out, max_files=8)
+            died = False
+        except Kill:
+            died = True
+        finally:
+            monkeypatch.setattr(C, "_write_log_file", real_write)
+            monkeypatch.setattr(C.shutil, "copyfile", real_copy)
+        assert died, (prim, kill_at)
+        # crash state must still read consistently OR be healed by the
+        # next run; either way the re-run compacts and rows round-trip
+        stats = compact_dir(spark, out, max_files=8)
+        assert stats, (prim, kill_at)
+        assert _rowset(spark.read.parquet(out)) == before, (prim, kill_at)
+        real_shutil.rmtree(out, ignore_errors=True)
+
+
 def test_compacting_chained_detail_dir_duplicates(spark, tmp_path):
     """PINNED HAZARD — why the runners' auto-compact hook refuses
     intermediate dirs: a downstream FileStreamSource checkpoint
