@@ -1180,3 +1180,314 @@ def tpch_q13_order_distribution(
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q9 shape: profit by nation and year — a 4-dim snowflake join
+# fanning out of lineitem with a per-row profit expression, grouped on
+# derived columns from two different branches of the join tree (nation
+# from the supplier branch, year from the orders branch). The testdata
+# has no partsupp, so cost is p_retailprice * quantity; profit can go
+# negative, which exercises signed decimal sums.
+# Scale: part/supplier/nation broadcast; lineitem-orders shuffles once
+# on orderkey; the group-by keys are tiny (25 nations x 7 years), so the
+# final exchange is map-side-combined to a few hundred rows.
+@register(
+    "tpch_q9_product_profit",
+    survey="J1,J5,A4",
+    oracle="""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    profit = F.sum(
+        dec("l_extendedprice") * (one - dec("l_discount"))
+        - dec("p_retailprice") * dec("l_quantity")
+    ).cast("double")
+    return (
+        li.join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(profit.alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q11 shape: grouped value with a HAVING threshold drawn from an
+# uncorrelated scalar subquery over the SAME filtered join — the
+# "fraction of the global total" pattern. SQL API on purpose: Catalyst
+# plans the scalar subquery once (a one-row broadcast into the filter),
+# not per group. No partsupp, so "inventory value" is quantity-weighted
+# extended price from suppliers in the low-key nations.
+# Scale: the subquery is a second scan+agg producing ONE row; both
+# aggregations are map-side combined on l_partkey; the threshold
+# comparison is a scalar filter after the group-by, no extra shuffle.
+@register(
+    "tpch_q11_important_stock",
+    survey="J1,A4(subquery)",
+    oracle="""
+SELECT l_partkey AS partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE s_nationkey < 13
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+       0.001 * (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_quantity AS DECIMAL(18,2)))
+                            AS DOUBLE)
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                WHERE s_nationkey < 13)
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = f"parquet.`{sf_dir}/lineitem.parquet`"
+    supp = f"parquet.`{sf_dir}/supplier.parquet`"
+    value = (
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+    )
+    return spark.sql(f"""
+        SELECT l_partkey AS partkey, {value} AS value
+        FROM {li} JOIN {supp} ON s_suppkey = l_suppkey
+        WHERE s_nationkey < 13
+        GROUP BY l_partkey
+        HAVING {value} >
+               0.001 * (SELECT {value}
+                        FROM {li} JOIN {supp} ON s_suppkey = l_suppkey
+                        WHERE s_nationkey < 13)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q12 shape: join + conditional two-way count split (the
+# priority-class CASE pivot). No l_shipmode/receiptdate in the testdata,
+# so the grouping key is l_linestatus and "late" is shipped >30 days
+# after the order date. Counts go through CAST(SUM(CASE) AS BIGINT) so
+# the oracle side never widens to HUGEINT.
+# Scale: one shuffle (orders-lineitem equi-join, AQE may broadcast at
+# low SF), then a 2-3 row hash agg; the CASE folds into codegen.
+@register(
+    "tpch_q12_priority_split",
+    survey="J1,P5,A4",
+    oracle="""
+SELECT l_linestatus AS linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+""",
+)
+def tpch_q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q16 shape: DISTINCT-count of suppliers per part attribute triple
+# with a NOT IN exclusion subquery (the anti-join rewrite) and a
+# multi-predicate dimension filter. lineitem stands in for partsupp
+# (its (l_partkey, l_suppkey) pairs are the supplies-this-part
+# relation); the excluded suppliers are the low-balance ones.
+# Scale: part is broadcast into lineitem; the NOT IN set is k rows and
+# broadcast as a null-aware anti join (s_suppkey is non-null, so the
+# null-semantics trap stays inert); count(DISTINCT) shuffles once on
+# the group keys with a per-partition de-dup first.
+@register(
+    "tpch_q16_supplier_cnt",
+    survey="J1(anti),A7",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(broadcast(excluded), "l_suppkey", "left_anti")
+        .join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q20 shape: a semi-join (IN) whose subquery filters an aggregate
+# built per (supplier, part) pair against a pair-correlated fraction —
+# "suppliers who shipped more than half of a part's lifetime volume in
+# 1997". No partsupp, so the pair relation is lineitem's grouped
+# (l_suppkey, l_partkey) with decimal-exact quantity sums; the part
+# filter is the classic name-prefix LIKE. SQL API on purpose: the IN
+# subquery decorrelates to a left-semi join, and the CTE's two
+# conditional sums come from ONE scan (vs the reference query's two
+# correlated scans).
+# Scale: pair aggregation shuffles lineitem once on the composite key
+# with map-side combine; part is broadcast into the k-row pair side;
+# the final semi join is supplier-count sized.
+@register(
+    "tpch_q20_excess_shippers",
+    survey="J1(semi),A4(subquery)",
+    oracle="""
+WITH pair AS (
+    SELECT l_suppkey, l_partkey,
+           CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                         THEN CAST(l_quantity AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS q97,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qall
+    FROM lineitem
+    GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+    SELECT pair.l_suppkey
+    FROM pair JOIN part ON p_partkey = pair.l_partkey
+    WHERE p_name LIKE 'cold%' AND pair.q97 > 0.5 * pair.qall)
+""",
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {
+        n: f"parquet.`{sf_dir}/{n}.parquet`"
+        for n in ("lineitem", "part", "supplier", "nation")
+    }
+    return spark.sql(f"""
+        WITH pair AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(SUM(CASE WHEN l_shipdate >=
+                                      TIMESTAMP '1997-01-01 00:00:00'
+                                  AND l_shipdate <
+                                      TIMESTAMP '1998-01-01 00:00:00'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2))
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DOUBLE) AS q97,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) AS qall
+            FROM {t['lineitem']}
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM {t['supplier']} JOIN {t['nation']}
+          ON n_nationkey = s_nationkey
+        WHERE s_suppkey IN (
+            SELECT pair.l_suppkey
+            FROM pair JOIN {t['part']} ON p_partkey = pair.l_partkey
+            WHERE p_name LIKE 'cold%' AND pair.q97 > 0.5 * pair.qall)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q21 shape: EXISTS plus NOT EXISTS over the SAME fact table,
+# both correlated to the outer row's order and one through a non-equi
+# predicate on an OUTER column (o_orderdate) — the hardest decorrelation
+# in the suite. "Suppliers who were the sole late shipper on a
+# multi-supplier order": late = shipped >60 days after the order date
+# (no receipt/commit dates in the testdata).
+# Scale: Catalyst turns the EXISTS into a left-semi and the NOT EXISTS
+# into a left-anti join, each shuffling lineitem on l_orderkey — three
+# scans of lineitem but no per-row re-execution; the nation filter
+# prunes the outer side before either join.
+@register(
+    "tpch_q21_waiting_suppliers",
+    survey="J1(semi),J1(anti),A4(subquery)",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_nationkey < 13
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+""",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {
+        n: f"parquet.`{sf_dir}/{n}.parquet`"
+        for n in ("lineitem", "orders", "supplier", "nation")
+    }
+    return spark.sql(f"""
+        SELECT s_name, count(*) AS numwait
+        FROM {t['supplier']}
+        JOIN {t['lineitem']} l1 ON s_suppkey = l1.l_suppkey
+        JOIN {t['orders']} o ON o.o_orderkey = l1.l_orderkey
+        JOIN {t['nation']} ON n_nationkey = s_nationkey
+        WHERE n_nationkey < 13
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM {t['lineitem']} l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM {t['lineitem']} l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+    """)
