@@ -314,6 +314,35 @@ LIMIT {TOP_K}
 """,
 )
 def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many form: the corpus is materialized as the
+    bkt_hi-partitioned LSH layout (per-user cached, like ann_ivf_topk's
+    IVF index) and the probe reads only the probed high-byte partitions
+    via a literal PartitionFilter. The query's own bucket comes from a
+    one-row pushed-down scan of the source table (metadata-sized
+    collect). multiprobe_topk_inmem keeps the index-free form."""
+    idx = lsh_index_dir(sf_dir)
+    lsh_build(_emb(spark, sf_dir), idx)
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            "embedding",
+            sign_lsh_bucket(F.col("embedding"), bits=ANN_BITS)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .collect()[0]
+    )
+    q = spark.createDataFrame([(qrow["embedding"],)], ["qe"])
+    return lsh_probe(
+        spark, idx, q, qrow["bucket"], exclude_vec_id=QUERY_VEC_ID
+    )
+
+
+def multiprobe_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-free multi-probe (the pre-persistence form): probe buckets
+    come from an exploded broadcast of the query row, the candidate cut
+    is the same bucket equi-join, no materialized layout required."""
     emb = _emb(spark, sf_dir).withColumn(
         "bucket",
         sign_lsh_bucket(F.col("embedding"), bits=ANN_BITS).cast("int"),
@@ -460,14 +489,10 @@ def ivf_refine(
 IVF_INDEX_FORMAT = 1
 
 
-def ivf_index_dir(
-    sf_dir: str,
-    n_centroids: int = IVF_CENTROIDS,
-    lloyd_iters: int = IVF_LLOYD_ITERS,
-) -> str:
-    """Deterministic per-(source, params) cache location. The source
-    file's (mtime, size) is part of the key, so regenerated testdata
-    gets a fresh index instead of a stale hit."""
+def _index_cache_dir(kind: str, sf_dir: str, params: str) -> str:
+    """Deterministic per-(source, params) cache location for a persisted
+    ANN index. The source file's (mtime, size) is part of the key, so
+    regenerated testdata gets a fresh index instead of a stale hit."""
     import hashlib
     import os
     import tempfile
@@ -478,28 +503,37 @@ def ivf_index_dir(
         fp = f"{src}:{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         fp = src
-    key = hashlib.md5(
-        f"{fp}|k={n_centroids}|lloyd={lloyd_iters}"
-        f"|v={IVF_INDEX_FORMAT}".encode()
-    ).hexdigest()[:16]
+    key = hashlib.md5(f"{fp}|{params}".encode()).hexdigest()[:16]
     # per-user parent dir: the system temp dir is world-shared, and a
     # foreign (or maliciously pre-created) dir at a predictable path
     # must never be trusted as an index. mkdir with 0o700 and then
     # VERIFY ownership+mode (mkdtemp-style) — exist_ok alone would
     # happily adopt an attacker-pre-created dir of the same name.
     uid = getattr(os, "getuid", lambda: None)()
-    parent = os.path.join(tempfile.gettempdir(), f"gmall-ivf-{uid}")
+    parent = os.path.join(tempfile.gettempdir(), f"gmall-{kind}-{uid}")
     os.makedirs(parent, mode=0o700, exist_ok=True)
     st = os.stat(parent)
     if uid is not None:
         if st.st_uid != uid:
             raise RuntimeError(
-                f"refusing IVF cache parent {parent!r}: owned by uid"
+                f"refusing {kind} cache parent {parent!r}: owned by uid"
                 f" {st.st_uid}, not {uid} — possible squatting"
             )
         if st.st_mode & 0o077:  # our own pre-hardening dir: tighten it
             os.chmod(parent, 0o700)
     return os.path.join(parent, key)
+
+
+def ivf_index_dir(
+    sf_dir: str,
+    n_centroids: int = IVF_CENTROIDS,
+    lloyd_iters: int = IVF_LLOYD_ITERS,
+) -> str:
+    return _index_cache_dir(
+        "ivf",
+        sf_dir,
+        f"k={n_centroids}|lloyd={lloyd_iters}|v={IVF_INDEX_FORMAT}",
+    )
 
 
 def ivf_build(
@@ -847,15 +881,29 @@ def ivf_probe_batch(
 LSH_HI_SHIFT = 8
 
 
+LSH_INDEX_FORMAT = 1
+
+
+def lsh_index_dir(sf_dir: str, bits: int = ANN_BITS) -> str:
+    """Per-user cached location for the persisted LSH layout (same
+    keying and squatting defenses as the IVF cache)."""
+    return _index_cache_dir(
+        "lsh", sf_dir, f"bits={bits}|v={LSH_INDEX_FORMAT}"
+    )
+
+
 def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     """Materialize (vec_id, embedding, bucket) partitioned by the
-    bucket's high byte. Staged + renamed like ivf_build."""
+    bucket's high byte. Staged + renamed like ivf_build; an existing
+    dir without the buckets/ layout is untrusted debris and rebuilt."""
     import os
     import shutil
     import uuid
 
     if os.path.isdir(index_dir):
-        return index_dir
+        if os.path.isdir(os.path.join(index_dir, "buckets")):
+            return index_dir
+        shutil.rmtree(index_dir, ignore_errors=True)
     staging = f"{index_dir}.building-{uuid.uuid4().hex[:8]}"
     (
         emb.select(
@@ -874,7 +922,11 @@ def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     try:
         os.rename(staging, index_dir)
     except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)  # concurrent build won
+    if not os.path.isdir(os.path.join(index_dir, "buckets")):
+        raise RuntimeError(
+            f"LSH index at {index_dir!r} is invalid after build"
+        )
     return index_dir
 
 

@@ -266,7 +266,45 @@ def test_lsh_probe_prunes_to_probed_high_bytes(spark, tmp_path):
     assert m, plan
     assert len(m.group(1).split(",")) <= 37
 
-    expected = catalog()["ann_multiprobe_topk"].builder(spark, SF_DIR)
+    from realtime_gmall_flink_spark.plans.vectors import (
+        multiprobe_topk_inmem,
+    )
+
+    expected = multiprobe_topk_inmem(spark, SF_DIR)
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in expected.collect()
+    ]
+
+
+def test_ann_multiprobe_catalog_entry_probes_persisted_layout(spark):
+    """The ann_multiprobe_topk catalog entry is the build-once/
+    probe-many form: its plan scans the persisted bkt_hi-partitioned
+    layout with a literal PartitionFilter (<=37 of 256 high bytes) and
+    contains no bucket-computation or probe-explosion over the corpus
+    (no join against an exploded query side, no shuffle at all before
+    the top-k), and it still equals the index-free form."""
+    import re
+
+    df = catalog()["ann_multiprobe_topk"].builder(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(
+        r"PartitionFilters: \[bkt_hi#\d+ INSET ([0-9, ]+)\]", plan
+    )
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 37
+    # probe-side work is a broadcast of the 1-row query: the only join
+    # is that BroadcastNestedLoopJoin; no hash exchange anywhere
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" not in plan  # no probe-mask explode in the probe
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        multiprobe_topk_inmem,
+    )
+
+    expected = multiprobe_topk_inmem(spark, SF_DIR)
     assert [tuple(r) for r in df.collect()] == [
         tuple(r) for r in expected.collect()
     ]
