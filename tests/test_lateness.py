@@ -427,3 +427,129 @@ def test_legacy_windows_dir_without_batch_stamp_merges(spark, tmp_path):
     assert len(all_rows) == 1  # no duplicate layout remnants
     got = _windows(spark, target)
     assert got[("10:00:00", "x")] == (2, 11)
+
+
+def test_late_sink_killpoint_fuzz(spark, tmp_path, monkeypatch):
+    """Deterministic kill-point sweep over the whole sink protocol —
+    the mechanical form of the hand-picked crash tests above. A batch
+    that exercises every mutating step (too-late side output, merge
+    staging, dynamic partition overwrite, meta tmp write, old-meta
+    rmtree, meta rename) is killed at each primitive call, replayed
+    (as Structured Streaming would after a crash before the checkpoint
+    commit), and driven one batch further: the final windows and late
+    side output must equal a pristine twin's for EVERY kill-point."""
+    import shutil as real_shutil
+
+    import pyspark.sql.readwriter as RW
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            [(r["t"], r["k"], r["v"]) for r in rows],
+            "t string, k string, v long",
+        ).select(F.to_timestamp("t").alias("t"), "k", "v")
+
+    def make_sink(target):
+        return lateness.late_window_sink(
+            target,
+            "t",
+            "10 seconds",
+            ["k"],
+            {"cnt": F.count(F.lit(1)), "vsum": F.sum("v")},
+            allowed_lateness="10 seconds",
+        )
+
+    b1 = [
+        {"t": "2024-05-01 10:00:01", "k": "x", "v": 1},
+        {"t": "2024-05-01 10:00:12", "k": "x", "v": 5},
+    ]
+    # b2 walks every branch: a re-fire row (merge), a too-late row
+    # (side output), so the protocol runs late-write -> staging ->
+    # data overwrite -> meta tmp -> old-meta rmtree -> meta rename
+    b2 = [
+        {"t": "2024-05-01 10:00:05", "k": "x", "v": 10},
+        {"t": "2024-05-01 09:59:01", "k": "x", "v": 99},
+    ]
+    b3 = [{"t": "2024-05-01 10:00:07", "k": "x", "v": 100}]
+
+    def run_all(target, dying_batch=None):
+        sink = make_sink(target)
+        sink(batch_df(b1), 0)
+        if dying_batch is not None:
+            dying_batch(sink)  # killed attempt
+        sink(batch_df(b2), 1)  # replay (or first run, pristine twin)
+        sink(batch_df(b3), 2)
+        wins = {
+            (str(r["stt"])[11:19], r["k"]): (r["cnt"], r["vsum"])
+            for r in lateness.read_windows(spark, target).collect()
+        }
+        late = lateness.read_too_late(spark, target)
+        late_rows = sorted(
+            (str(r["stt"])[11:19], r["k"], r["vsum"])
+            for r in late.collect()
+        )
+        return wins, late_rows
+
+    expected = run_all(str(tmp_path / "pristine"))
+    assert expected[0][("10:00:00", "x")] == (3, 111)
+    assert expected[1] == [("09:59:00", "x", 99)]
+
+    class Kill(Exception):
+        pass
+
+    real_parquet = RW.DataFrameWriter.parquet
+    real_rmtree = real_shutil.rmtree
+    real_rename = os.rename
+    # parquet x4 = late output, merge staging, data overwrite, meta tmp;
+    # rmtree x2 = staging cleanup, old-meta removal; rename x1 = meta flip
+    cases = (
+        [("parquet", n) for n in (1, 2, 3, 4)]
+        + [("rmtree", n) for n in (1, 2)]
+        + [("rename", 1)]
+    )
+    for i, (prim, kill_at) in enumerate(cases):
+        target = str(tmp_path / f"case{i}")
+        calls = {"n": 0}
+
+        def arm(name):
+            def maybe_kill():
+                if prim == name:
+                    calls["n"] += 1
+                    if calls["n"] >= kill_at:
+                        raise Kill()
+
+            return maybe_kill
+
+        k_parquet, k_rmtree, k_rename = (
+            arm("parquet"),
+            arm("rmtree"),
+            arm("rename"),
+        )
+
+        def dying_parquet(self, path, **kw):
+            k_parquet()
+            return real_parquet(self, path, **kw)
+
+        def dying_rmtree(path, *a, **kw):
+            k_rmtree()
+            return real_rmtree(path, *a, **kw)
+
+        def dying_rename(a, b):
+            k_rename()
+            return real_rename(a, b)
+
+        def dying_batch(sink):
+            monkeypatch.setattr(RW.DataFrameWriter, "parquet", dying_parquet)
+            monkeypatch.setattr(real_shutil, "rmtree", dying_rmtree)
+            monkeypatch.setattr(os, "rename", dying_rename)
+            try:
+                sink(batch_df(b2), 1)
+                raise AssertionError(f"no kill fired: {prim} {kill_at}")
+            except Kill:
+                pass
+            finally:
+                monkeypatch.setattr(RW.DataFrameWriter, "parquet", real_parquet)
+                monkeypatch.setattr(real_shutil, "rmtree", real_rmtree)
+                monkeypatch.setattr(os, "rename", real_rename)
+
+        got = run_all(target, dying_batch)
+        assert got == expected, (prim, kill_at, got)
