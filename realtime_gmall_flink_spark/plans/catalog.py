@@ -34,15 +34,29 @@ _LOADED = False
 # order), so the checked window must carry one representative of every
 # SURVEY.md section-2 operator family PLUS the whole LLM-data-pipeline
 # surface (SimHash, text analysis, dataset assembly, ANN — the
-# BASELINE.json north star).  DRIVER_WINDOW pins those 50 names
-# explicitly; everything else (redundant TPC-H join/agg variants whose
-# operator families are already represented, auxiliary diagnostics, and
-# any future additions) sits past the window, where it keeps pytest +
-# oracle coverage but no driver row.  tests/test_catalog_parity.py
-# enforces the invariants (window size == DRIVER_CAP, graded families
-# inside, no HUGEINT oracle columns).
+# BASELINE.json north star).
+#
+# ROTATION (round 6 onward): the catalog outgrew the 50-row window
+# (40+ entries would otherwise never get a driver row), so the window
+# is CORE_WINDOW (40 family-critical names, always graded) plus
+# ROTATION_SLOTS names drawn from ROTATION_POOL by a per-round circular
+# slice — the slice advances ROTATION_SLOTS names each round, so every
+# pool entry gets a driver row once per full cycle
+# (len(pool)/slots rounds). The round index comes from counting the
+# driver's own CORRECTNESS_r*.json artifacts at the repo root
+# (deterministic within a round: the file for round N appears only
+# after that round's driver run), overridable via GMALL_DRIVER_ROUND;
+# if neither is available the window pins to rotation position 0.
+# Position 0 reproduces the round-5 pinned window exactly (as a set),
+# so rotation cannot regress a previously green round. Off-window
+# entries keep pytest-oracle parity at sf0.001 plus the sf0.01 leg
+# (-m sf001) every round. tests/test_catalog_parity.py enforces the
+# invariants at EVERY rotation position (window size == DRIVER_CAP,
+# registered names, no HUGEINT oracle columns, full-cycle coverage).
 DRIVER_CAP = 50
-DRIVER_WINDOW: tuple[str, ...] = (
+ROTATION_BASE_ROUND = 6  # rounds < base used the pinned window
+
+CORE_WINDOW: tuple[str, ...] = (
     # gmall traffic/user/log surface + streaming + skew + temporal joins
     "traffic_event_type_window",
     "traffic_home_detail_uv_window",
@@ -54,13 +68,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "config_routed_counts",
     "split_union_daily",
     "session_window_stats",
-    "sliding_window_counts",
     "conditional_net_value",
     "streaming_event_type_window",
     "salted_event_type_stats",
     "asof_last_purchase_before_view",
     "interval_join_purchase_after_view",
-    "value_tier_counts",
     # trade/TPC-H representatives (one per join/agg family)
     "tpch_q1",
     "tpch_q3_top_orders",
@@ -70,38 +82,132 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "province_order_window",
     "parts_never_bulk_ordered",
     "revenue_rollup",
-    "brand_refund_window",
-    # multimodal representative (mapInPandas over a binary column);
-    # replaced shipment_lateness_by_priority, whose conditional-agg
-    # family stays covered by conditional_net_value — it keeps
-    # pytest-oracle parity past the window
+    # multimodal representative (mapInPandas over a binary column)
     "media_image_decode_stats",
     # LLM data-pipeline: dedup / fingerprints / text analysis / assembly
     "keyword_frequency",
     "dedup_exact_documents",
-    "doc_fingerprint",
     "near_dup_jaccard",
-    "minhash_bands",
     "near_dup_minhash_pairs",
-    "simhash_fingerprint",
     "near_dup_simhash_pairs",
     "doc_language_id",
     "text_quality",
     "text_stats_by_lang",
     "doc_token_counts",
-    "train_val_split_stats",
     "split_contamination",
     "doc_chunks",
-    "doc_token_rarity",
-    "doc_length_percentiles",
     "curation_funnel",
     # LLM data-pipeline: embeddings / ANN
     "ann_cosine_topk",
     "near_dup_embedding_pairs",
-    "ann_lsh_topk",
     "ann_multiprobe_topk",
     "ann_ivf_topk",
 )
+
+# Every registered entry NOT in CORE_WINDOW, in rotation order. The
+# first ROTATION_SLOTS names are the round-5 window residents whose
+# families CORE still covers (so position 0 == the round-5 window);
+# the rest follow past-window registration order. New catalog entries
+# MUST be appended here (enforced by test_rotation_pool_is_exhaustive).
+ROTATION_POOL: tuple[str, ...] = (
+    # round-5 window residents in rotating slots
+    "sliding_window_counts",
+    "value_tier_counts",
+    "brand_refund_window",
+    "doc_fingerprint",
+    "minhash_bands",
+    "simhash_fingerprint",
+    "train_val_split_stats",
+    "doc_token_rarity",
+    "doc_length_percentiles",
+    "ann_lsh_topk",
+    # past-window entries, registration order
+    "visitor_repair",
+    "user_login_window",
+    "traffic_uv_window_approx",
+    "top_users_per_event_type",
+    "streaming_dedup_latest_stateful",
+    "brand_type_order_window",
+    "tpch_q5_local_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q18_large_orders",
+    "tpch_q10_returned_revenue",
+    "tpch_q6_revenue_change",
+    "shipment_lateness_by_priority",
+    "revenue_cube",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_banded_revenue",
+    "tpch_q2_min_price_supplier",
+    "tpch_q22_dormant_customers",
+    "tpch_q13_order_distribution",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_split",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    "doc_token_counts_bpe_exact",
+    "doc_length_percentiles_approx",
+    "doc_repetition_stats",
+    "tfidf_top_terms",
+    "near_dup_clusters",
+    "doc_pii_redaction_stats",
+    "stratified_sample_stats",
+    "heavy_hitter_words",
+    "lsh_bucket_stats",
+    "embedding_label_stats",
+    "ann_ivf_batch_topk",
+    "media_frame_sample_stats",
+)
+
+ROTATION_SLOTS = DRIVER_CAP - len(CORE_WINDOW)
+
+
+def _round_index() -> int:
+    """Current build round: GMALL_DRIVER_ROUND if set, else 1 + the
+    number of driver CORRECTNESS_r*.json artifacts at the repo root
+    (round N's file appears only after round N's driver run, so the
+    count is stable for the whole round). Falls back to the rotation
+    base (position 0) when neither source exists."""
+    import os
+    import re
+
+    env = os.environ.get("GMALL_DRIVER_ROUND")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            return ROTATION_BASE_ROUND
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return ROTATION_BASE_ROUND
+    n = sum(
+        1 for f in names if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
+    )
+    return n + 1 if n else ROTATION_BASE_ROUND
+
+
+def driver_window(round_idx: int | None = None) -> tuple[str, ...]:
+    """The DRIVER_CAP names graded this round: CORE_WINDOW plus a
+    circular ROTATION_SLOTS-wide slice of ROTATION_POOL that advances
+    one slice per round from ROTATION_BASE_ROUND."""
+    r = _round_index() if round_idx is None else round_idx
+    start = (max(0, r - ROTATION_BASE_ROUND) * ROTATION_SLOTS) % len(
+        ROTATION_POOL
+    )
+    doubled = ROTATION_POOL + ROTATION_POOL
+    return CORE_WINDOW + doubled[start : start + ROTATION_SLOTS]
+
+
+DRIVER_WINDOW: tuple[str, ...] = driver_window()
 
 # Submodules that populate the registry on import.
 _MODULES = (

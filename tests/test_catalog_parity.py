@@ -55,7 +55,7 @@ def test_rows_only(spark, qdef):
 
 def test_driver_window_invariants():
     """The driver hashes exactly the first DRIVER_CAP catalog entries in
-    registration order; the pinned DRIVER_WINDOW must fill that window
+    registration order; the computed DRIVER_WINDOW must fill that window
     exactly (size, order, uniqueness) so graded operator families cannot
     silently fall out of the checked set."""
     from realtime_gmall_flink_spark.plans.catalog import (
@@ -67,6 +67,74 @@ def test_driver_window_invariants():
     assert len(DRIVER_WINDOW) == DRIVER_CAP
     assert len(set(DRIVER_WINDOW)) == DRIVER_CAP
     assert list(catalog())[:DRIVER_CAP] == list(DRIVER_WINDOW)
+
+
+def test_rotation_pool_is_exhaustive():
+    """Every registered entry sits in exactly one of CORE_WINDOW /
+    ROTATION_POOL — a new register() without a pool line fails here, so
+    nothing can be added that never gets a driver row."""
+    from realtime_gmall_flink_spark.plans.catalog import (
+        CORE_WINDOW,
+        ROTATION_POOL,
+        catalog,
+    )
+
+    core, pool = set(CORE_WINDOW), set(ROTATION_POOL)
+    assert len(core) == len(CORE_WINDOW)
+    assert len(pool) == len(ROTATION_POOL)
+    assert not core & pool
+    assert core | pool == set(catalog())
+
+
+def test_rotation_every_position_valid_and_cycle_covers_all():
+    """At every rotation position the window is DRIVER_CAP unique
+    registered names containing all of CORE_WINDOW; a full cycle gives
+    every catalog entry a driver row. Position 0 must equal the round-5
+    pinned window (as a set) so rotation can never regress a
+    previously green round."""
+    import math
+
+    from realtime_gmall_flink_spark.plans.catalog import (
+        CORE_WINDOW,
+        DRIVER_CAP,
+        ROTATION_BASE_ROUND,
+        ROTATION_POOL,
+        ROTATION_SLOTS,
+        catalog,
+        driver_window,
+    )
+
+    cycle = math.ceil(len(ROTATION_POOL) / ROTATION_SLOTS)
+    covered = set()
+    for r in range(ROTATION_BASE_ROUND, ROTATION_BASE_ROUND + cycle):
+        w = driver_window(r)
+        assert len(w) == DRIVER_CAP
+        assert len(set(w)) == DRIVER_CAP
+        assert set(CORE_WINDOW) <= set(w)
+        assert set(w) <= set(catalog())
+        covered |= set(w)
+    assert covered == set(catalog())
+    # pre-rotation rounds clamp to position 0
+    assert set(driver_window(1)) == set(driver_window(ROTATION_BASE_ROUND))
+    r5_window = set(CORE_WINDOW) | set(ROTATION_POOL[:ROTATION_SLOTS])
+    assert set(driver_window(ROTATION_BASE_ROUND)) == r5_window
+
+
+def test_round_index_env_override(monkeypatch):
+    from realtime_gmall_flink_spark.plans.catalog import (
+        _round_index,
+        driver_window,
+    )
+
+    monkeypatch.setenv("GMALL_DRIVER_ROUND", "8")
+    assert _round_index() == 8
+    monkeypatch.setenv("GMALL_DRIVER_ROUND", "not-a-number")
+    from realtime_gmall_flink_spark.plans.catalog import (
+        ROTATION_BASE_ROUND,
+    )
+
+    assert _round_index() == ROTATION_BASE_ROUND
+    assert len(driver_window(8)) == 50
 
 
 def test_uv_window_approx_within_rsd_of_exact(spark):
@@ -155,9 +223,11 @@ def test_length_percentiles_approx_within_band(spark):
 def test_driver_window_oracles_no_hugeint():
     """An un-cast SUM in a DuckDB oracle yields HUGEINT, which the
     driver's value-hash cannot reproduce from Spark's bigint/double —
-    every windowed oracle must describe clean of HUGEINT columns."""
+    every windowable oracle (any rotation position can surface any
+    CORE/POOL entry) must describe clean of HUGEINT columns."""
     from realtime_gmall_flink_spark.plans.catalog import (
-        DRIVER_WINDOW,
+        CORE_WINDOW,
+        ROTATION_POOL,
         catalog,
     )
 
@@ -166,7 +236,7 @@ def test_driver_window_oracles_no_hugeint():
     cat = catalog()
     con = duck_connection(SF_DIR)
     bad = []
-    for name in DRIVER_WINDOW:
+    for name in (*CORE_WINDOW, *ROTATION_POOL):
         oracle = cat[name].oracle
         if not oracle:
             continue
