@@ -162,6 +162,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "embedding_label_stats",
     "ann_ivf_batch_topk",
     "media_frame_sample_stats",
+    "fuzzy_dedup_survivor_stats",
 )
 
 ROTATION_SLOTS = DRIVER_CAP - len(CORE_WINDOW)

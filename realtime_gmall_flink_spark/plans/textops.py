@@ -1780,3 +1780,66 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("word_ct"))
         .filter(F.col("word_ct") > total * HEAVY_HITTER_PHI)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end fuzzy dedup — the composition a training-data pipeline
+# actually runs: near-dup pair generation (bucketed Jaccard) →
+# connected-component clustering → keep ONE canonical doc per cluster
+# (smallest doc_id — exactly the component label, so survivorship is a
+# column compare, not another join) → per-language survivorship report.
+# Scale: everything upstream is the already-bucketed pair/contraction
+# machinery; the labels table is one row per doc (ids only), the
+# doc-attribute join shuffles on doc_id once, and the report is a
+# lang-cardinality aggregate.
+@register(
+    "fuzzy_dedup_survivor_stats",
+    survey="D1(ext),J1(ext),A4(ext)",
+    oracle=f"""
+WITH RECURSIVE jp AS ({_JACCARD_PAIR_ORACLE}
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM jp
+    UNION ALL
+    SELECT doc_b, doc_a FROM jp
+), walk(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+), labels AS (
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(SUM(CASE WHEN d.doc_id = l.cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN d.doc_id <> l.cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN d.doc_id <> l.cluster_id THEN d.n_chars
+                     ELSE 0 END) AS BIGINT) AS removed_chars
+FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+GROUP BY d.lang
+""",
+)
+def fuzzy_dedup_survivor_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    labels = star_contraction_components(
+        docs.select("doc_id"),
+        jaccard_pairs(docs).select("doc_a", "doc_b"),
+    )
+    removed = F.col("doc_id") != F.col("cluster_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(labels, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(~removed, 1).otherwise(0)).alias("n_survivors"),
+            F.sum(F.when(removed, 1).otherwise(0)).alias("n_removed"),
+            F.sum(F.when(removed, F.col("n_chars")).otherwise(0)).alias(
+                "removed_chars"
+            ),
+        )
+    )
