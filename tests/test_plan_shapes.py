@@ -462,3 +462,35 @@ def test_scale8_heavy_hitter_candidates_stay_bounded(spark, sf8_dir):
     got_set = {(r["w"], r["word_ct"]) for r in got.collect()}
     base_set = {(r["w"], r["word_ct"] * 8) for r in base.collect()}
     assert got_set == base_set
+
+
+def test_q21_subqueries_decorrelate_to_semi_and_anti_joins(spark):
+    """The EXISTS / NOT EXISTS pair in tpch_q21_waiting_suppliers —
+    one correlated through a non-equi predicate on an OUTER column —
+    must decorrelate into left-semi and left-anti hash joins (no
+    per-row subquery re-execution, no cartesian product)."""
+    df = catalog()["tpch_q21_waiting_suppliers"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_semi_join_single_pair_aggregation(spark):
+    """tpch_q20_excess_shippers: the IN-subquery becomes a left-semi
+    join and the pair CTE's two conditional sums come from ONE lineitem
+    aggregation (two HashAggregate levels: partial + final), not one
+    scan per conditional sum."""
+    df = catalog()["tpch_q20_excess_shippers"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one grouped aggregation over (l_suppkey, l_partkey):
+    # partial+final of the same agg — a duplicated CTE would double it
+    import re
+
+    pair_aggs = re.findall(
+        r"HashAggregate\(keys=\[l_suppkey#\d+L?, l_partkey#\d+L?\]", plan
+    )
+    assert len(pair_aggs) == 2, plan
