@@ -163,6 +163,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "ann_ivf_batch_topk",
     "media_frame_sample_stats",
     "fuzzy_dedup_survivor_stats",
+    "doc_bigram_commonness",
 )
 
 ROTATION_SLOTS = DRIVER_CAP - len(CORE_WINDOW)

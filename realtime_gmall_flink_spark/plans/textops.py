@@ -1843,3 +1843,61 @@ def fuzzy_dedup_survivor_stats(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram commonness — a deterministic stand-in for the LM
+# perplexity filters corpus pipelines run (rare-bigram docs ~ high
+# perplexity ~ noise/mojibake/code). Two corpus passes: bigram counts
+# (vocab = charset^2 rows — kilobytes for ASCII corpora, still
+# aggregate-sized for CJK), then each doc's mean corpus frequency over
+# its own bigrams (with multiplicity). All arithmetic is exact until
+# the final double division (decimal count sum / bigram count), so both
+# engines hash identically — unlike a log-probability sum, whose libm
+# rounding differs across engines (why this is a frequency mean, not a
+# perplexity proper).
+# Scale: the bigram explode is codegen (transform+sequence, no UDF);
+# the count join exchanges on the bigram key unless AQE broadcasts the
+# vocab-sized side; the per-doc mean shuffles doc_id once.
+@register(
+    "doc_bigram_commonness",
+    survey="P8(ext),A4(ext)",
+    oracle="""
+WITH bg AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, length(text) - 1),
+                                 i -> substring(text, i, 2))) AS bg
+    FROM documents
+    WHERE length(text) >= 2
+), cnt AS (
+    SELECT bg, count(*) AS c FROM bg GROUP BY bg
+)
+SELECT b.doc_id,
+       CAST(SUM(CAST(c AS DECIMAL(18,0))) AS DOUBLE) / count(*)
+           AS commonness
+FROM bg b JOIN cnt USING (bg)
+GROUP BY b.doc_id
+""",
+)
+def doc_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 2)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(cnt, "bg")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("c").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("commonness")
+        )
+    )
