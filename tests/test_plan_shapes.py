@@ -494,3 +494,49 @@ def test_q20_semi_join_single_pair_aggregation(spark):
         r"HashAggregate\(keys=\[l_suppkey#\d+L?, l_partkey#\d+L?\]", plan
     )
     assert len(pair_aggs) == 2, plan
+
+
+@pytest.mark.scale
+def test_scale8_bigram_commonness_vocab_bounded(spark, sf8_dir):
+    """doc_bigram_commonness at 8x docs: the count-join side is bounded
+    by the CHARSET^2 vocabulary, not the corpus — 8x input must produce
+    the identical vocabulary cardinality, and the per-doc output stays
+    one row per distinct doc (duplicated doc_ids collapse)."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.textops import _docs
+
+    def vocab(sf):
+        return (
+            _docs(spark, sf)
+            .filter(F.length("text") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(text) - 1),"
+                        " i -> substring(text, i, 2))"
+                    )
+                ).alias("bg")
+            )
+            .distinct()
+            .count()
+        )
+
+    assert vocab(sf8_dir) == vocab(_SF8_BASE)
+    df = catalog()["doc_bigram_commonness"].builder(spark, sf8_dir)
+    base = catalog()["doc_bigram_commonness"].builder(spark, _SF8_BASE)
+    assert df.count() == base.count()
+    assert "CartesianProduct" not in _plan(df)
+
+
+@pytest.mark.scale
+def test_scale8_q21_decorrelation_holds(spark, sf8_dir):
+    """The q21 EXISTS/NOT EXISTS decorrelation must stay hash-join
+    shaped at 8x lineitem — a planner fallback to a nested-loop or
+    cartesian form here would be quadratic at scale."""
+    df = catalog()["tpch_q21_waiting_suppliers"].builder(spark, sf8_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
