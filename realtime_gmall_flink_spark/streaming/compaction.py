@@ -19,7 +19,10 @@ Two layouts:
   rewritten in lock-step: every existing log file keeps its NAME (batch
   ids and the arithmetic compact positions must not move), earlier
   entries become header-only, and the latest lists exactly the
-  compacted files. Hadoop ``.crc`` sidecars of rewritten files are
+  compacted files. PARTITIONED sink dirs compact per partition leaf
+  (compacted files go back inside their own ``part=...`` dir, so
+  partition pruning survives; under-threshold leaves keep their
+  entries verbatim) and flow through the same log flip. Hadoop ``.crc`` sidecars of rewritten files are
   dropped (a stale checksum would fail the next read). The streaming
   query keeps its numbering on restart: the next micro-batch appends
   batch N+1 as if compaction never happened.
@@ -165,6 +168,23 @@ _MANIFEST = "MANIFEST"
 _COMMITTED = "COMMITTED"
 
 
+def _walk_data_dirs(path: str):
+    """(dirpath, filenames) for the data tree of a sink dir — _META and
+    dot-dirs pruned, staging dirs removed as encountered (they are
+    always debris in the stopped-writer windows this module runs in).
+    Walks partition subdirs too (partitioned FileStreamSink layout)."""
+    for dirpath, dirnames, filenames in os.walk(path):
+        for d in list(dirnames):
+            if d.startswith(".compact-staging-"):
+                shutil.rmtree(
+                    os.path.join(dirpath, d), ignore_errors=True
+                )
+        dirnames[:] = [
+            d for d in dirnames if d != _META and not d.startswith(".")
+        ]
+        yield dirpath, filenames
+
+
 def _sweep_unreferenced(path: str, meta: str) -> None:
     """Delete parquet data files and staging dirs no log entry anywhere
     references — debris of compactions that crashed before their backup
@@ -175,7 +195,9 @@ def _sweep_unreferenced(path: str, meta: str) -> None:
     just the valid reader window) is invisible to every reader, present
     or future — a restarted sink writes fresh file names, never these
     (and the sweep only runs in stopped-writer windows: inside
-    compact_dir and the runners' pre-start recovery)."""
+    compact_dir and the runners' pre-start recovery). File identity is
+    by basename: Spark part files and our compacted-* names embed a
+    UUID, so basenames are unique across partition subdirs."""
     referenced = set()
     for n in _log_file_names(meta):
         try:
@@ -185,18 +207,15 @@ def _sweep_unreferenced(path: str, meta: str) -> None:
                 )
         except (OSError, ValueError, json.JSONDecodeError):
             return  # mid-flip log state: never sweep on partial info
-    for f in os.listdir(path):
-        full = os.path.join(path, f)
-        if f.startswith(".compact-staging-") and os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
-        elif (
-            f.endswith(".parquet")
-            and not f.startswith(".")
-            and os.path.isfile(full)
-            and f not in referenced
-        ):
-            os.remove(full)
-            _drop_crc(path, f)
+    for dirpath, filenames in _walk_data_dirs(path):
+        for f in filenames:
+            if (
+                f.endswith(".parquet")
+                and not f.startswith(".")
+                and f not in referenced
+            ):
+                os.remove(os.path.join(dirpath, f))
+                _drop_crc(dirpath, f)
 
 
 def recover_sink_log_dir(path: str) -> bool:
@@ -260,10 +279,11 @@ def recover_sink_log_dir(path: str) -> bool:
                     os.replace(tmp, os.path.join(meta, n))
                     _drop_crc(meta, n)
                 run = d[len(_BACKUP_PREFIX):]
-                for f in os.listdir(path):
-                    if f.startswith(f"compacted-{run}-"):
-                        os.remove(os.path.join(path, f))
-                        _drop_crc(path, f)
+                for dirpath, filenames in _walk_data_dirs(path):
+                    for f in filenames:
+                        if f.startswith(f"compacted-{run}-"):
+                            os.remove(os.path.join(dirpath, f))
+                            _drop_crc(dirpath, f)
             recovered = True
         shutil.rmtree(bdir, ignore_errors=True)
     _sweep_unreferenced(path, meta)
@@ -279,13 +299,64 @@ def _compact_sink_log_dir(
     if not names:
         return {}
     entries = _valid_log_entries(meta, names)
-    if any("=" in os.path.relpath(_local_path(e["path"]), path)
-           for e in entries):
-        raise NotImplementedError(
-            "compaction of PARTITIONED FileStreamSink dirs is not"
-            " supported (flat rewrite would strip partition pruning);"
-            f" dir: {path}"
-        )
+    run = uuid.uuid4().hex[:8]
+    partitioned = any(
+        "=" in os.path.relpath(_local_path(e["path"]), path)
+        for e in entries
+    )
+    if partitioned:
+        # per-PARTITION rewrite (the layout-preserving form the flat
+        # path cannot use): group committed entries by their partition
+        # leaf, compact only over-threshold leaves back INTO their own
+        # leaf (data files of a partitioned FileStreamSink carry no
+        # partition columns — the dir name is the value, so a direct
+        # file-list read + same-leaf write round-trips exactly), keep
+        # under-threshold leaves' entries verbatim, then run the same
+        # crash-recoverable log flip over the combined entry list.
+        by_part: dict[str, list[dict]] = {}
+        for e in entries:
+            rel = os.path.relpath(
+                os.path.dirname(_local_path(e["path"])), path
+            )
+            by_part.setdefault("" if rel == "." else rel, []).append(e)
+        new_entries: list[dict] = []
+        old_local: list[str] = []
+        rewritten: dict[str, tuple[int, int]] = {}
+        for pidx, pdir in enumerate(sorted(by_part)):
+            es = by_part[pdir]
+            locs = [_local_path(e["path"]) for e in es]
+            if len(locs) <= max_files:
+                new_entries.extend(es)
+                continue
+            leaf = os.path.join(path, pdir)
+            total = sum(e.get("size") or 0 for e in es) or sum(
+                os.path.getsize(p) for p in locs if os.path.exists(p)
+            )
+            n_out = max(1, math.ceil(total / target_bytes))
+            staging = os.path.join(leaf, f".compact-staging-{run}")
+            (
+                spark.read.parquet(*locs)
+                .coalesce(n_out)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            n_new = 0
+            for i, f in enumerate(_parquet_files(staging)):
+                name = (
+                    f"compacted-{run}-{pidx:03d}-{i:05d}.snappy.parquet"
+                )
+                dst = os.path.join(leaf, name)
+                os.replace(os.path.join(staging, f), dst)
+                new_entries.append(_add_entry(dst))
+                n_new += 1
+            shutil.rmtree(staging, ignore_errors=True)
+            rewritten[leaf] = (len(locs), n_new)
+            old_local.extend(locs)
+        if not rewritten:
+            return {}
+        _flip_log(path, meta, names, run, new_entries, old_local)
+        return rewritten
+
     old_local = [_local_path(e["path"]) for e in entries]
     if len(old_local) <= max_files:
         return {}
@@ -294,7 +365,6 @@ def _compact_sink_log_dir(
         os.path.getsize(p) for p in old_local if os.path.exists(p)
     )
     n_out = max(1, math.ceil(total / target_bytes))
-    run = uuid.uuid4().hex[:8]
     staging = os.path.join(path, f".compact-staging-{run}")
     # read THROUGH the log (spark.read honors _spark_metadata), so
     # exactly the committed file set is compacted
@@ -309,20 +379,33 @@ def _compact_sink_log_dir(
         name = f"compacted-{run}-{i:05d}.snappy.parquet"
         dst = os.path.join(path, name)
         os.replace(os.path.join(staging, f), dst)
-        st = os.stat(dst)
-        new_entries.append(
-            {
-                "path": f"file://{dst}",
-                "size": st.st_size,
-                "isDir": False,
-                "modificationTime": int(st.st_mtime * 1000),
-                "blockReplication": 1,
-                "blockSize": 33554432,
-                "action": "add",
-            }
-        )
+        new_entries.append(_add_entry(dst))
     shutil.rmtree(staging, ignore_errors=True)
+    _flip_log(path, meta, names, run, new_entries, old_local)
+    return {path: (len(old_local), len(new_entries))}
 
+
+def _add_entry(dst: str) -> dict:
+    st = os.stat(dst)
+    return {
+        "path": f"file://{dst}",
+        "size": st.st_size,
+        "isDir": False,
+        "modificationTime": int(st.st_mtime * 1000),
+        "blockReplication": 1,
+        "blockSize": 33554432,
+        "action": "add",
+    }
+
+
+def _flip_log(
+    path: str,
+    meta: str,
+    names: list[str],
+    run: str,
+    new_entries: list[dict],
+    old_local: list[str],
+) -> None:
     # the log flip: the LATEST log file ends up carrying exactly the
     # compacted set. Names (batch ids, .compact suffixes) must not
     # change — the reader finds compact snapshots by batch-id arithmetic
@@ -371,7 +454,6 @@ def _compact_sink_log_dir(
                 os.remove(p)
                 _drop_crc(os.path.dirname(p), os.path.basename(p))
         shutil.rmtree(bdir, ignore_errors=True)
-    return {path: (len(old_local), len(new_entries))}
 
 
 def compact_dir(

@@ -123,27 +123,132 @@ def test_sink_log_dir_compacts_and_survives_restart(spark, tmp_path):
     assert _rowset(spark.read.parquet(out)) == after
 
 
-def test_partitioned_sink_log_dir_refused(spark, tmp_path):
-    src = str(tmp_path / "src")
-    out = str(tmp_path / "out")
-    os.makedirs(src)
-    spark.createDataFrame(
-        [(1, "a"), (2, "b")], "id long, part string"
-    ).write.mode("append").parquet(src)
+def _start_partitioned_stream(spark, src, out, ckpt):
     q = (
         spark.readStream.schema("id long, part string")
+        .option("maxFilesPerTrigger", "1")
         .parquet(src)
         .writeStream.format("parquet")
         .outputMode("append")
         .partitionBy("part")
         .option("path", out)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    with pytest.raises(NotImplementedError, match="PARTITIONED"):
-        compact_dir(spark, out, max_files=0)
+
+
+def _partitioned_src(spark, tmp_path, n=10):
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(n):
+        spark.createDataFrame(
+            [(i, "a" if i % 2 else "b")], "id long, part string"
+        ).write.mode("append").parquet(src)
+    return src
+
+
+def test_partitioned_sink_log_dir_compacts_per_leaf(spark, tmp_path):
+    """Partitioned FileStreamSink dirs compact per partition LEAF —
+    compacted files land back inside their own part=... dir so
+    partition pruning survives, the log lists the union of compacted +
+    untouched entries, rows round-trip through the log, and a restarted
+    query keeps appending with its original numbering."""
+    src = _partitioned_src(spark, tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _start_partitioned_stream(spark, src, out, ckpt)
+    before = _rowset(spark.read.parquet(out))
+    assert len(before) == 10
+    assert _pq_count(out) >= 10
+
+    stats = compact_dir(spark, out, max_files=2)
+    assert set(stats) == {f"{out}/part=a", f"{out}/part=b"}
+    assert _pq_count(out) <= 4
+    assert _rowset(spark.read.parquet(out)) == before
+    # pruning survives: a partition filter reaches the scan
+    df = spark.read.parquet(out).filter("part = 'a'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan
+    assert len(df.collect()) == 5
+
+    # re-run is a no-op
+    assert compact_dir(spark, out, max_files=2) == {}
+
+    # the stream continues after compaction with no loss/duplication
+    spark.createDataFrame(
+        [(100, "a")], "id long, part string"
+    ).write.mode("append").parquet(src)
+    _start_partitioned_stream(spark, src, out, ckpt)
+    after = _rowset(spark.read.parquet(out))
+    assert len(after) == 11
+    assert set(before) <= set(after)
+
+
+def test_partitioned_sink_log_mixed_thresholds(spark, tmp_path):
+    """Only over-threshold leaves are rewritten; an untouched leaf
+    keeps its original files byte-for-byte and its log entries
+    verbatim."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # 6 rows to part=b, 1 row to part=a
+    for i in range(6):
+        spark.createDataFrame(
+            [(i, "b")], "id long, part string"
+        ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(99, "a")], "id long, part string"
+    ).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    _start_partitioned_stream(spark, src, out, str(tmp_path / "ckpt"))
+    before = _rowset(spark.read.parquet(out))
+    a_files = sorted(os.listdir(f"{out}/part=a"))
+
+    stats = compact_dir(spark, out, max_files=2)
+    assert list(stats) == [f"{out}/part=b"]
+    assert sorted(os.listdir(f"{out}/part=a")) == a_files
+    assert _rowset(spark.read.parquet(out)) == before
+
+
+def test_partitioned_sink_log_midflip_crash_recovers(spark, tmp_path):
+    """A crash mid-flip on a partitioned sink dir heals exactly like
+    the flat case: the next compact_dir restores the log, drops the
+    dead attempt's orphans (walking partition subdirs), and completes
+    the rewrite with identical rows."""
+    from realtime_gmall_flink_spark.streaming import compaction as C
+
+    # 12 batches: the newest log file is a DELTA (the batch-9 .compact
+    # is two behind), forcing the multi-file backup+rewrite flip — with
+    # a .compact newest the flip is one atomic write and never reaches
+    # a second _write_log_file call
+    src = _partitioned_src(spark, tmp_path, n=12)
+    out = str(tmp_path / "out")
+    _start_partitioned_stream(spark, src, out, str(tmp_path / "ckpt"))
+    before = _rowset(spark.read.parquet(out))
+
+    class Kill(Exception):
+        pass
+
+    real_write = C._write_log_file
+    calls = {"n": 0}
+
+    def dying_write(meta, name, entries):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise Kill()
+        return real_write(meta, name, entries)
+
+    C._write_log_file = dying_write
+    try:
+        with pytest.raises(Kill):
+            compact_dir(spark, out, max_files=2)
+    finally:
+        C._write_log_file = real_write
+    # heal + complete
+    stats = compact_dir(spark, out, max_files=2)
+    assert stats
+    assert _rowset(spark.read.parquet(out)) == before
 
 
 def test_compact_topics_sweeps_table_dirs(spark, tmp_path):
