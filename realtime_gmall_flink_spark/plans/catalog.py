@@ -50,9 +50,11 @@ _LOADED = False
 # Position 0 reproduces the round-5 pinned window exactly (as a set),
 # so rotation cannot regress a previously green round. Off-window
 # entries keep pytest-oracle parity at sf0.001 plus the sf0.01 leg
-# (-m sf001) every round. tests/test_catalog_parity.py enforces the
-# invariants at EVERY rotation position (window size == DRIVER_CAP,
-# registered names, no HUGEINT oracle columns, full-cycle coverage).
+# (-m sf001) every round; ROWS_ONLY_TAIL entries (no oracle) never
+# rotate in — the hashed window stays all-oracle.
+# tests/test_catalog_parity.py enforces the invariants at EVERY
+# rotation position (window size == DRIVER_CAP, registered names, only
+# oracle-backed names, no HUGEINT oracle columns, full-cycle coverage).
 DRIVER_CAP = 50
 ROTATION_BASE_ROUND = 6  # rounds < base used the pinned window
 
@@ -124,7 +126,6 @@ ROTATION_POOL: tuple[str, ...] = (
     # past-window entries, registration order
     "visitor_repair",
     "user_login_window",
-    "traffic_uv_window_approx",
     "top_users_per_event_type",
     "streaming_dedup_latest_stateful",
     "brand_type_order_window",
@@ -150,8 +151,6 @@ ROTATION_POOL: tuple[str, ...] = (
     "tpch_q16_supplier_cnt",
     "tpch_q20_excess_shippers",
     "tpch_q21_waiting_suppliers",
-    "doc_token_counts_bpe_exact",
-    "doc_length_percentiles_approx",
     "doc_repetition_stats",
     "tfidf_top_terms",
     "near_dup_clusters",
@@ -164,6 +163,17 @@ ROTATION_POOL: tuple[str, ...] = (
     "media_frame_sample_stats",
     "fuzzy_dedup_survivor_stats",
     "doc_bigram_commonness",
+)
+
+# Rows-only entries (oracle=None) never rotate INTO the hashed window:
+# a driver row for them is only a rows-check (their real gates are the
+# numeric pytest assertions), and keeping the window all-oracle keeps
+# every CORRECTNESS row a full hash comparison. They stay past the
+# window permanently.
+ROWS_ONLY_TAIL: tuple[str, ...] = (
+    "traffic_uv_window_approx",
+    "doc_length_percentiles_approx",
+    "doc_token_counts_bpe_exact",
 )
 
 ROTATION_SLOTS = DRIVER_CAP - len(CORE_WINDOW)
@@ -183,7 +193,7 @@ def _round_index() -> int:
         try:
             return int(env)
         except ValueError:
-            return ROTATION_BASE_ROUND
+            pass  # malformed override: fall through to artifact count
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )

@@ -87,29 +87,50 @@ def _drop_crc(d: str, name: str) -> None:
         os.remove(crc)
 
 
+def _compact_into(
+    spark: SparkSession,
+    df,
+    dest: str,
+    run: str,
+    total: int,
+    target_bytes: int,
+    prefix: str = "",
+) -> list[str]:
+    """The shared rewrite step of every compaction path: write ``df``
+    size-targeted into a staging dir inside ``dest``, rename the parts
+    to ``compacted-<run>-<prefix><i>`` names, drop staging. Returns the
+    new file paths; deleting the old files is the CALLER's protocol
+    (leaf rewrites delete immediately, sink-log paths only after the
+    log flip)."""
+    n_out = max(1, math.ceil(total / target_bytes))
+    staging = os.path.join(dest, f".compact-staging-{run}")
+    df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    new_paths = []
+    for i, f in enumerate(_parquet_files(staging)):
+        name = f"compacted-{run}-{prefix}{i:05d}.snappy.parquet"
+        dst = os.path.join(dest, name)
+        os.replace(os.path.join(staging, f), dst)
+        new_paths.append(dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    return new_paths
+
+
 def _rewrite_leaf(
     spark: SparkSession, leaf: str, files: list[str], target_bytes: int
 ) -> int:
     total = sum(os.path.getsize(os.path.join(leaf, f)) for f in files)
-    n_out = max(1, math.ceil(total / target_bytes))
-    run = uuid.uuid4().hex[:8]
-    staging = os.path.join(leaf, f".compact-staging-{run}")
-    (
-        spark.read.parquet(*[os.path.join(leaf, f) for f in files])
-        .coalesce(n_out)
-        .write.mode("overwrite")
-        .parquet(staging)
+    new_paths = _compact_into(
+        spark,
+        spark.read.parquet(*[os.path.join(leaf, f) for f in files]),
+        leaf,
+        uuid.uuid4().hex[:8],
+        total,
+        target_bytes,
     )
-    new_names = []
-    for i, f in enumerate(_parquet_files(staging)):
-        name = f"compacted-{run}-{i:05d}.snappy.parquet"
-        os.replace(os.path.join(staging, f), os.path.join(leaf, name))
-        new_names.append(name)
     for f in files:
         os.remove(os.path.join(leaf, f))
         _drop_crc(leaf, f)
-    shutil.rmtree(staging, ignore_errors=True)
-    return len(new_names)
+    return len(new_paths)
 
 
 def _read_log_entries(meta: str, name: str) -> list[dict]:
@@ -332,25 +353,17 @@ def _compact_sink_log_dir(
             total = sum(e.get("size") or 0 for e in es) or sum(
                 os.path.getsize(p) for p in locs if os.path.exists(p)
             )
-            n_out = max(1, math.ceil(total / target_bytes))
-            staging = os.path.join(leaf, f".compact-staging-{run}")
-            (
-                spark.read.parquet(*locs)
-                .coalesce(n_out)
-                .write.mode("overwrite")
-                .parquet(staging)
+            new_paths = _compact_into(
+                spark,
+                spark.read.parquet(*locs),
+                leaf,
+                run,
+                total,
+                target_bytes,
+                prefix=f"{pidx:03d}-",
             )
-            n_new = 0
-            for i, f in enumerate(_parquet_files(staging)):
-                name = (
-                    f"compacted-{run}-{pidx:03d}-{i:05d}.snappy.parquet"
-                )
-                dst = os.path.join(leaf, name)
-                os.replace(os.path.join(staging, f), dst)
-                new_entries.append(_add_entry(dst))
-                n_new += 1
-            shutil.rmtree(staging, ignore_errors=True)
-            rewritten[leaf] = (len(locs), n_new)
+            new_entries.extend(_add_entry(p) for p in new_paths)
+            rewritten[leaf] = (len(locs), len(new_paths))
             old_local.extend(locs)
         if not rewritten:
             return {}
@@ -364,23 +377,12 @@ def _compact_sink_log_dir(
     total = sum(e.get("size") or 0 for e in entries) or sum(
         os.path.getsize(p) for p in old_local if os.path.exists(p)
     )
-    n_out = max(1, math.ceil(total / target_bytes))
-    staging = os.path.join(path, f".compact-staging-{run}")
     # read THROUGH the log (spark.read honors _spark_metadata), so
     # exactly the committed file set is compacted
-    (
-        spark.read.parquet(path)
-        .coalesce(n_out)
-        .write.mode("overwrite")
-        .parquet(staging)
+    new_paths = _compact_into(
+        spark, spark.read.parquet(path), path, run, total, target_bytes
     )
-    new_entries = []
-    for i, f in enumerate(_parquet_files(staging)):
-        name = f"compacted-{run}-{i:05d}.snappy.parquet"
-        dst = os.path.join(path, name)
-        os.replace(os.path.join(staging, f), dst)
-        new_entries.append(_add_entry(dst))
-    shutil.rmtree(staging, ignore_errors=True)
+    new_entries = [_add_entry(p) for p in new_paths]
     _flip_log(path, meta, names, run, new_entries, old_local)
     return {path: (len(old_local), len(new_entries))}
 

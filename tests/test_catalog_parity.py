@@ -71,19 +71,31 @@ def test_driver_window_invariants():
 
 def test_rotation_pool_is_exhaustive():
     """Every registered entry sits in exactly one of CORE_WINDOW /
-    ROTATION_POOL — a new register() without a pool line fails here, so
-    nothing can be added that never gets a driver row."""
+    ROTATION_POOL / ROWS_ONLY_TAIL — a new register() without a pool
+    line fails here, so nothing can be added that silently never gets a
+    driver row. The tail must be exactly the oracle-less entries (the
+    hashed window stays all-oracle: a driver row for a rows-only entry
+    is just a rows-check, their real gates are the numeric pytest
+    assertions) and CORE/POOL must be all-oracle."""
     from realtime_gmall_flink_spark.plans.catalog import (
         CORE_WINDOW,
         ROTATION_POOL,
+        ROWS_ONLY_TAIL,
         catalog,
     )
 
-    core, pool = set(CORE_WINDOW), set(ROTATION_POOL)
+    cat = catalog()
+    core, pool, tail = (
+        set(CORE_WINDOW),
+        set(ROTATION_POOL),
+        set(ROWS_ONLY_TAIL),
+    )
     assert len(core) == len(CORE_WINDOW)
     assert len(pool) == len(ROTATION_POOL)
-    assert not core & pool
-    assert core | pool == set(catalog())
+    assert len(tail) == len(ROWS_ONLY_TAIL)
+    assert not (core & pool or core & tail or pool & tail)
+    assert core | pool | tail == set(cat)
+    assert tail == {n for n, q in cat.items() if not q.oracle}
 
 
 def test_rotation_every_position_valid_and_cycle_covers_all():
@@ -104,6 +116,8 @@ def test_rotation_every_position_valid_and_cycle_covers_all():
         driver_window,
     )
 
+    from realtime_gmall_flink_spark.plans.catalog import ROWS_ONLY_TAIL
+
     cycle = math.ceil(len(ROTATION_POOL) / ROTATION_SLOTS)
     covered = set()
     for r in range(ROTATION_BASE_ROUND, ROTATION_BASE_ROUND + cycle):
@@ -112,8 +126,9 @@ def test_rotation_every_position_valid_and_cycle_covers_all():
         assert len(set(w)) == DRIVER_CAP
         assert set(CORE_WINDOW) <= set(w)
         assert set(w) <= set(catalog())
+        assert not set(w) & set(ROWS_ONLY_TAIL)
         covered |= set(w)
-    assert covered == set(catalog())
+    assert covered == set(catalog()) - set(ROWS_ONLY_TAIL)
     # pre-rotation rounds clamp to position 0
     assert set(driver_window(1)) == set(driver_window(ROTATION_BASE_ROUND))
     r5_window = set(CORE_WINDOW) | set(ROTATION_POOL[:ROTATION_SLOTS])
@@ -128,12 +143,12 @@ def test_round_index_env_override(monkeypatch):
 
     monkeypatch.setenv("GMALL_DRIVER_ROUND", "8")
     assert _round_index() == 8
+    # malformed override falls through to the artifact count, exactly
+    # as if the variable were unset
     monkeypatch.setenv("GMALL_DRIVER_ROUND", "not-a-number")
-    from realtime_gmall_flink_spark.plans.catalog import (
-        ROTATION_BASE_ROUND,
-    )
-
-    assert _round_index() == ROTATION_BASE_ROUND
+    garbled = _round_index()
+    monkeypatch.delenv("GMALL_DRIVER_ROUND")
+    assert garbled == _round_index()
     assert len(driver_window(8)) == 50
 
 
