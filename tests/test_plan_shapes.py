@@ -540,3 +540,23 @@ def test_scale8_q21_decorrelation_holds(spark, sf8_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_dedup_survivorship_no_cartesian(spark):
+    """fuzzy_dedup_survivor_stats composes pair-gen + contraction +
+    attribute join + report; nothing in the composition may degrade to
+    a cartesian/nested-loop pair enumeration, and the final report must
+    be a lang-cardinality aggregate (rows bounded by languages, not
+    docs)."""
+    df = catalog()["fuzzy_dedup_survivor_stats"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    from realtime_gmall_flink_spark.plans.textops import _docs
+
+    n_langs = _docs(spark, SF_DIR).select("lang").distinct().count()
+    assert len(rows) <= n_langs
+    # conservation: every doc is either a survivor or removed
+    for r in rows:
+        assert r["n_docs"] == r["n_survivors"] + r["n_removed"]
