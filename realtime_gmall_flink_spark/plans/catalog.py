@@ -163,6 +163,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "media_frame_sample_stats",
     "fuzzy_dedup_survivor_stats",
     "doc_bigram_commonness",
+    "ann_filtered_topk",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -986,3 +986,46 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_arrow(
         emb.filter(F.col("vec_id") != QUERY_VEC_ID), list(qvec), TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered ANN — "search within a category/tenant": top-k
+# cosine neighbors among vectors sharing the query's label. The label
+# is collected driver-side (one-row lookup) so the corpus filter is a
+# LITERAL pushed into the parquet scan (PushedFilters: EqualTo(label,…)
+# — plan-asserted): at scale, on a label-partitioned layout, that same
+# literal becomes partition pruning, the same build-once shape as the
+# IVF/LSH indexes. The re-rank stays a TakeOrdered top-k.
+@register(
+    "ann_filtered_topk",
+    survey="J5(ext),P7(ext)",
+    oracle=f"""
+WITH q AS (
+    SELECT embedding AS qe, label AS ql FROM embeddings
+    WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id, round({_COS}, 6) AS cos_sim
+FROM embeddings, q
+WHERE label = ql AND vec_id <> {QUERY_VEC_ID}
+ORDER BY round({_COS}, 6) DESC, vec_id
+LIMIT {TOP_K}
+""",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding", "label")
+        .collect()[0]
+    )
+    q = spark.createDataFrame([(qrow["embedding"],)], ["qe"])
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("label") == F.lit(qrow["label"]))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
