@@ -170,12 +170,13 @@ ROTATION_POOL: tuple[str, ...] = (
 # a driver row for them is only a rows-check (their real gates are the
 # numeric pytest assertions), and keeping the window all-oracle keeps
 # every CORRECTNESS row a full hash comparison. They stay past the
-# window permanently.
-ROWS_ONLY_TAIL: tuple[str, ...] = (
-    "traffic_uv_window_approx",
-    "doc_length_percentiles_approx",
-    "doc_token_counts_bpe_exact",
-)
+# window permanently. The set is DERIVED (registry minus CORE/POOL);
+# test_rotation_pool_is_exhaustive pins that everything outside
+# CORE/POOL really is oracle-less.
+def rows_only_tail() -> tuple[str, ...]:
+    cat = catalog()
+    inwin = set(CORE_WINDOW) | set(ROTATION_POOL)
+    return tuple(n for n in cat if n not in inwin)
 
 ROTATION_SLOTS = DRIVER_CAP - len(CORE_WINDOW)
 

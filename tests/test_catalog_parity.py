@@ -80,22 +80,22 @@ def test_rotation_pool_is_exhaustive():
     from realtime_gmall_flink_spark.plans.catalog import (
         CORE_WINDOW,
         ROTATION_POOL,
-        ROWS_ONLY_TAIL,
         catalog,
+        rows_only_tail,
     )
 
     cat = catalog()
-    core, pool, tail = (
-        set(CORE_WINDOW),
-        set(ROTATION_POOL),
-        set(ROWS_ONLY_TAIL),
-    )
+    core, pool = set(CORE_WINDOW), set(ROTATION_POOL)
     assert len(core) == len(CORE_WINDOW)
     assert len(pool) == len(ROTATION_POOL)
-    assert len(tail) == len(ROWS_ONLY_TAIL)
-    assert not (core & pool or core & tail or pool & tail)
-    assert core | pool | tail == set(cat)
-    assert tail == {n for n, q in cat.items() if not q.oracle}
+    assert not core & pool
+    assert core | pool <= set(cat)
+    # everything outside CORE/POOL must be a rows-only entry (the
+    # derived tail), so an oracle-backed register() without a pool line
+    # fails here and can never silently miss its driver rows
+    assert set(rows_only_tail()) == {
+        n for n, q in cat.items() if not q.oracle
+    }
 
 
 def test_rotation_every_position_valid_and_cycle_covers_all():
@@ -116,8 +116,9 @@ def test_rotation_every_position_valid_and_cycle_covers_all():
         driver_window,
     )
 
-    from realtime_gmall_flink_spark.plans.catalog import ROWS_ONLY_TAIL
+    from realtime_gmall_flink_spark.plans.catalog import rows_only_tail
 
+    tail = set(rows_only_tail())
     cycle = math.ceil(len(ROTATION_POOL) / ROTATION_SLOTS)
     covered = set()
     for r in range(ROTATION_BASE_ROUND, ROTATION_BASE_ROUND + cycle):
@@ -126,9 +127,9 @@ def test_rotation_every_position_valid_and_cycle_covers_all():
         assert len(set(w)) == DRIVER_CAP
         assert set(CORE_WINDOW) <= set(w)
         assert set(w) <= set(catalog())
-        assert not set(w) & set(ROWS_ONLY_TAIL)
+        assert not set(w) & tail
         covered |= set(w)
-    assert covered == set(catalog()) - set(ROWS_ONLY_TAIL)
+    assert covered == set(catalog()) - tail
     # pre-rotation rounds clamp to position 0
     assert set(driver_window(1)) == set(driver_window(ROTATION_BASE_ROUND))
     r5_window = set(CORE_WINDOW) | set(ROTATION_POOL[:ROTATION_SLOTS])

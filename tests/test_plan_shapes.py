@@ -560,3 +560,15 @@ def test_fuzzy_dedup_survivorship_no_cartesian(spark):
     # conservation: every doc is either a survivor or removed
     for r in rows:
         assert r["n_docs"] == r["n_survivors"] + r["n_removed"]
+
+
+def test_filtered_ann_pushes_label_literal_to_scan(spark):
+    """ann_filtered_topk: the category filter must be a LITERAL pushed
+    into the parquet scan (the partition-pruning shape on a
+    label-partitioned layout) and the re-rank a TakeOrdered top-k — a
+    refactor that joins the label instead of collecting it would
+    silently lose the scan pruning."""
+    df = catalog()["ann_filtered_topk"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "EqualTo(label" in plan, plan
+    assert "TakeOrderedAndProject" in plan
