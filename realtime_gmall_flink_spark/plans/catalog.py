@@ -164,6 +164,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "fuzzy_dedup_survivor_stats",
     "doc_bigram_commonness",
     "ann_filtered_topk",
+    "ann_multiprobe_batch_topk",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -1029,3 +1029,108 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+def lsh_probe_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    query_buckets: dict[int, int],
+    k: int = TOP_K,
+    bits: int = ANN_BITS,
+    radius: int = ANN_PROBE_RADIUS,
+) -> DataFrame:
+    """Multi-probe top-k for MANY queries in ONE pass over the
+    persisted LSH layout (the LSH twin of ivf_probe_batch).
+    ``queries`` is (qid, qe); ``query_buckets`` maps qid -> its 16-bit
+    bucket (computed driver-side from the query vectors — metadata
+    work). All probe buckets are literals, so the scan prunes to the
+    union of their high bytes and the exact (qid, probe-bucket) pairs
+    are a broadcast equi-join; a per-qid window takes the top k."""
+    import os
+
+    from pyspark.sql import Window
+
+    masks = probe_masks(bits, radius)
+    pairs = [
+        (qid, b ^ m) for qid, b in query_buckets.items() for m in masks
+    ]
+    his = sorted({p >> LSH_HI_SHIFT for _, p in pairs})
+    pairs_df = spark.createDataFrame(pairs, "qid long, bucket int")
+    cand = (
+        spark.read.parquet(os.path.join(index_dir, "buckets"))
+        .filter(F.col("bkt_hi").isin(his))
+    )
+    cos = F.round(
+        cosine_similarity(F.col("embedding"), F.col("qe")), 6
+    )
+    topk_w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.join(broadcast(pairs_df), "bucket")
+        .join(broadcast(queries), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(topk_w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid", "vec_id", "cos_sim", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
+LSH_BATCH_QIDS = (0, 1, 2)
+
+
+@register(
+    "ann_multiprobe_batch_topk",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           CAST({_BUCKET16_SQL} AS INTEGER) AS bucket
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b
+    WHERE vec_id IN {LSH_BATCH_QIDS}
+), ranked AS (
+    SELECT q.qid, b.vec_id,
+           round({_cos_sql('b.embedding', 'q.qe')}, 6) AS cos_sim,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round({_cos_sql('b.embedding', 'q.qe')}, 6) DESC,
+                        b.vec_id
+           ) AS rk
+    FROM b, q
+    WHERE bit_count(xor(b.bucket, q.qb)) <= {ANN_PROBE_RADIUS}
+      AND b.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {TOP_K}
+""",
+)
+def ann_multiprobe_batch_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = lsh_index_dir(sf_dir)
+    lsh_build(_emb(spark, sf_dir), idx)
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(*LSH_BATCH_QIDS))
+        .select(
+            "vec_id",
+            "embedding",
+            sign_lsh_bucket(F.col("embedding"), bits=ANN_BITS)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows],
+        "qid long, qe array<double>",
+    )
+    return lsh_probe_batch(
+        spark, idx, queries, {r["vec_id"]: r["bucket"] for r in qrows}
+    )

@@ -572,3 +572,29 @@ def test_filtered_ann_pushes_label_literal_to_scan(spark):
     plan = _plan(df)
     assert "EqualTo(label" in plan, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_batch_probe_single_pruned_scan(spark):
+    """ann_multiprobe_batch_topk: ONE scan of the persisted bucket
+    layout regardless of query count, pruned to the union of the
+    queries' probed high bytes (<= 3*37 of 256); the probe pairs are a
+    broadcast join, no probe-mask explode in the plan."""
+    import re
+
+    df = catalog()["ann_multiprobe_batch_topk"].builder(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(
+        r"PartitionFilters: \[bkt_hi#\d+ "
+        r"(?:IN \(([0-9]+(?:, ?[0-9]+)*)\)|INSET ([0-9]+(?:, ?[0-9]+)*))",
+        plan,
+    )
+    assert m, plan
+    his = (m.group(1) or m.group(2)).split(",")
+    assert 1 < len(his) <= 3 * 37
+    assert plan.count("buckets") >= 1
+    assert "Generate" not in plan
+    # exactly one scan of the index layout
+    assert plan.count("/buckets]") + plan.count("/buckets,") <= 1
