@@ -1134,3 +1134,31 @@ def ann_multiprobe_batch_topk(
     return lsh_probe_batch(
         spark, idx, queries, {r["vec_id"]: r["bucket"] for r in qrows}
     )
+
+
+def ivf_append(
+    spark: SparkSession, index_dir: str, emb: DataFrame
+) -> int:
+    """Append new vectors to a persisted IVF index: assign them against
+    the EXISTING centroids (broadcast argmax, shuffle-free — identical
+    arithmetic to the build) and append into the cid-partitioned
+    assignment, so subsequent probes see them through the same
+    partition pruning. Returns the number of rows appended.
+
+    The centroids are deliberately NOT refit — the coarse quantizer is
+    a build-time artifact, and deciding when drift warrants a rebuild
+    is an operational call (compare per-cell counts against the build).
+    Parquet appends are not transactional: run in a stopped-writer
+    window like compaction (on a lakehouse table this is a plain
+    transactional append)."""
+    import os
+
+    cent_path = os.path.join(index_dir, "centroids")
+    asg_path = os.path.join(index_dir, "assignment")
+    if not (os.path.isdir(cent_path) and os.path.isdir(asg_path)):
+        raise ValueError(f"not a valid IVF index: {index_dir!r}")
+    cent = spark.read.parquet(cent_path)
+    assigned = ivf_assign(emb, cent)
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cid").parquet(asg_path)
+    return n

@@ -139,3 +139,60 @@ def test_ivf_topk_finds_planted_twin(planted):
     ).collect()
     assert top and top[0]["vec_id"] == 1
     assert top[0]["cos_sim"] >= 0.9
+
+
+def test_ivf_append_extends_persisted_index(spark, tmp_path):
+    """Build-once/APPEND-many: vectors appended to a persisted index
+    are assigned with the same broadcast argmax as the build and become
+    probeable through the same pruned scan — a planted copy of the
+    query vector must come back at cosine 1.0, and untouched cell
+    partitions keep their files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        ivf_append,
+        ivf_build,
+        ivf_probe,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_build(emb, str(tmp_path / "ivf-append-index"))
+
+    planted_id = 10_000_000
+    planted = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.lit(planted_id).cast("long").alias("vec_id"), "embedding"
+    )
+    n = ivf_append(spark, idx, planted)
+    assert n == 1
+
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    top = ivf_probe(
+        spark, idx, q, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    by_id = {r["vec_id"]: r["cos_sim"] for r in top}
+    assert planted_id in by_id
+    assert by_id[planted_id] == 1.0
+    # appending must not have rewritten the layout wholesale
+    assert os.path.isdir(f"{idx}/centroids")
+    # a second append is additive, not destructive
+    n2 = ivf_append(
+        spark,
+        idx,
+        planted.select(
+            (F.col("vec_id") + 1).alias("vec_id"), "embedding"
+        ),
+    )
+    assert n2 == 1
+    top2 = ivf_probe(
+        spark, idx, q, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    ids2 = {r["vec_id"] for r in top2}
+    assert {planted_id, planted_id + 1} <= ids2
