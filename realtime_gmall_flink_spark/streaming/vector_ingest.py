@@ -121,3 +121,32 @@ def read_near_dups(spark: SparkSession, out_dir: str) -> DataFrame | None:
     if not os.path.isdir(path):
         return None
     return spark.read.parquet(path).drop("batch")
+
+
+def append_scored_to_index(
+    spark: SparkSession, index_dir: str, out_dir: str
+) -> int:
+    """The maintenance step completing ingest -> index (build-once/
+    append-many): fold the ingest's scored rows into the persisted
+    cid-partitioned assignment so future probes (and future ingests'
+    near-dup checks) see them through the same pruned scan. IDEMPOTENT:
+    vec_ids already present in the assignment are anti-joined away, so
+    a re-run after a crash (or overlapping scored/ batches) appends
+    nothing twice. Run in a stopped-writer window, like compaction —
+    the ingest query must not be mid-trigger (parquet appends are not
+    transactional; on a lakehouse table this is a plain MERGE).
+    Returns rows appended."""
+    asg = os.path.join(index_dir, "assignment")
+    scored = read_scored(spark, out_dir).select(
+        "vec_id", "embedding", "cid"
+    )
+    existing = spark.read.parquet(asg).select("vec_id")
+    # localCheckpoint severs lineage BEFORE the append: the write must
+    # not re-scan the very directory it is appending into
+    fresh = scored.join(existing, "vec_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("cid").parquet(asg)
+    return n

@@ -105,3 +105,53 @@ def test_embedding_ingest_matches_batch_with_restart(spark, tmp_path):
     }
     for i in part1 + part2:
         assert (i + 100000, i) in flagged
+
+
+def test_append_scored_to_index_idempotent_and_probeable(spark, tmp_path):
+    """ingest -> append_scored_to_index -> ivf_probe closes the
+    build-once/append-many loop: ingested copies become probeable
+    through the pruned scan at cosine 1.0, the append is idempotent
+    (second run appends zero), and appended cids equal the batch
+    assignment's (an index rebuild would agree cell-for-cell)."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivf_assign,
+        ivf_probe,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_build(emb, str(tmp_path / "ivf"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base_ids = [0, 1, 2]
+    _arrivals(spark, base_ids, 100000).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, idx, out, ckpt).awaitTermination()
+
+    n = VI.append_scored_to_index(spark, idx, out)
+    assert n == len(base_ids)
+    assert VI.append_scored_to_index(spark, idx, out) == 0  # idempotent
+
+    # the appended copy of vec 0 is now probeable at cosine 1.0
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    top = {r["vec_id"]: r["cos_sim"]
+           for r in ivf_probe(spark, idx, q, exclude_vec_id=0).collect()}
+    assert top.get(100000) == 1.0
+
+    # appended cids match what a batch assignment (== rebuild) gives
+    cent = spark.read.parquet(f"{idx}/centroids")
+    want = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(
+            _arrivals(spark, base_ids, 100000), cent
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in spark.read.parquet(f"{idx}/assignment")
+        .filter(F.col("vec_id") >= 100000)
+        .collect()
+    }
+    assert got == want
