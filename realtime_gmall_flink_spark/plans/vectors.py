@@ -486,7 +486,7 @@ def ivf_refine(
 # ``PartitionFilters: cid IN (...)`` and never lists the other cells).
 # The catalog entry caches the index per (source file, params) under the
 # system temp dir; on a cluster the index dir would live beside the table.
-IVF_INDEX_FORMAT = 1
+IVF_INDEX_FORMAT = 2  # v2: build_stats/ per-cell count snapshot
 
 
 def _index_cache_dir(kind: str, sf_dir: str, params: str) -> str:
@@ -574,6 +574,14 @@ def ivf_build(
     cent = spark.read.parquet(cent_path)
     ivf_assign(emb, cent).write.partitionBy("cid").parquet(
         os.path.join(staging, "assignment")
+    )
+    # per-cell count snapshot: the baseline ivf_drift compares against
+    # after appends (parquet-footer counts — metadata-cheap)
+    (
+        spark.read.parquet(os.path.join(staging, "assignment"))
+        .groupBy("cid")
+        .count()
+        .write.parquet(os.path.join(staging, "build_stats"))
     )
     try:
         os.rename(staging, index_dir)
@@ -1162,3 +1170,61 @@ def ivf_append(
     n = assigned.count()
     assigned.write.mode("append").partitionBy("cid").parquet(asg_path)
     return n
+
+
+def ivf_drift(
+    spark: SparkSession,
+    index_dir: str,
+    growth_warn: float = 0.5,
+    skew_warn: float = 2.0,
+) -> dict:
+    """The operational half of append-many: compare the assignment's
+    CURRENT per-cell counts against the build-time snapshot and say
+    whether the coarse quantizer has drifted enough to warrant a
+    rebuild. Appends assign against frozen centroids, so heavy or
+    lopsided growth degrades probe recall — ``rebuild_recommended``
+    fires when total growth exceeds ``growth_warn`` (fraction of the
+    build size) or any cell's share grows past ``skew_warn``x its
+    build share. Both scans are parquet-footer row counts
+    (metadata-cheap, no vector data read)."""
+    import os
+
+    stats_path = os.path.join(index_dir, "build_stats")
+    if not os.path.isdir(stats_path):
+        raise ValueError(
+            f"index at {index_dir!r} has no build_stats snapshot"
+            " (pre-v2 build) — rebuild with ivf_build to enable drift"
+            " monitoring"
+        )
+    build = {
+        r["cid"]: r["count"]
+        for r in spark.read.parquet(stats_path).collect()
+    }
+    now = {
+        r["cid"]: r["count"]
+        for r in spark.read.parquet(os.path.join(index_dir, "assignment"))
+        .groupBy("cid")
+        .count()
+        .collect()
+    }
+    total_build = sum(build.values())
+    total_now = sum(now.values())
+    growth = (total_now - total_build) / total_build if total_build else 0.0
+    # cell-share ratio: (cell_now/total_now) / (cell_build/total_build);
+    # cells absent at build time count as infinite skew
+    max_ratio = 0.0
+    for cid, n in now.items():
+        b = build.get(cid)
+        if not b:
+            max_ratio = float("inf")
+            break
+        ratio = (n / total_now) / (b / total_build)
+        max_ratio = max(max_ratio, ratio)
+    return {
+        "total_build": total_build,
+        "total_now": total_now,
+        "growth": growth,
+        "max_cell_ratio": max_ratio,
+        "rebuild_recommended": growth > growth_warn
+        or max_ratio > skew_warn,
+    }

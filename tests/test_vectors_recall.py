@@ -196,3 +196,42 @@ def test_ivf_append_extends_persisted_index(spark, tmp_path):
     ).collect()
     ids2 = {r["vec_id"] for r in top2}
     assert {planted_id, planted_id + 1} <= ids2
+
+
+def test_ivf_drift_monitor_flags_lopsided_appends(spark, tmp_path):
+    """Fresh index: zero growth, no rebuild recommended. After dumping
+    many copies of one vector into a single cell, growth and cell-share
+    skew both cross their thresholds and the monitor fires."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivf_append,
+        ivf_build,
+        ivf_drift,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_build(emb, str(tmp_path / "ivf-drift"))
+
+    d0 = ivf_drift(spark, idx)
+    assert d0["growth"] == 0.0
+    assert not d0["rebuild_recommended"]
+    assert d0["max_cell_ratio"] <= 1.0 + 1e-9
+
+    n_base = d0["total_build"]
+    one = emb.filter(F.col("vec_id") == 0).select("embedding")
+    flood = (
+        spark.range(n_base)  # +100% growth, all into vec 0's cell
+        .select((F.col("id") + 200000).alias("vec_id"))
+        .crossJoin(one)
+    )
+    ivf_append(spark, idx, flood)
+
+    d1 = ivf_drift(spark, idx)
+    assert d1["total_now"] == 2 * n_base
+    assert d1["growth"] == 1.0
+    assert d1["max_cell_ratio"] > 2.0
+    assert d1["rebuild_recommended"]
