@@ -1,0 +1,208 @@
+"""Incremental near-dup scoring for DOCUMENTS — the text twin of
+vector_ingest: score NEW documents against a PERSISTED shingle index
+instead of recomputing the corpus pair graph.
+
+Index layout (built staged + atomic rename, like the IVF index):
+- ``shingles/`` — distinct (doc_id, h) word-k-shingle hashes (8-byte
+  xxhash64, the same codegen shingler as plans.textops.jaccard_pairs);
+- ``sizes/``    — per-doc distinct shingle count (the Jaccard
+  denominator's corpus side);
+- ``dfreq/``    — per-hash document frequency, so the probe applies the
+  SAME stop-shingle cap (df > max_df dropped before pairing) as the
+  batch pair generator.
+
+Scoring a batch of new docs is: shingle them (one scan, codegen), join
+against the index's cap-filtered shingles on the 8-byte hash, count
+intersections per (new, old) pair, and threshold exact Jaccard using
+the persisted old-side sizes. The join shuffles on the hash — on a
+lakehouse table bucketed by ``h`` the index side is co-located and the
+probe shuffles only the (small) new-doc side.
+
+Divergence from a full recompute, pinned on purpose: document
+frequencies are BUILD-time (appends don't refresh ``dfreq/``), exactly
+like IVF appends assigning against frozen centroids — heavy append
+volume warrants a rebuild (the drift story lives with the index
+owner). Pairs are new-vs-corpus only; new-vs-new dedup within a batch
+is the batch pair generator's job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.textops import (
+    JACCARD_MAX_DF,
+    JACCARD_THRESHOLD,
+    shingle_hashes,
+)
+
+
+def shingle_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    k: int = 3,
+) -> str:
+    """Materialize the shingle index for ``docs(doc_id, text)``.
+    Staged + renamed; an existing complete index is reused, debris is
+    rebuilt."""
+    import shutil
+    import uuid
+
+    def _valid(d: str) -> bool:
+        return all(
+            os.path.isdir(os.path.join(d, s))
+            for s in ("shingles", "sizes", "dfreq")
+        )
+
+    if os.path.isdir(index_dir):
+        if _valid(index_dir):
+            return index_dir
+        shutil.rmtree(index_dir, ignore_errors=True)
+    spark = docs.sparkSession
+    staging = f"{index_dir}.building-{uuid.uuid4().hex[:8]}"
+    sh_path = os.path.join(staging, "shingles")
+    shingle_hashes(docs, text_col, k).write.parquet(sh_path)
+    sh = spark.read.parquet(sh_path)
+    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).write.parquet(
+        os.path.join(staging, "sizes")
+    )
+    sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).write.parquet(
+        os.path.join(staging, "dfreq")
+    )
+    try:
+        os.rename(staging, index_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # concurrent build won
+    if not _valid(index_dir):
+        raise RuntimeError(
+            f"shingle index at {index_dir!r} is invalid after build"
+        )
+    return index_dir
+
+
+def score_new_docs(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = JACCARD_MAX_DF,
+) -> DataFrame:
+    """(new_doc, dup_of, jaccard) for every new-vs-corpus pair at or
+    above ``threshold`` — exact Jaccard over distinct shingles, with
+    the build-time stop-shingle cap applied to the corpus side."""
+    new_sh = shingle_hashes(new_docs, text_col, k)
+    new_sizes = new_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    # drop only hashes KNOWN viral at build (df > max_df): appended
+    # docs' shingles are absent from the frozen dfreq and must stay
+    # scoreable — a semi-join on the ok-set would silently exclude
+    # every post-build document from matching
+    viral = (
+        spark.read.parquet(os.path.join(index_dir, "dfreq"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    idx_sh = (
+        spark.read.parquet(os.path.join(index_dir, "shingles"))
+        .join(viral, "h", "left_anti")
+        .select(F.col("doc_id").alias("dup_of"), "h")
+    )
+    sizes = spark.read.parquet(os.path.join(index_dir, "sizes")).select(
+        F.col("doc_id").alias("dup_of"), F.col("n").alias("n_old")
+    )
+    inter = (
+        new_sh.select(F.col("doc_id").alias("new_doc"), "h")
+        .join(idx_sh, "h")
+        .groupBy("new_doc", "dup_of")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter") / (
+        F.col("n_new") + F.col("n_old") - F.col("inter")
+    )
+    return (
+        inter.join(
+            new_sizes.select(F.col("doc_id").alias("new_doc"), "n_new"),
+            "new_doc",
+        )
+        .join(sizes, "dup_of")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def append_docs_to_index(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame,
+    text_col: str = "text", k: int = 3,
+) -> int:
+    """Idempotently fold new documents into the index (doc_ids already
+    present are skipped): appends their shingles and sizes so FUTURE
+    batches score against them too. ``dfreq/`` is deliberately left at
+    its build snapshot (see module docstring). Stopped-writer window,
+    like every parquet append here. Returns docs appended."""
+    sizes_path = os.path.join(index_dir, "sizes")
+    existing = spark.read.parquet(sizes_path).select("doc_id")
+    fresh_docs = new_docs.join(existing, "doc_id", "left_anti")
+    sh = shingle_hashes(fresh_docs, text_col, k).localCheckpoint(
+        eager=True  # sever lineage: the write must not re-scan the index
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    n = sizes.count()
+    if n:
+        sh.write.mode("append").parquet(
+            os.path.join(index_dir, "shingles")
+        )
+        sizes.write.mode("append").parquet(sizes_path)
+    return n
+
+
+def run_doc_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    out_dir: str,
+    ckpt: str,
+    threshold: float = JACCARD_THRESHOLD,
+):
+    """availableNow ingest over a parquet topic dir of (doc_id, text)
+    rows: each micro-batch is scored against the persisted index;
+    per-batch overwrite side outputs (the replay-safe log-fanout
+    pattern) — ``scored/batch=N`` carries (doc_id, n_shingles),
+    ``near_dups/batch=N`` the over-threshold pairs."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
+        shingle_hashes(batch, "text", 3).groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "scored", f"batch={batch_id}")
+        )
+        score_new_docs(
+            spark, index_dir, batch, threshold=threshold
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "near_dups", f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_near_dups(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = os.path.join(out_dir, "near_dups")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).drop("batch")

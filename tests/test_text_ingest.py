@@ -1,0 +1,101 @@
+"""Incremental near-dup scoring against the persisted shingle index —
+the text twin of the vector-ingest tests: hand-computable Jaccard on a
+tiny fixture, exact-copy detection over the real corpus, idempotent
+index appends that make earlier arrivals visible to later batches, and
+streaming-vs-batch parity across a checkpointed restart."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from realtime_gmall_flink_spark.sources.testdata import load_table
+from realtime_gmall_flink_spark.streaming import text_ingest as TI
+
+from .conftest import SF_DIR
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_score_new_docs_hand_jaccard(spark, tmp_path):
+    corpus = _docs_df(spark, [(1, "a b c d"), (2, "p q r s t")])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    assert all(
+        os.path.isdir(f"{idx}/{s}") for s in ("shingles", "sizes", "dfreq")
+    )
+    new = _docs_df(
+        spark,
+        [
+            (10, "a b c d"),    # identical to doc 1 -> J = 1.0
+            (11, "a b c x"),    # shares 1 of 3 shingles -> J = 1/3 < 0.5
+            (12, "z z z z z"),  # disjoint
+        ],
+    )
+    got = {
+        (r["new_doc"], r["dup_of"]): r["jaccard"]
+        for r in TI.score_new_docs(spark, idx, new).collect()
+    }
+    assert got == {(10, 1): 1.0}
+
+
+def test_exact_copy_detected_against_real_corpus(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = TI.shingle_index_build(docs, str(tmp_path / "idx"))
+    copies = docs.filter(F.col("doc_id").isin(0, 1)).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    got = {
+        (r["new_doc"], r["dup_of"]): r["jaccard"]
+        for r in TI.score_new_docs(spark, idx, copies).collect()
+    }
+    assert got.get((700000, 0)) == 1.0
+    assert got.get((700001, 1)) == 1.0
+
+
+def test_append_is_idempotent_and_extends_scoring(spark, tmp_path):
+    corpus = _docs_df(spark, [(1, "a b c d")])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    wave1 = _docs_df(spark, [(10, "m n o p q")])
+    assert TI.append_docs_to_index(spark, idx, wave1) == 1
+    assert TI.append_docs_to_index(spark, idx, wave1) == 0  # idempotent
+    # a later arrival duplicating wave1 is now caught
+    wave2 = _docs_df(spark, [(20, "m n o p q")])
+    got = {
+        (r["new_doc"], r["dup_of"]): r["jaccard"]
+        for r in TI.score_new_docs(spark, idx, wave2).collect()
+    }
+    assert got == {(20, 10): 1.0}
+
+
+def test_streaming_ingest_matches_batch_with_restart(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = TI.shingle_index_build(docs, str(tmp_path / "idx"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def copies(ids, off):
+        return docs.filter(F.col("doc_id").isin(ids)).select(
+            (F.col("doc_id") + off).alias("doc_id"), "text"
+        )
+
+    copies([0, 1, 2], 800000).write.mode("append").parquet(src)
+    TI.run_doc_ingest(spark, src, idx, out, ckpt).awaitTermination()
+    copies([3, 4], 800000).write.mode("append").parquet(src)
+    TI.run_doc_ingest(spark, src, idx, out, ckpt).awaitTermination()
+
+    def rowset(df):
+        return sorted(
+            (r["new_doc"], r["dup_of"], r["jaccard"]) for r in df.collect()
+        )
+
+    streamed = rowset(TI.read_near_dups(spark, out))
+    batch = rowset(
+        TI.score_new_docs(spark, idx, copies([0, 1, 2, 3, 4], 800000))
+    )
+    assert streamed == batch
+    planted = {(s, d) for s, d, _ in streamed}
+    assert {(800000 + i, i) for i in range(5)} <= planted
