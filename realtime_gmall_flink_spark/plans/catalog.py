@@ -165,6 +165,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "doc_bigram_commonness",
     "ann_filtered_topk",
     "ann_multiprobe_batch_topk",
+    "incremental_near_dup_scoring",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -1901,3 +1901,78 @@ def doc_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("commonness")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup scoring under the DRIVER gate: docs 0-9 replay
+# as "new arrivals" (relabeled +1,000,000) scored against a persisted
+# shingle index over the REST of the corpus — the
+# streaming/text_ingest.py maintenance path, hash-checked end-to-end.
+# The index is cached per (documents file, params) like the ANN
+# indexes; the oracle states the identical incremental semantics
+# directly (corpus-side df cap, new-vs-corpus pairs only, exact
+# Jaccard over distinct shingles).
+INCR_NEW_DOC_MAX = 10
+INCR_RELABEL = 1_000_000
+
+
+@register(
+    "incremental_near_dup_scoring",
+    survey="J1(ext),A7(ext),F3(ext)",
+    oracle=f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id >= {INCR_NEW_DOC_MAX}
+), new AS (
+    SELECT doc_id + {INCR_RELABEL} AS doc_id, text FROM documents
+    WHERE doc_id < {INCR_NEW_DOC_MAX}
+), wc AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM corpus
+), wn AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM new
+), shc AS (
+    SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM wc
+), shn AS (
+    SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM wn
+), sizes_c AS (
+    SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id
+), sizes_n AS (
+    SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id
+), viral AS (
+    SELECT sh FROM shc GROUP BY sh HAVING count(*) > {JACCARD_MAX_DF}
+), inter AS (
+    SELECT n.doc_id AS new_doc, c.doc_id AS dup_of, count(*) AS inter
+    FROM shn n JOIN shc c ON n.sh = c.sh
+    WHERE n.sh NOT IN (SELECT sh FROM viral)
+    GROUP BY 1, 2
+)
+SELECT new_doc, dup_of,
+       round(CAST(inter AS DOUBLE) / (nn.n + nc.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes_n nn ON new_doc = nn.doc_id
+JOIN sizes_c nc ON dup_of = nc.doc_id
+WHERE CAST(inter AS DOUBLE) / (nn.n + nc.n - inter)
+      >= {JACCARD_THRESHOLD}
+""",
+)
+def incremental_near_dup_scoring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.text_ingest import (
+        score_new_docs,
+        shingle_index_build,
+    )
+    from .vectors import _index_cache_dir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= INCR_NEW_DOC_MAX)
+    new = docs.filter(F.col("doc_id") < INCR_NEW_DOC_MAX).select(
+        (F.col("doc_id") + INCR_RELABEL).alias("doc_id"), "text"
+    )
+    idx = _index_cache_dir(
+        "shingle",
+        sf_dir,
+        f"k=3|corpus=ge{INCR_NEW_DOC_MAX}|v=1",
+        src_name="documents.parquet",
+    )
+    shingle_index_build(corpus, idx)
+    return score_new_docs(spark, idx, new)

@@ -489,15 +489,20 @@ def ivf_refine(
 IVF_INDEX_FORMAT = 2  # v2: build_stats/ per-cell count snapshot
 
 
-def _index_cache_dir(kind: str, sf_dir: str, params: str) -> str:
+def _index_cache_dir(
+    kind: str,
+    sf_dir: str,
+    params: str,
+    src_name: str = "embeddings.parquet",
+) -> str:
     """Deterministic per-(source, params) cache location for a persisted
-    ANN index. The source file's (mtime, size) is part of the key, so
+    index. The source file's (mtime, size) is part of the key, so
     regenerated testdata gets a fresh index instead of a stale hit."""
     import hashlib
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, src_name)
     try:
         st = os.stat(src)
         fp = f"{src}:{st.st_mtime_ns}:{st.st_size}"
