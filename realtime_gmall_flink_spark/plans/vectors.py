@@ -555,48 +555,32 @@ def ivf_build(
     centroids (read back — k rows), so index contents are exactly
     self-consistent even across engine/rounding changes."""
     import os
-    import shutil
-    import uuid
 
-    def _valid(d: str) -> bool:
-        return os.path.isdir(os.path.join(d, "centroids")) and os.path.isdir(
-            os.path.join(d, "assignment")
-        )
+    from ..indexutil import staged_index_build
 
-    if os.path.isdir(index_dir):
-        if _valid(index_dir):
-            return index_dir
-        # half-built or foreign debris at the index path: never trust
-        # it — clear and rebuild (the staged rename means OUR builds
-        # are all-or-nothing, so an invalid dir is not ours-in-flight)
-        shutil.rmtree(index_dir, ignore_errors=True)
     spark = emb.sparkSession
-    staging = f"{index_dir}.building-{uuid.uuid4().hex[:8]}"
-    cent_path = os.path.join(staging, "centroids")
-    ivf_refine(
-        emb, ivf_centroids(emb, k=n_centroids), iters=lloyd_iters
-    ).write.parquet(cent_path)
-    cent = spark.read.parquet(cent_path)
-    ivf_assign(emb, cent).write.partitionBy("cid").parquet(
-        os.path.join(staging, "assignment")
-    )
-    # per-cell count snapshot: the baseline ivf_drift compares against
-    # after appends (parquet-footer counts — metadata-cheap)
-    (
-        spark.read.parquet(os.path.join(staging, "assignment"))
-        .groupBy("cid")
-        .count()
-        .write.parquet(os.path.join(staging, "build_stats"))
-    )
-    try:
-        os.rename(staging, index_dir)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)  # concurrent build won
-    if not _valid(index_dir):
-        raise RuntimeError(
-            f"IVF index at {index_dir!r} is invalid after build"
+
+    def write(staging: str) -> None:
+        cent_path = os.path.join(staging, "centroids")
+        ivf_refine(
+            emb, ivf_centroids(emb, k=n_centroids), iters=lloyd_iters
+        ).write.parquet(cent_path)
+        cent = spark.read.parquet(cent_path)
+        ivf_assign(emb, cent).write.partitionBy("cid").parquet(
+            os.path.join(staging, "assignment")
         )
-    return index_dir
+        # per-cell count snapshot: the baseline ivf_drift compares
+        # against after appends (parquet-footer counts — metadata-cheap)
+        (
+            spark.read.parquet(os.path.join(staging, "assignment"))
+            .groupBy("cid")
+            .count()
+            .write.parquet(os.path.join(staging, "build_stats"))
+        )
+
+    return staged_index_build(
+        index_dir, ("centroids", "assignment", "build_stats"), write
+    )
 
 
 def ivf_probe(
@@ -910,37 +894,26 @@ def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     bucket's high byte. Staged + renamed like ivf_build; an existing
     dir without the buckets/ layout is untrusted debris and rebuilt."""
     import os
-    import shutil
-    import uuid
 
-    if os.path.isdir(index_dir):
-        if os.path.isdir(os.path.join(index_dir, "buckets")):
-            return index_dir
-        shutil.rmtree(index_dir, ignore_errors=True)
-    staging = f"{index_dir}.building-{uuid.uuid4().hex[:8]}"
-    (
-        emb.select(
-            "vec_id",
-            "embedding",
-            sign_lsh_bucket(F.col("embedding"), bits=bits)
-            .cast("int")
-            .alias("bucket"),
+    from ..indexutil import staged_index_build
+
+    def write(staging: str) -> None:
+        (
+            emb.select(
+                "vec_id",
+                "embedding",
+                sign_lsh_bucket(F.col("embedding"), bits=bits)
+                .cast("int")
+                .alias("bucket"),
+            )
+            .withColumn(
+                "bkt_hi", F.shiftrightunsigned("bucket", LSH_HI_SHIFT)
+            )
+            .write.partitionBy("bkt_hi")
+            .parquet(os.path.join(staging, "buckets"))
         )
-        .withColumn(
-            "bkt_hi", F.shiftrightunsigned("bucket", LSH_HI_SHIFT)
-        )
-        .write.partitionBy("bkt_hi")
-        .parquet(os.path.join(staging, "buckets"))
-    )
-    try:
-        os.rename(staging, index_dir)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)  # concurrent build won
-    if not os.path.isdir(os.path.join(index_dir, "buckets")):
-        raise RuntimeError(
-            f"LSH index at {index_dir!r} is invalid after build"
-        )
-    return index_dir
+
+    return staged_index_build(index_dir, ("buckets",), write)
 
 
 def lsh_probe(
@@ -1171,9 +1144,15 @@ def ivf_append(
     if not (os.path.isdir(cent_path) and os.path.isdir(asg_path)):
         raise ValueError(f"not a valid IVF index: {index_dir!r}")
     cent = spark.read.parquet(cent_path)
-    assigned = ivf_assign(emb, cent)
+    # drop duplicate ids defensively (at-least-once producers), then
+    # materialize ONCE: count and write must see the same rows, and the
+    # write must not re-run the whole assignment
+    assigned = ivf_assign(
+        emb.dropDuplicates(["vec_id"]), cent
+    ).localCheckpoint(eager=True)
     n = assigned.count()
-    assigned.write.mode("append").partitionBy("cid").parquet(asg_path)
+    if n:
+        assigned.write.mode("append").partitionBy("cid").parquet(asg_path)
     return n
 
 
@@ -1215,14 +1194,19 @@ def ivf_drift(
     total_build = sum(build.values())
     total_now = sum(now.values())
     growth = (total_now - total_build) / total_build if total_build else 0.0
-    # cell-share ratio: (cell_now/total_now) / (cell_build/total_build);
-    # cells absent at build time count as infinite skew
+    # cell-share ratio: (cell_now/total_now) / (cell_build/total_build).
+    # A cell EMPTY at build (Lloyd can strand a centroid) only counts as
+    # infinite skew once it holds a material share (>=1% of the build
+    # size) — a single stray vector must not trigger a rebuild.
+    min_cell = max(1, total_build // 100)
     max_ratio = 0.0
     for cid, n in now.items():
         b = build.get(cid)
         if not b:
-            max_ratio = float("inf")
-            break
+            if n > min_cell:
+                max_ratio = float("inf")
+                break
+            continue
         ratio = (n / total_now) / (b / total_build)
         max_ratio = max(max_ratio, ratio)
     return {

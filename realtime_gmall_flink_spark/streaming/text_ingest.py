@@ -47,41 +47,28 @@ def shingle_index_build(
     k: int = 3,
 ) -> str:
     """Materialize the shingle index for ``docs(doc_id, text)``.
-    Staged + renamed; an existing complete index is reused, debris is
-    rebuilt."""
-    import shutil
-    import uuid
+    Staged + renamed (shared scaffolding with the ANN indexes); an
+    existing complete index is reused, debris is rebuilt."""
+    from ..indexutil import staged_index_build
 
-    def _valid(d: str) -> bool:
-        return all(
-            os.path.isdir(os.path.join(d, s))
-            for s in ("shingles", "sizes", "dfreq")
-        )
-
-    if os.path.isdir(index_dir):
-        if _valid(index_dir):
-            return index_dir
-        shutil.rmtree(index_dir, ignore_errors=True)
     spark = docs.sparkSession
-    staging = f"{index_dir}.building-{uuid.uuid4().hex[:8]}"
-    sh_path = os.path.join(staging, "shingles")
-    shingle_hashes(docs, text_col, k).write.parquet(sh_path)
-    sh = spark.read.parquet(sh_path)
-    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).write.parquet(
-        os.path.join(staging, "sizes")
+
+    def write(staging: str) -> None:
+        sh_path = os.path.join(staging, "shingles")
+        shingle_hashes(
+            docs.dropDuplicates(["doc_id"]), text_col, k
+        ).write.parquet(sh_path)
+        sh = spark.read.parquet(sh_path)
+        sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).write.parquet(os.path.join(staging, "sizes"))
+        sh.groupBy("h").agg(
+            F.count(F.lit(1)).alias("df")
+        ).write.parquet(os.path.join(staging, "dfreq"))
+
+    return staged_index_build(
+        index_dir, ("shingles", "sizes", "dfreq"), write
     )
-    sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).write.parquet(
-        os.path.join(staging, "dfreq")
-    )
-    try:
-        os.rename(staging, index_dir)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)  # concurrent build won
-    if not _valid(index_dir):
-        raise RuntimeError(
-            f"shingle index at {index_dir!r} is invalid after build"
-        )
-    return index_dir
 
 
 def score_new_docs(
@@ -92,11 +79,20 @@ def score_new_docs(
     k: int = 3,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int = JACCARD_MAX_DF,
+    new_sh: DataFrame | None = None,
 ) -> DataFrame:
     """(new_doc, dup_of, jaccard) for every new-vs-corpus pair at or
     above ``threshold`` — exact Jaccard over distinct shingles, with
-    the build-time stop-shingle cap applied to the corpus side."""
-    new_sh = shingle_hashes(new_docs, text_col, k)
+    the build-time stop-shingle cap applied to the corpus side.
+    ``new_sh`` lets a caller that already shingled the batch (the
+    streaming sink) pass the shared DataFrame instead of recomputing.
+    Duplicate doc_ids in the input are dropped before shingling —
+    tied positions from a duplicated row would otherwise let the
+    shingler's lead() window pair tokens ACROSS the copies."""
+    if new_sh is None:
+        new_sh = shingle_hashes(
+            new_docs.dropDuplicates(["doc_id"]), text_col, k
+        )
     new_sizes = new_sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_new")
     )
@@ -146,20 +142,41 @@ def append_docs_to_index(
     present are skipped): appends their shingles and sizes so FUTURE
     batches score against them too. ``dfreq/`` is deliberately left at
     its build snapshot (see module docstring). Stopped-writer window,
-    like every parquet append here. Returns docs appended."""
+    like every parquet append here. Returns docs appended.
+
+    Crash protocol: the dedup key is ``shingles/`` (the FIRST write),
+    so a retry can never append a doc's shingles twice; the dependent
+    ``sizes/`` rows are then REPAIRED from the persisted shingles —
+    docs present in shingles but missing from sizes (this call's fresh
+    docs, or a prior call that crashed between its two appends) get
+    their size rows recomputed and appended. Every crash window
+    therefore converges on the next run."""
     sizes_path = os.path.join(index_dir, "sizes")
-    existing = spark.read.parquet(sizes_path).select("doc_id")
-    fresh_docs = new_docs.join(existing, "doc_id", "left_anti")
+    sh_path = os.path.join(index_dir, "shingles")
+    indexed = (
+        spark.read.parquet(sh_path).select("doc_id").distinct()
+    )
+    fresh_docs = new_docs.dropDuplicates(["doc_id"]).join(
+        indexed, "doc_id", "left_anti"
+    )
     sh = shingle_hashes(fresh_docs, text_col, k).localCheckpoint(
         eager=True  # sever lineage: the write must not re-scan the index
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    n = sizes.count()
+    n = sh.select("doc_id").distinct().count()
     if n:
-        sh.write.mode("append").parquet(
-            os.path.join(index_dir, "shingles")
-        )
-        sizes.write.mode("append").parquet(sizes_path)
+        sh.write.mode("append").parquet(sh_path)
+    # sizes repair: recompute from the persisted shingles for any doc
+    # missing a size row (covers this call AND heals crashed priors)
+    sized = spark.read.parquet(sizes_path).select("doc_id")
+    missing_sizes = (
+        spark.read.parquet(sh_path)
+        .join(sized, "doc_id", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    if missing_sizes.count():
+        missing_sizes.write.mode("append").parquet(sizes_path)
     return n
 
 
@@ -180,14 +197,27 @@ def run_doc_ingest(
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
-        shingle_hashes(batch, "text", 3).groupBy("doc_id").agg(
+        batch = (
+            batch.select("doc_id", "text")
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=True)
+        )
+        # shingle ONCE, share between the audit output and the scorer
+        sh = shingle_hashes(batch, "text", 3).localCheckpoint(eager=True)
+        counts = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_shingles")
-        ).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "scored", f"batch={batch_id}")
+        )
+        # left join so docs too short to shingle (< k words) still get
+        # an audit row (n_shingles = 0) — every arrival is recorded
+        (
+            batch.select("doc_id")
+            .join(counts, "doc_id", "left")
+            .na.fill(0, ["n_shingles"])
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "scored", f"batch={batch_id}"))
         )
         score_new_docs(
-            spark, index_dir, batch, threshold=threshold
+            spark, index_dir, batch, threshold=threshold, new_sh=sh
         ).write.mode("overwrite").parquet(
             os.path.join(out_dir, "near_dups", f"batch={batch_id}")
         )
@@ -202,7 +232,6 @@ def run_doc_ingest(
 
 
 def read_near_dups(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    path = os.path.join(out_dir, "near_dups")
-    if not os.path.isdir(path):
-        return None
-    return spark.read.parquet(path).drop("batch")
+    from ..indexutil import read_batched
+
+    return read_batched(spark, out_dir, "near_dups")

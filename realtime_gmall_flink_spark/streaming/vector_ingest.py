@@ -117,10 +117,9 @@ def read_scored(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def read_near_dups(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    path = os.path.join(out_dir, "near_dups")
-    if not os.path.isdir(path):
-        return None
-    return spark.read.parquet(path).drop("batch")
+    from ..indexutil import read_batched
+
+    return read_batched(spark, out_dir, "near_dups")
 
 
 def append_scored_to_index(
@@ -137,8 +136,13 @@ def append_scored_to_index(
     transactional; on a lakehouse table this is a plain MERGE).
     Returns rows appended."""
     asg = os.path.join(index_dir, "assignment")
-    scored = read_scored(spark, out_dir).select(
-        "vec_id", "embedding", "cid"
+    # dropDuplicates: the same vec_id can sit in TWO scored/batch dirs
+    # (at-least-once arrival before any maintenance run) — the
+    # assignment anti-join alone would append it twice
+    scored = (
+        read_scored(spark, out_dir)
+        .select("vec_id", "embedding", "cid")
+        .dropDuplicates(["vec_id"])
     )
     existing = spark.read.parquet(asg).select("vec_id")
     # localCheckpoint severs lineage BEFORE the append: the write must

@@ -155,3 +155,32 @@ def test_append_scored_to_index_idempotent_and_probeable(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_append_scored_dedups_across_batches(spark, tmp_path):
+    """The same vec_id arriving in TWO micro-batches (at-least-once
+    producer) before any maintenance run must be appended exactly once
+    — the scored/ tree holds it twice, the assignment must not."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_build(emb, str(tmp_path / "ivf"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # two ingest runs deliver the SAME new vec_id in separate batches
+    _arrivals(spark, [0], 600000).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, idx, out, ckpt).awaitTermination()
+    _arrivals(spark, [0], 600000).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, idx, out, ckpt).awaitTermination()
+    dup_rows = (
+        VI.read_scored(spark, out)
+        .filter(F.col("vec_id") == 600000)
+        .count()
+    )
+    assert dup_rows == 2  # precondition: it really is in two batches
+    assert VI.append_scored_to_index(spark, idx, out) == 1
+    assert (
+        spark.read.parquet(f"{idx}/assignment")
+        .filter(F.col("vec_id") == 600000)
+        .count()
+        == 1
+    )

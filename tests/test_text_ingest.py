@@ -99,3 +99,84 @@ def test_streaming_ingest_matches_batch_with_restart(spark, tmp_path):
     assert streamed == batch
     planted = {(s, d) for s, d, _ in streamed}
     assert {(800000 + i, i) for i in range(5)} <= planted
+
+
+def test_append_crash_between_writes_heals(spark, tmp_path):
+    """The crash window between the shingles append and the sizes
+    append: simulate by folding a doc's shingles in WITHOUT its size
+    row — the next append run must repair sizes from the persisted
+    shingles (and not duplicate the shingles), and scoring must then
+    see the doc with a correct Jaccard."""
+    from realtime_gmall_flink_spark.plans.textops import shingle_hashes
+
+    corpus = _docs_df(spark, [(1, "a b c d")])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    wave = _docs_df(spark, [(10, "m n o p q")])
+    # crashed prior run: shingles committed, sizes not
+    shingle_hashes(wave, "text", 3).write.mode("append").parquet(
+        f"{idx}/shingles"
+    )
+    # retry: doc 10 must not re-append shingles (n == 0 fresh docs)
+    assert TI.append_docs_to_index(spark, idx, wave) == 0
+    sh_ct = (
+        spark.read.parquet(f"{idx}/shingles")
+        .filter(F.col("doc_id") == 10)
+        .count()
+    )
+    assert sh_ct == 3  # 5 words -> 3 shingles, exactly once
+    # ...but its size row was repaired
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{idx}/sizes").collect()
+    }
+    assert sizes[10] == 3
+    # and scoring a copy of it now works at exactly 1.0
+    got = {
+        (r["new_doc"], r["dup_of"]): r["jaccard"]
+        for r in TI.score_new_docs(
+            spark, idx, _docs_df(spark, [(20, "m n o p q")])
+        ).collect()
+    }
+    assert got == {(20, 10): 1.0}
+
+
+def test_duplicate_rows_in_batch_do_not_corrupt_shingles(spark, tmp_path):
+    """An at-least-once producer delivering the same (doc_id, text) row
+    twice in one batch must not let the shingler's window pair tokens
+    across the copies: the duplicate collapses and Jaccard stays
+    exact."""
+    corpus = _docs_df(spark, [(1, "a b c d")])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    dup_batch = _docs_df(spark, [(10, "a b c d"), (10, "a b c d")])
+    got = {
+        (r["new_doc"], r["dup_of"]): r["jaccard"]
+        for r in TI.score_new_docs(spark, idx, dup_batch).collect()
+    }
+    assert got == {(10, 1): 1.0}
+    # append path collapses the duplicate too
+    assert TI.append_docs_to_index(spark, idx, dup_batch) == 1
+    assert (
+        spark.read.parquet(f"{idx}/shingles")
+        .filter(F.col("doc_id") == 10)
+        .count()
+        == 2  # 4 words -> 2 shingles, not 4+garbage
+    )
+
+
+def test_short_docs_get_audit_rows(spark, tmp_path):
+    """Docs with fewer than k words produce zero shingles but must
+    still appear in scored/batch=N (n_shingles = 0) — every arrival is
+    recorded."""
+    corpus = _docs_df(spark, [(1, "a b c d")])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    src = str(tmp_path / "arrivals")
+    _docs_df(spark, [(10, "hi there"), (11, "a b c d")]).write.parquet(src)
+    out = str(tmp_path / "out")
+    TI.run_doc_ingest(
+        spark, src, idx, out, str(tmp_path / "ckpt")
+    ).awaitTermination()
+    scored = {
+        r["doc_id"]: r["n_shingles"]
+        for r in spark.read.parquet(f"{out}/scored").collect()
+    }
+    assert scored == {10: 0, 11: 2}

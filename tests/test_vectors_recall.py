@@ -235,3 +235,39 @@ def test_ivf_drift_monitor_flags_lopsided_appends(spark, tmp_path):
     assert d1["growth"] == 1.0
     assert d1["max_cell_ratio"] > 2.0
     assert d1["rebuild_recommended"]
+
+
+def test_ivf_drift_ignores_stray_vector_in_empty_cell(spark, tmp_path):
+    """A build-time-empty cell receiving a handful of appended vectors
+    must NOT flip rebuild_recommended (Lloyd can strand a centroid; one
+    stray arrival is not drift) — only a material share does."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivf_build,
+        ivf_drift,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_build(emb, str(tmp_path / "ivf-stray"))
+    d0 = ivf_drift(spark, idx)
+    # simulate a stray landing in a cell absent from the build stats:
+    # append one assignment row under a synthetic cid partition
+    one = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(555555).cast("long").alias("vec_id"),
+            "embedding",
+            F.lit(999999).cast("long").alias("cid"),
+        )
+    )
+    one.write.mode("append").partitionBy("cid").parquet(
+        f"{idx}/assignment"
+    )
+    d1 = ivf_drift(spark, idx)
+    assert d1["total_now"] == d0["total_now"] + 1
+    assert not d1["rebuild_recommended"]
+    assert d1["max_cell_ratio"] != float("inf")
