@@ -180,3 +180,65 @@ def test_short_docs_get_audit_rows(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/scored").collect()
     }
     assert scored == {10: 0, 11: 2}
+
+
+def test_append_killpoint_fuzz(spark, tmp_path, monkeypatch):
+    """Mechanical form of the crash-heal test: kill the append at each
+    parquet-write call (shingles append, sizes repair), then retry —
+    every kill-point must converge to the same index state as an
+    uncrashed append (no duplicate shingles, correct sizes, correct
+    scoring), the property the repair protocol claims for ALL its
+    windows."""
+    import pyspark.sql.readwriter as RW
+
+    class Kill(Exception):
+        pass
+
+    real_parquet = RW.DataFrameWriter.parquet
+    wave = [(10, "m n o p q"), (11, "x y z w v u")]
+
+    for kill_at in (1, 2):
+        corpus = _docs_df(spark, [(1, "a b c d")])
+        idx = TI.shingle_index_build(
+            corpus, str(tmp_path / f"idx{kill_at}")
+        )
+        calls = {"n": 0}
+
+        def dying_parquet(self, path, **kw):
+            calls["n"] += 1
+            if calls["n"] >= kill_at:
+                raise Kill()
+            return real_parquet(self, path, **kw)
+
+        monkeypatch.setattr(RW.DataFrameWriter, "parquet", dying_parquet)
+        try:
+            TI.append_docs_to_index(spark, idx, _docs_df(spark, wave))
+            raise AssertionError(f"no kill fired at {kill_at}")
+        except Kill:
+            pass
+        finally:
+            monkeypatch.setattr(RW.DataFrameWriter, "parquet", real_parquet)
+
+        # heal: a plain retry must converge
+        TI.append_docs_to_index(spark, idx, _docs_df(spark, wave))
+        sh = (
+            spark.read.parquet(f"{idx}/shingles")
+            .groupBy("doc_id")
+            .count()
+            .collect()
+        )
+        assert {r["doc_id"]: r["count"] for r in sh} == {
+            1: 2, 10: 3, 11: 4
+        }
+        sizes = {
+            r["doc_id"]: r["n"]
+            for r in spark.read.parquet(f"{idx}/sizes").collect()
+        }
+        assert sizes == {1: 2, 10: 3, 11: 4}
+        got = {
+            (r["new_doc"], r["dup_of"]): r["jaccard"]
+            for r in TI.score_new_docs(
+                spark, idx, _docs_df(spark, [(20, "m n o p q")])
+            ).collect()
+        }
+        assert got == {(20, 10): 1.0}, (kill_at, got)
