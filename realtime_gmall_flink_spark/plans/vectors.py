@@ -1217,3 +1217,40 @@ def ivf_drift(
         "rebuild_recommended": growth > growth_warn
         or max_ratio > skew_warn,
     }
+
+
+def lsh_append(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    bits: int = ANN_BITS,
+) -> int:
+    """Append new vectors to a persisted LSH layout: bucket them with
+    the same sign-LSH as the build and append into the
+    bkt_hi-partitioned tree, so subsequent probes see them through the
+    same pruned scan. Duplicate ids (within the input or vs the layout)
+    are skipped, so the append is idempotent. Stopped-writer window,
+    like every parquet append here. Returns rows appended."""
+    import os
+
+    buckets = os.path.join(index_dir, "buckets")
+    if not os.path.isdir(buckets):
+        raise ValueError(f"not a valid LSH index: {index_dir!r}")
+    existing = spark.read.parquet(buckets).select("vec_id")
+    fresh = (
+        emb.dropDuplicates(["vec_id"])
+        .join(existing, "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            "embedding",
+            sign_lsh_bucket(F.col("embedding"), bits=bits)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .withColumn("bkt_hi", F.shiftrightunsigned("bucket", LSH_HI_SHIFT))
+        .localCheckpoint(eager=True)  # sever lineage before the append
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("bkt_hi").parquet(buckets)
+    return n

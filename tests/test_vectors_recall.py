@@ -271,3 +271,51 @@ def test_ivf_drift_ignores_stray_vector_in_empty_cell(spark, tmp_path):
     assert d1["total_now"] == d0["total_now"] + 1
     assert not d1["rebuild_recommended"]
     assert d1["max_cell_ratio"] != float("inf")
+
+
+def test_lsh_append_extends_persisted_layout(spark, tmp_path):
+    """The LSH layout gets the same build/append/probe lifecycle as the
+    IVF index: an appended copy of the query vector is probeable at
+    cosine 1.0 (same bucket by construction), and the append is
+    idempotent."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.functions.similarity import (
+        sign_lsh_bucket,
+    )
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        lsh_append,
+        lsh_build,
+        lsh_probe,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = lsh_build(emb, str(tmp_path / "lsh-append"))
+    planted = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.lit(20_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    assert lsh_append(spark, idx, planted) == 1
+    assert lsh_append(spark, idx, planted) == 0  # idempotent
+
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("qe"),
+            sign_lsh_bucket(F.col("embedding"), bits=16)
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()[0]
+    )
+    q = spark.createDataFrame([(qrow["qe"],)], ["qe"])
+    top = {
+        r["vec_id"]: r["cos_sim"]
+        for r in lsh_probe(
+            spark, idx, q, qrow["b"], exclude_vec_id=QUERY_VEC_ID
+        ).collect()
+    }
+    assert top.get(20_000_000) == 1.0
