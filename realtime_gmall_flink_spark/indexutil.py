@@ -28,6 +28,7 @@ def staged_index_build(
     def _valid(d: str) -> bool:
         return all(os.path.isdir(os.path.join(d, s)) for s in subdirs)
 
+    recover_index(index_dir, subdirs)  # heal a crashed rebuild swap
     if os.path.isdir(index_dir):
         if _valid(index_dir):
             return index_dir
@@ -52,3 +53,79 @@ def read_batched(spark, out_dir: str, sub: str):
     if not os.path.isdir(path):
         return None
     return spark.read.parquet(path).drop("batch")
+
+
+_REBUILD_PREFIX = ".rebuild-"
+_TOMB_PREFIX = ".old-"
+
+
+def _siblings(index_dir: str, prefix: str) -> list[str]:
+    parent, base = os.path.split(os.path.abspath(index_dir))
+    if not os.path.isdir(parent):
+        return []
+    return sorted(
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(f"{base}{prefix.rstrip('-')}-")
+        or d.startswith(f"{base}{prefix}")
+    )
+
+
+def recover_index(index_dir: str, subdirs: Sequence[str]) -> bool:
+    """Heal a crashed rebuild swap. The swap protocol is: build a
+    complete new index at ``<index>.rebuild-<run>``, rename the live
+    index to ``<index>.old-<run>`` (tombstone), rename the rebuild into
+    place, drop the tombstone. The only window where the live path is
+    missing is between the two renames — recovery ROLLS FORWARD to the
+    newest complete rebuild if one exists, else ROLLS BACK to the
+    newest complete tombstone; leftover rebuild/tombstone dirs are
+    swept once the live index is valid. Returns True if a roll was
+    performed."""
+
+    def _valid(d: str) -> bool:
+        return all(os.path.isdir(os.path.join(d, s)) for s in subdirs)
+
+    rolled = False
+    if not os.path.isdir(index_dir):
+        candidates = [
+            d for d in _siblings(index_dir, _REBUILD_PREFIX) if _valid(d)
+        ] or [d for d in _siblings(index_dir, _TOMB_PREFIX) if _valid(d)]
+        if candidates:
+            os.rename(candidates[-1], index_dir)
+            rolled = True
+    if os.path.isdir(index_dir) and _valid(index_dir):
+        for prefix in (_REBUILD_PREFIX, _TOMB_PREFIX):
+            for d in _siblings(index_dir, prefix):
+                shutil.rmtree(d, ignore_errors=True)
+    return rolled
+
+
+def rebuild_index(
+    index_dir: str,
+    subdirs: Sequence[str],
+    write: Callable[[str], None],
+) -> str:
+    """Rebuild an index IN PLACE with an atomic swap: the new index is
+    built complete at a sibling path, then two renames exchange it for
+    the live one (old index tombstoned, removed last). Readers in the
+    stopped-writer window only ever see a complete index; a crash
+    anywhere is healed by :func:`recover_index` (also run implicitly
+    here and by ``staged_index_build``)."""
+
+    def _valid(d: str) -> bool:
+        return all(os.path.isdir(os.path.join(d, s)) for s in subdirs)
+
+    recover_index(index_dir, subdirs)
+    run = uuid.uuid4().hex[:8]
+    new_dir = f"{index_dir}{_REBUILD_PREFIX}{run}"
+    write(new_dir)
+    if not _valid(new_dir):
+        shutil.rmtree(new_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"rebuild for {index_dir!r} produced an invalid index"
+        )
+    if os.path.isdir(index_dir):
+        os.rename(index_dir, f"{index_dir}{_TOMB_PREFIX}{run}")
+    os.rename(new_dir, index_dir)
+    shutil.rmtree(f"{index_dir}{_TOMB_PREFIX}{run}", ignore_errors=True)
+    return index_dir

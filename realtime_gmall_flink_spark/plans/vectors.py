@@ -554,9 +554,21 @@ def ivf_build(
     their staging). The assignment is computed FROM the persisted
     centroids (read back — k rows), so index contents are exactly
     self-consistent even across engine/rounding changes."""
-    import os
-
     from ..indexutil import staged_index_build
+
+    return staged_index_build(
+        index_dir,
+        IVF_SUBDIRS,
+        _ivf_write(emb, n_centroids, lloyd_iters),
+    )
+
+
+IVF_SUBDIRS = ("centroids", "assignment", "build_stats")
+
+
+def _ivf_write(emb: DataFrame, n_centroids: int, lloyd_iters: int):
+    """The IVF materialization closure shared by build and rebuild."""
+    import os
 
     spark = emb.sparkSession
 
@@ -578,9 +590,42 @@ def ivf_build(
             .write.parquet(os.path.join(staging, "build_stats"))
         )
 
-    return staged_index_build(
-        index_dir, ("centroids", "assignment", "build_stats"), write
+    return write
+
+
+def ivf_rebuild(
+    emb: DataFrame,
+    index_dir: str,
+    n_centroids: int = IVF_CENTROIDS,
+    lloyd_iters: int = IVF_LLOYD_ITERS,
+) -> str:
+    """Rebuild the index IN PLACE (refreshed centroids, assignment, and
+    drift baseline) with the crash-safe two-rename swap — the
+    refresh-on-drift action ivf_drift recommends. Stopped-writer
+    window, like every index mutation."""
+    from ..indexutil import rebuild_index
+
+    return rebuild_index(
+        index_dir, IVF_SUBDIRS, _ivf_write(emb, n_centroids, lloyd_iters)
     )
+
+
+def ivf_refresh_if_drifted(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    n_centroids: int = IVF_CENTROIDS,
+    lloyd_iters: int = IVF_LLOYD_ITERS,
+    **drift_kwargs,
+) -> dict:
+    """Check drift and rebuild only when recommended. Returns the drift
+    report with a ``rebuilt`` flag added."""
+    report = dict(ivf_drift(spark, index_dir, **drift_kwargs))
+    report["rebuilt"] = False
+    if report["rebuild_recommended"]:
+        ivf_rebuild(emb, index_dir, n_centroids, lloyd_iters)
+        report["rebuilt"] = True
+    return report
 
 
 def ivf_probe(

@@ -319,3 +319,111 @@ def test_lsh_append_extends_persisted_layout(spark, tmp_path):
         ).collect()
     }
     assert top.get(20_000_000) == 1.0
+
+
+def test_ivf_refresh_on_drift_rebuilds_and_resets_baseline(
+    spark, tmp_path
+):
+    """The full drift loop: flood one cell past the thresholds,
+    ivf_refresh_if_drifted rebuilds in place (new centroids over the
+    grown corpus is out of scope here — the INDEX corpus is what was
+    passed), and a fresh drift report against the new baseline is
+    clean. A no-drift refresh must not rebuild."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivf_append,
+        ivf_build,
+        ivf_drift,
+        ivf_refresh_if_drifted,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_build(emb, str(tmp_path / "ivf-refresh"))
+    r0 = ivf_refresh_if_drifted(spark, emb, idx)
+    assert not r0["rebuilt"]
+
+    n_base = r0["total_build"]
+    one = emb.filter(F.col("vec_id") == 0).select("embedding")
+    flood = (
+        spark.range(n_base)
+        .select((F.col("id") + 400000).alias("vec_id"))
+        .crossJoin(one)
+    )
+    ivf_append(spark, idx, flood)
+    grown = emb.select("vec_id", "embedding").unionByName(
+        flood.select("vec_id", "embedding")
+    )
+    r1 = ivf_refresh_if_drifted(spark, grown, idx)
+    assert r1["rebuilt"]
+    # the rebuilt index covers the grown corpus and its baseline is new
+    r2 = ivf_drift(spark, idx)
+    assert r2["total_build"] == 2 * n_base
+    assert r2["growth"] == 0.0
+    assert not r2["rebuild_recommended"]
+
+
+def test_index_rebuild_swap_killpoint_fuzz(spark, tmp_path, monkeypatch):
+    """Kill the rebuild swap at each os.rename (tombstone the old,
+    promote the new): every crash window must leave a path that
+    recover_index (or the next build/rebuild) heals to a COMPLETE valid
+    index — never a missing or half index."""
+    import os as _os
+
+    from realtime_gmall_flink_spark.indexutil import recover_index
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_SUBDIRS,
+        ivf_build,
+        ivf_rebuild,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    class Kill(Exception):
+        pass
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    real_rename = _os.rename
+    for kill_at in (1, 2):
+        idx = str(tmp_path / f"ivf-swap{kill_at}")
+        ivf_build(emb, idx)
+        calls = {"n": 0}
+
+        def dying_rename(a, b):
+            # only count renames touching the index family, not
+            # Spark's own temp-file renames inside the build
+            if _os.path.basename(a).startswith(
+                _os.path.basename(idx)
+            ) or _os.path.basename(b).startswith(_os.path.basename(idx)):
+                calls["n"] += 1
+                if calls["n"] >= kill_at:
+                    raise Kill()
+            return real_rename(a, b)
+
+        monkeypatch.setattr(_os, "rename", dying_rename)
+        try:
+            ivf_rebuild(emb, idx)
+            died = False
+        except Kill:
+            died = True
+        finally:
+            monkeypatch.setattr(_os, "rename", real_rename)
+        assert died, kill_at
+        recover_index(idx, IVF_SUBDIRS)
+        assert all(
+            _os.path.isdir(f"{idx}/{s}") for s in IVF_SUBDIRS
+        ), kill_at
+        # no leftover rebuild/tombstone debris
+        parent = _os.path.dirname(idx)
+        base = _os.path.basename(idx)
+        debris = [
+            d
+            for d in _os.listdir(parent)
+            if d.startswith(f"{base}.rebuild-")
+            or d.startswith(f"{base}.old-")
+        ]
+        assert debris == [], (kill_at, debris)
