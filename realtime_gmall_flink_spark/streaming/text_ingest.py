@@ -51,6 +51,17 @@ def shingle_index_build(
     existing complete index is reused, debris is rebuilt."""
     from ..indexutil import staged_index_build
 
+    return staged_index_build(
+        index_dir, SHINGLE_SUBDIRS, _shingle_write(docs, text_col, k)
+    )
+
+
+SHINGLE_SUBDIRS = ("shingles", "sizes", "dfreq")
+
+
+def _shingle_write(docs: DataFrame, text_col: str, k: int):
+    """The shingle-index materialization closure shared by build and
+    rebuild."""
     spark = docs.sparkSession
 
     def write(staging: str) -> None:
@@ -66,8 +77,23 @@ def shingle_index_build(
             F.count(F.lit(1)).alias("df")
         ).write.parquet(os.path.join(staging, "dfreq"))
 
-    return staged_index_build(
-        index_dir, ("shingles", "sizes", "dfreq"), write
+    return write
+
+
+def shingle_index_rebuild(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    k: int = 3,
+) -> str:
+    """Rebuild the shingle index IN PLACE over ``docs`` with the
+    crash-safe two-rename swap — the way the frozen ``dfreq/`` snapshot
+    (and the sizes/shingles of removed or edited docs) gets refreshed
+    after heavy append volume. Stopped-writer window."""
+    from ..indexutil import rebuild_index
+
+    return rebuild_index(
+        index_dir, SHINGLE_SUBDIRS, _shingle_write(docs, text_col, k)
     )
 
 

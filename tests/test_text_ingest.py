@@ -242,3 +242,49 @@ def test_append_killpoint_fuzz(spark, tmp_path, monkeypatch):
             ).collect()
         }
         assert got == {(20, 10): 1.0}, (kill_at, got)
+
+
+def test_shingle_index_rebuild_refreshes_dfreq(spark, tmp_path):
+    """The frozen dfreq snapshot refreshes only via rebuild: a shingle
+    appended past the viral cap keeps matching until
+    shingle_index_rebuild recomputes df over the grown corpus — then
+    the cap drops it (the drift-refresh loop for the text index)."""
+    # corpus of 3 docs sharing shingle "a b c"; cap of... JACCARD_MAX_DF
+    # is 64, too big to trip with a tiny fixture — use many docs sharing
+    # one shingle plus unique tails
+    n_viral = 70  # > JACCARD_MAX_DF = 64
+    corpus = _docs_df(spark, [(1, "a b c d")])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    # append a flood of docs all containing the shingle "a b c"
+    flood = _docs_df(
+        spark,
+        [(100 + i, f"a b c tail{i} x{i} y{i}") for i in range(n_viral)],
+    )
+    assert TI.append_docs_to_index(spark, idx, flood) == n_viral
+    # before rebuild: dfreq still says df("a b c") == 1, so a new doc
+    # sharing only that shingle still matches doc 1
+    probe = _docs_df(spark, [(999, "a b c")])  # exactly one shingle
+    got = {
+        (r["new_doc"], r["dup_of"])
+        for r in TI.score_new_docs(
+            spark, idx, probe, threshold=0.2
+        ).collect()
+    }
+    assert (999, 1) in got
+    # rebuild over the grown corpus: df("a b c") == 71 > 64 -> viral,
+    # the probe's only shingle is dropped, no pair survives
+    grown = corpus.unionByName(flood)
+    TI.shingle_index_rebuild(grown, idx)
+    got2 = TI.score_new_docs(spark, idx, probe, threshold=0.2).collect()
+    assert got2 == []
+    # and the rebuilt index still scores ordinary near-dups, with the
+    # now-viral "a b c" shingle excluded from the intersection (3 of 4
+    # shingles shared, sizes still 4 -> J = 3/(4+4-3) = 0.6) — exactly
+    # the boilerplate-excluding stop-shingle semantics of the batch
+    # pair generator
+    copy = _docs_df(spark, [(998, "a b c tail0 x0 y0")])
+    got3 = {
+        (r["new_doc"], r["dup_of"]): r["jaccard"]
+        for r in TI.score_new_docs(spark, idx, copy).collect()
+    }
+    assert got3[(998, 100)] == 0.6
