@@ -13,6 +13,10 @@ import uuid
 from collections.abc import Callable, Sequence
 
 
+def _valid_index(d: str, subdirs: Sequence[str]) -> bool:
+    return all(os.path.isdir(os.path.join(d, s)) for s in subdirs)
+
+
 def staged_index_build(
     index_dir: str,
     subdirs: Sequence[str],
@@ -26,7 +30,7 @@ def staged_index_build(
     untrusted debris and rebuilt."""
 
     def _valid(d: str) -> bool:
-        return all(os.path.isdir(os.path.join(d, s)) for s in subdirs)
+        return _valid_index(d, subdirs)
 
     recover_index(index_dir, subdirs)  # heal a crashed rebuild swap
     if os.path.isdir(index_dir):
@@ -66,8 +70,7 @@ def _siblings(index_dir: str, prefix: str) -> list[str]:
     return sorted(
         os.path.join(parent, d)
         for d in os.listdir(parent)
-        if d.startswith(f"{base}{prefix.rstrip('-')}-")
-        or d.startswith(f"{base}{prefix}")
+        if d.startswith(f"{base}{prefix}")
     )
 
 
@@ -83,7 +86,7 @@ def recover_index(index_dir: str, subdirs: Sequence[str]) -> bool:
     performed."""
 
     def _valid(d: str) -> bool:
-        return all(os.path.isdir(os.path.join(d, s)) for s in subdirs)
+        return _valid_index(d, subdirs)
 
     rolled = False
     if not os.path.isdir(index_dir):
@@ -107,13 +110,16 @@ def rebuild_index(
 ) -> str:
     """Rebuild an index IN PLACE with an atomic swap: the new index is
     built complete at a sibling path, then two renames exchange it for
-    the live one (old index tombstoned, removed last). Readers in the
-    stopped-writer window only ever see a complete index; a crash
-    anywhere is healed by :func:`recover_index` (also run implicitly
-    here and by ``staged_index_build``)."""
+    the live one (old index tombstoned, removed last). The swap needs a
+    STOPPED-WORLD window for this index — no writers AND no in-flight
+    readers: a reader spanning the two renames could pair one subdir
+    from the old index with another from the new (e.g. old centroids
+    against the new assignment), or list files the tombstone cleanup
+    then deletes. Any crash is healed by :func:`recover_index` (also
+    run implicitly here and by ``staged_index_build``)."""
 
     def _valid(d: str) -> bool:
-        return all(os.path.isdir(os.path.join(d, s)) for s in subdirs)
+        return _valid_index(d, subdirs)
 
     recover_index(index_dir, subdirs)
     run = uuid.uuid4().hex[:8]

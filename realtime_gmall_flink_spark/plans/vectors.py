@@ -594,17 +594,34 @@ def _ivf_write(emb: DataFrame, n_centroids: int, lloyd_iters: int):
 
 
 def ivf_rebuild(
-    emb: DataFrame,
+    spark: SparkSession,
     index_dir: str,
+    emb: DataFrame | None = None,
     n_centroids: int = IVF_CENTROIDS,
     lloyd_iters: int = IVF_LLOYD_ITERS,
 ) -> str:
     """Rebuild the index IN PLACE (refreshed centroids, assignment, and
     drift baseline) with the crash-safe two-rename swap — the
-    refresh-on-drift action ivf_drift recommends. Stopped-writer
-    window, like every index mutation."""
+    refresh-on-drift action ivf_drift recommends. By DEFAULT the
+    corpus is self-sourced from the persisted assignment (original
+    build plus every append), so a rebuild can never silently drop
+    appended vectors; pass ``emb`` only to rebuild over a DIFFERENT
+    corpus, and it must then be the FULL intended corpus — rows absent
+    from it vanish from the index. Stopped-WORLD window (see
+    indexutil.rebuild_index: in-flight readers can mix index
+    versions)."""
+    import os
+
     from ..indexutil import rebuild_index
 
+    if emb is None:
+        # materialize before the swap: the rebuild's writes must not
+        # lazily re-scan the directories the swap is about to replace
+        emb = (
+            spark.read.parquet(os.path.join(index_dir, "assignment"))
+            .select("vec_id", "embedding")
+            .localCheckpoint(eager=True)
+        )
     return rebuild_index(
         index_dir, IVF_SUBDIRS, _ivf_write(emb, n_centroids, lloyd_iters)
     )
@@ -612,18 +629,19 @@ def ivf_rebuild(
 
 def ivf_refresh_if_drifted(
     spark: SparkSession,
-    emb: DataFrame,
     index_dir: str,
+    emb: DataFrame | None = None,
     n_centroids: int = IVF_CENTROIDS,
     lloyd_iters: int = IVF_LLOYD_ITERS,
     **drift_kwargs,
 ) -> dict:
-    """Check drift and rebuild only when recommended. Returns the drift
-    report with a ``rebuilt`` flag added."""
+    """Check drift and rebuild only when recommended (corpus
+    self-sourced from the index by default — see ivf_rebuild). Returns
+    the drift report with a ``rebuilt`` flag added."""
     report = dict(ivf_drift(spark, index_dir, **drift_kwargs))
     report["rebuilt"] = False
     if report["rebuild_recommended"]:
-        ivf_rebuild(emb, index_dir, n_centroids, lloyd_iters)
+        ivf_rebuild(spark, index_dir, emb, n_centroids, lloyd_iters)
         report["rebuilt"] = True
     return report
 
@@ -934,6 +952,19 @@ def lsh_index_dir(sf_dir: str, bits: int = ANN_BITS) -> str:
     )
 
 
+def _lsh_bucketed(emb: DataFrame, bits: int) -> DataFrame:
+    """The layout projection shared by lsh_build and lsh_append — ONE
+    definition of (bucket, bkt_hi), so appended rows can never land in
+    partitions the probe's literal pruning does not scan."""
+    return emb.select(
+        "vec_id",
+        "embedding",
+        sign_lsh_bucket(F.col("embedding"), bits=bits)
+        .cast("int")
+        .alias("bucket"),
+    ).withColumn("bkt_hi", F.shiftrightunsigned("bucket", LSH_HI_SHIFT))
+
+
 def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     """Materialize (vec_id, embedding, bucket) partitioned by the
     bucket's high byte. Staged + renamed like ivf_build; an existing
@@ -943,19 +974,8 @@ def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     from ..indexutil import staged_index_build
 
     def write(staging: str) -> None:
-        (
-            emb.select(
-                "vec_id",
-                "embedding",
-                sign_lsh_bucket(F.col("embedding"), bits=bits)
-                .cast("int")
-                .alias("bucket"),
-            )
-            .withColumn(
-                "bkt_hi", F.shiftrightunsigned("bucket", LSH_HI_SHIFT)
-            )
-            .write.partitionBy("bkt_hi")
-            .parquet(os.path.join(staging, "buckets"))
+        _lsh_bucketed(emb, bits).write.partitionBy("bkt_hi").parquet(
+            os.path.join(staging, "buckets")
         )
 
     return staged_index_build(index_dir, ("buckets",), write)
@@ -1282,19 +1302,10 @@ def lsh_append(
     if not os.path.isdir(buckets):
         raise ValueError(f"not a valid LSH index: {index_dir!r}")
     existing = spark.read.parquet(buckets).select("vec_id")
-    fresh = (
-        emb.dropDuplicates(["vec_id"])
-        .join(existing, "vec_id", "left_anti")
-        .select(
-            "vec_id",
-            "embedding",
-            sign_lsh_bucket(F.col("embedding"), bits=bits)
-            .cast("int")
-            .alias("bucket"),
-        )
-        .withColumn("bkt_hi", F.shiftrightunsigned("bucket", LSH_HI_SHIFT))
-        .localCheckpoint(eager=True)  # sever lineage before the append
-    )
+    fresh = _lsh_bucketed(
+        emb.dropDuplicates(["vec_id"]).join(existing, "vec_id", "left_anti"),
+        bits,
+    ).localCheckpoint(eager=True)  # sever lineage before the append
     n = fresh.count()
     if n:
         fresh.write.mode("append").partitionBy("bkt_hi").parquet(buckets)

@@ -343,7 +343,7 @@ def test_ivf_refresh_on_drift_rebuilds_and_resets_baseline(
 
     emb = load_table(spark, SF_DIR, "embeddings")
     idx = ivf_build(emb, str(tmp_path / "ivf-refresh"))
-    r0 = ivf_refresh_if_drifted(spark, emb, idx)
+    r0 = ivf_refresh_if_drifted(spark, idx)
     assert not r0["rebuilt"]
 
     n_base = r0["total_build"]
@@ -354,16 +354,21 @@ def test_ivf_refresh_on_drift_rebuilds_and_resets_baseline(
         .crossJoin(one)
     )
     ivf_append(spark, idx, flood)
-    grown = emb.select("vec_id", "embedding").unionByName(
-        flood.select("vec_id", "embedding")
-    )
-    r1 = ivf_refresh_if_drifted(spark, grown, idx)
+    # self-sourced rebuild: the corpus comes from the persisted
+    # assignment (build + appends), so appended vectors CANNOT be lost
+    r1 = ivf_refresh_if_drifted(spark, idx)
     assert r1["rebuilt"]
     # the rebuilt index covers the grown corpus and its baseline is new
     r2 = ivf_drift(spark, idx)
     assert r2["total_build"] == 2 * n_base
     assert r2["growth"] == 0.0
     assert not r2["rebuild_recommended"]
+    kept = (
+        spark.read.parquet(f"{idx}/assignment")
+        .filter(F.col("vec_id") >= 400000)
+        .count()
+    )
+    assert kept == n_base  # every appended vector survived the rebuild
 
 
 def test_index_rebuild_swap_killpoint_fuzz(spark, tmp_path, monkeypatch):
@@ -406,7 +411,7 @@ def test_index_rebuild_swap_killpoint_fuzz(spark, tmp_path, monkeypatch):
 
         monkeypatch.setattr(_os, "rename", dying_rename)
         try:
-            ivf_rebuild(emb, idx)
+            ivf_rebuild(spark, idx, emb)
             died = False
         except Kill:
             died = True
