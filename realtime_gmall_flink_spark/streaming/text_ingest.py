@@ -80,6 +80,61 @@ def _shingle_write(docs: DataFrame, text_col: str, k: int):
     return write
 
 
+def shingle_index_drift(
+    spark: SparkSession, index_dir: str, growth_warn: float = 0.5
+) -> dict:
+    """The text twin of ivf_drift: how stale is the frozen ``dfreq/``
+    snapshot? ``dfreq`` covers exactly the docs present at build (its
+    per-doc universe is the build-time ``sizes`` population, which only
+    appends), so drift is the appended fraction: docs in ``sizes/``
+    whose shingles are uncounted in ``dfreq``'s denominator.
+    ``rebuild_recommended`` fires past ``growth_warn`` — beyond it the
+    viral cap (and with it the boilerplate exclusion) reflects a
+    minority of the corpus. Both scans are aggregate-sized (distinct
+    doc counts via parquet-footer-cheap column reads)."""
+    total_now = (
+        spark.read.parquet(os.path.join(index_dir, "sizes"))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    # build-time doc population == docs whose shingles are in dfreq ==
+    # docs present in the shingles tree at build; the sizes repair
+    # protocol keeps sizes a superset of any crash remnant, so the
+    # build count is recovered as (docs seen by dfreq). dfreq has no
+    # doc column — recover the build count from the per-doc universe
+    # persisted at build: sizes rows carry no stamp, so the build
+    # population is total_now minus docs appended SINCE build, which is
+    # exactly the docs absent from dfreq's shingle universe. One
+    # anti-join of per-doc first shingles against dfreq hashes:
+    sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    dfreq = spark.read.parquet(os.path.join(index_dir, "dfreq")).select(
+        "h"
+    )
+    appended_docs = (
+        sh.join(dfreq, "h", "left_anti")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    # a doc counts as appended if ANY of its shingles is unknown to
+    # dfreq; build docs have all shingles in dfreq by construction.
+    # (An appended doc composed ONLY of shingles the build also had is
+    # indistinguishable from a build doc — and harmlessly so: dfreq is
+    # exact for every shingle it covers.)
+    total_build = total_now - appended_docs
+    growth = (
+        appended_docs / total_build if total_build else float("inf")
+    )
+    return {
+        "total_build": total_build,
+        "total_now": total_now,
+        "appended_docs": appended_docs,
+        "growth": growth,
+        "rebuild_recommended": growth > growth_warn,
+    }
+
+
 def shingle_index_rebuild(
     docs: DataFrame,
     index_dir: str,

@@ -288,3 +288,33 @@ def test_shingle_index_rebuild_refreshes_dfreq(spark, tmp_path):
         for r in TI.score_new_docs(spark, idx, copy).collect()
     }
     assert got3[(998, 100)] == 0.6
+
+
+def test_shingle_index_drift_counts_appended_docs(spark, tmp_path):
+    """Fresh index: zero growth. After appending docs with novel
+    shingles, the drift report counts them and recommends a rebuild
+    past the threshold; a rebuild resets the baseline."""
+    corpus = _docs_df(spark, [(i, f"base{i} mid{i} end{i} tail{i}")
+                              for i in range(4)])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    d0 = TI.shingle_index_drift(spark, idx)
+    assert d0 == {
+        "total_build": 4,
+        "total_now": 4,
+        "appended_docs": 0,
+        "growth": 0.0,
+        "rebuild_recommended": False,
+    }
+    wave = _docs_df(spark, [(100 + i, f"new{i} words{i} here{i} too{i}")
+                            for i in range(3)])
+    TI.append_docs_to_index(spark, idx, wave)
+    d1 = TI.shingle_index_drift(spark, idx)
+    assert d1["appended_docs"] == 3
+    assert d1["total_build"] == 4 and d1["total_now"] == 7
+    assert d1["rebuild_recommended"]  # 3/4 > 0.5
+    grown = corpus.unionByName(wave)
+    TI.shingle_index_rebuild(grown, idx)
+    d2 = TI.shingle_index_drift(spark, idx)
+    assert d2["total_build"] == 7
+    assert d2["appended_docs"] == 0
+    assert not d2["rebuild_recommended"]
