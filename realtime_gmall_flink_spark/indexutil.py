@@ -63,14 +63,38 @@ _REBUILD_PREFIX = ".rebuild-"
 _TOMB_PREFIX = ".old-"
 
 
+def _run_id() -> str:
+    """Suffix for rebuild/tombstone siblings: a zero-padded nanosecond
+    timestamp first so lexicographic order IS chronological order, plus
+    a uuid fragment so concurrent runs in the same nanosecond cannot
+    collide."""
+    import time
+
+    return f"{time.time_ns():020d}-{uuid.uuid4().hex[:6]}"
+
+
 def _siblings(index_dir: str, prefix: str) -> list[str]:
+    """Sibling rebuild/tombstone dirs, oldest first. Ordered by mtime
+    with the name as tiebreak: new suffixes sort chronologically by
+    name too, but legacy uuid-suffixed dirs do not, and recovery must
+    promote the NEWEST candidate."""
     parent, base = os.path.split(os.path.abspath(index_dir))
     if not os.path.isdir(parent):
         return []
+
+    def _key(p: str) -> tuple[float, str]:
+        try:
+            return (os.path.getmtime(p), p)
+        except OSError:
+            return (0.0, p)
+
     return sorted(
-        os.path.join(parent, d)
-        for d in os.listdir(parent)
-        if d.startswith(f"{base}{prefix}")
+        (
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith(f"{base}{prefix}")
+        ),
+        key=_key,
     )
 
 
@@ -81,9 +105,10 @@ def recover_index(index_dir: str, subdirs: Sequence[str]) -> bool:
     place, drop the tombstone. The only window where the live path is
     missing is between the two renames — recovery ROLLS FORWARD to the
     newest complete rebuild if one exists, else ROLLS BACK to the
-    newest complete tombstone; leftover rebuild/tombstone dirs are
-    swept once the live index is valid. Returns True if a roll was
-    performed."""
+    newest complete tombstone (newest by mtime; run suffixes are also
+    timestamp-ordered so surviving candidates resolve deterministically
+    even if mtimes tie); leftover rebuild/tombstone dirs are swept once
+    the live index is valid. Returns True if a roll was performed."""
 
     def _valid(d: str) -> bool:
         return _valid_index(d, subdirs)
@@ -122,7 +147,7 @@ def rebuild_index(
         return _valid_index(d, subdirs)
 
     recover_index(index_dir, subdirs)
-    run = uuid.uuid4().hex[:8]
+    run = _run_id()
     new_dir = f"{index_dir}{_REBUILD_PREFIX}{run}"
     write(new_dir)
     if not _valid(new_dir):

@@ -1199,9 +1199,11 @@ def ivf_append(
     The centroids are deliberately NOT refit — the coarse quantizer is
     a build-time artifact, and deciding when drift warrants a rebuild
     is an operational call (compare per-cell counts against the build).
-    Parquet appends are not transactional: run in a stopped-writer
-    window like compaction (on a lakehouse table this is a plain
-    transactional append)."""
+    Duplicate ids (within the input or vs the persisted assignment) are
+    skipped, so a retried or replayed append is idempotent — same
+    contract as :func:`lsh_append`. Parquet appends are not
+    transactional: run in a stopped-writer window like compaction (on a
+    lakehouse table this is a plain transactional append)."""
     import os
 
     cent_path = os.path.join(index_dir, "centroids")
@@ -1209,11 +1211,18 @@ def ivf_append(
     if not (os.path.isdir(cent_path) and os.path.isdir(asg_path)):
         raise ValueError(f"not a valid IVF index: {index_dir!r}")
     cent = spark.read.parquet(cent_path)
-    # drop duplicate ids defensively (at-least-once producers), then
+    # drop duplicate ids defensively (at-least-once producers) and
+    # anti-join away ids already in the assignment (replayed appends)
+    # BEFORE the argmax so no work is spent on rows that will be
+    # skipped; the id scan is column-pruned to vec_id only. Then
     # materialize ONCE: count and write must see the same rows, and the
     # write must not re-run the whole assignment
+    existing = spark.read.parquet(asg_path).select("vec_id")
     assigned = ivf_assign(
-        emb.dropDuplicates(["vec_id"]), cent
+        emb.dropDuplicates(["vec_id"]).join(
+            existing, "vec_id", "left_anti"
+        ),
+        cent,
     ).localCheckpoint(eager=True)
     n = assigned.count()
     if n:

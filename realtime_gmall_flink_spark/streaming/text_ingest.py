@@ -9,7 +9,9 @@ Index layout (built staged + atomic rename, like the IVF index):
   denominator's corpus side);
 - ``dfreq/``    — per-hash document frequency, so the probe applies the
   SAME stop-shingle cap (df > max_df dropped before pairing) as the
-  batch pair generator.
+  batch pair generator;
+- ``build_stats/`` — the build-time doc count, so the drift check is a
+  scalar compare instead of a shingle-tree scan.
 
 Scoring a batch of new docs is: shingle them (one scan, codegen), join
 against the index's cap-filtered shingles on the 8-byte hash, count
@@ -56,12 +58,14 @@ def shingle_index_build(
     )
 
 
-SHINGLE_SUBDIRS = ("shingles", "sizes", "dfreq")
+SHINGLE_SUBDIRS = ("shingles", "sizes", "dfreq", "build_stats")
 
 
 def _shingle_write(docs: DataFrame, text_col: str, k: int):
     """The shingle-index materialization closure shared by build and
-    rebuild."""
+    rebuild. ``build_stats/`` persists the build-time doc count so
+    :func:`shingle_index_drift` is a scalar compare, not a data scan
+    (the text twin of the IVF index's build_stats snapshot)."""
     spark = docs.sparkSession
 
     def write(staging: str) -> None:
@@ -76,6 +80,12 @@ def _shingle_write(docs: DataFrame, text_col: str, k: int):
         sh.groupBy("h").agg(
             F.count(F.lit(1)).alias("df")
         ).write.parquet(os.path.join(staging, "dfreq"))
+        n_docs = (
+            spark.read.parquet(os.path.join(staging, "sizes")).count()
+        )
+        spark.createDataFrame(
+            [(n_docs,)], "n_docs long"
+        ).coalesce(1).write.parquet(os.path.join(staging, "build_stats"))
 
     return write
 
@@ -86,43 +96,52 @@ def shingle_index_drift(
     """The text twin of ivf_drift: how stale is the frozen ``dfreq/``
     snapshot? ``dfreq`` covers exactly the docs present at build (its
     per-doc universe is the build-time ``sizes`` population, which only
-    appends), so drift is the appended fraction: docs in ``sizes/``
-    whose shingles are uncounted in ``dfreq``'s denominator.
-    ``rebuild_recommended`` fires past ``growth_warn`` — beyond it the
-    viral cap (and with it the boilerplate exclusion) reflects a
-    minority of the corpus. Both scans are aggregate-sized (distinct
-    doc counts via parquet-footer-cheap column reads)."""
+    appends), so drift is the appended fraction: docs added to
+    ``sizes/`` since the build. ``rebuild_recommended`` fires past
+    ``growth_warn`` — beyond it the viral cap (and with it the
+    boilerplate exclusion) reflects a minority of the corpus.
+
+    Cost: against a current-layout index (``build_stats/`` present,
+    written at build like the IVF snapshot) this is one doc-sized
+    ``sizes`` row count vs a stored scalar — no shingle data is read.
+    Against a pre-build_stats index it falls back to recovering the
+    build population via a full anti-join of the shingles tree against
+    ``dfreq`` — that path reads ALL shingle hashes and at corpus scale
+    costs a real scan; rebuild to get the cheap check."""
     total_now = (
         spark.read.parquet(os.path.join(index_dir, "sizes"))
         .select("doc_id")
         .distinct()
         .count()
     )
-    # build-time doc population == docs whose shingles are in dfreq ==
-    # docs present in the shingles tree at build; the sizes repair
-    # protocol keeps sizes a superset of any crash remnant, so the
-    # build count is recovered as (docs seen by dfreq). dfreq has no
-    # doc column — recover the build count from the per-doc universe
-    # persisted at build: sizes rows carry no stamp, so the build
-    # population is total_now minus docs appended SINCE build, which is
-    # exactly the docs absent from dfreq's shingle universe. One
-    # anti-join of per-doc first shingles against dfreq hashes:
-    sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
-    dfreq = spark.read.parquet(os.path.join(index_dir, "dfreq")).select(
-        "h"
-    )
-    appended_docs = (
-        sh.join(dfreq, "h", "left_anti")
-        .select("doc_id")
-        .distinct()
-        .count()
-    )
-    # a doc counts as appended if ANY of its shingles is unknown to
-    # dfreq; build docs have all shingles in dfreq by construction.
-    # (An appended doc composed ONLY of shingles the build also had is
-    # indistinguishable from a build doc — and harmlessly so: dfreq is
-    # exact for every shingle it covers.)
-    total_build = total_now - appended_docs
+    stats_path = os.path.join(index_dir, "build_stats")
+    if os.path.isdir(stats_path):
+        total_build = (
+            spark.read.parquet(stats_path).head()["n_docs"]
+        )
+        appended_docs = total_now - total_build
+    else:
+        # legacy fallback (pre-build_stats build): the build population
+        # is total_now minus docs appended SINCE build, which is
+        # exactly the docs absent from dfreq's shingle universe. One
+        # anti-join of per-doc shingles against dfreq hashes — this
+        # reads the whole shingles tree (expensive at corpus scale).
+        sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
+        dfreq = spark.read.parquet(
+            os.path.join(index_dir, "dfreq")
+        ).select("h")
+        appended_docs = (
+            sh.join(dfreq, "h", "left_anti")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        # a doc counts as appended if ANY of its shingles is unknown to
+        # dfreq; build docs have all shingles in dfreq by construction.
+        # (An appended doc composed ONLY of shingles the build also had
+        # is indistinguishable from a build doc — and harmlessly so:
+        # dfreq is exact for every shingle it covers.)
+        total_build = total_now - appended_docs
     growth = (
         appended_docs / total_build if total_build else float("inf")
     )
@@ -230,8 +249,18 @@ def append_docs_to_index(
     ``sizes/`` rows are then REPAIRED from the persisted shingles —
     docs present in shingles but missing from sizes (this call's fresh
     docs, or a prior call that crashed between its two appends) get
-    their size rows recomputed and appended. Every crash window
-    therefore converges on the next run."""
+    their size rows recomputed and appended.
+
+    The shingle append itself is ``repartition("doc_id")``-ed before
+    the write so ALL of a doc's shingle rows land in one task — i.e.
+    one part file. Spark's job commit promotes task files one rename
+    at a time, so a crash mid-commit persists a subset of FILES; with
+    whole-doc files that is a subset of whole DOCS, never a doc's
+    partial shingle set. The doc-presence dedup therefore stays sound
+    at every kill point (a half-committed doc cannot be anti-joined
+    away with an undercounted denominator), and every crash window
+    converges on the next run. The extra shuffle touches only the new
+    batch, not the index."""
     sizes_path = os.path.join(index_dir, "sizes")
     sh_path = os.path.join(index_dir, "shingles")
     indexed = (
@@ -245,7 +274,7 @@ def append_docs_to_index(
     )
     n = sh.select("doc_id").distinct().count()
     if n:
-        sh.write.mode("append").parquet(sh_path)
+        sh.repartition("doc_id").write.mode("append").parquet(sh_path)
     # sizes repair: recompute from the persisted shingles for any doc
     # missing a size row (covers this call AND heals crashed priors)
     sized = spark.read.parquet(sizes_path).select("doc_id")

@@ -318,3 +318,71 @@ def test_shingle_index_drift_counts_appended_docs(spark, tmp_path):
     assert d2["total_build"] == 7
     assert d2["appended_docs"] == 0
     assert not d2["rebuild_recommended"]
+
+
+def test_append_part_files_hold_whole_docs(spark, tmp_path):
+    """The append crash-window invariant: every data file the shingle
+    append commits contains ALL of a doc's shingle rows (the batch is
+    repartitioned by doc_id before the write), so a crash mid-job-commit
+    — which persists a subset of FILES — can only persist whole docs,
+    never an undercounted shingle set that the doc-presence dedup would
+    then trust forever."""
+    import glob
+    import os
+
+    corpus = _docs_df(spark, [(1, "a b c d")])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    # docs with distinct sizes, enough of them to spread over several
+    # shuffle partitions / output files
+    wave = _docs_df(
+        spark,
+        [(100 + i, " ".join(f"w{i}x{j}" for j in range(3 + i % 7)))
+         for i in range(24)],
+    )
+    assert TI.append_docs_to_index(spark, idx, wave) == 24
+    full = {
+        r["doc_id"]: r["count"]
+        for r in spark.read.parquet(f"{idx}/shingles")
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    }
+    data_files = [
+        f
+        for f in glob.glob(f"{idx}/shingles/*.parquet")
+        if not os.path.basename(f).startswith("_")
+    ]
+    assert len(data_files) > 1  # the invariant is vacuous on one file
+    seen_docs = 0
+    for f in data_files:
+        per_file = {
+            r["doc_id"]: r["count"]
+            for r in spark.read.parquet(f)
+            .groupBy("doc_id")
+            .count()
+            .collect()
+        }
+        for doc_id, n in per_file.items():
+            assert n == full[doc_id], (f, doc_id)
+        seen_docs += len(per_file)
+    assert seen_docs == len(full)  # no doc spans two files
+
+
+def test_shingle_drift_fast_path_and_legacy_fallback(spark, tmp_path):
+    """A current-layout index carries build_stats, so drift is a scalar
+    compare; a pre-build_stats index (simulated by deleting the
+    subdir) falls back to the anti-join recovery — both must report the
+    same numbers."""
+    import shutil
+
+    corpus = _docs_df(spark, [(i, f"base{i} mid{i} end{i} tail{i}")
+                              for i in range(4)])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    wave = _docs_df(spark, [(100 + i, f"new{i} words{i} here{i} too{i}")
+                            for i in range(3)])
+    TI.append_docs_to_index(spark, idx, wave)
+    fast = TI.shingle_index_drift(spark, idx)
+    shutil.rmtree(f"{idx}/build_stats")
+    legacy = TI.shingle_index_drift(spark, idx)
+    assert fast == legacy
+    assert fast["total_build"] == 4 and fast["appended_docs"] == 3

@@ -432,3 +432,78 @@ def test_index_rebuild_swap_killpoint_fuzz(spark, tmp_path, monkeypatch):
             or d.startswith(f"{base}.old-")
         ]
         assert debris == [], (kill_at, debris)
+
+
+def test_ivf_append_replay_is_idempotent(spark, tmp_path):
+    """An at-least-once producer replaying the SAME batch (retry,
+    checkpoint replay) must not duplicate vec_ids in the persisted
+    assignment: the second delivery anti-joins against the existing
+    ids and appends nothing — same contract as lsh_append."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        ivf_append,
+        ivf_build,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_build(emb, str(tmp_path / "ivf-replay"))
+    planted = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.lit(5_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    assert ivf_append(spark, idx, planted) == 1
+    # replayed delivery: nothing appended, no duplicate row
+    assert ivf_append(spark, idx, planted) == 0
+    n_rows = (
+        spark.read.parquet(f"{idx}/assignment")
+        .filter(F.col("vec_id") == 5_000_000)
+        .count()
+    )
+    assert n_rows == 1
+    # and a build-time id replayed through append is skipped too
+    base = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "vec_id", "embedding"
+    )
+    assert ivf_append(spark, idx, base) == 0
+
+
+def test_recover_index_promotes_newest_candidate(tmp_path):
+    """With MULTIPLE complete surviving candidates (two crashed rebuild
+    attempts), recovery must promote the NEWEST one — candidates are
+    ordered by mtime, not by the lexicographic accident of a uuid
+    suffix."""
+    import os
+    import shutil
+
+    from realtime_gmall_flink_spark.indexutil import recover_index
+
+    subdirs = ("a", "b")
+    idx = str(tmp_path / "idx")
+
+    def mk(path: str, marker: str, mtime: float) -> None:
+        for s in subdirs:
+            os.makedirs(os.path.join(path, s))
+        with open(os.path.join(path, "marker"), "w") as f:
+            f.write(marker)
+        os.utime(path, (mtime, mtime))
+
+    # two complete rebuild candidates; the LEXICOGRAPHICALLY larger
+    # suffix is the OLDER one, so a name sort would promote the wrong
+    # dir. Do both orderings to be safe against accidental agreement.
+    for old_sfx, new_sfx in (("ffff", "aaaa"), ("aaaa", "ffff")):
+        for d in os.listdir(tmp_path):
+            shutil.rmtree(os.path.join(tmp_path, d), ignore_errors=True)
+        mk(f"{idx}.rebuild-{old_sfx}", "old", 1_000_000.0)
+        mk(f"{idx}.rebuild-{new_sfx}", "new", 2_000_000.0)
+        assert recover_index(idx, subdirs)
+        assert open(os.path.join(idx, "marker")).read() == "new", (
+            old_sfx,
+            new_sfx,
+        )
+        # losers are swept once the live index is valid
+        debris = [d for d in os.listdir(tmp_path) if ".rebuild-" in d]
+        assert debris == []
