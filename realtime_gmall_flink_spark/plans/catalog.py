@@ -166,6 +166,9 @@ ROTATION_POOL: tuple[str, ...] = (
     "ann_filtered_topk",
     "ann_multiprobe_batch_topk",
     "incremental_near_dup_scoring",
+    "sequence_packing_stats",
+    "duplicate_ngram_coverage",
+    "ann_sq8_topk",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -1976,3 +1976,190 @@ def incremental_near_dup_scoring(
     )
     shingle_index_build(corpus, idx)
     return score_new_docs(spark, idx, new)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — assemble documents into fixed-token-budget training
+# sequences, concat-in-hash-order semantics (a doc that does not fit in
+# the open sequence's remainder STRADDLES into the next: its tokens are
+# split across the boundary, the standard pack-and-chop used for LLM
+# pretraining batches). Packing is per-BUCKET: docs are sharded by an
+# md5 hash bucket and packed independently within each shard in
+# hash-of-id order (a deterministic pseudo-random shuffle — no sampling
+# state, stable under reruns). Plan shape: one shuffle on the bucket id
+# plus an in-partition sort for the running-sum window, then a
+# bucket-count-sized aggregate. At 100 TB the bucket count is what sets
+# parallelism (use O(shards) buckets, e.g. one per output file, not 16);
+# the window never sorts globally and sequence ids need no coordination
+# across buckets — seq_id is (bucket, cum DIV budget).
+PACK_BUDGET = 512  # tokens per packed sequence
+PACK_BUCKETS = 16  # independent pack shards at test SFs
+
+_PACK_BUCKET_SQL = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+    f" AS INTEGER) % {PACK_BUCKETS}"
+)
+
+
+@register(
+    "sequence_packing_stats",
+    survey="A4(ext),P10(ext)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           {_PACK_BUCKET_SQL} AS bucket,
+           md5(CAST(doc_id AS VARCHAR)) AS ord,
+           len({_WORDS_SQL}) AS toks
+    FROM documents
+), c AS (
+    SELECT bucket, toks,
+           coalesce(sum(toks) OVER (
+               PARTITION BY bucket ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum
+    FROM d
+), s AS (
+    SELECT bucket, toks, cum,
+           cum // {PACK_BUDGET} AS seq,
+           CASE WHEN cum + toks > (cum // {PACK_BUDGET} + 1) * {PACK_BUDGET}
+                THEN 1 ELSE 0 END AS straddle
+    FROM c
+)
+SELECT bucket,
+       count(*) AS doc_ct,
+       CAST(count(DISTINCT seq) AS BIGINT) AS seq_ct,
+       CAST(sum(straddle) AS BIGINT) AS straddler_ct,
+       CAST(sum(toks) AS BIGINT) AS token_sum,
+       round(CAST(sum(toks) AS DOUBLE)
+             / (count(DISTINCT seq) * {PACK_BUDGET}), 6) AS avg_fill
+FROM s
+GROUP BY bucket
+""",
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing report: how many sequences the shard's docs
+    fill, how many docs straddle a boundary, and the fill ratio. All
+    assignment arithmetic is exact integers (running token sum, DIV),
+    so the oracle is bit-identical; only the final fill ratio divides.
+    """
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10)
+        .cast("long") % PACK_BUCKETS
+    ).cast("int")
+    d = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        token_count("text").cast("long").alias("toks"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("cum", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    s = c.select(
+        "bucket",
+        "toks",
+        F.expr(f"cum DIV {PACK_BUDGET}").alias("seq"),
+        F.when(
+            F.col("cum") + F.col("toks")
+            > (F.expr(f"cum DIV {PACK_BUDGET}") + 1) * PACK_BUDGET,
+            1,
+        )
+        .otherwise(0)
+        .alias("straddle"),
+    )
+    return s.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.countDistinct("seq").alias("seq_ct"),
+        F.sum("straddle").alias("straddler_ct"),
+        F.sum("toks").alias("token_sum"),
+        F.round(
+            F.sum("toks").cast("double")
+            / (F.countDistinct("seq") * PACK_BUDGET),
+            6,
+        ).alias("avg_fill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram coverage — the Gopher-style cross-document
+# contamination measure: for each doc, the fraction of its DISTINCT
+# 3-shingles that occur in at least one OTHER document, rolled up per
+# language. Unlike the pair generators this never materializes pairs at
+# all: it is document-frequency counting — shingle df (one groupBy on
+# the 8-byte hash), a hash join back to per-doc shingles, a doc-sized
+# aggregate. Every shuffle is linear in corpus size and moves hashes or
+# counts, never text. Ratios are reported as exact integer sums with ONE
+# final division (avg-of-ratio floats would make the hash
+# order-sensitive); the high-dup predicate is pure integer arithmetic
+# (dup*2 >= n).
+@register(
+    "duplicate_ngram_coverage",
+    survey="A7(ext),J1(ext)",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM w
+), dfq AS (
+    SELECT sh, count(*) AS df FROM sh GROUP BY sh
+), pd AS (
+    SELECT s.doc_id, count(*) AS n_sh,
+           sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_sh
+    FROM sh s JOIN dfq USING (sh)
+    GROUP BY s.doc_id
+)
+SELECT lang,
+       count(*) AS doc_ct,
+       CAST(sum(n_sh) AS BIGINT) AS shingle_sum,
+       CAST(sum(dup_sh) AS BIGINT) AS dup_shingle_sum,
+       CAST(sum(CASE WHEN dup_sh * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT)
+           AS high_dup_doc_ct,
+       round(CAST(sum(dup_sh) AS DOUBLE) / CAST(sum(n_sh) AS DOUBLE), 6)
+           AS dup_coverage
+FROM pd
+JOIN documents USING (doc_id)
+GROUP BY lang
+""",
+)
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs too short to shingle (< 3 words) have no distinct shingles
+    and drop out of both sides (the inner join on per-doc shingles);
+    shingle identity rides xxhash64 like every near-dup surface
+    (collisions at 2^-64 are below result precision vs the raw-string
+    oracle)."""
+    docs = _docs(spark, sf_dir)
+    sh = shingle_hashes(docs, "text", 3)
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("df") >= 2, 1).otherwise(0)
+            ).alias("dup_sh"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("n_sh").alias("shingle_sum"),
+            F.sum("dup_sh").alias("dup_shingle_sum"),
+            F.sum(
+                F.when(
+                    F.col("dup_sh") * 2 >= F.col("n_sh"), 1
+                ).otherwise(0)
+            ).alias("high_dup_doc_ct"),
+            F.round(
+                F.sum("dup_sh").cast("double") / F.sum("n_sh"),
+                6,
+            ).alias("dup_coverage"),
+        )
+    )

@@ -1319,3 +1319,126 @@ def lsh_append(
     if n:
         fresh.write.mode("append").partitionBy("bkt_hi").parquet(buckets)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar-quantized ANN (SQ8) — the memory-bound brute-force shape.
+# The corpus is quantized per-dimension to 256 levels between the
+# corpus min/max of that dimension (4x smaller than float32: at 100 TB
+# of embeddings the scan is bandwidth-bound, so SQ8 is a 4x scan-speed
+# lever before any pruning; persisted form is array<tinyint> + the two
+# 64-float stat arrays). Scoring is asymmetric (ADC): the float query
+# against midpoint-dequantized corpus codes. Quantization arithmetic is
+# floor-based on identically-structured double expressions, so the
+# DuckDB oracle is bit-identical; the stats aggregation is exact
+# (per-dim min/max, no summation).
+SQ8_LEVELS = 256
+
+_SQ8_STATS_SQL = """
+    SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+    FROM (SELECT unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY i
+"""
+
+_SQ8_DEQ_SQL = f"""list_transform(generate_series(1, 64), i ->
+    CASE WHEN mx[i] > mn[i]
+         THEN mn[i] + (least(255, floor(
+                  ((CAST(embedding[i] AS DOUBLE) - mn[i]) * 256.0)
+                  / (mx[i] - mn[i]))) + 0.5) * (mx[i] - mn[i]) / 256.0
+         ELSE mn[i] END)"""
+
+_SQ8_DOT = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> deq[i] * CAST(qe[i] AS DOUBLE)))"
+)
+_SQ8_NORM_D = (
+    "sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> deq[i] * deq[i])))"
+)
+_SQ8_COS = f"{_SQ8_DOT} / ({_SQ8_NORM_D} * {_NORM_Q})"
+
+
+def sq8_dequantized(emb_col, mn_col, mx_col):
+    """Midpoint-dequantized SQ8 codes of ``emb_col`` given per-dim
+    min/max arrays: code = min(255, floor((x - mn) * 256 / (mx - mn))),
+    value = mn + (code + 0.5) * (mx - mn) / 256. A constant dimension
+    (mx == mn) dequantizes to the constant. Expression structure must
+    stay in lockstep with _SQ8_DEQ_SQL (left-assoc, same op order) for
+    bit-identical doubles."""
+
+    def deq(x, i):
+        lo = F.get(mn_col, i)
+        hi = F.get(mx_col, i)
+        xd = x.cast("double")
+        q = F.least(
+            F.lit(255),
+            F.floor((xd - lo) * F.lit(256.0) / (hi - lo)),
+        )
+        return F.when(
+            hi > lo,
+            lo + (q + F.lit(0.5)) * (hi - lo) / F.lit(256.0),
+        ).otherwise(lo)
+
+    return F.transform(emb_col, deq)
+
+
+@register(
+    "ann_sq8_topk",
+    survey="J5(ext)",
+    oracle=f"""
+WITH s AS ({_SQ8_STATS_SQL}
+), arrs AS (
+    SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM s
+), q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), d AS (
+    SELECT vec_id, {_SQ8_DEQ_SQL} AS deq
+    FROM embeddings, arrs
+    WHERE vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, round({_SQ8_COS}, 6) AS cos_sim
+FROM d, q
+ORDER BY round({_SQ8_COS}, 6) DESC, vec_id
+LIMIT {TOP_K}
+""",
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: one posexplode aggregate for the 64 per-dim stats
+    (map-side combined, 64-row shuffle), stats + query broadcast as
+    1-row sides, then a single corpus scan scoring dequantized codes
+    with a TakeOrdered top-k — no shuffle touches vector data."""
+    emb = _emb(spark, sf_dir)
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                lambda s: s["mn"],
+            ).alias("mn"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda s: s["mx"],
+            ).alias("mx"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    deq = sq8_dequantized(F.col("embedding"), F.col("mn"), F.col("mx"))
+    cos = cosine_similarity(deq, F.col("qe"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

@@ -503,3 +503,69 @@ def test_jieba_tokenizer_cuts_cjk(spark):
     ).select(cut(F.col("item")).alias("words")).collect()
     words = rows[0]["words"]
     assert words and any(len(w) > 1 for w in words)
+
+
+def test_sequence_packing_conserves_tokens_and_docs(spark):
+    """Packing is a partition of the corpus: bucket doc counts sum to
+    the table's doc count, token sums to the corpus whitespace-token
+    total, and per-bucket invariants hold (straddlers < docs; every
+    non-trivial bucket fills most of its sequences: avg_fill in
+    (0, 1 + max_doc_overflow])."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.textops import (
+        PACK_BUCKETS,
+        sequence_packing_stats,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    rows = sequence_packing_stats(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= PACK_BUCKETS
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    total_toks = docs.select(
+        F.sum(
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("t")
+    ).head()["t"]
+    assert sum(r["doc_ct"] for r in rows) == n_docs
+    assert sum(r["token_sum"] for r in rows) == total_toks
+    for r in rows:
+        assert 0 <= r["straddler_ct"] < r["doc_ct"], r
+        assert r["seq_ct"] >= 1
+        assert r["avg_fill"] > 0, r
+
+
+def test_duplicate_ngram_coverage_flags_planted_duplicates(spark):
+    """A corpus of unique docs plus one exactly-duplicated doc: the
+    duplicated pair's shingles are 100% covered, unique docs 0%, and
+    the per-lang rollup reflects exactly that."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.textops import shingle_hashes
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en"),
+            (2, "epsilon zeta eta theta", "en"),
+            (3, "alpha beta gamma delta", "en"),  # exact dup of 1
+            (4, "uno dos tres cuatro cinco", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    sh = shingle_hashes(docs, "text", 3)
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "dup_sh"
+            ),
+        )
+    )
+    got = {r["doc_id"]: (r["n_sh"], r["dup_sh"]) for r in per_doc.collect()}
+    assert got == {1: (2, 2), 2: (2, 0), 3: (2, 2), 4: (3, 0)}

@@ -507,3 +507,59 @@ def test_recover_index_promotes_newest_candidate(tmp_path):
         # losers are swept once the live index is valid
         debris = [d for d in os.listdir(tmp_path) if ".rebuild-" in d]
         assert debris == []
+
+
+def test_sq8_quantization_recall_and_fidelity(spark, tmp_path):
+    """SQ8 is lossy; the gates that matter: (a) midpoint dequantization
+    of a vector stays nearly parallel to the original (cos >= 0.9995 —
+    256 levels per dim is ~0.2% step size), (b) the quantized top-10
+    for the catalog query overlaps the exact top-10 in >= 7 positions
+    at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.functions.similarity import (
+        cosine_similarity,
+    )
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ann_cosine_topk,
+        ann_sq8_topk,
+        sq8_dequantized,
+        _emb,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                lambda s: s["mn"],
+            ).alias("mn"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda s: s["mx"],
+            ).alias("mx"),
+        )
+    )
+    deq = sq8_dequantized(F.col("embedding"), F.col("mn"), F.col("mx"))
+    fid = (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            cosine_similarity(deq, F.col("embedding")).alias("self_cos")
+        )
+        .agg(F.min("self_cos").alias("worst"))
+        .head()["worst"]
+    )
+    assert fid >= 0.9995, fid
+
+    exact = {r["vec_id"] for r in ann_cosine_topk(spark, SF_DIR).collect()}
+    sq8 = {r["vec_id"] for r in ann_sq8_topk(spark, SF_DIR).collect()}
+    assert len(exact & sq8) >= 7, (exact, sq8)
