@@ -1405,13 +1405,74 @@ LIMIT {TOP_K}
 """,
 )
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plan: one posexplode aggregate for the 64 per-dim stats
-    (map-side combined, 64-row shuffle), stats + query broadcast as
-    1-row sides, then a single corpus scan scoring dequantized codes
-    with a TakeOrdered top-k — no shuffle touches vector data."""
+    """Build-once/probe-many: the codes + stats layout is built into
+    the per-user cache (staged + atomic rename, reused on warm runs)
+    and the probe is one scan over the 4x-compact codes with two
+    broadcast one-row sides and a TakeOrdered top-k — no shuffle
+    touches vector data. The quantize arithmetic round-trips through
+    the stored tinyint codes bit-identically, so the probe matches the
+    inline-form oracle exactly (sq8_topk_inmem keeps the index-free
+    form)."""
+    idx = sq8_index_dir(sf_dir)
+    sq8_build(_emb(spark, sf_dir), idx)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"))
+    )
+    return sq8_probe(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
+
+
+def sq8_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-free SQ8 form (stats computed in-plan): one posexplode
+    aggregate for the 64 per-dim stats (map-side combined, 64-row
+    shuffle), stats + query broadcast as 1-row sides, then a single
+    corpus scan scoring dequantized values with a TakeOrdered top-k.
+    Kept as the equivalence baseline for the persisted layout."""
     emb = _emb(spark, sf_dir)
-    stats = (
-        emb.select(F.posexplode("embedding").alias("pos", "x"))
+    stats = _sq8_stats(emb).select("mn", "mx")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    deq = sq8_dequantized(F.col("embedding"), F.col("mn"), F.col("mx"))
+    cos = cosine_similarity(deq, F.col("qe"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+# --- persisted SQ8 lifecycle (build / probe / append / drift) -------------
+# Same scaffolding and contracts as the IVF and LSH layouts: staged +
+# atomically renamed build, idempotent append, growth-based drift
+# monitor, crash-healing via indexutil.recover_index. Layout:
+# - ``codes/`` — (vec_id, codes array<tinyint>): the per-dim quantized
+#   levels shifted by -128 so 0..255 fits parquet's signed byte — 4x
+#   smaller than float32 on the wire and in cache, which is the whole
+#   point at 100 TB (the probe scan is bandwidth-bound);
+# - ``stats/`` — ONE row: mn/mx arrays (the build-time per-dim range)
+#   plus n_vecs, the drift baseline.
+SQ8_SUBDIRS = ("codes", "stats")
+SQ8_INDEX_FORMAT = 1
+
+
+def sq8_index_dir(sf_dir: str) -> str:
+    return _index_cache_dir(
+        "sq8", sf_dir, f"levels={SQ8_LEVELS}|v={SQ8_INDEX_FORMAT}"
+    )
+
+
+def _sq8_stats(emb: DataFrame) -> DataFrame:
+    """ONE row of per-dim min/max arrays + the corpus size. Exact
+    aggregation (no summation), map-side combined, 64-row shuffle."""
+    return (
+        emb.select(
+            F.posexplode("embedding").alias("pos", "x"),
+        )
         .groupBy("pos")
         .agg(
             F.min(F.col("x").cast("double")).alias("mn"),
@@ -1428,17 +1489,167 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["mx"],
             ).alias("mx"),
         )
+        .crossJoin(emb.groupBy().agg(F.count(F.lit(1)).alias("n_vecs")))
     )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe")
+
+
+def sq8_quantize(emb_col, mn_col, mx_col):
+    """Shifted int8 codes: greatest(0, least(255, floor((x - mn) * 256
+    / (mx - mn)))) - 128, as array<tinyint>. The greatest() clamp only
+    matters for APPENDED vectors outside the build-time range (the
+    build corpus is inside by construction); floor arithmetic matches
+    sq8_dequantized/_SQ8_DEQ_SQL exactly."""
+
+    def qz(x, i):
+        lo = F.get(mn_col, i)
+        hi = F.get(mx_col, i)
+        xd = x.cast("double")
+        q = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.floor((xd - lo) * F.lit(256.0) / (hi - lo)),
+            ),
+        )
+        return (
+            F.when(hi > lo, q).otherwise(F.lit(0)) - 128
+        ).cast("tinyint")
+
+    return F.transform(emb_col, qz)
+
+
+def sq8_code_deq(codes_col, mn_col, mx_col):
+    """Dequantize stored shifted codes to the same doubles the inline
+    quantize-dequantize chain produces: mn + ((code + 128) + 0.5) *
+    (mx - mn) / 256 (the code integers are exact in double, so the
+    round-trip through tinyint changes nothing)."""
+
+    def deq(c, i):
+        lo = F.get(mn_col, i)
+        hi = F.get(mx_col, i)
+        q = c.cast("double") + F.lit(128.0)
+        return F.when(
+            hi > lo,
+            lo + (q + F.lit(0.5)) * (hi - lo) / F.lit(256.0),
+        ).otherwise(lo)
+
+    return F.transform(codes_col, deq)
+
+
+def sq8_build(emb: DataFrame, index_dir: str) -> str:
+    """Materialize the SQ8 index (staged + atomic rename; an existing
+    complete index is reused, debris rebuilt). Codes are quantized
+    against the PERSISTED stats read back from the staging dir, so the
+    layout is exactly self-consistent."""
+    import os
+
+    from ..indexutil import staged_index_build
+
+    spark = emb.sparkSession
+
+    def write(staging: str) -> None:
+        _sq8_stats(emb).coalesce(1).write.parquet(
+            os.path.join(staging, "stats")
+        )
+        stats = spark.read.parquet(os.path.join(staging, "stats"))
+        emb.crossJoin(broadcast(stats.select("mn", "mx"))).select(
+            "vec_id",
+            sq8_quantize(
+                F.col("embedding"), F.col("mn"), F.col("mx")
+            ).alias("codes"),
+        ).write.parquet(os.path.join(staging, "codes"))
+
+    return staged_index_build(index_dir, SQ8_SUBDIRS, write)
+
+
+def sq8_probe(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    exclude_vec_id: int | None = None,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Probe: one scan over the compact codes (vec_id + 64 bytes per
+    row — never the float corpus), asymmetric cosine against the float
+    query, TakeOrdered top-k. No shuffle touches vector data; the only
+    non-scan inputs are two broadcast one-row sides (stats, query)."""
+    import os
+
+    stats = spark.read.parquet(os.path.join(index_dir, "stats")).select(
+        "mn", "mx"
     )
-    deq = sq8_dequantized(F.col("embedding"), F.col("mn"), F.col("mx"))
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    if exclude_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
+    deq = sq8_code_deq(F.col("codes"), F.col("mn"), F.col("mx"))
     cos = cosine_similarity(deq, F.col("qe"))
     return (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(broadcast(stats))
+        codes.crossJoin(broadcast(stats))
         .crossJoin(broadcast(q))
         .select("vec_id", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(TOP_K)
+        .limit(k)
     )
+
+
+def sq8_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
+    """Idempotently fold new vectors into the codes (duplicate ids in
+    the input or vs the layout are skipped — same contract as
+    ivf_append/lsh_append). Vectors outside the build-time per-dim
+    range CLAMP to the boundary code (quantization degrades, it never
+    errors); heavy clamping is what sq8_drift's growth signal is for.
+    Stopped-writer window, like every parquet append here."""
+    import os
+
+    codes_path = os.path.join(index_dir, "codes")
+    stats_path = os.path.join(index_dir, "stats")
+    if not (os.path.isdir(codes_path) and os.path.isdir(stats_path)):
+        raise ValueError(f"not a valid SQ8 index: {index_dir!r}")
+    stats = spark.read.parquet(stats_path).select("mn", "mx")
+    existing = spark.read.parquet(codes_path).select("vec_id")
+    fresh = (
+        emb.dropDuplicates(["vec_id"])
+        .join(existing, "vec_id", "left_anti")
+        .crossJoin(broadcast(stats))
+        .select(
+            "vec_id",
+            sq8_quantize(
+                F.col("embedding"), F.col("mn"), F.col("mx")
+            ).alias("codes"),
+        )
+        .localCheckpoint(eager=True)  # count and write see the same rows
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(codes_path)
+    return n
+
+
+def sq8_drift(
+    spark: SparkSession, index_dir: str, growth_warn: float = 0.5
+) -> dict:
+    """How stale are the frozen quantization ranges? Appends quantize
+    against build-time min/max, so out-of-range growth clamps and
+    in-range growth shifts the value distribution off the grid —
+    ``rebuild_recommended`` fires when the appended fraction exceeds
+    ``growth_warn``. Scalar compare: current codes row count vs the
+    stored build size (metadata-cheap, no code data read)."""
+    import os
+
+    total_build = (
+        spark.read.parquet(os.path.join(index_dir, "stats")).head()[
+            "n_vecs"
+        ]
+    )
+    total_now = spark.read.parquet(
+        os.path.join(index_dir, "codes")
+    ).count()
+    appended = total_now - total_build
+    growth = appended / total_build if total_build else float("inf")
+    return {
+        "total_build": total_build,
+        "total_now": total_now,
+        "appended": appended,
+        "growth": growth,
+        "rebuild_recommended": growth > growth_warn,
+    }

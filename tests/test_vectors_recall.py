@@ -563,3 +563,99 @@ def test_sq8_quantization_recall_and_fidelity(spark, tmp_path):
     exact = {r["vec_id"] for r in ann_cosine_topk(spark, SF_DIR).collect()}
     sq8 = {r["vec_id"] for r in ann_sq8_topk(spark, SF_DIR).collect()}
     assert len(exact & sq8) >= 7, (exact, sq8)
+
+
+def test_sq8_persisted_probe_equals_inmem_form(spark, tmp_path):
+    """The persisted codes layout must reproduce the index-free SQ8
+    form exactly — the tinyint round-trip changes nothing (code
+    integers are exact in double)."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        sq8_build,
+        sq8_probe,
+        sq8_topk_inmem,
+    )
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = sq8_build(emb, str(tmp_path / "sq8"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in sq8_probe(
+            spark, idx, q, exclude_vec_id=QUERY_VEC_ID
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in sq8_topk_inmem(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_sq8_append_idempotent_and_probeable(spark, tmp_path):
+    """Appended vectors become probeable (a planted near-copy of the
+    query lands on top); replaying the same batch appends nothing."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        sq8_append,
+        sq8_build,
+        sq8_drift,
+        sq8_probe,
+    )
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = sq8_build(emb, str(tmp_path / "sq8a"))
+    planted = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.lit(7_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    assert sq8_append(spark, idx, planted) == 1
+    assert sq8_append(spark, idx, planted) == 0  # replay: no dup
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    top = sq8_probe(spark, idx, q, exclude_vec_id=QUERY_VEC_ID).collect()
+    assert top[0]["vec_id"] == 7_000_000
+    assert top[0]["cos_sim"] >= 0.999  # quantized self-match
+    d = sq8_drift(spark, idx)
+    assert d["appended"] == 1 and not d["rebuild_recommended"]
+
+
+def test_sq8_probe_plan_reads_codes_only(spark, tmp_path):
+    """The probe must be the build-once/probe-many shape: its plan
+    scans the codes parquet (never the float corpus) and contains no
+    stats aggregation (no posexplode), only broadcast one-row sides +
+    TakeOrdered."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        sq8_build,
+        sq8_probe,
+    )
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = sq8_build(emb, str(tmp_path / "sq8p"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    plan = (
+        sq8_probe(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "codes" in plan
+    assert "posexplode" not in plan.lower()
+    assert "TakeOrdered" in plan
