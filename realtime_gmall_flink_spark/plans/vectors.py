@@ -1653,3 +1653,48 @@ def sq8_drift(
         "growth": growth,
         "rebuild_recommended": growth > growth_warn,
     }
+
+
+def sq8_rebuild(spark: SparkSession, index_dir: str, emb: DataFrame) -> str:
+    """Rebuild the SQ8 index IN PLACE over ``emb`` with the crash-safe
+    two-rename swap — the refresh-on-drift action (new per-dim ranges,
+    new codes, new drift baseline). UNLIKE ivf_rebuild there is NO
+    self-sourced default: codes are lossy (floor-quantized levels, the
+    raw floats are gone), so the caller MUST pass the full intended
+    corpus — rows absent from it vanish from the index, and rebuilding
+    from dequantized codes would silently compound quantization error.
+    Stopped-WORLD window (see indexutil.rebuild_index)."""
+    import os
+
+    from ..indexutil import rebuild_index
+
+    def write(staging: str) -> None:
+        _sq8_stats(emb).coalesce(1).write.parquet(
+            os.path.join(staging, "stats")
+        )
+        stats = spark.read.parquet(os.path.join(staging, "stats"))
+        emb.crossJoin(broadcast(stats.select("mn", "mx"))).select(
+            "vec_id",
+            sq8_quantize(
+                F.col("embedding"), F.col("mn"), F.col("mx")
+            ).alias("codes"),
+        ).write.parquet(os.path.join(staging, "codes"))
+
+    return rebuild_index(index_dir, SQ8_SUBDIRS, write)
+
+
+def sq8_refresh_if_drifted(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    **drift_kwargs,
+) -> dict:
+    """Check drift and rebuild over ``emb`` only when recommended
+    (``emb`` is REQUIRED — see sq8_rebuild's lossy-codes contract).
+    Returns the drift report with a ``rebuilt`` flag added."""
+    report = dict(sq8_drift(spark, index_dir, **drift_kwargs))
+    report["rebuilt"] = False
+    if report["rebuild_recommended"]:
+        sq8_rebuild(spark, index_dir, emb)
+        report["rebuilt"] = True
+    return report

@@ -154,3 +154,18 @@ def append_scored_to_index(
     if n:
         fresh.write.mode("append").partitionBy("cid").parquet(asg)
     return n
+
+
+def append_scored_to_sq8(
+    spark: SparkSession, sq8_dir: str, out_dir: str
+) -> int:
+    """Fold the ingest's scored rows into a persisted SQ8 index too —
+    the same ingest run can maintain the IVF assignment (probe recall)
+    AND the compact-codes sweep path. Delegates to sq8_append, so the
+    idempotence contract (dropDuplicates + anti-join on persisted ids)
+    and the clamp-on-out-of-range semantics are exactly the batch
+    append's. Stopped-writer window; returns rows appended."""
+    from ..plans.vectors import sq8_append
+
+    scored = read_scored(spark, out_dir).select("vec_id", "embedding")
+    return sq8_append(spark, sq8_dir, scored)

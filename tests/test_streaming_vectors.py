@@ -184,3 +184,35 @@ def test_append_scored_dedups_across_batches(spark, tmp_path):
         .count()
         == 1
     )
+
+
+def test_append_scored_to_sq8_idempotent_and_probeable(spark, tmp_path):
+    """The SQ8 twin of the IVF maintenance step: one ingest run's
+    scored rows fold into the compact-codes layout idempotently, and
+    an ingested copy probes back on top at quantized-self fidelity."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        sq8_build,
+        sq8_probe,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ivf = ivf_build(emb, str(tmp_path / "ivf"))
+    sq8 = sq8_build(emb, str(tmp_path / "sq8"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base_ids = [0, 1, 2]
+    _arrivals(spark, base_ids, 100000).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
+
+    n = VI.append_scored_to_sq8(spark, sq8, out)
+    assert n == len(base_ids)
+    assert VI.append_scored_to_sq8(spark, sq8, out) == 0  # idempotent
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    top = sq8_probe(spark, sq8, q, exclude_vec_id=0).collect()
+    assert top[0]["vec_id"] == 100000
+    assert top[0]["cos_sim"] >= 0.999

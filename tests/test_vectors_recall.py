@@ -659,3 +659,49 @@ def test_sq8_probe_plan_reads_codes_only(spark, tmp_path):
     assert "codes" in plan
     assert "posexplode" not in plan.lower()
     assert "TakeOrdered" in plan
+
+
+def test_sq8_refresh_on_drift_resets_ranges_and_baseline(spark, tmp_path):
+    """Flooding appends past the growth threshold fires the monitor;
+    the refresh (over the explicitly-passed full corpus — codes are
+    lossy, no self-sourcing) re-fits the per-dim ranges so previously
+    CLAMPED out-of-range vectors get real codes, and resets the drift
+    baseline."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        sq8_append,
+        sq8_build,
+        sq8_drift,
+        sq8_probe,
+        sq8_refresh_if_drifted,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = sq8_build(emb, str(tmp_path / "sq8r"))
+    n_base = sq8_drift(spark, idx)["total_build"]
+    # out-of-range flood: 3x every embedding value, fresh ids
+    flood = emb.select(
+        (F.col("vec_id") + 900_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    assert sq8_append(spark, idx, flood) == n_base
+    r = sq8_refresh_if_drifted(
+        spark,
+        idx,
+        emb.select("vec_id", "embedding").unionByName(flood),
+    )
+    assert r["rebuild_recommended"] and r["rebuilt"]
+    d = sq8_drift(spark, idx)
+    assert d["total_build"] == 2 * n_base and d["growth"] == 0.0
+    # a flooded vector now probes back against ITS OWN direction at
+    # quantized-self fidelity (pre-refresh its codes were clamped)
+    q = flood.filter(F.col("vec_id") == 900_000).select(
+        F.col("embedding").alias("qe")
+    )
+    top = sq8_probe(spark, idx, q).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 900_000 in ids[:2]
