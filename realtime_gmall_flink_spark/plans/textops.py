@@ -2020,28 +2020,35 @@ WITH d AS (
     FROM d
 ), s AS (
     SELECT bucket, toks, cum,
-           cum // {PACK_BUDGET} AS seq,
            CASE WHEN cum + toks > (cum // {PACK_BUDGET} + 1) * {PACK_BUDGET}
                 THEN 1 ELSE 0 END AS straddle
     FROM c
 )
 SELECT bucket,
        count(*) AS doc_ct,
-       CAST(count(DISTINCT seq) AS BIGINT) AS seq_ct,
+       CAST((sum(toks) + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS BIGINT)
+           AS seq_ct,
        CAST(sum(straddle) AS BIGINT) AS straddler_ct,
        CAST(sum(toks) AS BIGINT) AS token_sum,
        round(CAST(sum(toks) AS DOUBLE)
-             / (count(DISTINCT seq) * {PACK_BUDGET}), 6) AS avg_fill
+             / (CAST((sum(toks) + {PACK_BUDGET} - 1) // {PACK_BUDGET}
+                     AS BIGINT) * {PACK_BUDGET}), 6) AS avg_fill
 FROM s
 GROUP BY bucket
 """,
 )
 def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard packing report: how many sequences the shard's docs
-    fill, how many docs straddle a boundary, and the fill ratio. All
-    assignment arithmetic is exact integers (running token sum, DIV),
-    so the oracle is bit-identical; only the final fill ratio divides.
-    """
+    fill, how many docs straddle a boundary, and the fill ratio. Chop
+    semantics make the covered sequences CONTIGUOUS (the running sum
+    has no gaps, and a doc longer than the budget flows through every
+    sequence it spans), so the shard's sequence count is exactly
+    ceil(token_sum / budget) — counting only each doc's STARTING
+    sequence would miss sequences that lie entirely inside a long doc.
+    avg_fill is therefore always in (0, 1]: only the shard's last
+    sequence can be partial. All assignment arithmetic is exact
+    integers (running token sum, DIV), so the oracle is bit-identical;
+    only the final fill ratio divides."""
     docs = _docs(spark, sf_dir)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
@@ -2063,7 +2070,6 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = c.select(
         "bucket",
         "toks",
-        F.expr(f"cum DIV {PACK_BUDGET}").alias("seq"),
         F.when(
             F.col("cum") + F.col("toks")
             > (F.expr(f"cum DIV {PACK_BUDGET}") + 1) * PACK_BUDGET,
@@ -2072,14 +2078,22 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("straddle"),
     )
+    seq_ct = F.expr(
+        f"(sum(toks) + {PACK_BUDGET - 1}) DIV {PACK_BUDGET}"
+    ).alias("seq_ct")
     return s.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("doc_ct"),
-        F.countDistinct("seq").alias("seq_ct"),
+        seq_ct,
         F.sum("straddle").alias("straddler_ct"),
         F.sum("toks").alias("token_sum"),
         F.round(
             F.sum("toks").cast("double")
-            / (F.countDistinct("seq") * PACK_BUDGET),
+            / (
+                F.expr(
+                    f"(sum(toks) + {PACK_BUDGET - 1}) DIV {PACK_BUDGET}"
+                )
+                * PACK_BUDGET
+            ),
             6,
         ).alias("avg_fill"),
     )
@@ -2090,9 +2104,11 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contamination measure: for each doc, the fraction of its DISTINCT
 # 3-shingles that occur in at least one OTHER document, rolled up per
 # language. Unlike the pair generators this never materializes pairs at
-# all: it is document-frequency counting — shingle df (one groupBy on
-# the 8-byte hash), a hash join back to per-doc shingles, a doc-sized
-# aggregate. Every shuffle is linear in corpus size and moves hashes or
+# all: it is document-frequency counting — shingle df as an unordered
+# window count over the 8-byte hash (ONE shuffle, one evaluation of
+# the shingle subtree; a groupBy+join-back would compute the
+# posexplode/lead/distinct lineage twice), then a doc-sized aggregate.
+# Every shuffle is linear in corpus size and moves hashes or
 # counts, never text. Ratios are reported as exact integer sums with ONE
 # final division (avg-of-ratio floats would make the hash
 # order-sensitive); the high-dup predicate is pure integer arithmetic
@@ -2134,16 +2150,18 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle)."""
     docs = _docs(spark, sf_dir)
     sh = shingle_hashes(docs, "text", 3)
-    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        sh.join(dfreq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum(
-                F.when(F.col("df") >= 2, 1).otherwise(0)
-            ).alias("dup_sh"),
-        )
+    # per-hash df as an unordered window count: ONE shuffle on h, one
+    # evaluation of the shingle subtree — a groupBy+self-join would
+    # compute the posexplode/lead/distinct lineage twice (the shape
+    # jaccard_pairs' plan notes reject for the same reason)
+    with_df = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(
+            F.when(F.col("df") >= 2, 1).otherwise(0)
+        ).alias("dup_sh"),
     )
     return (
         per_doc.join(docs.select("doc_id", "lang"), "doc_id")

@@ -1468,7 +1468,9 @@ def sq8_index_dir(sf_dir: str) -> str:
 
 def _sq8_stats(emb: DataFrame) -> DataFrame:
     """ONE row of per-dim min/max arrays + the corpus size. Exact
-    aggregation (no summation), map-side combined, 64-row shuffle."""
+    aggregation (no summation), map-side combined, 64-row shuffle; the
+    corpus size rides the SAME pass (every dim's row count is n_vecs),
+    so the build scans its input exactly once."""
     return (
         emb.select(
             F.posexplode("embedding").alias("pos", "x"),
@@ -1477,6 +1479,7 @@ def _sq8_stats(emb: DataFrame) -> DataFrame:
         .agg(
             F.min(F.col("x").cast("double")).alias("mn"),
             F.max(F.col("x").cast("double")).alias("mx"),
+            F.count(F.lit(1)).alias("cnt"),
         )
         .groupBy()
         .agg(
@@ -1488,8 +1491,8 @@ def _sq8_stats(emb: DataFrame) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("pos", "mx"))),
                 lambda s: s["mx"],
             ).alias("mx"),
+            F.max("cnt").alias("n_vecs"),
         )
-        .crossJoin(emb.groupBy().agg(F.count(F.lit(1)).alias("n_vecs")))
     )
 
 
@@ -1536,14 +1539,11 @@ def sq8_code_deq(codes_col, mn_col, mx_col):
     return F.transform(codes_col, deq)
 
 
-def sq8_build(emb: DataFrame, index_dir: str) -> str:
-    """Materialize the SQ8 index (staged + atomic rename; an existing
-    complete index is reused, debris rebuilt). Codes are quantized
-    against the PERSISTED stats read back from the staging dir, so the
-    layout is exactly self-consistent."""
+def _sq8_write(emb: DataFrame):
+    """The SQ8 materialization closure shared by build and rebuild.
+    Codes are quantized against the PERSISTED stats read back from the
+    staging dir, so the layout is exactly self-consistent."""
     import os
-
-    from ..indexutil import staged_index_build
 
     spark = emb.sparkSession
 
@@ -1559,7 +1559,15 @@ def sq8_build(emb: DataFrame, index_dir: str) -> str:
             ).alias("codes"),
         ).write.parquet(os.path.join(staging, "codes"))
 
-    return staged_index_build(index_dir, SQ8_SUBDIRS, write)
+    return write
+
+
+def sq8_build(emb: DataFrame, index_dir: str) -> str:
+    """Materialize the SQ8 index (staged + atomic rename; an existing
+    complete index is reused, debris rebuilt)."""
+    from ..indexutil import staged_index_build
+
+    return staged_index_build(index_dir, SQ8_SUBDIRS, _sq8_write(emb))
 
 
 def sq8_probe(
@@ -1664,23 +1672,9 @@ def sq8_rebuild(spark: SparkSession, index_dir: str, emb: DataFrame) -> str:
     corpus — rows absent from it vanish from the index, and rebuilding
     from dequantized codes would silently compound quantization error.
     Stopped-WORLD window (see indexutil.rebuild_index)."""
-    import os
-
     from ..indexutil import rebuild_index
 
-    def write(staging: str) -> None:
-        _sq8_stats(emb).coalesce(1).write.parquet(
-            os.path.join(staging, "stats")
-        )
-        stats = spark.read.parquet(os.path.join(staging, "stats"))
-        emb.crossJoin(broadcast(stats.select("mn", "mx"))).select(
-            "vec_id",
-            sq8_quantize(
-                F.col("embedding"), F.col("mn"), F.col("mx")
-            ).alias("codes"),
-        ).write.parquet(os.path.join(staging, "codes"))
-
-    return rebuild_index(index_dir, SQ8_SUBDIRS, write)
+    return rebuild_index(index_dir, SQ8_SUBDIRS, _sq8_write(emb))
 
 
 def sq8_refresh_if_drifted(

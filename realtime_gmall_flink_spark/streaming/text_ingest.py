@@ -50,9 +50,13 @@ def shingle_index_build(
 ) -> str:
     """Materialize the shingle index for ``docs(doc_id, text)``.
     Staged + renamed (shared scaffolding with the ANN indexes); an
-    existing complete index is reused, debris is rebuilt."""
+    existing complete index is reused, debris is rebuilt. A LEGACY
+    index (pre-build_stats layout) is MIGRATED in place, never treated
+    as debris: appended docs live only in the index, so rebuilding
+    from ``docs`` would silently drop them."""
     from ..indexutil import staged_index_build
 
+    _backfill_build_stats(docs.sparkSession, index_dir)
     return staged_index_build(
         index_dir, SHINGLE_SUBDIRS, _shingle_write(docs, text_col, k)
     )
@@ -90,6 +94,51 @@ def _shingle_write(docs: DataFrame, text_col: str, k: int):
     return write
 
 
+def _legacy_build_count(spark: SparkSession, index_dir: str) -> int:
+    """Recover a pre-build_stats index's BUILD-time doc population: the
+    build docs are exactly those with no shingle unknown to the frozen
+    ``dfreq`` (appended docs carry novel shingles). One anti-join of
+    the shingles tree against dfreq hashes — reads all shingle hashes,
+    the cost the build_stats snapshot exists to avoid."""
+    total_now = (
+        spark.read.parquet(os.path.join(index_dir, "sizes"))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    dfreq = spark.read.parquet(os.path.join(index_dir, "dfreq")).select(
+        "h"
+    )
+    appended = (
+        sh.join(dfreq, "h", "left_anti").select("doc_id").distinct().count()
+    )
+    return total_now - appended
+
+
+def _backfill_build_stats(spark: SparkSession, index_dir: str) -> bool:
+    """Migrate a legacy (pre-build_stats) index IN PLACE: if the three
+    original subdirs are complete but ``build_stats/`` is missing,
+    persist the recovered build-time doc count so the layout validates
+    under SHINGLE_SUBDIRS — without this, staged_index_build would
+    treat the whole index as debris and silently rebuild it from the
+    caller's docs, DROPPING every appended document. Pays the legacy
+    anti-join once (never the cheap sizes count: on an index with
+    appends that would overstate the build population and shift the
+    drift baseline). Returns True if a migration was performed."""
+    legacy = ("shingles", "sizes", "dfreq")
+    stats_path = os.path.join(index_dir, "build_stats")
+    if os.path.isdir(stats_path) or not all(
+        os.path.isdir(os.path.join(index_dir, s)) for s in legacy
+    ):
+        return False
+    n = _legacy_build_count(spark, index_dir)
+    spark.createDataFrame([(n,)], "n_docs long").coalesce(1).write.parquet(
+        stats_path
+    )
+    return True
+
+
 def shingle_index_drift(
     spark: SparkSession, index_dir: str, growth_warn: float = 0.5
 ) -> dict:
@@ -119,29 +168,14 @@ def shingle_index_drift(
         total_build = (
             spark.read.parquet(stats_path).head()["n_docs"]
         )
-        appended_docs = total_now - total_build
     else:
-        # legacy fallback (pre-build_stats build): the build population
-        # is total_now minus docs appended SINCE build, which is
-        # exactly the docs absent from dfreq's shingle universe. One
-        # anti-join of per-doc shingles against dfreq hashes — this
-        # reads the whole shingles tree (expensive at corpus scale).
-        sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
-        dfreq = spark.read.parquet(
-            os.path.join(index_dir, "dfreq")
-        ).select("h")
-        appended_docs = (
-            sh.join(dfreq, "h", "left_anti")
-            .select("doc_id")
-            .distinct()
-            .count()
-        )
-        # a doc counts as appended if ANY of its shingles is unknown to
-        # dfreq; build docs have all shingles in dfreq by construction.
-        # (An appended doc composed ONLY of shingles the build also had
-        # is indistinguishable from a build doc — and harmlessly so:
-        # dfreq is exact for every shingle it covers.)
-        total_build = total_now - appended_docs
+        # legacy fallback (pre-build_stats build): recover the build
+        # population via the anti-join (see _legacy_build_count — a doc
+        # counts as appended if ANY of its shingles is unknown to
+        # dfreq; an appended doc composed ONLY of build shingles is
+        # indistinguishable from a build doc, and harmlessly so).
+        total_build = _legacy_build_count(spark, index_dir)
+    appended_docs = total_now - total_build
     growth = (
         appended_docs / total_build if total_build else float("inf")
     )
@@ -274,7 +308,16 @@ def append_docs_to_index(
     )
     n = sh.select("doc_id").distinct().count()
     if n:
-        sh.repartition("doc_id").write.mode("append").parquet(sh_path)
+        # maxRecordsPerFile pinned to 0 (unlimited): a session-level
+        # spark.sql.files.maxRecordsPerFile would split one task's
+        # partition across files at arbitrary ROW boundaries, breaking
+        # the whole-doc-per-file invariant the crash protocol rests on
+        (
+            sh.repartition("doc_id")
+            .write.mode("append")
+            .option("maxRecordsPerFile", 0)
+            .parquet(sh_path)
+        )
     # sizes repair: recompute from the persisted shingles for any doc
     # missing a size row (covers this call AND heals crashed priors)
     sized = spark.read.parquet(sizes_path).select("doc_id")

@@ -515,6 +515,7 @@ def test_sequence_packing_conserves_tokens_and_docs(spark):
 
     from realtime_gmall_flink_spark.plans.textops import (
         PACK_BUCKETS,
+        PACK_BUDGET,
         sequence_packing_stats,
     )
     from realtime_gmall_flink_spark.sources.testdata import load_table
@@ -534,8 +535,11 @@ def test_sequence_packing_conserves_tokens_and_docs(spark):
     assert sum(r["token_sum"] for r in rows) == total_toks
     for r in rows:
         assert 0 <= r["straddler_ct"] < r["doc_ct"], r
-        assert r["seq_ct"] >= 1
-        assert r["avg_fill"] > 0, r
+        # chop semantics: covered sequences are contiguous, so the
+        # count is exactly ceil(tokens/budget) and only the last
+        # sequence can be partial (fill never exceeds 1)
+        assert r["seq_ct"] == -(-r["token_sum"] // PACK_BUDGET), r
+        assert 0 < r["avg_fill"] <= 1.0, r
 
 
 def test_duplicate_ngram_coverage_flags_planted_duplicates(spark):

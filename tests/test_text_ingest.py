@@ -386,3 +386,76 @@ def test_shingle_drift_fast_path_and_legacy_fallback(spark, tmp_path):
     legacy = TI.shingle_index_drift(spark, idx)
     assert fast == legacy
     assert fast["total_build"] == 4 and fast["appended_docs"] == 3
+
+
+def test_legacy_index_migrated_not_destroyed(spark, tmp_path):
+    """An index from before the build_stats layout, grown via appends,
+    passed back to shingle_index_build: the layout must be MIGRATED in
+    place (build_stats backfilled with the recovered BUILD-time count,
+    not the current count), never treated as debris — a rebuild from
+    the caller's corpus would silently drop every appended doc."""
+    import shutil
+
+    corpus = _docs_df(spark, [(i, f"base{i} mid{i} end{i} tail{i}")
+                              for i in range(4)])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    wave = _docs_df(spark, [(100 + i, f"new{i} words{i} here{i} too{i}")
+                            for i in range(3)])
+    TI.append_docs_to_index(spark, idx, wave)
+    shutil.rmtree(f"{idx}/build_stats")  # simulate the legacy layout
+
+    # re-entering build with only the ORIGINAL corpus must keep the
+    # appended docs and backfill the build-time baseline
+    assert TI.shingle_index_build(corpus, idx) == idx
+    sizes = {
+        r["doc_id"] for r in spark.read.parquet(f"{idx}/sizes").collect()
+    }
+    assert {100, 101, 102} <= sizes  # appended docs survived
+    d = TI.shingle_index_drift(spark, idx)
+    assert d["total_build"] == 4 and d["appended_docs"] == 3
+    # and the appended docs still score
+    got = {
+        (r["new_doc"], r["dup_of"]): r["jaccard"]
+        for r in TI.score_new_docs(
+            spark, idx, _docs_df(spark, [(200, "new0 words0 here0 too0")])
+        ).collect()
+    }
+    assert got == {(200, 100): 1.0}
+
+
+def test_whole_doc_files_survive_max_records_per_file(spark, tmp_path):
+    """A session-level spark.sql.files.maxRecordsPerFile would split a
+    task's rows across files at arbitrary record boundaries; the append
+    pins the writer option to 0 so the whole-doc-per-file invariant
+    holds regardless of session config."""
+    import glob
+    import os
+
+    corpus = _docs_df(spark, [(1, "a b c d")])
+    idx = TI.shingle_index_build(corpus, str(tmp_path / "idx"))
+    wave = _docs_df(
+        spark,
+        [(100 + i, " ".join(f"w{i}x{j}" for j in range(8)))
+         for i in range(6)],
+    )
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+    try:
+        assert TI.append_docs_to_index(spark, idx, wave) == 6
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    full = {
+        r["doc_id"]: r["count"]
+        for r in spark.read.parquet(f"{idx}/shingles")
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    }
+    for f in glob.glob(f"{idx}/shingles/*.parquet"):
+        if os.path.basename(f).startswith("_"):
+            continue
+        per_file = {
+            r["doc_id"]: r["count"]
+            for r in spark.read.parquet(f).groupBy("doc_id").count().collect()
+        }
+        for doc_id, n in per_file.items():
+            assert n == full[doc_id], (f, doc_id)

@@ -521,34 +521,17 @@ def test_sq8_quantization_recall_and_fidelity(spark, tmp_path):
         cosine_similarity,
     )
     from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        _sq8_stats,
         ann_cosine_topk,
         ann_sq8_topk,
         sq8_dequantized,
-        _emb,
     )
 
     from .conftest import SF_DIR
 
     emb = _emb(spark, SF_DIR)
-    stats = (
-        emb.select(F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(
-            F.min(F.col("x").cast("double")).alias("mn"),
-            F.max(F.col("x").cast("double")).alias("mx"),
-        )
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mn"))),
-                lambda s: s["mn"],
-            ).alias("mn"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
-                lambda s: s["mx"],
-            ).alias("mx"),
-        )
-    )
+    stats = _sq8_stats(emb).select("mn", "mx")
     deq = sq8_dequantized(F.col("embedding"), F.col("mn"), F.col("mx"))
     fid = (
         emb.crossJoin(F.broadcast(stats))
