@@ -598,3 +598,48 @@ def test_lsh_batch_probe_single_pruned_scan(spark):
     assert "Generate" not in plan
     # exactly one scan of the index layout
     assert plan.count("/buckets]") + plan.count("/buckets,") <= 1
+
+
+def test_dup_ngram_coverage_single_scan(spark):
+    """The df-counting plan: ONE documents scan (window count over the
+    shingle hash, no groupBy+self-join re-evaluating the shingle
+    subtree), no pair generator, no cartesian."""
+    df = catalog()["duplicate_ngram_coverage"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") <= 2  # docs for shingles + lang
+    assert "CartesianProduct" not in plan
+    # exactly one posexplode: the shingle subtree is evaluated once
+    assert plan.lower().count("posexplode") == 1
+
+
+def test_sequence_packing_one_shard_exchange(spark):
+    """Packing never sorts globally: the only hash exchange is on the
+    shard bucket (window partition), and the output is shard-sized."""
+    df = catalog()["sequence_packing_stats"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "CartesianProduct" not in plan
+    from realtime_gmall_flink_spark.plans.textops import PACK_BUCKETS
+
+    assert df.count() <= PACK_BUCKETS
+
+
+@pytest.mark.scale
+def test_scale8_dup_ngram_coverage_holds(spark, sf8_dir):
+    df = catalog()["duplicate_ngram_coverage"].builder(spark, sf8_dir)
+    plan = _plan(df)
+    assert plan.lower().count("posexplode") == 1
+    assert "CartesianProduct" not in plan
+    # aggregate-sized output: one row per language regardless of 8x
+    assert df.count() <= 16
+
+
+@pytest.mark.scale
+def test_scale8_sq8_probe_still_scan_plus_take_ordered(spark, sf8_dir):
+    """SQ8 at 8x: the probe stays a codes scan + TakeOrdered (the
+    compact-sweep shape), never a sort of the corpus."""
+    df = catalog()["ann_sq8_topk"].builder(spark, sf8_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "posexplode" not in plan.lower()  # probe, not build, plan
+    assert len(df.collect()) == 10
