@@ -169,6 +169,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "sequence_packing_stats",
     "duplicate_ngram_coverage",
     "ann_sq8_topk",
+    "semantic_dedup_clusters",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -1692,3 +1692,48 @@ def sq8_refresh_if_drifted(
         sq8_rebuild(spark, index_dir, emb)
         report["rebuilt"] = True
     return report
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup clusters — connected components over the EMBEDDING
+# near-dup pair graph (the vector-space twin of near_dup_clusters):
+# multi-probe LSH pair generation, then the same O(log n)-round
+# large-star/small-star contraction (driver union-find fall-through for
+# aggregate-sized graphs). Pairs are bucketed (hamming<=2 equi-join),
+# so the edge set stays linear-ish in corpus size; the contraction's
+# scale story is textops.star_contraction_components'.
+@register(
+    "semantic_dedup_clusters",
+    survey="J5(ext),D1(ext)",
+    oracle=f"""
+WITH RECURSIVE bk AS (
+    SELECT vec_id, embedding, CAST({_BUCKET16_SQL} AS INTEGER) AS bucket
+    FROM embeddings
+), ep AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM bk a JOIN bk b
+      ON bit_count(xor(a.bucket, b.bucket)) <= {ANN_PROBE_RADIUS}
+      AND a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= {COSINE_DUP_THRESHOLD}
+), edges AS (
+    SELECT va AS s, vb AS d FROM ep
+    UNION ALL
+    SELECT vb, va FROM ep
+), walk(node, label) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+)
+SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+""",
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import star_contraction_components
+
+    emb = _emb(spark, sf_dir)
+    nodes = emb.select("vec_id")
+    pairs = embedding_near_dup_pairs(emb).select("vec_a", "vec_b")
+    return star_contraction_components(
+        nodes, pairs, "vec_id", "cluster_id"
+    )

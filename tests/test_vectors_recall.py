@@ -688,3 +688,30 @@ def test_sq8_refresh_on_drift_resets_ranges_and_baseline(spark, tmp_path):
     top = sq8_probe(spark, idx, q).collect()
     ids = [r["vec_id"] for r in top]
     assert 900_000 in ids[:2]
+
+
+def test_semantic_clusters_group_planted_twins(planted):
+    """Each planted (base, perturbed) pair must share a cluster labeled
+    by the base id; unrelated vectors stay singletons (independent
+    gaussians don't cross the cosine threshold)."""
+    from realtime_gmall_flink_spark.plans.textops import (
+        star_contraction_components,
+    )
+    from realtime_gmall_flink_spark.plans.vectors import (
+        embedding_near_dup_pairs,
+    )
+
+    pairs = embedding_near_dup_pairs(planted, threshold=0.9).select(
+        "vec_a", "vec_b"
+    )
+    labels = {
+        r["vec_id"]: r["cluster_id"]
+        for r in star_contraction_components(
+            planted.select("vec_id"), pairs, "vec_id", "cluster_id"
+        ).collect()
+    }
+    paired = sum(
+        1 for i in range(N_PAIRS)
+        if labels[2 * i] == labels[2 * i + 1] == 2 * i
+    )
+    assert paired / N_PAIRS >= 0.9  # multi-probe recall floor
