@@ -1,11 +1,15 @@
-"""CLI: run catalog queries, inspect plans, or launch the streaming
-warehouse against file-drop directories.
+"""CLI: run catalog queries, inspect plans, launch the streaming
+warehouse against file-drop directories, or maintain persisted
+artifacts (indexes, topic dirs).
 
     python -m realtime_gmall_flink_spark list
     python -m realtime_gmall_flink_spark run <query> [--sf-dir DIR] [--limit N]
     python -m realtime_gmall_flink_spark explain <query> [--sf-dir DIR]
     python -m realtime_gmall_flink_spark bench [--sf-dir DIR]
     python -m realtime_gmall_flink_spark warehouse --log-dir D --db-dir D --out D
+    python -m realtime_gmall_flink_spark index <build|drift|refresh|recover>
+        --kind <ivf|lsh|sq8|shingle> --dir D [--src PARQUET]
+    python -m realtime_gmall_flink_spark compact --dir D [--max-files N]
 """
 
 from __future__ import annotations
@@ -29,6 +33,30 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("bench")
     sp.add_argument("--sf-dir", default=None)
+
+    sp = sub.add_parser(
+        "index", help="maintain a persisted index (ivf/lsh/sq8/shingle)"
+    )
+    sp.add_argument(
+        "action", choices=("build", "drift", "refresh", "recover")
+    )
+    sp.add_argument(
+        "--kind", required=True, choices=("ivf", "lsh", "sq8", "shingle")
+    )
+    sp.add_argument("--dir", required=True, dest="index_dir")
+    sp.add_argument(
+        "--src",
+        default=None,
+        help="source parquet (embeddings for ivf/lsh/sq8, documents for"
+        " shingle); required for build, and for sq8/shingle refresh"
+        " (their layouts cannot self-source a corpus)",
+    )
+
+    sp = sub.add_parser(
+        "compact", help="compact small files under a topic/table dir"
+    )
+    sp.add_argument("--dir", required=True, dest="topic_dir")
+    sp.add_argument("--max-files", type=int, default=8)
 
     sp = sub.add_parser("warehouse", help="streaming ODS->DWD over file drops")
     sp.add_argument("--log-dir", required=True)
@@ -67,6 +95,19 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"gmall-cli-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "index":
+        return _index_cmd(spark, args)
+
+    if args.cmd == "compact":
+        from .streaming.compaction import compact_dir
+
+        stats = compact_dir(spark, args.topic_dir, args.max_files)
+        if not stats:
+            print("nothing to compact (all dirs within threshold)")
+        for d, (before, after) in sorted(stats.items()):
+            print(f"{d}: {before} -> {after} files")
+        return 0
 
     if args.cmd in ("run", "explain"):
         cat = catalog()
@@ -139,6 +180,102 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     return 1
+
+
+def _index_cmd(spark, args) -> int:
+    """Dispatch the index maintenance verbs over the four persisted
+    layouts. The asymmetries are deliberate and mirror each layout's
+    contract: lsh is parameter-free (no drift baseline, no refresh);
+    ivf refresh self-sources its corpus from the assignment; sq8 and
+    shingle refresh REQUIRE --src (lossy codes / frozen dfreq cannot
+    reconstruct a corpus)."""
+    import json
+    import sys as _sys
+
+    from .indexutil import recover_index
+    from .plans.vectors import (
+        IVF_SUBDIRS,
+        SQ8_SUBDIRS,
+        ivf_build,
+        ivf_drift,
+        ivf_refresh_if_drifted,
+        lsh_build,
+        sq8_build,
+        sq8_drift,
+        sq8_refresh_if_drifted,
+    )
+    from .streaming.text_ingest import (
+        SHINGLE_SUBDIRS,
+        shingle_index_build,
+        shingle_index_drift,
+        shingle_index_rebuild,
+    )
+
+    kind, action, idx = args.kind, args.action, args.index_dir
+    subdirs = {
+        "ivf": IVF_SUBDIRS,
+        "lsh": ("buckets",),
+        "sq8": SQ8_SUBDIRS,
+        "shingle": SHINGLE_SUBDIRS,
+    }[kind]
+
+    def need_src() -> "DataFrame":
+        if not args.src:
+            print(
+                f"--src is required for {kind} {action}", file=_sys.stderr
+            )
+            raise SystemExit(2)
+        return spark.read.parquet(args.src)
+
+    if action == "recover":
+        rolled = recover_index(idx, subdirs)
+        print(f"recover: {'rolled' if rolled else 'nothing to do'}")
+        return 0
+
+    if action == "build":
+        src = need_src()
+        build = {
+            "ivf": ivf_build,
+            "lsh": lsh_build,
+            "sq8": sq8_build,
+            "shingle": shingle_index_build,
+        }[kind]
+        print(build(src, idx))
+        return 0
+
+    if action == "drift":
+        if kind == "lsh":
+            print(
+                "lsh is parameter-free (no drift baseline)",
+                file=_sys.stderr,
+            )
+            return 2
+        drift = {
+            "ivf": ivf_drift,
+            "sq8": sq8_drift,
+            "shingle": shingle_index_drift,
+        }[kind]
+        print(json.dumps(drift(spark, idx)))
+        return 0
+
+    # refresh
+    if kind == "lsh":
+        print("lsh is parameter-free (nothing to refresh)", file=_sys.stderr)
+        return 2
+    if kind == "ivf":
+        report = ivf_refresh_if_drifted(
+            spark, idx, spark.read.parquet(args.src) if args.src else None
+        )
+    elif kind == "sq8":
+        report = sq8_refresh_if_drifted(spark, idx, need_src())
+    else:  # shingle
+        report = dict(shingle_index_drift(spark, idx))
+        report["rebuilt"] = False
+        if report["rebuild_recommended"]:
+            shingle_index_rebuild(need_src(), idx)
+            report["rebuilt"] = True
+    print(json.dumps(report))
+    return 0
 
 
 if __name__ == "__main__":

@@ -49,3 +49,62 @@ def test_warehouse_cli_full_dws(spark, tmp_path):
         assert df.columns, table
     # the order dedup detail (shared stage) exists and is readable
     assert os.path.isdir(out / "dwd_trade_order_detail_dedup")
+
+
+def test_index_cli_lifecycle(spark, tmp_path, capsys):
+    """index build -> drift -> refresh over the sq8 layout, plus the
+    lsh unsupported-verb errors and the recover no-op — the CLI drives
+    the same functions the library tests gate, so this is a smoke of
+    wiring, not semantics."""
+    import json
+
+    src = str(tmp_path / "emb.parquet")
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    ).write.parquet(src)
+    idx = str(tmp_path / "sq8idx")
+
+    assert main(["index", "build", "--kind", "sq8",
+                 "--dir", idx, "--src", src]) == 0
+    assert os.path.isdir(f"{idx}/codes")
+
+    capsys.readouterr()
+    assert main(["index", "drift", "--kind", "sq8", "--dir", idx]) == 0
+    report = json.loads(capsys.readouterr().out.strip())
+    assert report["growth"] == 0.0 and not report["rebuild_recommended"]
+
+    assert main(["index", "refresh", "--kind", "sq8",
+                 "--dir", idx, "--src", src]) == 0
+    report = json.loads(capsys.readouterr().out.strip())
+    assert report["rebuilt"] is False  # no drift -> no rebuild
+
+    assert main(["index", "recover", "--kind", "sq8", "--dir", idx]) == 0
+
+    # lsh refuses drift/refresh (parameter-free layout)
+    assert main(["index", "drift", "--kind", "lsh", "--dir", idx]) == 2
+    assert main(["index", "refresh", "--kind", "lsh", "--dir", idx]) == 2
+    # sq8 build without --src is a usage error, not a crash
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as ei:
+        main(["index", "build", "--kind", "sq8", "--dir", idx])
+    assert ei.value.code == 2
+
+
+def test_compact_cli_smoke(spark, tmp_path, capsys):
+    """compact over a many-file plain dir rewrites it below threshold."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "topic" / "t1"
+    for i in range(12):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id")
+        ).coalesce(1).write.mode("append").parquet(str(d))
+    before = spark.read.parquet(str(d)).count()
+    assert main(["compact", "--dir", str(tmp_path / "topic"),
+                 "--max-files", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "->" in out
+    assert spark.read.parquet(str(d)).count() == before
