@@ -200,3 +200,114 @@ def synth_media(spark, n: int = 20) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id bigint, width int, height int, content binary"
+
+RESAMPLED_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples int, content binary"
+)
+
+
+def resize_images(
+    df: DataFrame, out_w: int = 32, out_h: int = 32, codec: str = "auto"
+) -> DataFrame:
+    """Nearest-neighbor resize to (out_w, out_h) for image rows.
+
+    Real path: PIL ``Image.resize``. Fake path (no PIL in this
+    container): the blob is interpreted under the fake codec's pixel
+    model — a row-major (height x width) byte grid read modulo the blob
+    length — and nearest-neighbor sampled with the SAME index
+    arithmetic a real NN resize uses (src = floor(dst * src_dim /
+    dst_dim)); output is exactly out_w*out_h bytes. The Spark shape is
+    the real operator's either way: Arrow-batched mapInPandas, binary
+    in / binary out, no shuffle."""
+    if codec not in ("auto", "fake"):
+        raise ValueError(f"unknown codec mode: {codec!r}")
+    has_pil = codec == "auto" and _try_pil()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                if has_pil:  # pragma: no cover - absent in container
+                    import io
+
+                    import PIL.Image
+
+                    img = PIL.Image.open(io.BytesIO(row["content"]))
+                    outs.append(
+                        img.resize((out_w, out_h)).convert("L").tobytes()
+                    )
+                    continue
+                blob = np.frombuffer(bytes(row["content"]), dtype=np.uint8)
+                w = max(int(row["width"]), 1)
+                h = max(int(row["height"]), 1)
+                if not len(blob):
+                    outs.append(b"\x00" * (out_w * out_h))
+                    continue
+                src_r = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                src_c = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                idx = (src_r[:, None] * w + src_c[None, :]) % len(blob)
+                outs.append(blob[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "content": outs,
+                }
+            )
+
+    return df.filter(df["kind"] == "image").mapInPandas(
+        fn, schema=RESIZED_SCHEMA
+    )
+
+
+def resample_audio(df: DataFrame, target_hz: int = 8000) -> DataFrame:
+    """Resample audio rows to ``target_hz`` — nearest-neighbor index
+    map with REAL sample-count arithmetic (n_out = floor(n_in * target
+    / src)), 1 byte per sample under the fake codec model. An equal
+    rate round-trips the payload unchanged; rows with a zero/missing
+    sample_rate are dropped (not guessed). A real DSP resampler
+    (polyphase filter) drops into the same per-row 1-D map; the Spark
+    shape — Arrow batches, no shuffle — is the operator's real cost
+    model."""
+    if target_hz <= 0:
+        raise ValueError("target_hz must be positive")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf["sample_rate"] > 0]
+            outs, counts = [], []
+            for _, row in keep.iterrows():
+                blob = np.frombuffer(bytes(row["content"]), dtype=np.uint8)
+                src_hz = int(row["sample_rate"])
+                n_out = (len(blob) * target_hz) // src_hz
+                if n_out == 0 or not len(blob):
+                    outs.append(b"")
+                    counts.append(0)
+                    continue
+                if src_hz == target_hz:
+                    outs.append(blob.tobytes())
+                    counts.append(len(blob))
+                    continue
+                idx = (
+                    np.arange(n_out, dtype=np.int64) * src_hz
+                ) // target_hz
+                outs.append(blob[np.minimum(idx, len(blob) - 1)].tobytes())
+                counts.append(n_out)
+            yield pd.DataFrame(
+                {
+                    "media_id": keep["media_id"],
+                    "sample_rate": target_hz,
+                    "n_samples": pd.Series(counts, dtype="int64",
+                                           index=keep.index),
+                    "content": pd.Series(outs, dtype="object",
+                                         index=keep.index),
+                }
+            )
+
+    return df.filter(df["kind"] == "audio").mapInPandas(
+        fn, schema=RESAMPLED_SCHEMA
+    )

@@ -170,6 +170,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "duplicate_ngram_coverage",
     "ann_sq8_topk",
     "semantic_dedup_clusters",
+    "media_resize_stats",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

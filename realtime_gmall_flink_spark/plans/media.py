@@ -131,3 +131,54 @@ def media_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("frame_ct"),
         F.max("frame_ts_ms").cast("long").alias("max_frame_ts_ms"),
     )
+
+
+@register(
+    "media_resize_stats",
+    survey="LLM(multimodal)",
+    oracle="""
+WITH m AS (
+    SELECT doc_id AS media_id, text,
+           CAST((doc_id * 7) % 512 + 32 AS INTEGER) AS w,
+           CAST((doc_id * 13) % 512 + 32 AS INTEGER) AS h
+    FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           list_sum(list_transform(generate_series(0, 63),
+               p -> CAST(ascii(substring(text,
+                    CAST((((p // 8) * h // 8) * w + ((p % 8) * w // 8))
+                         % length(text) AS INTEGER) + 1, 1)) AS DOUBLE)))
+           / 64.0 END, 6) AS mean_intensity,
+       CAST(64 AS BIGINT) AS byte_len
+FROM m
+""",
+)
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize image rows to 8x8 with the fake-codec nearest-neighbor
+    path, then decode the RESIZED payloads — two chained mapInPandas
+    stages over binary columns, still shuffle-free. Oracle-exact
+    because (a) the NN index arithmetic (src = dst*src_dim DIV
+    dst_dim, modulo blob length) is replicated in SQL over the same
+    ASCII bytes, and (b) byte sums are integers, exactly representable
+    in double, so summation order cannot matter."""
+    from ..functions.multimodal import resize_images
+
+    docs = _docs(spark, sf_dir)
+    media = synth_media_from_docs(docs)
+    resized = resize_images(media, out_w=8, out_h=8, codec="fake").select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "content",
+        "width",
+        "height",
+    )
+    return decode_images(resized, codec="fake").select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.col("byte_len").cast("long").alias("byte_len"),
+    )

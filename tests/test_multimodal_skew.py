@@ -125,3 +125,69 @@ def test_salted_agg_matches_plain(spark):
             for r in d.collect()
         }
     assert norm(salted) == norm(plain)
+
+
+def test_resize_images_fake_codec_arithmetic(spark):
+    """The fake NN resize must use the real index arithmetic: output is
+    exactly out_w*out_h bytes per image row, and each output pixel is
+    the source grid byte at floor(dst*src_dim/dst_dim) modulo the blob
+    length — recomputed here in pure Python for one row."""
+    import numpy as np
+
+    from realtime_gmall_flink_spark.functions.multimodal import (
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, 9)
+    out = resize_images(media, out_w=8, out_h=4, codec="fake").collect()
+    imgs = {r["media_id"]: r for r in media.collect()
+            if r["kind"] == "image"}
+    assert {r["media_id"] for r in out} == set(imgs)
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["content"]) == 8 * 4
+    # pure-Python recomputation for the first image row
+    mid = min(imgs)
+    src = imgs[mid]
+    blob = bytes(src["content"])
+    w, h = src["width"], src["height"]
+    got = bytes(next(r["content"] for r in out if r["media_id"] == mid))
+    want = bytes(
+        blob[((r * h // 4) * w + (c * w // 8)) % len(blob)]
+        for r in range(4)
+        for c in range(8)
+    )
+    assert got == want
+    # deterministic: a second run is byte-identical
+    again = {
+        r["media_id"]: bytes(r["content"])
+        for r in resize_images(media, out_w=8, out_h=4,
+                               codec="fake").collect()
+    }
+    assert again[mid] == got
+
+
+def test_resample_audio_counts_and_roundtrip(spark):
+    """n_out = floor(n_in*target/src); equal rate round-trips payload
+    unchanged; only audio rows pass."""
+    from realtime_gmall_flink_spark.functions.multimodal import (
+        resample_audio,
+        synth_media,
+    )
+
+    media = synth_media(spark, 9)
+    audio = {r["media_id"]: r for r in media.collect()
+             if r["kind"] == "audio"}
+    down = {r["media_id"]: r
+            for r in resample_audio(media, target_hz=8000).collect()}
+    assert set(down) == set(audio)
+    for mid, r in down.items():
+        n_in = len(bytes(audio[mid]["content"]))
+        assert r["n_samples"] == (n_in * 8000) // 16000
+        assert len(bytes(r["content"])) == r["n_samples"]
+        assert r["sample_rate"] == 8000
+    same = {r["media_id"]: bytes(r["content"])
+            for r in resample_audio(media, target_hz=16000).collect()}
+    for mid in audio:
+        assert same[mid] == bytes(audio[mid]["content"])
