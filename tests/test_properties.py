@@ -340,3 +340,131 @@ def test_repetition_stats_match_python(spark_global, token_lists):
             round(dup, 9),
         )
     assert got == expected
+
+
+PACK_TOKS = st.lists(
+    st.integers(min_value=0, max_value=1300),  # includes docs > budget
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(PACK_TOKS)
+def test_sequence_packing_matches_python(spark_global, tok_counts):
+    """The windowed packing arithmetic must equal a pure-Python
+    reference: hash-ordered running sum, seq = cum DIV budget, straddle
+    when a doc crosses a boundary, seq_ct = ceil(total/budget)."""
+    import hashlib
+
+    from realtime_gmall_flink_spark.plans.textops import PACK_BUDGET
+
+    B = PACK_BUDGET
+    docs = [(i, " ".join(["w"] * n) if n else "") for i, n in
+            enumerate(tok_counts)]
+    df = spark_global.createDataFrame(docs, "doc_id long, text string")
+
+    # Spark: the same expressions as the catalog entry, single bucket
+    # (bucketing is orthogonal hash routing; the arithmetic under test
+    # is the within-shard window)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # token counts fed directly (empty text -> 0; Spark's size(split))
+    # quirk on "" is the catalog entry's _WORDS filter concern, not the
+    # window arithmetic under test here)
+    d = df.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    ).join(
+        spark_global.createDataFrame(
+            [(i, n) for i, n in enumerate(tok_counts)],
+            "doc_id long, toks long",
+        ),
+        "doc_id",
+    ).select("doc_id", "ord", "toks")
+    c = d.withColumn("cum", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    got = {
+        r["doc_id"]: (r["cum"], r["straddle"])
+        for r in c.select(
+            "doc_id",
+            "cum",
+            F.when(
+                F.col("cum") + F.col("toks")
+                > (F.expr(f"cum DIV {B}") + 1) * B,
+                1,
+            ).otherwise(0).alias("straddle"),
+        ).collect()
+    }
+
+    # pure-Python reference
+    order = sorted(
+        range(len(tok_counts)),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    cum = 0
+    want = {}
+    for i in order:
+        n = tok_counts[i]
+        straddle = 1 if cum + n > (cum // B + 1) * B else 0
+        want[i] = (cum, straddle)
+        cum += n
+    assert got == want
+    # aggregate invariant: ceil(total/B) sequences cover the shard
+    total = sum(tok_counts)
+    assert -(-total // B) == (total + B - 1) // B
+
+
+SQ8_VALS = st.lists(
+    st.floats(
+        min_value=-100.0, max_value=100.0,
+        allow_nan=False, allow_infinity=False, width=32,
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(SQ8_VALS, min_size=2, max_size=8))
+def test_sq8_roundtrip_error_bounded(spark_global, vecs):
+    """Quantize-dequantize error is bounded by half a quantization step
+    per dimension (the midpoint-reconstruction guarantee), and codes
+    round-trip the tinyint shift exactly."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _sq8_stats,
+        sq8_code_deq,
+        sq8_quantize,
+    )
+
+    df = spark_global.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    stats = _sq8_stats(df)
+    deq = (
+        df.crossJoin(F.broadcast(stats.select("mn", "mx")))
+        .select(
+            "vec_id",
+            "embedding",
+            "mn",
+            "mx",
+            sq8_code_deq(
+                sq8_quantize(F.col("embedding"), F.col("mn"), F.col("mx")),
+                F.col("mn"),
+                F.col("mx"),
+            ).alias("deq"),
+        )
+        .collect()
+    )
+    for r in deq:
+        for x, d, lo, hi in zip(r["embedding"], r["deq"], r["mn"], r["mx"]):
+            if hi > lo:
+                step = (hi - lo) / 256.0
+                assert abs(float(x) - d) <= step / 2 + 1e-12, (x, d)
+            else:
+                assert d == lo
