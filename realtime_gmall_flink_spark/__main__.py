@@ -268,11 +268,14 @@ def _index_cmd(spark, args) -> int:
         )
     elif kind == "sq8":
         report = sq8_refresh_if_drifted(spark, idx, need_src())
-    else:  # shingle
+    else:  # shingle — validate --src EAGERLY (like sq8's need_src):
+        # failing only when drift finally crosses the threshold would
+        # discard the computed report and silently skip the rebuild
+        src = need_src()
         report = dict(shingle_index_drift(spark, idx))
         report["rebuilt"] = False
         if report["rebuild_recommended"]:
-            shingle_index_rebuild(need_src(), idx)
+            shingle_index_rebuild(src, idx)
             report["rebuilt"] = True
     print(json.dumps(report))
     return 0

@@ -228,18 +228,30 @@ def resize_images(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # branch hoisted to batch level, like decode_images
+            if has_pil:  # pragma: no cover - absent in container
+                import io
+
+                import PIL.Image
+
+                outs = [
+                    PIL.Image.open(io.BytesIO(c))
+                    .resize((out_w, out_h))
+                    .convert("L")
+                    .tobytes()
+                    for c in pdf["content"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": out_w,
+                        "height": out_h,
+                        "content": outs,
+                    }
+                )
+                continue
             outs = []
             for _, row in pdf.iterrows():
-                if has_pil:  # pragma: no cover - absent in container
-                    import io
-
-                    import PIL.Image
-
-                    img = PIL.Image.open(io.BytesIO(row["content"]))
-                    outs.append(
-                        img.resize((out_w, out_h)).convert("L").tobytes()
-                    )
-                    continue
                 blob = np.frombuffer(bytes(row["content"]), dtype=np.uint8)
                 w = max(int(row["width"]), 1)
                 h = max(int(row["height"]), 1)

@@ -414,9 +414,14 @@ def test_sequence_packing_matches_python(spark_global, tok_counts):
         want[i] = (cum, straddle)
         cum += n
     assert got == want
-    # aggregate invariant: ceil(total/B) sequences cover the shard
+    # aggregate invariant checked against the SPARK aggregation: the
+    # catalog entry's seq_ct expression over these rows must equal the
+    # pure-Python ceil(total/B)
     total = sum(tok_counts)
-    assert -(-total // B) == (total + B - 1) // B
+    spark_seq_ct = d.groupBy().agg(
+        F.expr(f"(sum(toks) + {B - 1}) DIV {B}").alias("seq_ct")
+    ).head()["seq_ct"]
+    assert spark_seq_ct == -(-total // B)
 
 
 SQ8_VALS = st.lists(
