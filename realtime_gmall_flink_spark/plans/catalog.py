@@ -171,6 +171,8 @@ ROTATION_POOL: tuple[str, ...] = (
     "ann_sq8_topk",
     "semantic_dedup_clusters",
     "media_resize_stats",
+    "sequence_packing_assignments",
+    "duplicated_span_stats",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -2181,3 +2181,203 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_coverage"),
         )
     )
+
+
+@register(
+    "sequence_packing_assignments",
+    survey="A4(ext),P10(ext)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           {_PACK_BUCKET_SQL} AS bucket,
+           md5(CAST(doc_id AS VARCHAR)) AS ord,
+           len({_WORDS_SQL}) AS toks
+    FROM documents
+)
+SELECT doc_id, bucket,
+       CAST(coalesce(sum(toks) OVER (
+            PARTITION BY bucket ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) // {PACK_BUDGET} AS BIGINT) AS seq,
+       CAST(coalesce(sum(toks) OVER (
+            PARTITION BY bucket ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) % {PACK_BUDGET} AS BIGINT) AS seq_offset,
+       CAST(toks AS BIGINT) AS toks
+FROM d
+""",
+)
+def sequence_packing_assignments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-doc output a training pipeline actually consumes: which
+    sequence each doc STARTS in and at what token offset (chop
+    semantics: a doc whose offset + toks exceeds the budget continues
+    into the following sequence(s)). Same shard/window plan as the
+    stats entry — one shuffle on the shard id, exact integer
+    arithmetic throughout, so the full row set hash-matches the
+    oracle."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10)
+        .cast("long") % PACK_BUCKETS
+    ).cast("int")
+    d = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        token_count("text").cast("long").alias("toks"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("cum", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "bucket",
+        F.expr(f"cum DIV {PACK_BUDGET}").alias("seq"),
+        (F.col("cum") % PACK_BUDGET).alias("seq_offset"),
+        "toks",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection — the position-level form of exact
+# substring dedup (the measure behind "deduplicate training data at the
+# 50-token-span level"): a token POSITION is duplicated when its 8-gram
+# occurs at more than one (doc, position) in the corpus; consecutive
+# duplicated positions form spans (longest run + 7 = span length in
+# tokens). Everything is counting + window islands — no pair
+# materialization, no suffix array: one shuffle on the 8-byte gram hash
+# (the global occurrence count), one on doc_id (position windows), then
+# doc-sized aggregates. The islands trick (pos - row_number over
+# duplicated positions) turns maximal-run detection into a groupBy.
+SPAN_K = 8  # gram width in tokens
+SPAN_MIN_TOKENS = 16  # a doc is flagged when a dup span reaches this
+
+
+def duplicated_span_per_doc(
+    docs: DataFrame, text_col: str = "text", k: int = SPAN_K
+) -> DataFrame:
+    """(doc_id, n_pos, dup_pos, max_run) per document — the reusable
+    core of duplicated_span_stats. A doc's span length in TOKENS is
+    max_run + k - 1; docs shorter than k words have no positions and
+    drop out."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize(text_col)).alias("pos", "w")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    succ = [F.lead("w", j).over(ws).alias(f"w{j}") for j in range(1, k)]
+    g = (
+        tok.select("doc_id", "pos", "w", *succ)
+        .filter(F.col(f"w{k - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64("w", *[f"w{j}" for j in range(1, k)]).alias("h"),
+        )
+    )
+    occ = g.select(
+        "doc_id",
+        "pos",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("h")) >= 2
+        ).alias("is_dup"),
+    )
+    rn = F.row_number().over(ws)
+    runs = (
+        occ.filter("is_dup")
+        .select("doc_id", "pos", (F.col("pos") - rn).alias("grp"))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_run"))
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.col("is_dup").cast("int")).alias("dup_pos"),
+        )
+        .join(runs, "doc_id", "left")
+        .na.fill(0, ["max_run"])
+    )
+
+
+@register(
+    "duplicated_span_stats",
+    survey="A7(ext),W5(ext)",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), pos AS (
+    SELECT doc_id,
+           unnest(generate_series(1, greatest(len(w) - {SPAN_K - 1}, 0)))
+               AS p,
+           w
+    FROM w
+), g AS (
+    SELECT doc_id, p,
+           array_to_string(w[p:p+{SPAN_K - 1}], ' ') AS gram
+    FROM pos
+), occ AS (
+    SELECT doc_id, p,
+           count(*) OVER (PARTITION BY gram) >= 2 AS is_dup
+    FROM g
+), isl AS (
+    SELECT doc_id,
+           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+    FROM occ WHERE is_dup
+), runs AS (
+    SELECT doc_id, grp, count(*) AS run_len
+    FROM isl GROUP BY doc_id, grp
+), max_runs AS (
+    SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY doc_id
+), per_doc AS (
+    SELECT o.doc_id,
+           count(*) AS n_pos,
+           sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS dup_pos,
+           coalesce(any_value(max_run), 0) AS max_run
+    FROM occ o LEFT JOIN max_runs USING (doc_id)
+    GROUP BY o.doc_id
+)
+SELECT lang,
+       count(*) AS doc_ct,
+       CAST(sum(n_pos) AS BIGINT) AS pos_sum,
+       CAST(sum(dup_pos) AS BIGINT) AS dup_pos_sum,
+       round(CAST(sum(dup_pos) AS DOUBLE) / CAST(sum(n_pos) AS DOUBLE),
+             6) AS dup_ratio,
+       CAST(sum(CASE WHEN max_run >= {SPAN_MIN_TOKENS - SPAN_K + 1}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs
+FROM per_doc
+JOIN documents USING (doc_id)
+GROUP BY lang
+""",
+)
+def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs shorter than SPAN_K words have no positions and drop out
+    (both sides). Gram identity rides a multi-arg xxhash64 against the
+    oracle's raw space-joined string — injective because tokens carry
+    no spaces; collisions at 2^-64 are below result precision."""
+    docs = _docs(spark, sf_dir)
+    per_doc = duplicated_span_per_doc(docs)
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("n_pos").alias("pos_sum"),
+            F.sum("dup_pos").alias("dup_pos_sum"),
+            F.round(
+                F.sum("dup_pos").cast("double") / F.sum("n_pos"), 6
+            ).alias("dup_ratio"),
+            F.sum(
+                F.when(
+                    F.col("max_run") >= SPAN_MIN_TOKENS - SPAN_K + 1, 1
+                ).otherwise(0)
+            ).alias("flagged_docs"),
+        )
+    )

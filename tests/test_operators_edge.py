@@ -573,3 +573,36 @@ def test_duplicate_ngram_coverage_flags_planted_duplicates(spark):
     )
     got = {r["doc_id"]: (r["n_sh"], r["dup_sh"]) for r in per_doc.collect()}
     assert got == {1: (2, 2), 2: (2, 0), 3: (2, 2), 4: (3, 0)}
+
+
+def test_duplicated_span_planted_fixture(spark):
+    """Planted 20-word shared block between two docs: the duplicated
+    positions are exactly those whose 8-gram lies inside the block (13
+    consecutive -> max_run 13 -> span 20 tokens); boundary-crossing
+    grams stay unique; a fully-unique doc reports zero."""
+    from realtime_gmall_flink_spark.plans.textops import (
+        SPAN_K,
+        duplicated_span_per_doc,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 {shared} y1 y2 y3"),
+            (2, f"z1 z2 {shared} q1"),
+            (3, " ".join(f"u{i}" for i in range(24))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_pos"], r["dup_pos"], r["max_run"])
+        for r in duplicated_span_per_doc(docs).collect()
+    }
+    # doc1: 24 words -> 17 positions; shared block at offset 2..21
+    # (1-based) -> dup positions 2..14 = 13
+    assert got[1] == (24 - SPAN_K + 1, 13, 13)
+    # doc2: 23 words -> 16 positions; block at 3..22 -> dup 3..15 = 13
+    assert got[2] == (23 - SPAN_K + 1, 13, 13)
+    assert got[3] == (24 - SPAN_K + 1, 0, 0)
+    # span length in tokens = max_run + k - 1 = the 20-word block
+    assert 13 + SPAN_K - 1 == 20
