@@ -643,3 +643,24 @@ def test_scale8_sq8_probe_still_scan_plus_take_ordered(spark, sf8_dir):
     assert "TakeOrderedAndProject" in plan
     assert "posexplode" not in plan.lower()  # probe, not build, plan
     assert len(df.collect()) == 10
+
+
+def test_duplicated_span_no_pairs_no_cartesian(spark):
+    """Span detection is counting + islands, never pair generation: a
+    single posexplode (one evaluation of the gram subtree feeds both
+    the occurrence count and the per-doc aggregate via window
+    functions), no cartesian, language-sized output."""
+    df = catalog()["duplicated_span_stats"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.lower().count("posexplode") <= 2  # occ + runs branches
+    assert df.count() <= 16
+
+
+@pytest.mark.scale
+def test_scale8_duplicated_span_stays_linear(spark, sf8_dir):
+    df = catalog()["duplicated_span_stats"].builder(spark, sf8_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # aggregate-sized output regardless of 8x input
+    assert df.count() <= 16
