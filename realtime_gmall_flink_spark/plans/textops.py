@@ -2000,17 +2000,47 @@ _PACK_BUCKET_SQL = (
     f" AS INTEGER) % {PACK_BUCKETS}"
 )
 
+# the shared doc->(bucket, ord, toks) projection both packing oracles
+# open with — ONE definition so the stats report and the assignments
+# can never describe different packings
+_PACK_D_SQL = f"""SELECT doc_id,
+           {_PACK_BUCKET_SQL} AS bucket,
+           md5(CAST(doc_id AS VARCHAR)) AS ord,
+           len({_WORDS_SQL}) AS toks
+    FROM documents"""
+
+
+def packed_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, ord, toks, cum) — the Spark twin of _PACK_D_SQL
+    plus the running pre-sum, shared by the stats and assignments
+    entries so the two surfaces always describe the SAME packing."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10)
+        .cast("long") % PACK_BUCKETS
+    ).cast("int")
+    d = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        token_count("text").cast("long").alias("toks"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.withColumn(
+        "cum", F.coalesce(F.sum("toks").over(w), F.lit(0))
+    )
+
 
 @register(
     "sequence_packing_stats",
     survey="A4(ext),P10(ext)",
     oracle=f"""
 WITH d AS (
-    SELECT doc_id,
-           {_PACK_BUCKET_SQL} AS bucket,
-           md5(CAST(doc_id AS VARCHAR)) AS ord,
-           len({_WORDS_SQL}) AS toks
-    FROM documents
+    {_PACK_D_SQL}
 ), c AS (
     SELECT bucket, toks,
            coalesce(sum(toks) OVER (
@@ -2049,24 +2079,7 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence can be partial. All assignment arithmetic is exact
     integers (running token sum, DIV), so the oracle is bit-identical;
     only the final fill ratio divides."""
-    docs = _docs(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-               16, 10)
-        .cast("long") % PACK_BUCKETS
-    ).cast("int")
-    d = docs.select(
-        "doc_id",
-        bucket.alias("bucket"),
-        F.md5(F.col("doc_id").cast("string")).alias("ord"),
-        token_count("text").cast("long").alias("toks"),
-    )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("ord", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = d.withColumn("cum", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    c = packed_docs(_docs(spark, sf_dir))
     s = c.select(
         "bucket",
         "toks",
@@ -2188,11 +2201,7 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A4(ext),P10(ext)",
     oracle=f"""
 WITH d AS (
-    SELECT doc_id,
-           {_PACK_BUCKET_SQL} AS bucket,
-           md5(CAST(doc_id AS VARCHAR)) AS ord,
-           len({_WORDS_SQL}) AS toks
-    FROM documents
+    {_PACK_D_SQL}
 )
 SELECT doc_id, bucket,
        CAST(coalesce(sum(toks) OVER (
@@ -2217,24 +2226,7 @@ def sequence_packing_assignments(
     stats entry — one shuffle on the shard id, exact integer
     arithmetic throughout, so the full row set hash-matches the
     oracle."""
-    docs = _docs(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-               16, 10)
-        .cast("long") % PACK_BUCKETS
-    ).cast("int")
-    d = docs.select(
-        "doc_id",
-        bucket.alias("bucket"),
-        F.md5(F.col("doc_id").cast("string")).alias("ord"),
-        token_count("text").cast("long").alias("toks"),
-    )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("ord", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = d.withColumn("cum", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    c = packed_docs(_docs(spark, sf_dir))
     return c.select(
         "doc_id",
         "bucket",
@@ -2287,23 +2279,38 @@ def duplicated_span_per_doc(
             F.count(F.lit(1)).over(Window.partitionBy("h")) >= 2
         ).alias("is_dup"),
     )
-    rn = F.row_number().over(ws)
-    runs = (
-        occ.filter("is_dup")
-        .select("doc_id", "pos", (F.col("pos") - rn).alias("grp"))
-        .groupBy("doc_id", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-        .groupBy("doc_id")
-        .agg(F.max("run_len").alias("max_run"))
+    # Single-evaluation islands: a filtered row_number branch would make
+    # Spark compute the whole gram subtree (explode + leads + hash +
+    # corpus-wide h-window — the dominant shuffle) TWICE, once for the
+    # runs and once for the per-doc counts. Instead the island key is
+    # pos - runningCount(is_dup) on the UNFILTERED frame (for dup rows
+    # the running count IS their rank among dup rows, so the key is
+    # identical; non-dup rows collapse into one null-key group), and
+    # both metrics fall out of one groupBy chain over one occ subtree.
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = F.when(
+        F.col("is_dup"),
+        F.col("pos") - F.sum(F.col("is_dup").cast("int")).over(wrun),
     )
     return (
-        occ.groupBy("doc_id")
+        occ.select("doc_id", grp.alias("grp"))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_pos"),
-            F.sum(F.col("is_dup").cast("int")).alias("dup_pos"),
+            F.sum("cnt").alias("n_pos"),
+            F.sum(
+                F.when(F.col("grp").isNotNull(), F.col("cnt")).otherwise(0)
+            ).alias("dup_pos"),
+            F.coalesce(
+                F.max(F.when(F.col("grp").isNotNull(), F.col("cnt"))),
+                F.lit(0),
+            ).alias("max_run"),
         )
-        .join(runs, "doc_id", "left")
-        .na.fill(0, ["max_run"])
     )
 
 

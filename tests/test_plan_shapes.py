@@ -646,14 +646,15 @@ def test_scale8_sq8_probe_still_scan_plus_take_ordered(spark, sf8_dir):
 
 
 def test_duplicated_span_no_pairs_no_cartesian(spark):
-    """Span detection is counting + islands, never pair generation: a
-    single posexplode (one evaluation of the gram subtree feeds both
-    the occurrence count and the per-doc aggregate via window
-    functions), no cartesian, language-sized output."""
+    """Span detection is counting + islands, never pair generation:
+    EXACTLY one posexplode — the running-count island key lets one
+    evaluation of the gram subtree (the dominant h-shuffle) feed both
+    the dup counts and the maximal runs; no cartesian; language-sized
+    output."""
     df = catalog()["duplicated_span_stats"].builder(spark, SF_DIR)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.lower().count("posexplode") <= 2  # occ + runs branches
+    assert plan.lower().count("posexplode") == 1
     assert df.count() <= 16
 
 
@@ -662,5 +663,6 @@ def test_scale8_duplicated_span_stays_linear(spark, sf8_dir):
     df = catalog()["duplicated_span_stats"].builder(spark, sf8_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+    assert plan.lower().count("posexplode") == 1  # one gram subtree
     # aggregate-sized output regardless of 8x input
     assert df.count() <= 16
