@@ -173,6 +173,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "media_resize_stats",
     "sequence_packing_assignments",
     "duplicated_span_stats",
+    "incremental_copied_span_scoring",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -2258,20 +2258,7 @@ def duplicated_span_per_doc(
     core of duplicated_span_stats. A doc's span length in TOKENS is
     max_run + k - 1; docs shorter than k words have no positions and
     drop out."""
-    tok = docs.select(
-        "doc_id", F.posexplode(tokenize(text_col)).alias("pos", "w")
-    )
-    ws = Window.partitionBy("doc_id").orderBy("pos")
-    succ = [F.lead("w", j).over(ws).alias(f"w{j}") for j in range(1, k)]
-    g = (
-        tok.select("doc_id", "pos", "w", *succ)
-        .filter(F.col(f"w{k - 1}").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.xxhash64("w", *[f"w{j}" for j in range(1, k)]).alias("h"),
-        )
-    )
+    g = gram_positions(docs, text_col, k)
     occ = g.select(
         "doc_id",
         "pos",
@@ -2279,14 +2266,21 @@ def duplicated_span_per_doc(
             F.count(F.lit(1)).over(Window.partitionBy("h")) >= 2
         ).alias("is_dup"),
     )
-    # Single-evaluation islands: a filtered row_number branch would make
-    # Spark compute the whole gram subtree (explode + leads + hash +
-    # corpus-wide h-window — the dominant shuffle) TWICE, once for the
-    # runs and once for the per-doc counts. Instead the island key is
-    # pos - runningCount(is_dup) on the UNFILTERED frame (for dup rows
-    # the running count IS their rank among dup rows, so the key is
-    # identical; non-dup rows collapse into one null-key group), and
-    # both metrics fall out of one groupBy chain over one occ subtree.
+    return span_rollup(occ)
+
+
+def span_rollup(occ: DataFrame) -> DataFrame:
+    """(doc_id, n_pos, dup_pos, max_run) from a position frame
+    ``occ(doc_id, pos, is_dup)`` — the single-evaluation islands
+    rollup shared by the corpus-internal and new-vs-corpus span
+    scorers. A filtered row_number branch would make Spark compute the
+    occ subtree (for the corpus case: explode + leads + hash + the
+    corpus-wide h-window, the dominant shuffle) TWICE, once for the
+    runs and once for the per-doc counts. Instead the island key is
+    pos - runningCount(is_dup) on the UNFILTERED frame (for dup rows
+    the running count IS their rank among dup rows, so the key is
+    identical; non-dup rows collapse into one null-key group), and
+    both metrics fall out of one groupBy chain over one occ subtree."""
     wrun = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -2310,6 +2304,29 @@ def duplicated_span_per_doc(
                 F.max(F.when(F.col("grp").isNotNull(), F.col("cnt"))),
                 F.lit(0),
             ).alias("max_run"),
+        )
+    )
+
+
+def gram_positions(
+    docs: DataFrame, text_col: str = "text", k: int = SPAN_K
+) -> DataFrame:
+    """(doc_id, pos, h): the 64-bit hash of the k-gram starting at each
+    token position — the shared front end of both span scorers (same
+    codegen shape as shingle_hashes, positions kept, duplicates NOT
+    collapsed)."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize(text_col)).alias("pos", "w")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    succ = [F.lead("w", j).over(ws).alias(f"w{j}") for j in range(1, k)]
+    return (
+        tok.select("doc_id", "pos", "w", *succ)
+        .filter(F.col(f"w{k - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64("w", *[f"w{j}" for j in range(1, k)]).alias("h"),
         )
     )
 
@@ -2388,3 +2405,78 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flagged_docs"),
         )
     )
+
+
+@register(
+    "incremental_copied_span_scoring",
+    survey="A7(ext),J1(ext),F3(ext)",
+    oracle=f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id >= {INCR_NEW_DOC_MAX}
+), new AS (
+    SELECT doc_id + {INCR_RELABEL} AS doc_id, text FROM documents
+    WHERE doc_id < {INCR_NEW_DOC_MAX}
+), wc AS (
+    SELECT {_WORDS_SQL} AS w FROM corpus
+), cg AS (
+    SELECT DISTINCT array_to_string(w[p:p+{SPAN_K - 1}], ' ') AS gram
+    FROM (SELECT w,
+                 unnest(generate_series(
+                     1, greatest(len(w) - {SPAN_K - 1}, 0))) AS p
+          FROM wc)
+), wn AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM new
+), ng AS (
+    SELECT doc_id, p, array_to_string(w[p:p+{SPAN_K - 1}], ' ') AS gram
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(
+                     1, greatest(len(w) - {SPAN_K - 1}, 0))) AS p
+          FROM wn)
+), occ AS (
+    SELECT doc_id, p, gram IN (SELECT gram FROM cg) AS is_dup FROM ng
+), isl AS (
+    SELECT doc_id,
+           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+    FROM occ WHERE is_dup
+), runs AS (
+    SELECT doc_id, grp, count(*) AS run_len
+    FROM isl GROUP BY doc_id, grp
+), mr AS (
+    SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY doc_id
+)
+SELECT o.doc_id AS new_doc,
+       count(*) AS n_pos,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_pos,
+       CAST(coalesce(any_value(max_run), 0) AS BIGINT) AS max_run
+FROM occ o LEFT JOIN mr USING (doc_id)
+GROUP BY o.doc_id
+""",
+)
+def incremental_copied_span_scoring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Score NEW docs for spans COPIED from the corpus against a
+    PERSISTED gram index (streaming/text_ingest.gram_index_build +
+    score_new_docs_spans) — the ingest-time form of exact-substring
+    dedup: one membership join on the 8-byte gram hash, the islands
+    rollup, no corpus recompute per batch. Corpus/new split mirrors
+    incremental_near_dup_scoring (same constants)."""
+    from ..streaming.text_ingest import (
+        gram_index_build,
+        score_new_docs_spans,
+    )
+    from .vectors import _index_cache_dir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= INCR_NEW_DOC_MAX)
+    new = docs.filter(F.col("doc_id") < INCR_NEW_DOC_MAX).select(
+        (F.col("doc_id") + INCR_RELABEL).alias("doc_id"), "text"
+    )
+    idx = _index_cache_dir(
+        "gram",
+        sf_dir,
+        f"k={SPAN_K}|corpus=ge{INCR_NEW_DOC_MAX}|v=1",
+        src_name="documents.parquet",
+    )
+    gram_index_build(corpus, idx, k=SPAN_K)
+    return score_new_docs_spans(spark, idx, new, k=SPAN_K)

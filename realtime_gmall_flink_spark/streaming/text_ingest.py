@@ -388,3 +388,92 @@ def read_near_dups(spark: SparkSession, out_dir: str) -> DataFrame | None:
     from ..indexutil import read_batched
 
     return read_batched(spark, out_dir, "near_dups")
+
+
+# --- persisted gram index + copied-span scoring ---------------------------
+# The position-level twin of the shingle index: score NEW documents for
+# spans COPIED from the corpus (the exact-substring-dedup question at
+# ingest time) without recomputing corpus grams. The index is just the
+# DISTINCT corpus gram-hash set — a new-doc position is copied iff its
+# gram exists in the set, so no corpus positions are persisted and the
+# layout is one hash column. Appends are per-ROW idempotent (one row
+# per distinct hash; a crashed job commit persists a subset of whole
+# hashes — same argument as the vector indexes, no doc-granularity
+# hazard like the shingle layout's).
+GRAM_SUBDIRS = ("grams",)
+
+
+def gram_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    k: int = 8,
+) -> str:
+    """Distinct corpus k-gram hashes, staged + atomically renamed."""
+    from ..indexutil import staged_index_build
+    from ..plans.textops import gram_positions
+
+    def write(staging: str) -> None:
+        gram_positions(
+            docs.dropDuplicates(["doc_id"]), text_col, k
+        ).select("h").distinct().write.parquet(
+            os.path.join(staging, "grams")
+        )
+
+    return staged_index_build(index_dir, GRAM_SUBDIRS, write)
+
+
+def gram_index_append(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+) -> int:
+    """Fold new docs' gram hashes into the index (hashes already
+    present are skipped — idempotent at hash granularity). Returns
+    hashes appended. Stopped-writer window, like every parquet append
+    here."""
+    from ..plans.textops import gram_positions
+
+    grams = os.path.join(index_dir, "grams")
+    if not os.path.isdir(grams):
+        raise ValueError(f"not a valid gram index: {index_dir!r}")
+    existing = spark.read.parquet(grams)
+    fresh = (
+        gram_positions(docs.dropDuplicates(["doc_id"]), text_col, k)
+        .select("h")
+        .distinct()
+        .join(existing, "h", "left_anti")
+        .localCheckpoint(eager=True)  # sever lineage before the append
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(grams)
+    return n
+
+
+def score_new_docs_spans(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(new_doc, n_pos, dup_pos, max_run) per new doc: how much of it
+    is COPIED from the indexed corpus — dup positions are those whose
+    k-gram exists in the index; consecutive copies form runs (span
+    tokens = max_run + k - 1). One shuffle on the 8-byte hash (the
+    membership join), one on doc_id (the islands window); new-vs-new
+    repetition inside a batch deliberately does NOT count (that is the
+    batch-internal duplicated_span_stats' job)."""
+    from ..plans.textops import gram_positions, span_rollup
+
+    g = gram_positions(new_docs.dropDuplicates(["doc_id"]), text_col, k)
+    idx = spark.read.parquet(os.path.join(index_dir, "grams")).select(
+        "h", F.lit(True).alias("hit")
+    )
+    occ = g.join(idx, "h", "left").select(
+        "doc_id", "pos", F.col("hit").isNotNull().alias("is_dup")
+    )
+    return span_rollup(occ).withColumnRenamed("doc_id", "new_doc")

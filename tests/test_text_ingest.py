@@ -459,3 +459,44 @@ def test_whole_doc_files_survive_max_records_per_file(spark, tmp_path):
         }
         for doc_id, n in per_file.items():
             assert n == full[doc_id], (f, doc_id)
+
+
+def test_gram_index_copied_span_scoring(spark, tmp_path):
+    """Corpus with a known passage; a new doc embedding a 12-word copy
+    of it must score dup positions exactly where the copy's 8-grams
+    lie (12-8+1 = 5 consecutive -> span 12 tokens); a fresh doc scores
+    zero; appending the new docs extends the index idempotently."""
+    passage = " ".join(f"p{i}" for i in range(12))
+    corpus = _docs_df(
+        spark,
+        [(1, f"intro {passage} outro"),
+         (2, " ".join(f"c{i}" for i in range(10)))],
+    )
+    idx = TI.gram_index_build(corpus, str(tmp_path / "grams"))
+    new = _docs_df(
+        spark,
+        [(10, f"n1 n2 {passage} n3"),
+         (11, " ".join(f"z{i}" for i in range(15)))],
+    )
+    got = {
+        r["new_doc"]: (r["n_pos"], r["dup_pos"], r["max_run"])
+        for r in TI.score_new_docs_spans(spark, idx, new).collect()
+    }
+    # doc 10: 15 words -> 8 positions; the copy occupies words 3..14
+    # (1-based) -> dup positions 3..7 = 5 consecutive
+    assert got[10] == (8, 5, 5)
+    assert 5 + 8 - 1 == 12  # span length == the copied passage
+    # doc 11: 15 unique words -> 8 positions, none copied
+    assert got[11] == (8, 0, 0)
+
+    # append folds the new docs' grams in; a replay appends nothing
+    n1 = TI.gram_index_append(spark, idx, new)
+    assert n1 > 0
+    assert TI.gram_index_append(spark, idx, new) == 0
+    # an exact copy of doc 11 now scores as fully copied
+    copy = _docs_df(spark, [(20, " ".join(f"z{i}" for i in range(15)))])
+    got2 = {
+        r["new_doc"]: (r["dup_pos"], r["max_run"])
+        for r in TI.score_new_docs_spans(spark, idx, copy).collect()
+    }
+    assert got2[20] == (8, 8)
