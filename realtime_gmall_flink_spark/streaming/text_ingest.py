@@ -340,12 +340,15 @@ def run_doc_ingest(
     out_dir: str,
     ckpt: str,
     threshold: float = JACCARD_THRESHOLD,
+    gram_index_dir: str | None = None,
 ):
     """availableNow ingest over a parquet topic dir of (doc_id, text)
     rows: each micro-batch is scored against the persisted index;
     per-batch overwrite side outputs (the replay-safe log-fanout
     pattern) — ``scored/batch=N`` carries (doc_id, n_shingles),
-    ``near_dups/batch=N`` the over-threshold pairs."""
+    ``near_dups/batch=N`` the over-threshold pairs, and (when
+    ``gram_index_dir`` points at a gram index) ``copied_spans/batch=N``
+    the per-doc copied-span report vs the gram corpus."""
     schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
@@ -374,6 +377,12 @@ def run_doc_ingest(
         ).write.mode("overwrite").parquet(
             os.path.join(out_dir, "near_dups", f"batch={batch_id}")
         )
+        if gram_index_dir is not None:
+            score_new_docs_spans(
+                spark, gram_index_dir, batch
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "copied_spans", f"batch={batch_id}")
+            )
 
     return (
         stream.writeStream.outputMode("append")
@@ -388,6 +397,14 @@ def read_near_dups(spark: SparkSession, out_dir: str) -> DataFrame | None:
     from ..indexutil import read_batched
 
     return read_batched(spark, out_dir, "near_dups")
+
+
+def read_copied_spans(
+    spark: SparkSession, out_dir: str
+) -> DataFrame | None:
+    from ..indexutil import read_batched
+
+    return read_batched(spark, out_dir, "copied_spans")
 
 
 # --- persisted gram index + copied-span scoring ---------------------------

@@ -500,3 +500,46 @@ def test_gram_index_copied_span_scoring(spark, tmp_path):
         for r in TI.score_new_docs_spans(spark, idx, copy).collect()
     }
     assert got2[20] == (8, 8)
+
+
+def test_streaming_copied_spans_match_batch_with_restart(spark, tmp_path):
+    """Span scoring on arrival: the streaming copied_spans side output
+    must equal the batch scorer over all arrivals, across a
+    checkpointed restart, with a planted corpus passage detected."""
+    passage = " ".join(f"p{i}" for i in range(12))
+    corpus = _docs_df(
+        spark, [(1, f"intro {passage} outro"), (2, "a b c d e f g h i")]
+    )
+    sh_idx = TI.shingle_index_build(corpus, str(tmp_path / "sh"))
+    gram_idx = TI.gram_index_build(corpus, str(tmp_path / "grams"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = [(10, f"n1 n2 {passage} n3"), (11, "q r s t u v w x y")]
+    wave2 = [(12, f"{passage} tail1 tail2")]
+    _docs_df(spark, wave1).write.mode("append").parquet(src)
+    TI.run_doc_ingest(
+        spark, src, sh_idx, out, ckpt, gram_index_dir=gram_idx
+    ).awaitTermination()
+    _docs_df(spark, wave2).write.mode("append").parquet(src)
+    TI.run_doc_ingest(
+        spark, src, sh_idx, out, ckpt, gram_index_dir=gram_idx
+    ).awaitTermination()
+
+    got = {
+        r["new_doc"]: (r["n_pos"], r["dup_pos"], r["max_run"])
+        for r in TI.read_copied_spans(spark, out).collect()
+    }
+    want = {
+        r["new_doc"]: (r["n_pos"], r["dup_pos"], r["max_run"])
+        for r in TI.score_new_docs_spans(
+            spark, gram_idx, _docs_df(spark, wave1 + wave2)
+        ).collect()
+    }
+    assert got == want
+    # restart processed wave2 exactly once; planted copies detected
+    assert len(got) == 3
+    assert got[10][1:] == (5, 5)   # 12-word copy -> 5-position run
+    assert got[12][1:] == (5, 5)
+    assert got[11][1] == 0
