@@ -417,7 +417,46 @@ def read_copied_spans(
 # per distinct hash; a crashed job commit persists a subset of whole
 # hashes — same argument as the vector indexes, no doc-granularity
 # hazard like the shingle layout's).
-GRAM_SUBDIRS = ("grams",)
+GRAM_SUBDIRS = ("grams", "meta")
+
+
+def _gram_index_k(
+    spark: SparkSession, index_dir: str, k: int | None
+) -> int:
+    """Resolve the gram width for an index operation. The width is a
+    BUILD-time property persisted in ``meta/`` — hashing probes or
+    appends at a different k would silently match nothing (or poison
+    the set with mixed-width hashes), so an explicitly passed k that
+    disagrees with the persisted one raises instead of zeroing every
+    score. A pre-meta index defaults to 8 (the only width ever
+    shipped)."""
+    meta = os.path.join(index_dir, "meta")
+    stored = (
+        spark.read.parquet(meta).head()["k"]
+        if os.path.isdir(meta)
+        else 8
+    )
+    if k is not None and k != stored:
+        raise ValueError(
+            f"gram index at {index_dir!r} was built with k={stored}; "
+            f"got k={k} — rebuild the index to change the gram width"
+        )
+    return stored
+
+
+def _backfill_gram_meta(spark: SparkSession, index_dir: str) -> bool:
+    """Migrate a pre-meta gram index in place (same contract as the
+    shingle index's build_stats backfill: a layout upgrade must never
+    let staged_index_build treat a GROWN index as debris and rebuild
+    it from the caller's docs, dropping appended hashes). k=8 is the
+    only width a pre-meta build could have used."""
+    meta = os.path.join(index_dir, "meta")
+    if os.path.isdir(meta) or not os.path.isdir(
+        os.path.join(index_dir, "grams")
+    ):
+        return False
+    spark.createDataFrame([(8,)], "k int").coalesce(1).write.parquet(meta)
+    return True
 
 
 def gram_index_build(
@@ -426,15 +465,26 @@ def gram_index_build(
     text_col: str = "text",
     k: int = 8,
 ) -> str:
-    """Distinct corpus k-gram hashes, staged + atomically renamed."""
+    """Distinct corpus k-gram hashes + a one-row ``meta/`` recording
+    the gram width, staged + atomically renamed. An existing complete
+    index is reused ONLY if its persisted k matches; a pre-meta index
+    is migrated in place first."""
     from ..indexutil import staged_index_build
     from ..plans.textops import gram_positions
+
+    spark = docs.sparkSession
+    _backfill_gram_meta(spark, index_dir)
+    if os.path.isdir(os.path.join(index_dir, "grams")):
+        _gram_index_k(spark, index_dir, k)  # mismatch raises
 
     def write(staging: str) -> None:
         gram_positions(
             docs.dropDuplicates(["doc_id"]), text_col, k
         ).select("h").distinct().write.parquet(
             os.path.join(staging, "grams")
+        )
+        spark.createDataFrame([(k,)], "k int").coalesce(1).write.parquet(
+            os.path.join(staging, "meta")
         )
 
     return staged_index_build(index_dir, GRAM_SUBDIRS, write)
@@ -445,17 +495,20 @@ def gram_index_append(
     index_dir: str,
     docs: DataFrame,
     text_col: str = "text",
-    k: int = 8,
+    k: int | None = None,
 ) -> int:
     """Fold new docs' gram hashes into the index (hashes already
-    present are skipped — idempotent at hash granularity). Returns
-    hashes appended. Stopped-writer window, like every parquet append
-    here."""
+    present are skipped — idempotent at hash granularity). The gram
+    width comes from the INDEX (``k`` may be passed only as a
+    cross-check; a mismatch raises rather than poisoning the set with
+    mixed-width hashes). Returns hashes appended. Stopped-writer
+    window, like every parquet append here."""
     from ..plans.textops import gram_positions
 
     grams = os.path.join(index_dir, "grams")
     if not os.path.isdir(grams):
         raise ValueError(f"not a valid gram index: {index_dir!r}")
+    k = _gram_index_k(spark, index_dir, k)
     existing = spark.read.parquet(grams)
     fresh = (
         gram_positions(docs.dropDuplicates(["doc_id"]), text_col, k)
@@ -475,17 +528,19 @@ def score_new_docs_spans(
     index_dir: str,
     new_docs: DataFrame,
     text_col: str = "text",
-    k: int = 8,
+    k: int | None = None,
 ) -> DataFrame:
     """(new_doc, n_pos, dup_pos, max_run) per new doc: how much of it
     is COPIED from the indexed corpus — dup positions are those whose
     k-gram exists in the index; consecutive copies form runs (span
-    tokens = max_run + k - 1). One shuffle on the 8-byte hash (the
+    tokens = max_run + k - 1). The gram width comes from the INDEX
+    (pass ``k`` only as a cross-check; mismatch raises). One shuffle on the 8-byte hash (the
     membership join), one on doc_id (the islands window); new-vs-new
     repetition inside a batch deliberately does NOT count (that is the
     batch-internal duplicated_span_stats' job)."""
     from ..plans.textops import gram_positions, span_rollup
 
+    k = _gram_index_k(spark, index_dir, k)
     g = gram_positions(new_docs.dropDuplicates(["doc_id"]), text_col, k)
     idx = spark.read.parquet(os.path.join(index_dir, "grams")).select(
         "h", F.lit(True).alias("hit")

@@ -543,3 +543,34 @@ def test_streaming_copied_spans_match_batch_with_restart(spark, tmp_path):
     assert got[10][1:] == (5, 5)   # 12-word copy -> 5-position run
     assert got[12][1:] == (5, 5)
     assert got[11][1] == 0
+
+
+def test_gram_index_k_is_persisted_and_validated(spark, tmp_path):
+    """The gram width is a build-time property: probes and appends
+    resolve it FROM the index, and an explicitly mismatched k raises
+    instead of silently scoring everything zero (probe) or poisoning
+    the hash set (append). A pre-meta index migrates in place."""
+    import shutil
+
+    import pytest as _pytest
+
+    corpus = _docs_df(spark, [(1, " ".join(f"c{i}" for i in range(10)))])
+    idx = TI.gram_index_build(corpus, str(tmp_path / "g4"), k=4)
+    copy = _docs_df(spark, [(10, " ".join(f"c{i}" for i in range(10)))])
+    # probe with no k: resolves k=4 from meta and detects the copy
+    got = TI.score_new_docs_spans(spark, idx, copy).collect()[0]
+    assert got["dup_pos"] == 7 and got["max_run"] == 7  # 10-4+1
+    # mismatched explicit k raises on probe, append, and re-build
+    with _pytest.raises(ValueError, match="built with k=4"):
+        TI.score_new_docs_spans(spark, idx, copy, k=8)
+    with _pytest.raises(ValueError, match="built with k=4"):
+        TI.gram_index_append(spark, idx, copy, k=8)
+    with _pytest.raises(ValueError, match="built with k=4"):
+        TI.gram_index_build(corpus, idx, k=8)
+    # legacy (pre-meta) index: migrated in place as k=8, not rebuilt
+    idx8 = TI.gram_index_build(corpus, str(tmp_path / "g8"))
+    TI.gram_index_append(spark, idx8, copy)
+    n_before = spark.read.parquet(f"{idx8}/grams").count()
+    shutil.rmtree(f"{idx8}/meta")
+    assert TI.gram_index_build(corpus, idx8) == idx8
+    assert spark.read.parquet(f"{idx8}/grams").count() == n_before
