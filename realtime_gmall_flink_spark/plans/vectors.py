@@ -1694,6 +1694,80 @@ def sq8_refresh_if_drifted(
     return report
 
 
+def lsh_occupied_his(index_dir: str) -> list[int]:
+    """The bkt_hi partition values present in a persisted LSH layout,
+    read from the DIRECTORY LISTING (metadata, no data scan) — the
+    driver-side occupancy set that prunes pair mining."""
+    import os
+
+    base = os.path.join(index_dir, "buckets")
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith("bkt_hi=")
+    )
+
+
+def lsh_pair_mine(
+    spark: SparkSession,
+    index_dir: str,
+    bits: int = ANN_BITS,
+    radius: int = ANN_PROBE_RADIUS,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """Full-corpus near-dup pair mining as a PRUNED PROBE over the
+    persisted lsh_build layout — the build-once/probe-many twin of
+    embedding_near_dup_pairs (which recomputes buckets in memory per
+    call). Both join sides read the compact persisted layout instead
+    of re-hashing the corpus; the candidate (b) side scans only the
+    high-byte partitions REACHABLE from the occupied ones — computed
+    driver-side as {occupied_hi XOR (mask >> LSH_HI_SHIFT)} ∩ occupied
+    from the directory listing plus the static mask set, no data
+    touched — so the scan carries a literal bkt_hi PartitionFilter.
+    On a dense corpus that is every partition; on a sparse one (a
+    tenant/label slice, an incremental ingest) it prunes hard, and the
+    mechanism is what the contract requires: probes never read
+    partitions the masks cannot reach. Each hamming<=radius pair
+    matches exactly one probe mask, so no DISTINCT is needed."""
+    import os
+
+    masks = probe_masks(bits, radius)
+    occupied = set(lsh_occupied_his(index_dir))
+    probed_his = sorted(
+        {hi ^ (m >> LSH_HI_SHIFT) for hi in occupied for m in masks}
+        & occupied
+    )
+    layout = os.path.join(index_dir, "buckets")
+    masks_col = F.array(*[F.lit(m) for m in masks])
+    a = spark.read.parquet(layout).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.explode(
+            F.transform(masks_col, lambda m: F.col("bucket").bitwiseXOR(m))
+        ).alias("probe"),
+    )
+    b = (
+        spark.read.parquet(layout)
+        .filter(F.col("bkt_hi").isin(probed_his))
+        .select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("bucket").alias("bucket_b"),
+        )
+    )
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(
+            b,
+            (F.col("probe") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("__cos", 6).alias("cos_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup clusters — connected components over the EMBEDDING
 # near-dup pair graph (the vector-space twin of near_dup_clusters):
@@ -1729,11 +1803,17 @@ FROM walk GROUP BY node
 """,
 )
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair stage probes the PERSISTED lsh_build layout (shared with
+    ann_multiprobe_topk — one build amortized across every LSH entry)
+    instead of re-hashing the corpus per call; see lsh_pair_mine for
+    the pruned-probe contract. embedding_near_dup_pairs keeps the
+    index-free form (its own catalog entry pins the equivalence)."""
     from .textops import star_contraction_components
 
-    emb = _emb(spark, sf_dir)
-    nodes = emb.select("vec_id")
-    pairs = embedding_near_dup_pairs(emb).select("vec_a", "vec_b")
+    idx = lsh_index_dir(sf_dir)
+    lsh_build(_emb(spark, sf_dir), idx)
+    nodes = _emb(spark, sf_dir).select("vec_id")
+    pairs = lsh_pair_mine(spark, idx).select("vec_a", "vec_b")
     return star_contraction_components(
         nodes, pairs, "vec_id", "cluster_id"
     )

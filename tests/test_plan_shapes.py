@@ -666,3 +666,45 @@ def test_scale8_duplicated_span_stays_linear(spark, sf8_dir):
     assert plan.lower().count("posexplode") == 1  # one gram subtree
     # aggregate-sized output regardless of 8x input
     assert df.count() <= 16
+
+
+def test_semantic_dedup_pair_stage_probes_persisted_layout(spark):
+    """The semantic_dedup_clusters pair stage is the build-once/
+    probe-many form (mirror of the ann_multiprobe_topk test): both
+    sides of the pair join scan the PERSISTED bkt_hi-partitioned
+    lsh_build layout — no bucket recomputation over the corpus — and
+    the candidate side carries a literal bkt_hi PartitionFilter
+    (the mask-reachable ∩ occupied set, computed driver-side from the
+    directory listing). The mined pairs equal the index-free
+    embedding_near_dup_pairs exactly."""
+    import re
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        embedding_near_dup_pairs,
+        lsh_build,
+        lsh_index_dir,
+        lsh_pair_mine,
+    )
+
+    idx = lsh_index_dir(SF_DIR)
+    lsh_build(_emb(spark, SF_DIR), idx)
+    pairs = lsh_pair_mine(spark, idx)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = pairs._jdf.queryExecution().explainString(mode)
+    m = re.search(
+        r"PartitionFilters: \[bkt_hi#\d+ INSET ([0-9, ]+)\]", plan
+    )
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 256
+    # buckets come FROM the layout, never recomputed over the corpus
+    assert "xxhash" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+    expected = sorted(
+        tuple(r)
+        for r in embedding_near_dup_pairs(_emb(spark, SF_DIR)).collect()
+    )
+    assert sorted(tuple(r) for r in pairs.collect()) == expected
