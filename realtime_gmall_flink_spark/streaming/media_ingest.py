@@ -1,0 +1,100 @@
+"""Streaming media ingest: score-on-arrival for binary blobs — the
+multimodal twin of text_ingest/vector_ingest (closes the last ingest
+gap: text and embeddings had streaming parity, media did not).
+
+Arriving media rows (media_id, kind, content binary, width, height,
+sample_rate, duration_ms) on a file stream get, per micro-batch
+(foreachBatch; both scorers are Arrow-batched mapInPandas — no state,
+no shuffle of the arriving blobs):
+
+- image-kind rows: fake-codec decode stats (width/height/mean
+  intensity/byte length) -> ``media_stats/batch=<id>``;
+- ALL rows: the byte-histogram feature vector (the stand-in embedding
+  extractor) -> ``media_features/batch=<id>``.
+
+Per-batch OVERWRITE dirs make replays idempotent (a re-fired batch id
+replaces its own rows — the same log-fanout replay pattern as the text
+and vector ingests), and availableNow + checkpoint gives exactly-once
+across restarts.
+
+The batch twin is plans/media.media_image_decode_stats (driver-green):
+``media_decode_stats`` here IS its decode stage, so the streaming==
+batch parity test compares against the very frame the catalog entry
+serves. Codec is pinned to the deterministic fake — the synthesized
+blobs are not real images (functions/multimodal.decode_images:51).
+
+Scale: per micro-batch work is two map-only mapInPandas passes over
+the arriving rows; nothing reads the corpus, nothing shuffles, and
+the per-batch output dirs are compaction-eligible like every other
+ingest side output (streaming/compaction.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import decode_images, extract_features
+
+
+def media_decode_stats(media: DataFrame) -> DataFrame:
+    """The per-batch image scoring, usable on batch or micro-batch
+    frames alike — the parity tests run both forms. Matches the
+    decode stage of the media_image_decode_stats catalog entry."""
+    return decode_images(media, codec="fake").select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.col("byte_len").cast("long").alias("byte_len"),
+    )
+
+
+def run_media_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    ckpt: str,
+    feature_dim: int = 16,
+):
+    """Start the availableNow ingest over ``src_dir`` (a parquet topic
+    dir of media rows). Returns the started query."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stats_dir = os.path.join(out_dir, "media_stats")
+    feat_dir = os.path.join(out_dir, "media_features")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        # one materialization of the arriving blobs feeds both scorers
+        # (without it each write would re-read the batch's source files)
+        batch = batch.localCheckpoint(eager=True)
+        media_decode_stats(batch).write.mode("overwrite").parquet(
+            os.path.join(stats_dir, f"batch={batch_id}")
+        )
+        extract_features(batch, dim=feature_dim).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(feat_dir, f"batch={batch_id}"))
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_media_stats(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    from ..indexutil import read_batched
+
+    return read_batched(spark, out_dir, "media_stats")
+
+
+def read_media_features(
+    spark: SparkSession, out_dir: str
+) -> DataFrame | None:
+    from ..indexutil import read_batched
+
+    return read_batched(spark, out_dir, "media_features")

@@ -1,0 +1,105 @@
+"""Streaming media ingest parity: foreachBatch decode/feature scoring
+of arriving binary blobs must equal the batch computation row-for-row,
+survive a checkpointed restart without loss or replay, and replace its
+own rows on a replayed batch (per-batch overwrite dirs)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from realtime_gmall_flink_spark.plans.media import synth_media_from_docs
+from realtime_gmall_flink_spark.plans.textops import _docs
+from realtime_gmall_flink_spark.streaming import media_ingest as MI
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rowset(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in df.select(cols).collect()
+    )
+
+
+def _media_slice(spark, lo, hi):
+    return synth_media_from_docs(_docs(spark, SF_DIR)).filter(
+        (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+    )
+
+
+def test_media_ingest_matches_batch_with_restart(spark, tmp_path):
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _media_slice(spark, 0, 40).write.mode("append").parquet(src)
+    MI.run_media_ingest(spark, src, out, ckpt).awaitTermination()
+
+    # restart with more arrivals on the same checkpoint
+    _media_slice(spark, 40, 60).write.mode("append").parquet(src)
+    MI.run_media_ingest(spark, src, out, ckpt).awaitTermination()
+
+    all_media = _media_slice(spark, 0, 60)
+
+    # stats parity: streaming result == batch scoring of all arrivals
+    got_stats = MI.read_media_stats(spark, out)
+    assert got_stats is not None
+    expected_stats = MI.media_decode_stats(all_media)
+    assert _rowset(got_stats) == _rowset(expected_stats)
+    # exactly the image-kind rows, once each (no replays, no loss)
+    n_images = all_media.filter(F.col("kind") == "image").count()
+    assert n_images > 0
+    assert got_stats.count() == n_images
+
+    # feature parity: every arriving row (any kind) scored exactly once
+    from realtime_gmall_flink_spark.functions.multimodal import (
+        extract_features,
+    )
+
+    got_feats = MI.read_media_features(spark, out)
+    assert got_feats is not None
+    assert _rowset(got_feats) == _rowset(extract_features(all_media))
+    assert got_feats.count() == all_media.count()
+
+    # the ingest matches the catalog's driver-green decode stage:
+    # stats joined to docs lang == media_image_decode_stats rows for
+    # the ingested id range
+    from realtime_gmall_flink_spark.plans.media import (
+        media_image_decode_stats,
+    )
+
+    langs = _docs(spark, SF_DIR).select(
+        F.col("doc_id").alias("media_id"), "lang"
+    )
+    got_entry_form = got_stats.join(langs, "media_id").select(
+        "media_id", "lang", "width", "height", "mean_intensity", "byte_len"
+    )
+    expected_entry = media_image_decode_stats(spark, SF_DIR).filter(
+        F.col("media_id") < 60
+    )
+    assert _rowset(got_entry_form) == _rowset(expected_entry)
+
+
+def test_media_ingest_replayed_batch_overwrites_itself(spark, tmp_path):
+    """A re-fired batch id must REPLACE its rows, not duplicate them:
+    simulate the replay by deleting the checkpoint (forces batch 0 to
+    re-run over the same files) and re-running the ingest."""
+    import shutil
+
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _media_slice(spark, 0, 30).write.mode("append").parquet(src)
+    MI.run_media_ingest(spark, src, out, ckpt).awaitTermination()
+    first = _rowset(MI.read_media_stats(spark, out))
+
+    shutil.rmtree(ckpt)  # lost checkpoint => batch 0 re-fires
+    MI.run_media_ingest(spark, src, out, ckpt).awaitTermination()
+    again = _rowset(MI.read_media_stats(spark, out))
+    assert again == first
+
+    # batch dirs exist and carry the bookkeeping layout
+    assert os.path.isdir(os.path.join(out, "media_stats", "batch=0"))
