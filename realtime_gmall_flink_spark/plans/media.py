@@ -136,6 +136,7 @@ def media_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_resize_stats",
     survey="LLM(multimodal)",
+    headline=True,  # the bench's chained-binary-mapInPandas representative
     oracle="""
 WITH m AS (
     SELECT doc_id AS media_id, text,

@@ -2334,6 +2334,7 @@ def gram_positions(
 @register(
     "duplicated_span_stats",
     survey="A7(ext),W5(ext)",
+    headline=True,  # the bench's explode+window-islands representative
     oracle=f"""
 WITH w AS (
     SELECT doc_id, {_WORDS_SQL} AS w FROM documents
