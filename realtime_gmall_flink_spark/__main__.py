@@ -9,6 +9,8 @@ artifacts (indexes, topic dirs).
     python -m realtime_gmall_flink_spark warehouse --log-dir D --db-dir D --out D
     python -m realtime_gmall_flink_spark index <build|drift|refresh|recover>
         --kind <ivf|lsh|sq8|shingle> --dir D [--src PARQUET]
+    python -m realtime_gmall_flink_spark pipeline [--sf-dir DIR]
+        [--streaming --src DROPDIR --out D [--checkpoint D]]
     python -m realtime_gmall_flink_spark compact --dir D [--max-files N]
 """
 
@@ -57,6 +59,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--dir", required=True, dest="topic_dir")
     sp.add_argument("--max-files", type=int, default=8)
+
+    sp = sub.add_parser(
+        "pipeline",
+        help="end-to-end curation pipeline: lang -> quality -> dedup ->"
+        " decontaminate -> pack, batch (--sf-dir) or streaming ingest +"
+        " finalize (--streaming --src --out)",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument(
+        "--streaming",
+        action="store_true",
+        help="score (doc_id, text) parquet drops from --src on arrival,"
+        " then finalize the corpus-level stages over --out",
+    )
+    sp.add_argument("--src", default=None)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--checkpoint", default=None)
 
     sp = sub.add_parser("warehouse", help="streaming ODS->DWD over file drops")
     sp.add_argument("--log-dir", required=True)
@@ -120,6 +139,32 @@ def main(argv: list[str] | None = None) -> int:
             df.explain("formatted")
         else:
             df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "pipeline":
+        if args.streaming:
+            import tempfile
+
+            from .streaming import curation
+
+            if not (args.src and args.out):
+                print(
+                    "--src and --out are required with --streaming",
+                    file=sys.stderr,
+                )
+                return 2
+            ckpt = args.checkpoint or tempfile.mkdtemp(
+                prefix="gmall-pipeline-ckpt-"
+            )
+            curation.run_curation_ingest(
+                spark, args.src, args.out, ckpt
+            ).awaitTermination()
+            df = curation.finalize_curation(spark, args.out)
+        else:
+            df = catalog()["curation_pipeline_counts"].builder(
+                spark, args.sf_dir
+            )
+        df.show(truncate=False)
         return 0
 
     if args.cmd == "warehouse":

@@ -174,6 +174,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "sequence_packing_assignments",
     "duplicated_span_stats",
     "incremental_copied_span_scoring",
+    "curation_pipeline_counts",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

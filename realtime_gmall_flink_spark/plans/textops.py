@@ -2481,3 +2481,217 @@ def incremental_copied_span_scoring(
     )
     gram_index_build(corpus, idx, k=SPAN_K)
     return score_new_docs_spans(spark, idx, new, k=SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline — the "would a real user's whole job
+# run" entry: every stage a pretraining-data curation actually chains,
+# composed from the SAME operators the standalone entries expose, with
+# a per-stage-count oracle (the curation_funnel pattern extended
+# through near-dup dedup, decontamination, and sequence packing).
+#
+# Stage chain (row-level survivor sets, every rule deterministic):
+#   raw -> lang-known -> quality -> exact-dedup survivors (min doc_id
+#   per normalized fingerprint) -> near-dup survivors (drop any doc
+#   with a Jaccard>=threshold neighbor of smaller id — the greedy
+#   keep-first rule, non-iterative and order-free) -> train split ->
+#   decontaminated (shingle overlap with the RAW corpus's eval splits
+#   below 20%; shingle-less docs are trivially clean) -> packed
+#   (per-shard token sums and ceil-div sequence counts).
+#
+# Scale shape: each stage reuses its standalone operator's plan
+# (jaccard_pairs' capped pair space, split_contamination's distinct-
+# hash membership join, the packing shard aggregate); branches that
+# share lineage (s3 feeds pairs, shingles, and counts) coincide as
+# identical subplans, which Spark dedupes via ReusedExchange where the
+# exchanges match. The output is ONE row of counts — the report a
+# curation run ships to its dashboard.
+CONTAM_KEEP_DEN = 5  # keep when overlap*DEN < n_shingles (i.e. < 20%)
+
+
+def curation_pipeline_frame(docs: DataFrame) -> DataFrame:
+    """The pipeline over any ``docs(doc_id, text)`` frame — shared by
+    the catalog entry (batch) and the streaming finalize step
+    (streaming/text_ingest-style score-on-arrival feeding the same
+    corpus-level curation), so the two surfaces cannot diverge."""
+    pass_lang = (predict_language("text") != "und").cast("int")
+    f = docs.select(
+        "doc_id",
+        "text",
+        pass_lang.alias("pass_lang"),
+        (
+            (pass_lang == 1)
+            & (quality_score("text") >= CURATION_QUALITY_MIN)
+        )
+        .cast("int")
+        .alias("pass_q"),
+        doc_fingerprint("text").alias("fp"),
+        split_name("doc_id").alias("split"),
+    )
+    base = f.agg(
+        F.count(F.lit(1)).alias("raw_ct"),
+        F.sum("pass_lang").cast("long").alias("lang_known_ct"),
+        F.sum("pass_q").cast("long").alias("quality_ct"),
+    )
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    s3 = (
+        f.filter(F.col("pass_q") == 1)
+        .withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "split")
+    )
+    dropped = (
+        jaccard_pairs(s3)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(dropped, "doc_id", "left_anti")
+    tr = s4.filter(F.col("split") == "train")
+    ev = (
+        shingle_hashes(f.filter(F.col("split") != "train"))
+        .select("h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    contam = (
+        shingle_hashes(tr)
+        .join(ev, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("ov"),
+        )
+    )
+    s5 = (
+        tr.join(contam, "doc_id", "left")
+        .withColumn("n_sh", F.coalesce("n_sh", F.lit(0)))
+        .withColumn("ov", F.coalesce("ov", F.lit(0)))
+        .filter(
+            (F.col("ov") * CONTAM_KEEP_DEN < F.col("n_sh"))
+            | (F.col("n_sh") == 0)
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % PACK_BUCKETS
+    )
+    packs = (
+        s5.select(
+            bucket.alias("bucket"),
+            token_count("text").cast("long").alias("toks"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("toks").alias("btok"))
+    )
+    pagg = packs.agg(
+        F.coalesce(F.sum("btok"), F.lit(0))
+        .cast("long")
+        .alias("packed_token_sum"),
+        F.coalesce(
+            F.sum(F.expr(f"(btok + {PACK_BUDGET - 1}) DIV {PACK_BUDGET}")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("packed_seq_ct"),
+    )
+    c3 = s3.agg(F.count(F.lit(1)).alias("exact_dedup_ct"))
+    c4 = s4.agg(F.count(F.lit(1)).alias("near_dup_ct"))
+    ctr = tr.agg(F.count(F.lit(1)).alias("train_ct"))
+    c5 = s5.agg(F.count(F.lit(1)).alias("decontam_ct"))
+    return (
+        base.crossJoin(c3)
+        .crossJoin(c4)
+        .crossJoin(ctr)
+        .crossJoin(c5)
+        .crossJoin(pagg)
+    )
+
+
+@register(
+    "curation_pipeline_counts",
+    survey="P2(ext),D1(ext),J1(ext),A4(ext),P10(ext)",
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id, text,
+           {_PASS_LANG_SQL} AS pass_lang,
+           CASE WHEN {_PASS_LANG_SQL} = 1
+                 AND {_QUALITY_SQL} >= {CURATION_QUALITY_MIN}
+                THEN 1 ELSE 0 END AS pass_q,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp,
+           CASE WHEN {_BUCKET100_SQL} < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {_BUCKET100_SQL} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+), s3 AS (
+    SELECT doc_id, text, split FROM (
+        SELECT doc_id, text, split,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM f WHERE pass_q = 1
+    ) WHERE rn = 1
+), w3 AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM s3
+), sh3 AS (
+    SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM w3
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id
+), ok AS (
+    SELECT sh FROM sh3 GROUP BY sh HAVING count(*) <= {JACCARD_MAX_DF}
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    WHERE a.sh IN (SELECT sh FROM ok)
+    GROUP BY 1, 2
+), dropped AS (
+    SELECT DISTINCT doc_b AS doc_id FROM pairs
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter)
+          >= {JACCARD_THRESHOLD}
+), s4 AS (
+    SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+), tr AS (
+    SELECT * FROM s4 WHERE split = 'train'
+), ev AS (
+    SELECT DISTINCT sh FROM (
+        SELECT unnest(list_distinct({_SHINGLES_SQL})) AS sh
+        FROM (SELECT {_WORDS_SQL} AS w FROM f WHERE split <> 'train')
+    )
+), contam AS (
+    SELECT s.doc_id, count(*) AS n_sh,
+           sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS ov
+    FROM sh3 s JOIN tr USING (doc_id)
+    LEFT JOIN ev ON s.sh = ev.sh
+    GROUP BY s.doc_id
+), s5 AS (
+    SELECT tr.doc_id, tr.text
+    FROM tr LEFT JOIN contam c ON tr.doc_id = c.doc_id
+    WHERE coalesce(c.ov, 0) * {CONTAM_KEEP_DEN} < coalesce(c.n_sh, 0)
+       OR coalesce(c.n_sh, 0) = 0
+), packs AS (
+    SELECT {_PACK_BUCKET_SQL} AS bucket,
+           CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS btok
+    FROM s5
+    GROUP BY 1
+)
+SELECT (SELECT count(*) FROM f) AS raw_ct,
+       (SELECT CAST(sum(pass_lang) AS BIGINT) FROM f) AS lang_known_ct,
+       (SELECT CAST(sum(pass_q) AS BIGINT) FROM f) AS quality_ct,
+       (SELECT count(*) FROM s3) AS exact_dedup_ct,
+       (SELECT count(*) FROM s4) AS near_dup_ct,
+       (SELECT count(*) FROM tr) AS train_ct,
+       (SELECT count(*) FROM s5) AS decontam_ct,
+       (SELECT CAST(coalesce(sum(btok), 0) AS BIGINT) FROM packs)
+           AS packed_token_sum,
+       (SELECT CAST(coalesce(sum((btok + {PACK_BUDGET - 1})
+                                 // {PACK_BUDGET}), 0) AS BIGINT)
+        FROM packs) AS packed_seq_ct
+""",
+)
+def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_pipeline_frame(_docs(spark, sf_dir))

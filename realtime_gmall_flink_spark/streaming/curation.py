@@ -1,0 +1,104 @@
+"""Streaming form of the end-to-end curation pipeline: score documents
+ON ARRIVAL (the stateless per-doc stages), then run the corpus-level
+stages as a batch FINALIZE over everything ingested — exactly how a
+real curation deployment runs (per-doc scoring rides the ingest path;
+dedup/decontamination/packing are periodic whole-corpus jobs, since
+their semantics are corpus-relative and cannot be decided per batch).
+
+Per micro-batch (foreachBatch, availableNow + checkpoint = exactly
+once): arriving (doc_id, text) rows get language, quality score,
+normalized fingerprint, and split assignment — all pure codegen
+expressions — and land in ``scored_docs/batch=<id>`` (per-batch
+overwrite dirs, the replay-idempotent pattern shared with the text/
+vector/media ingests).
+
+``finalize_curation`` then applies plans/textops.curation_pipeline_frame
+to the accumulated rows — the SAME function the batch catalog entry
+(curation_pipeline_counts) runs, so streaming-ingested and batch
+pipelines cannot diverge; the parity test pins scored flags AND the
+final funnel row against the batch forms.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textstats import (
+    doc_fingerprint,
+    predict_language,
+    quality_score,
+)
+from ..plans.textops import (
+    CURATION_QUALITY_MIN,
+    curation_pipeline_frame,
+    split_name,
+)
+
+
+def score_doc_stream(docs: DataFrame) -> DataFrame:
+    """The stateless per-doc stages, batch or micro-batch alike."""
+    pass_lang = (predict_language("text") != "und").cast("int")
+    return docs.select(
+        "doc_id",
+        "text",
+        pass_lang.alias("pass_lang"),
+        (
+            (pass_lang == 1)
+            & (quality_score("text") >= CURATION_QUALITY_MIN)
+        )
+        .cast("int")
+        .alias("pass_q"),
+        doc_fingerprint("text").alias("fp"),
+        split_name("doc_id").alias("split"),
+    )
+
+
+def run_curation_ingest(
+    spark: SparkSession, src_dir: str, out_dir: str, ckpt: str
+):
+    """Start the availableNow ingest over ``src_dir`` (a parquet drop
+    dir of (doc_id, text) rows). Returns the started query."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    scored_dir = os.path.join(out_dir, "scored_docs")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        score_doc_stream(
+            batch.select("doc_id", "text")
+        ).write.mode("overwrite").parquet(
+            os.path.join(scored_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_scored_docs(
+    spark: SparkSession, out_dir: str
+) -> DataFrame | None:
+    from ..indexutil import read_batched
+
+    return read_batched(spark, out_dir, "scored_docs")
+
+
+def finalize_curation(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The corpus-level stages (exact + near-dup dedup, train-split
+    decontamination, sequence packing) over everything ingested so far
+    — one funnel-count row, identical to the batch catalog entry run
+    over the same documents. At-least-once arrivals are safe: the
+    frame's exact-dedup stage collapses repeated doc rows, and a
+    dropDuplicates on doc_id here keeps raw_ct honest too."""
+    scored = read_scored_docs(spark, out_dir)
+    if scored is None:
+        raise FileNotFoundError(f"no scored_docs under {out_dir}")
+    return curation_pipeline_frame(
+        scored.select("doc_id", "text").dropDuplicates(["doc_id"])
+    )
