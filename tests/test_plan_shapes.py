@@ -708,3 +708,145 @@ def test_semantic_dedup_pair_stage_probes_persisted_layout(spark):
         for r in embedding_near_dup_pairs(_emb(spark, SF_DIR)).collect()
     )
     assert sorted(tuple(r) for r in pairs.collect()) == expected
+
+
+def _relabeled_8x_docs(spark, sf_dir):
+    """A GENUINE 8x corpus: 8 relabeled copies of documents (distinct
+    doc_ids), not the union-in-place fixture — the shingle/gram
+    builders order tokens by (doc_id, pos), so duplicated doc_ids
+    would pair tokens across copies instead of scaling the corpus."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.textops import _docs
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    out = base
+    for i in range(1, 8):
+        out = out.unionByName(
+            base.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"), "text"
+            )
+        )
+    return out
+
+
+def _scan_counts(plan: str) -> dict[str, int]:
+    import re
+
+    counts: dict[str, int] = {}
+    for path in re.findall(r"file:[^\]\s,]+", plan):
+        tail = path.rstrip("/").rsplit("/", 1)[-1]
+        counts[tail] = counts.get(tail, 0) + 1
+    return counts
+
+
+@pytest.mark.scale
+def test_scale8_score_new_docs_stays_broadcast_single_scan(
+    spark, tmp_path
+):
+    """score_new_docs against an 8x shingle index: the membership join
+    must keep the SMALL new batch broadcast (no sort-merge shuffle of
+    the 8x corpus shingles), each index subdir scanned exactly once,
+    no cartesian — and every planted copy still flags its sources at
+    jaccard 1.0. Also covers the incremental_near_dup_scoring catalog
+    entry's probe stage, which wraps this function."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.streaming.text_ingest import (
+        score_new_docs,
+        shingle_index_build,
+    )
+
+    import shutil
+    import tempfile
+
+    corpus = _relabeled_8x_docs(spark, _SF8_BASE)
+    # a SHORT index path: explain truncates long locations, and the
+    # scan-count assertions parse the path tails out of the plan
+    short = tempfile.mkdtemp(dir="/tmp", prefix="sh8-")
+    shutil.rmtree(short)
+    idx = shingle_index_build(corpus, short)
+    new = (
+        corpus.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 77_000_000).alias("doc_id"), "text")
+    )
+    # the stop-shingle cap is an ABSOLUTE df knob: an 8x corpus has 8x
+    # every df, so the cap must scale with it or recall collapses to
+    # zero (measured: median df ~10 at 1x -> ~80 at 8x vs cap 64) — the
+    # per-deployment calibration a real scale-up performs
+    from realtime_gmall_flink_spark.plans.textops import JACCARD_MAX_DF
+
+    df = score_new_docs(spark, idx, new, max_df=8 * JACCARD_MAX_DF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    scans = _scan_counts(plan)
+    assert scans.get("shingles") == 1, scans
+    assert scans.get("dfreq") == 1, scans
+    assert scans.get("sizes") == 1, scans
+
+    got = {
+        (r["new_doc"], r["dup_of"])
+        for r in df.filter(F.col("jaccard") == 1.0).collect()
+    }
+    # each planted copy matches its base doc AND the 7 relabeled copies
+    for i in range(5):
+        for j in range(8):
+            assert (i + 77_000_000, i + j * 10_000_000) in got
+
+
+@pytest.mark.scale
+def test_scale8_score_new_docs_spans_stays_broadcast_single_scan(
+    spark, tmp_path
+):
+    """score_new_docs_spans against an 8x gram index: one scan of the
+    grams set, membership join broadcast-shaped, no cartesian; a doc
+    copied verbatim from the corpus scores fully duplicated
+    (dup_pos == n_pos)."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.textops import SPAN_K
+    from realtime_gmall_flink_spark.streaming.text_ingest import (
+        gram_index_build,
+        score_new_docs_spans,
+    )
+
+    import shutil
+    import tempfile
+
+    corpus = _relabeled_8x_docs(spark, _SF8_BASE)
+    short = tempfile.mkdtemp(dir="/tmp", prefix="gr8-")
+    shutil.rmtree(short)
+    idx = gram_index_build(corpus, short, k=SPAN_K)
+    new = (
+        corpus.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 77_000_000).alias("doc_id"), "text")
+    )
+    df = score_new_docs_spans(spark, idx, new)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    scans = _scan_counts(plan)
+    assert scans.get("grams") == 1, scans
+
+    for r in df.collect():
+        # verbatim copies: every position's gram exists in the index
+        # (docs shorter than k words have no positions and no row)
+        assert r["dup_pos"] == r["n_pos"], r
+
+
+@pytest.mark.scale
+def test_scale8_incremental_entry_plan_shape(spark, sf8_dir):
+    """The incremental_near_dup_scoring catalog entry at the 8x
+    fixture dir: probe stays broadcast-shaped with each index subdir
+    scanned once (values are exercised by the relabeled-corpus test
+    above; the union-in-place fixture duplicates doc_ids, which is
+    fine for plan shape but not for shingle values)."""
+    df = catalog()["incremental_near_dup_scoring"].builder(spark, sf8_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    scans = _scan_counts(plan)
+    assert scans.get("shingles") == 1, scans
+    assert scans.get("dfreq") == 1, scans
+    assert scans.get("sizes") == 1, scans
