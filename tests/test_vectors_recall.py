@@ -715,3 +715,120 @@ def test_semantic_clusters_group_planted_twins(planted):
         if labels[2 * i] == labels[2 * i + 1] == 2 * i
     )
     assert paired / N_PAIRS >= 0.9  # multi-probe recall floor
+
+
+def test_sq8_rebuild_killpoint_fuzz(spark, tmp_path, monkeypatch):
+    """SQ8's rebuild adds a constraint the shared two-rename argument
+    (fuzzed via IVF above) doesn't cover: codes are LOSSY, so no crash
+    window may leave the live index destroyed or half-written — there
+    is no self-source to rebuild from. Two kill families:
+
+    (a) inside the staged write, between the stats and codes writes —
+        the staging dir is incomplete, the LIVE index must be untouched
+        (same codes, same stats) and still probe-able;
+    (b) at each swap rename — recover_index must heal to a complete
+        index, debris swept (mirror of the IVF swap fuzz, pinned here
+        because SQ8's non-self-sourcing makes the guarantee
+        load-bearing, not just convenient)."""
+    import os as _os
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from realtime_gmall_flink_spark.indexutil import recover_index
+    from realtime_gmall_flink_spark.plans.vectors import (
+        SQ8_SUBDIRS,
+        sq8_build,
+        sq8_rebuild,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    class Kill(Exception):
+        pass
+
+    def _sq8_snapshot(idx):
+        return {
+            sub: sorted(
+                tuple(str(v) for v in r)
+                for r in spark.read.parquet(f"{idx}/{sub}").collect()
+            )
+            for sub in SQ8_SUBDIRS
+        }
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    # (a) die between the stats write and the codes write
+    idx = str(tmp_path / "sq8-a")
+    sq8_build(emb, idx)
+    before = _sq8_snapshot(idx)
+    real_parquet = DataFrameWriter.parquet
+
+    def dying_parquet(self, path, *a, **k):
+        if path.rstrip("/").endswith("codes"):
+            raise Kill()
+        return real_parquet(self, path, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", dying_parquet)
+    try:
+        sq8_rebuild(spark, idx, emb)
+        died = False
+    except Kill:
+        died = True
+    finally:
+        monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+    assert died
+    # live index untouched bit-for-bit; the crashed staging dir is
+    # debris the next build sweeps
+    assert _sq8_snapshot(idx) == before
+    sq8_rebuild(spark, idx, emb)  # a clean retry completes
+    assert _sq8_snapshot(idx) == before  # same corpus -> same layout
+    parent, base = _os.path.dirname(idx), _os.path.basename(idx)
+    debris = [
+        d for d in _os.listdir(parent)
+        if d.startswith(base) and d != base
+    ]
+    assert debris == [], debris
+
+    # (b) die at each swap rename
+    real_rename = _os.rename
+    for kill_at in (1, 2):
+        idx = str(tmp_path / f"sq8-swap{kill_at}")
+        sq8_build(emb, idx)
+        want = _sq8_snapshot(idx)
+        calls = {"n": 0}
+
+        def dying_rename(a, b):
+            if _os.path.basename(a).startswith(
+                _os.path.basename(idx)
+            ) or _os.path.basename(b).startswith(_os.path.basename(idx)):
+                calls["n"] += 1
+                if calls["n"] >= kill_at:
+                    raise Kill()
+            return real_rename(a, b)
+
+        monkeypatch.setattr(_os, "rename", dying_rename)
+        try:
+            sq8_rebuild(spark, idx, emb)
+            died = False
+        except Kill:
+            died = True
+        finally:
+            monkeypatch.setattr(_os, "rename", real_rename)
+        assert died, kill_at
+        recover_index(idx, SQ8_SUBDIRS)
+        assert all(
+            _os.path.isdir(f"{idx}/{s}") for s in SQ8_SUBDIRS
+        ), kill_at
+        # healed index is COMPLETE and equivalent (same corpus on both
+        # sides of the swap, so either roll direction must serve the
+        # same quantized layout)
+        assert _sq8_snapshot(idx) == want, kill_at
+        parent, base = _os.path.dirname(idx), _os.path.basename(idx)
+        debris = [
+            d
+            for d in _os.listdir(parent)
+            if d.startswith(f"{base}.rebuild-")
+            or d.startswith(f"{base}.old-")
+        ]
+        assert debris == [], (kill_at, debris)
