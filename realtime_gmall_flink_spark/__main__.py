@@ -153,6 +153,19 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            import glob
+            import os as _os
+
+            if not _os.path.isdir(args.src) or not (
+                glob.glob(f"{args.src}/*.parquet")
+                or glob.glob(f"{args.src}/**/*.parquet", recursive=True)
+            ):
+                print(
+                    f"--src {args.src!r} is not a directory containing"
+                    " parquet files",
+                    file=sys.stderr,
+                )
+                return 2
             ckpt = args.checkpoint or tempfile.mkdtemp(
                 prefix="gmall-pipeline-ckpt-"
             )

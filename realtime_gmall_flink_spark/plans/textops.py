@@ -2010,18 +2010,25 @@ _PACK_D_SQL = f"""SELECT doc_id,
     FROM documents"""
 
 
+def pack_bucket(col: Column | str) -> Column:
+    """The pack-shard id for a doc key — ONE definition (md5 16-bit
+    prefix mod PACK_BUCKETS) shared by packed_docs and the curation
+    pipeline, so every surface describes the SAME packing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % PACK_BUCKETS
+    ).cast("int")
+
+
 def packed_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, bucket, ord, toks, cum) — the Spark twin of _PACK_D_SQL
     plus the running pre-sum, shared by the stats and assignments
     entries so the two surfaces always describe the SAME packing."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-               16, 10)
-        .cast("long") % PACK_BUCKETS
-    ).cast("int")
     d = docs.select(
         "doc_id",
-        bucket.alias("bucket"),
+        pack_bucket("doc_id").alias("bucket"),
         F.md5(F.col("doc_id").cast("string")).alias("ord"),
         token_count("text").cast("long").alias("toks"),
     )
@@ -2509,13 +2516,14 @@ def incremental_copied_span_scoring(
 CONTAM_KEEP_DEN = 5  # keep when overlap*DEN < n_shingles (i.e. < 20%)
 
 
-def curation_pipeline_frame(docs: DataFrame) -> DataFrame:
-    """The pipeline over any ``docs(doc_id, text)`` frame — shared by
-    the catalog entry (batch) and the streaming finalize step
-    (streaming/text_ingest-style score-on-arrival feeding the same
-    corpus-level curation), so the two surfaces cannot diverge."""
+def score_docs(docs: DataFrame) -> DataFrame:
+    """The stateless per-doc stages — language, quality, fingerprint,
+    split — over any ``docs(doc_id, text)`` frame. ONE definition,
+    shared by the batch pipeline below and the streaming score-on-
+    arrival sink (streaming/curation.py), so persisted ingest-time
+    flags and batch-computed flags cannot diverge."""
     pass_lang = (predict_language("text") != "und").cast("int")
-    f = docs.select(
+    return docs.select(
         "doc_id",
         "text",
         pass_lang.alias("pass_lang"),
@@ -2528,6 +2536,20 @@ def curation_pipeline_frame(docs: DataFrame) -> DataFrame:
         doc_fingerprint("text").alias("fp"),
         split_name("doc_id").alias("split"),
     )
+
+
+def curation_pipeline_frame(docs: DataFrame) -> DataFrame:
+    """The pipeline over any ``docs(doc_id, text)`` frame — shared by
+    the catalog entry (batch) and the streaming finalize step
+    (streaming/text_ingest-style score-on-arrival feeding the same
+    corpus-level curation), so the two surfaces cannot diverge."""
+    return curation_pipeline_from_scored(score_docs(docs))
+
+
+def curation_pipeline_from_scored(f: DataFrame) -> DataFrame:
+    """The corpus-level stages over an ALREADY-SCORED frame (the
+    score_docs columns) — what the streaming finalize feeds with its
+    persisted ingest-time flags instead of recomputing them."""
     base = f.agg(
         F.count(F.lit(1)).alias("raw_ct"),
         F.sum("pass_lang").cast("long").alias("lang_known_ct"),
@@ -2571,17 +2593,9 @@ def curation_pipeline_frame(docs: DataFrame) -> DataFrame:
             | (F.col("n_sh") == 0)
         )
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-            16,
-            10,
-        ).cast("long")
-        % PACK_BUCKETS
-    )
     packs = (
         s5.select(
-            bucket.alias("bucket"),
+            pack_bucket("doc_id").alias("bucket"),
             token_count("text").cast("long").alias("toks"),
         )
         .groupBy("bucket")

@@ -184,20 +184,38 @@ def embedding_near_dup_pairs(
     threshold: float = COSINE_DUP_THRESHOLD,
 ) -> DataFrame:
     """Near-dup pairs over ``emb(vec_id, embedding)`` via multi-probe
-    sign-LSH. Each hamming<=radius pair matches exactly one probe mask,
-    so the join needs no DISTINCT."""
-    emb = emb.withColumn(
+    sign-LSH (index-free form: buckets computed in memory; the
+    persisted-layout twin is lsh_pair_mine — both run the SAME
+    _bucketed_pair_join)."""
+    bucketed = emb.withColumn(
         "bucket", sign_lsh_bucket(F.col("embedding"), bits=bits).cast("int")
     )
+    return _bucketed_pair_join(bucketed, bucketed, bits, radius, threshold)
+
+
+def _bucketed_pair_join(
+    a_bucketed: DataFrame,
+    b_bucketed: DataFrame,
+    bits: int,
+    radius: int,
+    threshold: float,
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) near-dup pairs from two bucketed frames
+    (vec_id, embedding, bucket): the a-side explodes the
+    hamming<=radius probe masks — each qualifying pair matches exactly
+    one mask, so the join needs no DISTINCT — the b-side is equi-joined
+    on the probed bucket, cosine verifies. ONE definition shared by the
+    in-memory and persisted-layout pair miners, so a threshold/join
+    tweak cannot diverge them."""
     masks = F.array(*[F.lit(m) for m in probe_masks(bits, radius)])
-    a = emb.select(
+    a = a_bucketed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.explode(
             F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
         ).alias("probe"),
     )
-    b = emb.select(
+    b = b_bucketed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("bucket").alias("bucket_b"),
@@ -1701,6 +1719,8 @@ def lsh_occupied_his(index_dir: str) -> list[int]:
     import os
 
     base = os.path.join(index_dir, "buckets")
+    if not os.path.isdir(base):
+        raise ValueError(f"not a valid LSH index: {index_dir!r}")
     return sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(base)
@@ -1738,34 +1758,11 @@ def lsh_pair_mine(
         & occupied
     )
     layout = os.path.join(index_dir, "buckets")
-    masks_col = F.array(*[F.lit(m) for m in masks])
-    a = spark.read.parquet(layout).select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.explode(
-            F.transform(masks_col, lambda m: F.col("bucket").bitwiseXOR(m))
-        ).alias("probe"),
+    a = spark.read.parquet(layout)
+    b = spark.read.parquet(layout).filter(
+        F.col("bkt_hi").isin(probed_his)
     )
-    b = (
-        spark.read.parquet(layout)
-        .filter(F.col("bkt_hi").isin(probed_his))
-        .select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("eb"),
-            F.col("bucket").alias("bucket_b"),
-        )
-    )
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
-    return (
-        a.join(
-            b,
-            (F.col("probe") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= threshold)
-        .select("vec_a", "vec_b", F.round("__cos", 6).alias("cos_sim"))
-    )
+    return _bucketed_pair_join(a, b, bits, radius, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -24,36 +24,16 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..functions.textstats import (
-    doc_fingerprint,
-    predict_language,
-    quality_score,
-)
 from ..plans.textops import (
-    CURATION_QUALITY_MIN,
-    curation_pipeline_frame,
-    split_name,
+    curation_pipeline_from_scored,
+    score_docs,
 )
 
-
-def score_doc_stream(docs: DataFrame) -> DataFrame:
-    """The stateless per-doc stages, batch or micro-batch alike."""
-    pass_lang = (predict_language("text") != "und").cast("int")
-    return docs.select(
-        "doc_id",
-        "text",
-        pass_lang.alias("pass_lang"),
-        (
-            (pass_lang == 1)
-            & (quality_score("text") >= CURATION_QUALITY_MIN)
-        )
-        .cast("int")
-        .alias("pass_q"),
-        doc_fingerprint("text").alias("fp"),
-        split_name("doc_id").alias("split"),
-    )
+# the stateless per-doc stages, batch or micro-batch alike — ONE
+# definition, owned by plans/textops (the batch pipeline runs the
+# exact same scorer, so persisted flags cannot drift from it)
+score_doc_stream = score_docs
 
 
 def run_curation_ingest(
@@ -93,12 +73,14 @@ def finalize_curation(spark: SparkSession, out_dir: str) -> DataFrame:
     """The corpus-level stages (exact + near-dup dedup, train-split
     decontamination, sequence packing) over everything ingested so far
     — one funnel-count row, identical to the batch catalog entry run
-    over the same documents. At-least-once arrivals are safe: the
-    frame's exact-dedup stage collapses repeated doc rows, and a
-    dropDuplicates on doc_id here keeps raw_ct honest too."""
+    over the same documents. CONSUMES the persisted ingest-time flags
+    (no rescoring pass over the corpus: the scorer is shared with the
+    batch pipeline, so the flags are the ones it would compute).
+    At-least-once arrivals are safe: dropDuplicates on doc_id keeps
+    raw_ct honest and collapses replayed rows."""
     scored = read_scored_docs(spark, out_dir)
     if scored is None:
         raise FileNotFoundError(f"no scored_docs under {out_dir}")
-    return curation_pipeline_frame(
-        scored.select("doc_id", "text").dropDuplicates(["doc_id"])
+    return curation_pipeline_from_scored(
+        scored.dropDuplicates(["doc_id"])
     )

@@ -87,9 +87,17 @@ def run_media_ingest(
 
 
 def read_media_stats(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Both readers dedup by media_id: per-batch overwrite dirs make a
+    REPLAYED batch id replace itself, but a LOST checkpoint re-lists
+    every source file into batch 0 while later batch=N dirs from the
+    prior run still hold their rows — without the dedup those rows
+    would read double (the scoring is deterministic per media_id, so
+    any surviving copy is the right one; the text/vector ingests make
+    the same at-least-once argument at their fold-in joins)."""
     from ..indexutil import read_batched
 
-    return read_batched(spark, out_dir, "media_stats")
+    df = read_batched(spark, out_dir, "media_stats")
+    return None if df is None else df.dropDuplicates(["media_id"])
 
 
 def read_media_features(
@@ -97,4 +105,5 @@ def read_media_features(
 ) -> DataFrame | None:
     from ..indexutil import read_batched
 
-    return read_batched(spark, out_dir, "media_features")
+    df = read_batched(spark, out_dir, "media_features")
+    return None if df is None else df.dropDuplicates(["media_id"])

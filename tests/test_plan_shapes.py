@@ -742,7 +742,7 @@ def _scan_counts(plan: str) -> dict[str, int]:
 
 @pytest.mark.scale
 def test_scale8_score_new_docs_stays_broadcast_single_scan(
-    spark, tmp_path
+    spark, request
 ):
     """score_new_docs against an 8x shingle index: the membership join
     must keep the SMALL new batch broadcast (no sort-merge shuffle of
@@ -764,6 +764,7 @@ def test_scale8_score_new_docs_stays_broadcast_single_scan(
     # a SHORT index path: explain truncates long locations, and the
     # scan-count assertions parse the path tails out of the plan
     short = tempfile.mkdtemp(dir="/tmp", prefix="sh8-")
+    request.addfinalizer(lambda: shutil.rmtree(short, ignore_errors=True))
     shutil.rmtree(short)
     idx = shingle_index_build(corpus, short)
     new = (
@@ -797,7 +798,7 @@ def test_scale8_score_new_docs_stays_broadcast_single_scan(
 
 @pytest.mark.scale
 def test_scale8_score_new_docs_spans_stays_broadcast_single_scan(
-    spark, tmp_path
+    spark, request
 ):
     """score_new_docs_spans against an 8x gram index: one scan of the
     grams set, membership join broadcast-shaped, no cartesian; a doc
@@ -816,6 +817,7 @@ def test_scale8_score_new_docs_spans_stays_broadcast_single_scan(
 
     corpus = _relabeled_8x_docs(spark, _SF8_BASE)
     short = tempfile.mkdtemp(dir="/tmp", prefix="gr8-")
+    request.addfinalizer(lambda: shutil.rmtree(short, ignore_errors=True))
     shutil.rmtree(short)
     idx = gram_index_build(corpus, short, k=SPAN_K)
     new = (

@@ -103,3 +103,14 @@ def test_pipeline_cli_batch_and_streaming(spark, tmp_path, capsys):
 
     # missing --src/--out is a usage error, not a crash
     assert main(["pipeline", "--streaming"]) == 2
+    # so is a --src that is not a parquet drop dir
+    assert (
+        main(
+            [
+                "pipeline", "--streaming",
+                "--src", str(tmp_path / "nope"),
+                "--out", str(tmp_path / "out2"),
+            ]
+        )
+        == 2
+    )

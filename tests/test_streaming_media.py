@@ -103,3 +103,41 @@ def test_media_ingest_replayed_batch_overwrites_itself(spark, tmp_path):
 
     # batch dirs exist and carry the bookkeeping layout
     assert os.path.isdir(os.path.join(out, "media_stats", "batch=0"))
+
+
+def test_media_ingest_checkpoint_loss_after_multiple_batches(
+    spark, tmp_path
+):
+    """Checkpoint loss after a MULTI-batch run: the re-run lists every
+    source file into batch 0, overwriting batch=0 but leaving the
+    prior run's batch=1 dir in place — the readers' media_id dedup
+    must keep the result equal to the batch computation (each row
+    exactly once), not doubled."""
+    import shutil
+
+    from realtime_gmall_flink_spark.functions.multimodal import (
+        extract_features,
+    )
+
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _media_slice(spark, 0, 40).write.mode("append").parquet(src)
+    MI.run_media_ingest(spark, src, out, ckpt).awaitTermination()
+    _media_slice(spark, 40, 60).write.mode("append").parquet(src)
+    MI.run_media_ingest(spark, src, out, ckpt).awaitTermination()
+    assert os.path.isdir(os.path.join(out, "media_stats", "batch=1"))
+
+    shutil.rmtree(ckpt)  # lost checkpoint: everything re-fires as batch 0
+    MI.run_media_ingest(spark, src, out, ckpt).awaitTermination()
+
+    all_media = _media_slice(spark, 0, 60)
+    got_stats = MI.read_media_stats(spark, out)
+    assert _rowset(got_stats) == _rowset(MI.media_decode_stats(all_media))
+    assert got_stats.count() == all_media.filter(
+        F.col("kind") == "image"
+    ).count()
+    got_feats = MI.read_media_features(spark, out)
+    assert _rowset(got_feats) == _rowset(extract_features(all_media))
+    assert got_feats.count() == all_media.count()
