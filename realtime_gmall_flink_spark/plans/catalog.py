@@ -175,6 +175,8 @@ ROTATION_POOL: tuple[str, ...] = (
     "duplicated_span_stats",
     "incremental_copied_span_scoring",
     "curation_pipeline_counts",
+    "language_sampling_weights",
+    "embedding_dim_stats",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -1814,3 +1814,47 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star_contraction_components(
         nodes, pairs, "vec_id", "cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics — the normalization / quantizer-
+# calibration view (what SQ8's build computes internally, exposed as a
+# user-facing report): per dimension, the min / max / mean over the
+# corpus. Means are computed over MICRO-QUANTIZED values (each float
+# rounded to an integer count of 1e-6) so the aggregation is an exact
+# integer sum in decimal — summation order cannot change a digit,
+# unlike a naive float sum — and min/max are order-free already.
+# Scale: one posexplode (rows = corpus x 64) into a combine-collapsed
+# 64-group aggregate; the decimal sum keeps exactness past the 2^53
+# integer-in-double ceiling a bigint-in-double sum would hit at
+# ~9M vectors.
+@register(
+    "embedding_dim_stats",
+    survey="A4(ext),P10(ext)",
+    oracle="""
+WITH e AS (
+    SELECT p - 1 AS pos, CAST(embedding[p] AS DOUBLE) AS x
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(p)
+)
+SELECT CAST(pos AS INTEGER) AS pos,
+       count(*) AS n_vecs,
+       round(min(x), 6) AS min_val,
+       round(max(x), 6) AS max_val,
+       round(CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000, 6) AS mean_val
+FROM e GROUP BY pos
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select("pos", F.col("xf").cast("double").alias("x"))
+    micros = F.round(F.col("x") * 1000000).cast("decimal(20,0)")
+    return e.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("x"), 6).alias("min_val"),
+        F.round(F.max("x"), 6).alias("max_val"),
+        F.round(
+            F.sum(micros).cast("double") / F.count(F.lit(1)) / 1000000, 6
+        ).alias("mean_val"),
+    )
