@@ -2717,11 +2717,14 @@ def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # alpha = 0.5, i.e. w_l = sqrt(n_l) / Σ_k sqrt(n_k) (the N^alpha
 # cancels). alpha = 1 reproduces the raw distribution; alpha -> 0
 # approaches uniform; 0.5 is the classic compromise that up-samples
-# tail languages without drowning the head. sqrt is EXACTLY rounded
-# per IEEE-754 (unlike general pow), so both engines compute
-# bit-identical weights — the reason alpha is pinned to 0.5 rather
-# than an arbitrary exponent. sample_factor = w_l * N / n_l is the
-# per-doc up/down-sampling multiplier a data loader applies.
+# tail languages without drowning the head. sample_factor =
+# w_l * N / n_l is the per-doc up/down-sampling multiplier a data
+# loader applies. Determinism: each sqrt is IEEE-exactly rounded
+# (unlike general pow — the reason alpha is pinned to 0.5), but a
+# naive double SUM of them is addition-order-dependent (_parity.py
+# rule), so the normalizer sums NANO-QUANTIZED sqrts as exact
+# integers in decimal: every quotient is a ratio of exact values and
+# both engines agree bit-for-bit.
 # Scale: one combine-collapsed groupBy to a languages-sized frame;
 # the global sums ride a 1-row aggregate broadcast back (crossJoin of
 # aggregate singletons — BroadcastNestedLoop by construction).
@@ -2730,16 +2733,19 @@ def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A4(ext),P10(ext)",
     oracle="""
 WITH c AS (
-    SELECT lang, count(*) AS doc_ct FROM documents GROUP BY lang
+    SELECT lang, count(*) AS doc_ct,
+           CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000000)
+                AS BIGINT) AS sq_nano
+    FROM documents GROUP BY lang
 ), t AS (
     SELECT CAST(sum(doc_ct) AS BIGINT) AS n_total,
-           sum(sqrt(CAST(doc_ct AS DOUBLE))) AS z
+           CAST(sum(sq_nano) AS DOUBLE) AS z
     FROM c
 )
 SELECT lang, doc_ct,
        round(CAST(doc_ct AS DOUBLE) / n_total, 6) AS raw_frac,
-       round(sqrt(CAST(doc_ct AS DOUBLE)) / z, 6) AS weight,
-       round(sqrt(CAST(doc_ct AS DOUBLE)) / z * n_total / doc_ct, 6)
+       round(CAST(sq_nano AS DOUBLE) / z, 6) AS weight,
+       round(CAST(sq_nano AS DOUBLE) / z * n_total / doc_ct, 6)
            AS sample_factor
 FROM c, t
 """,
@@ -2747,23 +2753,29 @@ FROM c, t
 def language_sampling_weights(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    sq_nano = F.round(
+        F.sqrt(F.count(F.lit(1)).cast("double")) * 1000000000
+    ).cast("decimal(20,0)")
     c = (
         _docs(spark, sf_dir)
         .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("doc_ct"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            sq_nano.alias("sq_nano"),
+        )
     )
     t = c.agg(
         F.sum("doc_ct").cast("long").alias("n_total"),
-        F.sum(F.sqrt(F.col("doc_ct").cast("double"))).alias("z"),
+        F.sum("sq_nano").cast("double").alias("z"),
     )
-    sq = F.sqrt(F.col("doc_ct").cast("double"))
+    sqd = F.col("sq_nano").cast("double")
     return c.crossJoin(F.broadcast(t)).select(
         "lang",
         "doc_ct",
         F.round(F.col("doc_ct").cast("double") / F.col("n_total"), 6)
         .alias("raw_frac"),
-        F.round(sq / F.col("z"), 6).alias("weight"),
+        F.round(sqd / F.col("z"), 6).alias("weight"),
         F.round(
-            sq / F.col("z") * F.col("n_total") / F.col("doc_ct"), 6
+            sqd / F.col("z") * F.col("n_total") / F.col("doc_ct"), 6
         ).alias("sample_factor"),
     )
