@@ -253,6 +253,7 @@ def _index_cmd(spark, args) -> int:
     from .indexutil import recover_index
     from .plans.vectors import (
         IVF_SUBDIRS,
+        LSH_SUBDIRS,
         SQ8_SUBDIRS,
         ivf_build,
         ivf_drift,
@@ -272,7 +273,7 @@ def _index_cmd(spark, args) -> int:
     kind, action, idx = args.kind, args.action, args.index_dir
     subdirs = {
         "ivf": IVF_SUBDIRS,
-        "lsh": ("buckets",),
+        "lsh": LSH_SUBDIRS,
         "sq8": SQ8_SUBDIRS,
         "shingle": SHINGLE_SUBDIRS,
     }[kind]

@@ -199,14 +199,19 @@ def _bucketed_pair_join(
     bits: int,
     radius: int,
     threshold: float,
+    ordered: bool = True,
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim) near-dup pairs from two bucketed frames
     (vec_id, embedding, bucket): the a-side explodes the
     hamming<=radius probe masks — each qualifying pair matches exactly
     one mask, so the join needs no DISTINCT — the b-side is equi-joined
     on the probed bucket, cosine verifies. ONE definition shared by the
-    in-memory and persisted-layout pair miners, so a threshold/join
-    tweak cannot diverge them."""
+    in-memory, persisted-layout, and incremental pair miners, so a
+    threshold/join tweak cannot diverge them. ``ordered=True`` (the
+    symmetric full-graph miners) keeps each unordered pair once via
+    vec_a < vec_b; ``ordered=False`` (new-vs-index scoring, where the
+    sides are different frames) keeps every (a, b) orientation and
+    excludes only self-matches."""
     masks = F.array(*[F.lit(m) for m in probe_masks(bits, radius)])
     a = a_bucketed.select(
         F.col("vec_id").alias("vec_a"),
@@ -220,13 +225,14 @@ def _bucketed_pair_join(
         F.col("embedding").alias("eb"),
         F.col("bucket").alias("bucket_b"),
     )
+    pair_pred = (
+        (F.col("vec_a") < F.col("vec_b"))
+        if ordered
+        else (F.col("vec_a") != F.col("vec_b"))
+    )
     cos = cosine_similarity(F.col("ea"), F.col("eb"))
     return (
-        a.join(
-            b,
-            (F.col("probe") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
+        a.join(b, (F.col("probe") == F.col("bucket_b")) & pair_pred)
         .withColumn("__cos", cos)
         .filter(F.col("__cos") >= threshold)
         .select("vec_a", "vec_b", F.round("__cos", 6).alias("cos_sim"))
@@ -983,20 +989,79 @@ def _lsh_bucketed(emb: DataFrame, bits: int) -> DataFrame:
     ).withColumn("bkt_hi", F.shiftrightunsigned("bucket", LSH_HI_SHIFT))
 
 
+LSH_SUBDIRS = ("buckets", "meta")
+
+
+def _backfill_lsh_meta(spark: SparkSession, index_dir: str) -> bool:
+    """Migrate a pre-meta LSH layout in place (the layout-upgrade
+    invariant: adding meta/ to the validity set must never let
+    staged_index_build treat a GROWN index as debris and rebuild it
+    from the caller's corpus, dropping appends). bits=ANN_BITS is the
+    only width a pre-meta build could have used."""
+    import os
+
+    meta = os.path.join(index_dir, "meta")
+    if not os.path.isdir(os.path.join(index_dir, "buckets")) or (
+        os.path.isdir(meta)
+    ):
+        return False
+    spark.createDataFrame(
+        [(ANN_BITS,)], "bits int"
+    ).coalesce(1).write.parquet(meta)
+    return True
+
+
+def _lsh_index_bits(
+    spark: SparkSession, index_dir: str, bits: int | None
+) -> int:
+    """Resolve the bucket width for an index operation. Width is a
+    BUILD-time property persisted in ``meta/`` — probing, appending, or
+    pair-mining at a different width would silently drop every pair
+    whose buckets differ in the uncovered bits (the gram index's k
+    contract, applied to LSH), so an explicitly passed width that
+    disagrees with the persisted one raises. A pre-meta index defaults
+    to ANN_BITS (the only width ever shipped)."""
+    import os
+
+    meta = os.path.join(index_dir, "meta")
+    stored = (
+        spark.read.parquet(meta).head()["bits"]
+        if os.path.isdir(meta)
+        else ANN_BITS
+    )
+    if bits is not None and bits != stored:
+        raise ValueError(
+            f"LSH index at {index_dir!r} was built with bits={stored}; "
+            f"got bits={bits} — rebuild the index to change the width"
+        )
+    return stored
+
+
 def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     """Materialize (vec_id, embedding, bucket) partitioned by the
-    bucket's high byte. Staged + renamed like ivf_build; an existing
-    dir without the buckets/ layout is untrusted debris and rebuilt."""
+    bucket's high byte, plus a one-row ``meta/`` recording the bucket
+    width. Staged + renamed like ivf_build; an existing dir without the
+    layout is untrusted debris and rebuilt; a pre-meta index is
+    migrated in place first, and an existing index built at a DIFFERENT
+    width raises instead of being silently reused."""
     import os
 
     from ..indexutil import staged_index_build
+
+    spark = emb.sparkSession
+    _backfill_lsh_meta(spark, index_dir)
+    if os.path.isdir(os.path.join(index_dir, "buckets")):
+        _lsh_index_bits(spark, index_dir, bits)  # mismatch raises
 
     def write(staging: str) -> None:
         _lsh_bucketed(emb, bits).write.partitionBy("bkt_hi").parquet(
             os.path.join(staging, "buckets")
         )
+        spark.createDataFrame(
+            [(bits,)], "bits int"
+        ).coalesce(1).write.parquet(os.path.join(staging, "meta"))
 
-    return staged_index_build(index_dir, ("buckets",), write)
+    return staged_index_build(index_dir, LSH_SUBDIRS, write)
 
 
 def lsh_probe(
@@ -1006,16 +1071,19 @@ def lsh_probe(
     query_bucket: int,
     exclude_vec_id: int | None = None,
     k: int = TOP_K,
-    bits: int = ANN_BITS,
+    bits: int | None = None,
     radius: int = ANN_PROBE_RADIUS,
 ) -> DataFrame:
     """Multi-probe top-k over the persisted layout: the hamming<=radius
     probe buckets are literals (computed driver-side from the query's
     own bucket — no data touched), so the scan prunes to their distinct
     high bytes and the exact bucket equi-join inside those partitions
-    cuts to the probed buckets; cosine re-ranks."""
+    cuts to the probed buckets; cosine re-ranks. The bucket width comes
+    from the INDEX (pass ``bits`` only as a cross-check; mismatch
+    raises)."""
     import os
 
+    bits = _lsh_index_bits(spark, index_dir, bits)
     probes = sorted({query_bucket ^ m for m in probe_masks(bits, radius)})
     his = sorted({b >> LSH_HI_SHIFT for b in probes})
     cand = (
@@ -1106,7 +1174,7 @@ def lsh_probe_batch(
     queries: DataFrame,
     query_buckets: dict[int, int],
     k: int = TOP_K,
-    bits: int = ANN_BITS,
+    bits: int | None = None,
     radius: int = ANN_PROBE_RADIUS,
 ) -> DataFrame:
     """Multi-probe top-k for MANY queries in ONE pass over the
@@ -1120,6 +1188,7 @@ def lsh_probe_batch(
 
     from pyspark.sql import Window
 
+    bits = _lsh_index_bits(spark, index_dir, bits)
     masks = probe_masks(bits, radius)
     pairs = [
         (qid, b ^ m) for qid, b in query_buckets.items() for m in masks
@@ -1315,7 +1384,7 @@ def lsh_append(
     spark: SparkSession,
     index_dir: str,
     emb: DataFrame,
-    bits: int = ANN_BITS,
+    bits: int | None = None,
 ) -> int:
     """Append new vectors to a persisted LSH layout: bucket them with
     the same sign-LSH as the build and append into the
@@ -1328,6 +1397,7 @@ def lsh_append(
     buckets = os.path.join(index_dir, "buckets")
     if not os.path.isdir(buckets):
         raise ValueError(f"not a valid LSH index: {index_dir!r}")
+    bits = _lsh_index_bits(spark, index_dir, bits)  # mismatch raises
     existing = spark.read.parquet(buckets).select("vec_id")
     fresh = _lsh_bucketed(
         emb.dropDuplicates(["vec_id"]).join(existing, "vec_id", "left_anti"),
@@ -1714,8 +1784,7 @@ def sq8_refresh_if_drifted(
 
 def lsh_occupied_his(index_dir: str) -> list[int]:
     """The bkt_hi partition values present in a persisted LSH layout,
-    read from the DIRECTORY LISTING (metadata, no data scan) — the
-    driver-side occupancy set that prunes pair mining."""
+    read from the DIRECTORY LISTING (metadata, no data scan)."""
     import os
 
     base = os.path.join(index_dir, "buckets")
@@ -1731,38 +1800,81 @@ def lsh_occupied_his(index_dir: str) -> list[int]:
 def lsh_pair_mine(
     spark: SparkSession,
     index_dir: str,
-    bits: int = ANN_BITS,
+    bits: int | None = None,
     radius: int = ANN_PROBE_RADIUS,
     threshold: float = COSINE_DUP_THRESHOLD,
 ) -> DataFrame:
-    """Full-corpus near-dup pair mining as a PRUNED PROBE over the
-    persisted lsh_build layout — the build-once/probe-many twin of
-    embedding_near_dup_pairs (which recomputes buckets in memory per
-    call). Both join sides read the compact persisted layout instead
-    of re-hashing the corpus; the candidate (b) side scans only the
-    high-byte partitions REACHABLE from the occupied ones — computed
-    driver-side as {occupied_hi XOR (mask >> LSH_HI_SHIFT)} ∩ occupied
-    from the directory listing plus the static mask set, no data
-    touched — so the scan carries a literal bkt_hi PartitionFilter.
-    On a dense corpus that is every partition; on a sparse one (a
-    tenant/label slice, an incremental ingest) it prunes hard, and the
-    mechanism is what the contract requires: probes never read
-    partitions the masks cannot reach. Each hamming<=radius pair
-    matches exactly one probe mask, so no DISTINCT is needed."""
+    """Full-corpus near-dup pair mining over the persisted lsh_build
+    layout — the build-once/probe-many twin of
+    embedding_near_dup_pairs (which re-hashes the corpus in memory per
+    call). Both join sides read the compact persisted layout, so the
+    per-call cost drops to the pair join itself, and the one-time
+    build is shared with every other LSH entry. NO partition pruning
+    is claimed here: a FULL pair graph must touch every occupied
+    partition by definition (the probe-mask set contains the identity
+    mask, so the mask-reachable set of the occupied set is always the
+    occupied set itself) — the pruned-probe form is lsh_score_new,
+    whose candidate scan genuinely narrows to the arriving batch's
+    reachable high bytes. Each hamming<=radius pair matches exactly
+    one probe mask, so no DISTINCT is needed. The bucket width comes
+    from the INDEX (pass ``bits`` only as a cross-check; mismatch
+    raises)."""
     import os
 
-    masks = probe_masks(bits, radius)
-    occupied = set(lsh_occupied_his(index_dir))
-    probed_his = sorted(
-        {hi ^ (m >> LSH_HI_SHIFT) for hi in occupied for m in masks}
-        & occupied
-    )
+    bits = _lsh_index_bits(spark, index_dir, bits)
     layout = os.path.join(index_dir, "buckets")
     a = spark.read.parquet(layout)
-    b = spark.read.parquet(layout).filter(
-        F.col("bkt_hi").isin(probed_his)
-    )
+    b = spark.read.parquet(layout)
     return _bucketed_pair_join(a, b, bits, radius, threshold)
+
+
+def lsh_score_new(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    bits: int | None = None,
+    radius: int = ANN_PROBE_RADIUS,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """(new_vec, dup_of, cos_sim) for every NEW vector's near-dups in
+    the persisted layout — the incremental, genuinely PRUNED probe
+    form of lsh_pair_mine (and the LSH twin of the IVF ingest's
+    same-cell near-dup check): the arriving batch's buckets are
+    collected driver-side (batch-sized, metadata work), the
+    hamming<=radius probe high bytes are literals, and the candidate
+    scan prunes to probed ∩ occupied — a localized batch reads a few
+    partitions of the corpus, never all of it. Orientation is
+    new-vs-index (vec ids only deduped against themselves), matching
+    the ingest convention; intra-batch duplicates are the batch-local
+    pair miners' job. The bucket width comes from the INDEX."""
+    import os
+
+    bits = _lsh_index_bits(spark, index_dir, bits)
+    masks = probe_masks(bits, radius)
+    bucketed = _lsh_bucketed(
+        new_emb.dropDuplicates(["vec_id"]), bits
+    ).localCheckpoint(eager=True)  # hash once: probes + join reuse it
+    batch_his = {
+        r["bkt_hi"] for r in bucketed.select("bkt_hi").distinct().collect()
+    }
+    probed_his = sorted(
+        {hi ^ (m >> LSH_HI_SHIFT) for hi in batch_his for m in masks}
+        & set(lsh_occupied_his(index_dir))
+    )
+    if not probed_his:
+        schema = "new_vec long, dup_of long, cos_sim double"
+        return spark.createDataFrame([], schema)
+    cand = spark.read.parquet(
+        os.path.join(index_dir, "buckets")
+    ).filter(F.col("bkt_hi").isin(probed_his))
+    pairs = _bucketed_pair_join(
+        bucketed, cand, bits, radius, threshold, ordered=False
+    )
+    return pairs.select(
+        F.col("vec_a").alias("new_vec"),
+        F.col("vec_b").alias("dup_of"),
+        "cos_sim",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -670,15 +670,13 @@ def test_scale8_duplicated_span_stays_linear(spark, sf8_dir):
 
 def test_semantic_dedup_pair_stage_probes_persisted_layout(spark):
     """The semantic_dedup_clusters pair stage is the build-once/
-    probe-many form (mirror of the ann_multiprobe_topk test): both
-    sides of the pair join scan the PERSISTED bkt_hi-partitioned
-    lsh_build layout — no bucket recomputation over the corpus — and
-    the candidate side carries a literal bkt_hi PartitionFilter
-    (the mask-reachable ∩ occupied set, computed driver-side from the
-    directory listing). The mined pairs equal the index-free
-    embedding_near_dup_pairs exactly."""
-    import re
-
+    probe-many form: both sides of the pair join scan the PERSISTED
+    lsh_build layout — no bucket recomputation over the corpus (no
+    xxhash in the plan) — and the mined pairs equal the index-free
+    embedding_near_dup_pairs exactly. A full pair graph must touch
+    every occupied partition (the identity mask makes the reachable
+    set of the occupied set itself), so NO PartitionFilter is claimed
+    here; the genuinely pruned probe is lsh_score_new (next test)."""
     from realtime_gmall_flink_spark.plans.vectors import (
         _emb,
         embedding_near_dup_pairs,
@@ -694,11 +692,6 @@ def test_semantic_dedup_pair_stage_probes_persisted_layout(spark):
         "formatted"
     )
     plan = pairs._jdf.queryExecution().explainString(mode)
-    m = re.search(
-        r"PartitionFilters: \[bkt_hi#\d+ INSET ([0-9, ]+)\]", plan
-    )
-    assert m, plan
-    assert len(m.group(1).split(",")) <= 256
     # buckets come FROM the layout, never recomputed over the corpus
     assert "xxhash" not in plan.lower()
     assert "CartesianProduct" not in plan
@@ -708,6 +701,50 @@ def test_semantic_dedup_pair_stage_probes_persisted_layout(spark):
         for r in embedding_near_dup_pairs(_emb(spark, SF_DIR)).collect()
     )
     assert sorted(tuple(r) for r in pairs.collect()) == expected
+
+
+def test_lsh_score_new_prunes_to_batch_reachable_partitions(spark):
+    """lsh_score_new (incremental new-vs-corpus near-dup scoring): the
+    candidate scan carries a literal bkt_hi PartitionFilter covering
+    only the ARRIVING BATCH's mask-reachable high bytes (<= 37 per
+    distinct batch high byte — genuine pruning, unlike the full pair
+    graph), planted copies are flagged against their sources at
+    cosine 1.0, and a batch probing no occupied partition returns an
+    empty frame without scanning."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        lsh_build,
+        lsh_index_dir,
+        lsh_score_new,
+    )
+
+    idx = lsh_index_dir(SF_DIR)
+    lsh_build(_emb(spark, SF_DIR), idx)
+    new = (
+        _emb(spark, SF_DIR)
+        .filter(F.col("vec_id") < 3)
+        .select((F.col("vec_id") + 900000).alias("vec_id"), "embedding")
+    )
+    df = lsh_score_new(spark, idx, new)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(
+        r"PartitionFilters: \[bkt_hi#\d+ (?:INSET|IN \()([0-9, ]+)", plan
+    )
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 3 * 37
+    flagged = {
+        (r["new_vec"], r["dup_of"])
+        for r in df.filter(F.col("cos_sim") == 1.0).collect()
+    }
+    for i in range(3):
+        assert (i + 900000, i) in flagged
 
 
 def _relabeled_8x_docs(spark, sf_dir):

@@ -114,3 +114,37 @@ def test_pipeline_cli_batch_and_streaming(spark, tmp_path, capsys):
         )
         == 2
     )
+
+
+def test_curation_checkpoint_loss_keeps_funnel_counts_exact(
+    spark, tmp_path
+):
+    """Checkpoint loss after a multi-batch ingest: the re-run re-lists
+    every drop into batch 0 while the prior run's batch=1 dir
+    survives, so scored rows exist twice on disk — finalize's doc_id
+    dedup must keep every funnel count equal to the batch pipeline's
+    (the QUIRKS.md stale-batch invariant, pinned here for curation
+    like tests/test_streaming_media.py pins it for media)."""
+    import shutil
+
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "cur_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _doc_slice(spark, 0, 300).write.mode("append").parquet(src)
+    CU.run_curation_ingest(spark, src, out, ckpt).awaitTermination()
+    _doc_slice(spark, 300, 500).write.mode("append").parquet(src)
+    CU.run_curation_ingest(spark, src, out, ckpt).awaitTermination()
+    import os
+
+    assert os.path.isdir(os.path.join(out, "scored_docs", "batch=1"))
+
+    shutil.rmtree(ckpt)  # lost checkpoint: everything re-fires as batch 0
+    CU.run_curation_ingest(spark, src, out, ckpt).awaitTermination()
+    # rows genuinely doubled on disk (raw reader, no dedup) ...
+    raw = CU.read_scored_docs(spark, out)
+    assert raw.count() > 500
+    # ... but the finalize row is still exactly the batch pipeline's
+    final = CU.finalize_curation(spark, out)
+    expected = curation_pipeline_frame(_doc_slice(spark, 0, 500))
+    assert _rowset(final) == _rowset(expected)

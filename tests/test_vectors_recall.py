@@ -832,3 +832,61 @@ def test_sq8_rebuild_killpoint_fuzz(spark, tmp_path, monkeypatch):
             or d.startswith(f"{base}.old-")
         ]
         assert debris == [], (kill_at, debris)
+
+
+def test_lsh_bits_persisted_and_validated(spark, tmp_path):
+    """The LSH bucket width is a BUILD-time property persisted in
+    meta/ (the gram index's k contract applied to LSH): operations
+    passing a mismatched width raise instead of silently dropping
+    every pair in the uncovered bits; a pre-meta layout is migrated
+    in place (appends survive, nothing is rebuilt as debris)."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        lsh_append,
+        lsh_build,
+        lsh_pair_mine,
+        lsh_probe_batch,
+        lsh_score_new,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "lsh-meta")
+    lsh_build(emb, idx)
+    assert os.path.isdir(f"{idx}/meta")
+    stored = spark.read.parquet(f"{idx}/meta").head()["bits"]
+    assert stored == 16
+
+    # mismatched width raises on every surface that hashes or probes
+    with _pytest.raises(ValueError, match="built with bits=16"):
+        lsh_build(emb, idx, bits=24)
+    with _pytest.raises(ValueError, match="built with bits=16"):
+        lsh_append(spark, idx, emb.limit(1), bits=24)
+    with _pytest.raises(ValueError, match="built with bits=16"):
+        lsh_pair_mine(spark, idx, bits=24)
+    with _pytest.raises(ValueError, match="built with bits=16"):
+        lsh_score_new(spark, idx, emb.limit(1), bits=24)
+    with _pytest.raises(ValueError, match="built with bits=16"):
+        lsh_probe_batch(spark, idx, emb.limit(1), {0: 0}, bits=24)
+
+    # pre-meta layout: migrate in place, appended rows survive
+    appended = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    assert lsh_append(spark, idx, appended) == 5
+    shutil.rmtree(f"{idx}/meta")  # simulate a pre-meta index
+    lsh_build(emb, idx)  # backfills meta; must NOT rebuild from emb
+    assert os.path.isdir(f"{idx}/meta")
+    kept = (
+        spark.read.parquet(f"{idx}/buckets")
+        .filter(F.col("vec_id") >= 500000)
+        .count()
+    )
+    assert kept == 5  # a debris-rebuild would have dropped these
