@@ -177,6 +177,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "curation_pipeline_counts",
     "language_sampling_weights",
     "embedding_dim_stats",
+    "incremental_semantic_scoring",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -1970,3 +1970,55 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(micros).cast("double") / F.count(F.lit(1)) / 1000000, 6
         ).alias("mean_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic scoring under the DRIVER gate — the embedding
+# twin of incremental_near_dup_scoring: vectors 0-9 replay as "new
+# arrivals" (relabeled +1,000,000) scored against a persisted LSH
+# layout over the REST of the corpus via lsh_score_new (the genuinely
+# partition-pruned probe: the batch's reachable high bytes are
+# literals). The oracle states the identical semantics directly:
+# new-vs-corpus multi-probe pairs (hamming<=radius on the 16-bit sign
+# bucket) at or above the cosine threshold.
+INCR_NEW_VEC_MAX = 10
+INCR_VEC_RELABEL = 1_000_000
+
+
+@register(
+    "incremental_semantic_scoring",
+    survey="J5(ext),F3(ext)",
+    oracle=f"""
+WITH bk AS (
+    SELECT vec_id, embedding, CAST({_BUCKET16_SQL} AS INTEGER) AS bucket
+    FROM embeddings
+), b AS (
+    SELECT * FROM bk WHERE vec_id >= {INCR_NEW_VEC_MAX}
+), a AS (
+    SELECT vec_id + {INCR_VEC_RELABEL} AS vec_id, embedding, bucket
+    FROM bk WHERE vec_id < {INCR_NEW_VEC_MAX}
+)
+SELECT a.vec_id AS new_vec, b.vec_id AS dup_of,
+       round({_COS_AB}, 6) AS cos_sim
+FROM a JOIN b
+  ON bit_count(xor(a.bucket, b.bucket)) <= {ANN_PROBE_RADIUS}
+WHERE {_COS_AB} >= {COSINE_DUP_THRESHOLD}
+""",
+)
+def incremental_semantic_scoring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= INCR_NEW_VEC_MAX)
+    new = emb.filter(F.col("vec_id") < INCR_NEW_VEC_MAX).select(
+        (F.col("vec_id") + INCR_VEC_RELABEL).alias("vec_id"), "embedding"
+    )
+    idx = _index_cache_dir(
+        "lsh",
+        sf_dir,
+        f"bits={ANN_BITS}|corpus=ge{INCR_NEW_VEC_MAX}"
+        f"|v={LSH_INDEX_FORMAT}",
+        src_name="embeddings.parquet",
+    )
+    lsh_build(corpus, idx)
+    return lsh_score_new(spark, idx, new)
