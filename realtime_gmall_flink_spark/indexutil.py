@@ -160,3 +160,86 @@ def rebuild_index(
     os.rename(new_dir, index_dir)
     shutil.rmtree(f"{index_dir}{_TOMB_PREFIX}{run}", ignore_errors=True)
     return index_dir
+
+
+# --- one-row meta/ (persisted build-time parameters) ----------------------
+# Shared by every index that freezes a build parameter in its layout
+# (gram width k, LSH bucket width bits): ONE implementation of the
+# write / read / validate / backfill contract so crash-safety and
+# error shapes cannot drift between indexes.
+
+_meta_cache: dict[str, tuple[int, dict]] = {}
+
+
+def write_index_meta_atomic(spark, index_dir: str, row: dict) -> bool:
+    """Backfill ``<index>/meta`` with one row of build parameters,
+    ATOMICALLY: the parquet job writes a staging sibling which is then
+    renamed into place, so no crash or concurrent writer can leave a
+    half-written meta inside a layout that _valid_index would bless
+    (the staged/atomic-rename invariant every other subdir follows).
+    Returns False (no-op) if meta already exists or the index dir
+    does not; a lost rename race discards the staging. Stale staging
+    debris from crashed attempts is swept first."""
+    meta = os.path.join(index_dir, "meta")
+    for d in _siblings(index_dir, ".meta-"):
+        shutil.rmtree(d, ignore_errors=True)
+    if not os.path.isdir(index_dir) or os.path.isdir(meta):
+        return False
+    fields = ", ".join(f"{k} int" for k in row)
+    staging = f"{index_dir}.meta-{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [tuple(row.values())], fields
+    ).coalesce(1).write.parquet(staging)
+    try:
+        os.rename(staging, meta)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # concurrent winner
+    return True
+
+
+def read_index_meta(index_dir: str) -> dict | None:
+    """The meta row as a dict (None if the index has no meta/ yet).
+    Read DRIVER-SIDE via pyarrow — no Spark job on the probe hot path
+    — and memoized per (path, mtime) so a probe-many loop pays the
+    footer read once."""
+    meta = os.path.join(index_dir, "meta")
+    if not os.path.isdir(meta):
+        return None
+    key = os.path.realpath(meta)
+    mtime = os.stat(meta).st_mtime_ns
+    hit = _meta_cache.get(key)
+    if hit and hit[0] == mtime:
+        return hit[1]
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        os.path.join(meta, f)
+        for f in os.listdir(meta)
+        if f.endswith(".parquet")
+    )
+    if not parts:
+        return None
+    row = pq.read_table(parts[0]).to_pylist()[0]
+    _meta_cache[key] = (mtime, row)
+    return row
+
+
+def resolve_index_meta(
+    index_dir: str,
+    field: str,
+    default: int,
+    passed: int | None,
+    what: str,
+) -> int:
+    """Resolve a build-time parameter for an index operation: the
+    persisted value wins; a pre-meta index falls back to ``default``;
+    an explicitly ``passed`` value that disagrees raises instead of
+    silently probing/hashing at the wrong width."""
+    row = read_index_meta(index_dir)
+    stored = row[field] if row is not None else default
+    if passed is not None and passed != stored:
+        raise ValueError(
+            f"{what} at {index_dir!r} was built with {field}={stored}; "
+            f"got {field}={passed} — rebuild the index to change it"
+        )
+    return stored

@@ -992,25 +992,6 @@ def _lsh_bucketed(emb: DataFrame, bits: int) -> DataFrame:
 LSH_SUBDIRS = ("buckets", "meta")
 
 
-def _backfill_lsh_meta(spark: SparkSession, index_dir: str) -> bool:
-    """Migrate a pre-meta LSH layout in place (the layout-upgrade
-    invariant: adding meta/ to the validity set must never let
-    staged_index_build treat a GROWN index as debris and rebuild it
-    from the caller's corpus, dropping appends). bits=ANN_BITS is the
-    only width a pre-meta build could have used."""
-    import os
-
-    meta = os.path.join(index_dir, "meta")
-    if not os.path.isdir(os.path.join(index_dir, "buckets")) or (
-        os.path.isdir(meta)
-    ):
-        return False
-    spark.createDataFrame(
-        [(ANN_BITS,)], "bits int"
-    ).coalesce(1).write.parquet(meta)
-    return True
-
-
 def _lsh_index_bits(
     spark: SparkSession, index_dir: str, bits: int | None
 ) -> int:
@@ -1020,37 +1001,40 @@ def _lsh_index_bits(
     whose buckets differ in the uncovered bits (the gram index's k
     contract, applied to LSH), so an explicitly passed width that
     disagrees with the persisted one raises. A pre-meta index defaults
-    to ANN_BITS (the only width ever shipped)."""
-    import os
+    to ANN_BITS — the only width the repo's own cache ever built; a
+    hand-managed pre-meta index at another width must state it
+    explicitly through lsh_build, which persists the caller-asserted
+    width during migration. Meta reads are driver-side and memoized
+    (indexutil.read_index_meta) — no Spark job on the probe path."""
+    from ..indexutil import resolve_index_meta
 
-    meta = os.path.join(index_dir, "meta")
-    stored = (
-        spark.read.parquet(meta).head()["bits"]
-        if os.path.isdir(meta)
-        else ANN_BITS
+    return resolve_index_meta(
+        index_dir, "bits", ANN_BITS, bits, "LSH index"
     )
-    if bits is not None and bits != stored:
-        raise ValueError(
-            f"LSH index at {index_dir!r} was built with bits={stored}; "
-            f"got bits={bits} — rebuild the index to change the width"
-        )
-    return stored
 
 
 def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     """Materialize (vec_id, embedding, bucket) partitioned by the
     bucket's high byte, plus a one-row ``meta/`` recording the bucket
     width. Staged + renamed like ivf_build; an existing dir without the
-    layout is untrusted debris and rebuilt; a pre-meta index is
-    migrated in place first, and an existing index built at a DIFFERENT
-    width raises instead of being silently reused."""
+    layout is untrusted debris and rebuilt. A pre-meta index is
+    migrated in place FIRST — stamped with the width THIS caller
+    asserts via ``bits`` (the migration cannot reconstruct the true
+    width from bucket values; the asserting caller is about to reuse
+    the index at that width anyway, so a wrong assertion surfaces as
+    wrong probe results it would have gotten regardless) — and an
+    existing index recorded at a DIFFERENT width raises instead of
+    being silently reused. The backfill is atomic
+    (indexutil.write_index_meta_atomic): staging sibling + rename, so
+    no crash or concurrent build can wedge a half-written meta inside
+    an otherwise-valid layout."""
     import os
 
-    from ..indexutil import staged_index_build
+    from ..indexutil import staged_index_build, write_index_meta_atomic
 
     spark = emb.sparkSession
-    _backfill_lsh_meta(spark, index_dir)
     if os.path.isdir(os.path.join(index_dir, "buckets")):
+        write_index_meta_atomic(spark, index_dir, {"bits": bits})
         _lsh_index_bits(spark, index_dir, bits)  # mismatch raises
 
     def write(staging: str) -> None:

@@ -429,19 +429,11 @@ def _gram_index_k(
     the set with mixed-width hashes), so an explicitly passed k that
     disagrees with the persisted one raises instead of zeroing every
     score. A pre-meta index defaults to 8 (the only width ever
-    shipped)."""
-    meta = os.path.join(index_dir, "meta")
-    stored = (
-        spark.read.parquet(meta).head()["k"]
-        if os.path.isdir(meta)
-        else 8
-    )
-    if k is not None and k != stored:
-        raise ValueError(
-            f"gram index at {index_dir!r} was built with k={stored}; "
-            f"got k={k} — rebuild the index to change the gram width"
-        )
-    return stored
+    shipped). Shared contract: indexutil.resolve_index_meta (driver-
+    side, memoized — no Spark job per probe)."""
+    from ..indexutil import resolve_index_meta
+
+    return resolve_index_meta(index_dir, "k", 8, k, "gram index")
 
 
 def _backfill_gram_meta(spark: SparkSession, index_dir: str) -> bool:
@@ -449,14 +441,13 @@ def _backfill_gram_meta(spark: SparkSession, index_dir: str) -> bool:
     shingle index's build_stats backfill: a layout upgrade must never
     let staged_index_build treat a GROWN index as debris and rebuild
     it from the caller's docs, dropping appended hashes). k=8 is the
-    only width a pre-meta build could have used."""
-    meta = os.path.join(index_dir, "meta")
-    if os.path.isdir(meta) or not os.path.isdir(
-        os.path.join(index_dir, "grams")
-    ):
+    only width a pre-meta build could have used. Atomic via
+    indexutil.write_index_meta_atomic (staging sibling + rename)."""
+    from ..indexutil import write_index_meta_atomic
+
+    if not os.path.isdir(os.path.join(index_dir, "grams")):
         return False
-    spark.createDataFrame([(8,)], "k int").coalesce(1).write.parquet(meta)
-    return True
+    return write_index_meta_atomic(spark, index_dir, {"k": 8})
 
 
 def gram_index_build(

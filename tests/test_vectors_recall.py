@@ -890,3 +890,62 @@ def test_lsh_bits_persisted_and_validated(spark, tmp_path):
         .count()
     )
     assert kept == 5  # a debris-rebuild would have dropped these
+
+
+def test_lsh_score_new_empty_probe_path_schema(spark, tmp_path):
+    """A batch whose reachable high bytes miss every occupied
+    partition must return an EMPTY frame whose schema is identical to
+    the non-empty path's (the hand-written early-return schema cannot
+    drift from the join's)."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.functions.similarity import (
+        sign_lsh_bucket,
+    )
+    from realtime_gmall_flink_spark.plans.vectors import (
+        LSH_HI_SHIFT,
+        lsh_build,
+        lsh_occupied_his,
+        lsh_score_new,
+        probe_masks,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # tiny corpus -> few occupied high bytes -> misses are findable
+    idx = lsh_build(emb.filter(F.col("vec_id") < 3), str(tmp_path / "l"))
+    occupied = set(lsh_occupied_his(idx))
+    assert len(occupied) <= 3
+    reach = {m >> LSH_HI_SHIFT for m in probe_masks(16, 2)}
+
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            sign_lsh_bucket(F.col("embedding"), bits=16)
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()
+    }
+    missing = next(
+        v
+        for v, b in sorted(buckets.items())
+        if not ({(b >> LSH_HI_SHIFT) ^ r for r in reach} & occupied)
+    )
+    hitting = 0  # vec 0 is in the corpus: its own bucket always hits
+
+    new_miss = emb.filter(F.col("vec_id") == missing).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    new_hit = emb.filter(F.col("vec_id") == hitting).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    got_empty = lsh_score_new(spark, idx, new_miss)
+    got_rows = lsh_score_new(spark, idx, new_hit)
+    assert got_empty.count() == 0
+    assert got_rows.count() >= 1  # the planted copy at cosine 1.0
+    assert got_empty.schema == got_rows.schema
