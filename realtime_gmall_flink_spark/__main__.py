@@ -319,7 +319,11 @@ def _index_cmd(spark, args) -> int:
 
     # refresh
     if kind == "lsh":
-        print("lsh is parameter-free (nothing to refresh)", file=_sys.stderr)
+        print(
+            "lsh has no drift baseline (its only parameter, the bucket"
+            " width in meta/, requires a rebuild to change)",
+            file=_sys.stderr,
+        )
         return 2
     if kind == "ivf":
         report = ivf_refresh_if_drifted(

@@ -949,3 +949,41 @@ def test_lsh_score_new_empty_probe_path_schema(spark, tmp_path):
     assert got_empty.count() == 0
     assert got_rows.count() >= 1  # the planted copy at cosine 1.0
     assert got_empty.schema == got_rows.schema
+
+
+def test_index_meta_backfill_atomic_and_sweeps_stale_staging(
+    spark, tmp_path
+):
+    """write_index_meta_atomic: a crashed earlier attempt leaves only
+    an inert .meta-* staging sibling (never a half-written meta/ inside
+    the layout); the next backfill sweeps it and lands meta atomically.
+    A lost rename race (meta appeared meanwhile) is a clean no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.indexutil import (
+        read_index_meta,
+        write_index_meta_atomic,
+    )
+    from realtime_gmall_flink_spark.plans.vectors import lsh_build
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 10
+    )
+    idx = lsh_build(emb, str(tmp_path / "lm"))
+    import shutil
+
+    shutil.rmtree(f"{idx}/meta")  # pre-meta layout
+    # simulate a crashed earlier backfill: stale staging sibling
+    stale = f"{idx}.meta-deadbeef"
+    os.makedirs(stale)
+    assert write_index_meta_atomic(spark, idx, {"bits": 16})
+    assert not os.path.isdir(stale)  # swept
+    assert read_index_meta(idx) == {"bits": 16}
+    # meta already present -> no-op, value untouched
+    assert not write_index_meta_atomic(spark, idx, {"bits": 24})
+    assert read_index_meta(idx) == {"bits": 16}
