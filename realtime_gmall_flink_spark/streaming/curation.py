@@ -41,8 +41,8 @@ def run_curation_ingest(
 ):
     """Start the availableNow ingest over ``src_dir`` (a parquet drop
     dir of (doc_id, text) rows). Returns the started query."""
-    schema = spark.read.parquet(src_dir).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    from .sources import parquet_topic_ingest
+
     scored_dir = os.path.join(out_dir, "scored_docs")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -52,13 +52,7 @@ def run_curation_ingest(
             os.path.join(scored_dir, f"batch={batch_id}")
         )
 
-    return (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return parquet_topic_ingest(spark, src_dir, ckpt, sink)
 
 
 def read_scored_docs(

@@ -61,8 +61,8 @@ def run_media_ingest(
 ):
     """Start the availableNow ingest over ``src_dir`` (a parquet topic
     dir of media rows). Returns the started query."""
-    schema = spark.read.parquet(src_dir).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    from .sources import parquet_topic_ingest
+
     stats_dir = os.path.join(out_dir, "media_stats")
     feat_dir = os.path.join(out_dir, "media_features")
 
@@ -77,13 +77,7 @@ def run_media_ingest(
             "overwrite"
         ).parquet(os.path.join(feat_dir, f"batch={batch_id}"))
 
-    return (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return parquet_topic_ingest(spark, src_dir, ckpt, sink)
 
 
 def read_media_stats(spark: SparkSession, out_dir: str) -> DataFrame | None:

@@ -49,3 +49,30 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+
+
+def parquet_topic_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    ckpt: str,
+    sink,
+    transform=None,
+):
+    """The shared availableNow-ingest scaffold every score-on-arrival
+    module (text, vector, media, curation) builds on: parquet topic
+    dir -> schema-pinned file stream -> optional in-stream transform
+    -> foreachBatch sink, exactly-once via the checkpoint. ONE
+    definition so the exactly-once wiring (append mode, availableNow
+    trigger) cannot drift between ingests. Returns the started
+    query."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if transform is not None:
+        stream = transform(stream)
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

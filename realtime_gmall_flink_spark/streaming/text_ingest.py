@@ -349,8 +349,7 @@ def run_doc_ingest(
     ``near_dups/batch=N`` the over-threshold pairs, and (when
     ``gram_index_dir`` points at a gram index) ``copied_spans/batch=N``
     the per-doc copied-span report vs the gram corpus."""
-    schema = spark.read.parquet(src_dir).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    from .sources import parquet_topic_ingest
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch = (
@@ -384,13 +383,7 @@ def run_doc_ingest(
                 os.path.join(out_dir, "copied_spans", f"batch={batch_id}")
             )
 
-    return (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return parquet_topic_ingest(spark, src_dir, ckpt, sink)
 
 
 def read_near_dups(spark: SparkSession, out_dir: str) -> DataFrame | None:

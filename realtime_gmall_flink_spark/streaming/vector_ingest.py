@@ -58,13 +58,10 @@ def run_embedding_ingest(
     """Start the availableNow ingest over ``src_dir`` (a parquet topic
     dir of (vec_id, embedding, ...) rows) against the persisted index at
     ``index_dir``. Returns the started query."""
+    from .sources import parquet_topic_ingest
+
     base = spark.read.parquet(os.path.join(index_dir, "assignment"))
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    schema = spark.read.parquet(src_dir).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
-    scored = score_embedding_stream(
-        stream.select("vec_id", "embedding"), cent
-    )
     scored_dir = os.path.join(out_dir, "scored")
     dup_dir = os.path.join(out_dir, "near_dups")
 
@@ -103,12 +100,14 @@ def run_embedding_ingest(
             os.path.join(dup_dir, f"batch={batch_id}")
         )
 
-    return (
-        scored.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    return parquet_topic_ingest(
+        spark,
+        src_dir,
+        ckpt,
+        sink,
+        transform=lambda stream: score_embedding_stream(
+            stream.select("vec_id", "embedding"), cent
+        ),
     )
 
 
