@@ -168,59 +168,91 @@ def rebuild_index(
 # write / read / validate / backfill contract so crash-safety and
 # error shapes cannot drift between indexes.
 
-_meta_cache: dict[str, tuple[int, dict]] = {}
+_meta_cache: dict[str, tuple[tuple, dict]] = {}
+
+
+def _meta_parts(meta: str) -> list[str]:
+    return sorted(
+        os.path.join(meta, f)
+        for f in os.listdir(meta)
+        if f.endswith(".parquet")
+    )
+
+
+def write_meta_into(spark, target_dir: str, row: dict) -> None:
+    """Write the one-row meta parquet for ``row`` into ``target_dir``
+    — the ONE definition of the meta file shape (int fields,
+    single-part coalesce), used by build-time staged writes and the
+    atomic backfill alike so the contract cannot drift per index."""
+    fields = ", ".join(f"{k} int" for k in row)
+    spark.createDataFrame(
+        [tuple(row.values())], fields
+    ).coalesce(1).write.parquet(target_dir)
 
 
 def write_index_meta_atomic(spark, index_dir: str, row: dict) -> bool:
     """Backfill ``<index>/meta`` with one row of build parameters,
     ATOMICALLY: the parquet job writes a staging sibling which is then
-    renamed into place, so no crash or concurrent writer can leave a
-    half-written meta inside a layout that _valid_index would bless
-    (the staged/atomic-rename invariant every other subdir follows).
-    Returns False (no-op) if meta already exists or the index dir
-    does not; a lost rename race discards the staging. Stale staging
-    debris from crashed attempts is swept first."""
+    renamed into place, so no crash can leave a half-written meta
+    inside a layout that _valid_index would bless (the staged/atomic-
+    rename invariant every other subdir follows). Returns True only
+    when THIS caller's row landed; a lost rename race (a concurrent
+    winner's meta appeared) discards the staging and returns False. A
+    wedged meta dir with no parquet part (a legacy non-atomic crash)
+    is healed: treated as debris and rewritten. Stale ``.meta-*``
+    staging debris is swept only AFTER winning the rename — a sweep
+    before winning could destroy a concurrent writer's in-flight
+    staging (index maintenance runs in stopped-writer windows, so a
+    surviving concurrent writer is an operator error this narrows, not
+    a supported mode)."""
     meta = os.path.join(index_dir, "meta")
-    for d in _siblings(index_dir, ".meta-"):
-        shutil.rmtree(d, ignore_errors=True)
-    if not os.path.isdir(index_dir) or os.path.isdir(meta):
+    if not os.path.isdir(index_dir):
         return False
-    fields = ", ".join(f"{k} int" for k in row)
+    if os.path.isdir(meta) and not _meta_parts(meta):
+        shutil.rmtree(meta, ignore_errors=True)  # heal a wedged meta
+    if os.path.isdir(meta):
+        return False
     staging = f"{index_dir}.meta-{uuid.uuid4().hex[:8]}"
-    spark.createDataFrame(
-        [tuple(row.values())], fields
-    ).coalesce(1).write.parquet(staging)
+    write_meta_into(spark, staging, row)
     try:
         os.rename(staging, meta)
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)  # concurrent winner
+        return False
+    for d in _siblings(index_dir, ".meta-"):
+        shutil.rmtree(d, ignore_errors=True)  # we won: sweep debris
     return True
 
 
 def read_index_meta(index_dir: str) -> dict | None:
     """The meta row as a dict (None if the index has no meta/ yet).
     Read DRIVER-SIDE via pyarrow — no Spark job on the probe hot path
-    — and memoized per (path, mtime) so a probe-many loop pays the
-    footer read once."""
+    — and memoized per (path, identity) so a probe-many loop pays the
+    footer read once. A meta dir with NO parquet part is a wedged
+    legacy write and raises (defaulting silently would probe a
+    non-default-width index at the wrong width); the atomic backfill
+    heals that state."""
     meta = os.path.join(index_dir, "meta")
     if not os.path.isdir(meta):
         return None
+    parts = _meta_parts(meta)
+    if not parts:
+        raise ValueError(
+            f"wedged meta at {meta!r} (no parquet part) — rerun the"
+            " index build to heal it"
+        )
     key = os.path.realpath(meta)
-    mtime = os.stat(meta).st_mtime_ns
+    st, pst = os.stat(meta), os.stat(parts[0])
+    # inode + both mtimes: a same-tick rmtree+rewrite (coarse-mtime
+    # filesystems) still changes the inode or the part identity
+    token = (st.st_ino, st.st_mtime_ns, parts[0], pst.st_mtime_ns)
     hit = _meta_cache.get(key)
-    if hit and hit[0] == mtime:
+    if hit and hit[0] == token:
         return hit[1]
     import pyarrow.parquet as pq
 
-    parts = sorted(
-        os.path.join(meta, f)
-        for f in os.listdir(meta)
-        if f.endswith(".parquet")
-    )
-    if not parts:
-        return None
     row = pq.read_table(parts[0]).to_pylist()[0]
-    _meta_cache[key] = (mtime, row)
+    _meta_cache[key] = (token, row)
     return row
 
 

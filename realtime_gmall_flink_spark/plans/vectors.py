@@ -992,19 +992,18 @@ def _lsh_bucketed(emb: DataFrame, bits: int) -> DataFrame:
 LSH_SUBDIRS = ("buckets", "meta")
 
 
-def _lsh_index_bits(
-    spark: SparkSession, index_dir: str, bits: int | None
-) -> int:
+def _lsh_index_bits(index_dir: str, bits: int | None) -> int:
     """Resolve the bucket width for an index operation. Width is a
     BUILD-time property persisted in ``meta/`` — probing, appending, or
     pair-mining at a different width would silently drop every pair
     whose buckets differ in the uncovered bits (the gram index's k
     contract, applied to LSH), so an explicitly passed width that
-    disagrees with the persisted one raises. A pre-meta index defaults
-    to ANN_BITS — the only width the repo's own cache ever built; a
-    hand-managed pre-meta index at another width must state it
-    explicitly through lsh_build, which persists the caller-asserted
-    width during migration. Meta reads are driver-side and memoized
+    disagrees with the persisted one raises. A pre-meta index is
+    stamped ANN_BITS at migration (the only width the repo's own
+    tooling ever built — same rule as the gram index's k=8), so a
+    hand-managed non-default legacy index fails LOUDLY on its first
+    width-asserting call instead of being silently mislabeled or
+    silently mis-probed. Meta reads are driver-side and memoized
     (indexutil.read_index_meta) — no Spark job on the probe path."""
     from ..indexutil import resolve_index_meta
 
@@ -1018,32 +1017,33 @@ def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     bucket's high byte, plus a one-row ``meta/`` recording the bucket
     width. Staged + renamed like ivf_build; an existing dir without the
     layout is untrusted debris and rebuilt. A pre-meta index is
-    migrated in place FIRST — stamped with the width THIS caller
-    asserts via ``bits`` (the migration cannot reconstruct the true
-    width from bucket values; the asserting caller is about to reuse
-    the index at that width anyway, so a wrong assertion surfaces as
-    wrong probe results it would have gotten regardless) — and an
-    existing index recorded at a DIFFERENT width raises instead of
-    being silently reused. The backfill is atomic
+    migrated in place FIRST — stamped ANN_BITS, the only width the
+    repo's own tooling ever built (the migration cannot reconstruct a
+    width from bucket values, so it records the one provenance
+    supports and lets a disagreeing caller fail LOUDLY on the next
+    line) — and an existing index recorded at a DIFFERENT width
+    raises instead of being silently reused. The backfill is atomic
     (indexutil.write_index_meta_atomic): staging sibling + rename, so
     no crash or concurrent build can wedge a half-written meta inside
     an otherwise-valid layout."""
     import os
 
-    from ..indexutil import staged_index_build, write_index_meta_atomic
+    from ..indexutil import (
+        staged_index_build,
+        write_index_meta_atomic,
+        write_meta_into,
+    )
 
     spark = emb.sparkSession
     if os.path.isdir(os.path.join(index_dir, "buckets")):
-        write_index_meta_atomic(spark, index_dir, {"bits": bits})
-        _lsh_index_bits(spark, index_dir, bits)  # mismatch raises
+        write_index_meta_atomic(spark, index_dir, {"bits": ANN_BITS})
+        _lsh_index_bits(index_dir, bits)  # mismatch raises
 
     def write(staging: str) -> None:
         _lsh_bucketed(emb, bits).write.partitionBy("bkt_hi").parquet(
             os.path.join(staging, "buckets")
         )
-        spark.createDataFrame(
-            [(bits,)], "bits int"
-        ).coalesce(1).write.parquet(os.path.join(staging, "meta"))
+        write_meta_into(spark, os.path.join(staging, "meta"), {"bits": bits})
 
     return staged_index_build(index_dir, LSH_SUBDIRS, write)
 
@@ -1067,7 +1067,7 @@ def lsh_probe(
     raises)."""
     import os
 
-    bits = _lsh_index_bits(spark, index_dir, bits)
+    bits = _lsh_index_bits(index_dir, bits)
     probes = sorted({query_bucket ^ m for m in probe_masks(bits, radius)})
     his = sorted({b >> LSH_HI_SHIFT for b in probes})
     cand = (
@@ -1172,7 +1172,7 @@ def lsh_probe_batch(
 
     from pyspark.sql import Window
 
-    bits = _lsh_index_bits(spark, index_dir, bits)
+    bits = _lsh_index_bits(index_dir, bits)
     masks = probe_masks(bits, radius)
     pairs = [
         (qid, b ^ m) for qid, b in query_buckets.items() for m in masks
@@ -1381,7 +1381,7 @@ def lsh_append(
     buckets = os.path.join(index_dir, "buckets")
     if not os.path.isdir(buckets):
         raise ValueError(f"not a valid LSH index: {index_dir!r}")
-    bits = _lsh_index_bits(spark, index_dir, bits)  # mismatch raises
+    bits = _lsh_index_bits(index_dir, bits)  # mismatch raises
     existing = spark.read.parquet(buckets).select("vec_id")
     fresh = _lsh_bucketed(
         emb.dropDuplicates(["vec_id"]).join(existing, "vec_id", "left_anti"),
@@ -1805,7 +1805,7 @@ def lsh_pair_mine(
     raises)."""
     import os
 
-    bits = _lsh_index_bits(spark, index_dir, bits)
+    bits = _lsh_index_bits(index_dir, bits)
     layout = os.path.join(index_dir, "buckets")
     a = spark.read.parquet(layout)
     b = spark.read.parquet(layout)
@@ -1833,7 +1833,7 @@ def lsh_score_new(
     pair miners' job. The bucket width comes from the INDEX."""
     import os
 
-    bits = _lsh_index_bits(spark, index_dir, bits)
+    bits = _lsh_index_bits(index_dir, bits)
     masks = probe_masks(bits, radius)
     bucketed = _lsh_bucketed(
         new_emb.dropDuplicates(["vec_id"]), bits

@@ -413,9 +413,7 @@ def read_copied_spans(
 GRAM_SUBDIRS = ("grams", "meta")
 
 
-def _gram_index_k(
-    spark: SparkSession, index_dir: str, k: int | None
-) -> int:
+def _gram_index_k(index_dir: str, k: int | None) -> int:
     """Resolve the gram width for an index operation. The width is a
     BUILD-time property persisted in ``meta/`` — hashing probes or
     appends at a different k would silently match nothing (or poison
@@ -459,7 +457,7 @@ def gram_index_build(
     spark = docs.sparkSession
     _backfill_gram_meta(spark, index_dir)
     if os.path.isdir(os.path.join(index_dir, "grams")):
-        _gram_index_k(spark, index_dir, k)  # mismatch raises
+        _gram_index_k(index_dir, k)  # mismatch raises
 
     def write(staging: str) -> None:
         gram_positions(
@@ -467,9 +465,9 @@ def gram_index_build(
         ).select("h").distinct().write.parquet(
             os.path.join(staging, "grams")
         )
-        spark.createDataFrame([(k,)], "k int").coalesce(1).write.parquet(
-            os.path.join(staging, "meta")
-        )
+        from ..indexutil import write_meta_into
+
+        write_meta_into(spark, os.path.join(staging, "meta"), {"k": k})
 
     return staged_index_build(index_dir, GRAM_SUBDIRS, write)
 
@@ -492,7 +490,7 @@ def gram_index_append(
     grams = os.path.join(index_dir, "grams")
     if not os.path.isdir(grams):
         raise ValueError(f"not a valid gram index: {index_dir!r}")
-    k = _gram_index_k(spark, index_dir, k)
+    k = _gram_index_k(index_dir, k)
     existing = spark.read.parquet(grams)
     fresh = (
         gram_positions(docs.dropDuplicates(["doc_id"]), text_col, k)
@@ -524,7 +522,7 @@ def score_new_docs_spans(
     batch-internal duplicated_span_stats' job)."""
     from ..plans.textops import gram_positions, span_rollup
 
-    k = _gram_index_k(spark, index_dir, k)
+    k = _gram_index_k(index_dir, k)
     g = gram_positions(new_docs.dropDuplicates(["doc_id"]), text_col, k)
     idx = spark.read.parquet(os.path.join(index_dir, "grams")).select(
         "h", F.lit(True).alias("hit")

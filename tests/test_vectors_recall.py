@@ -882,6 +882,15 @@ def test_lsh_bits_persisted_and_validated(spark, tmp_path):
     )
     assert lsh_append(spark, idx, appended) == 5
     shutil.rmtree(f"{idx}/meta")  # simulate a pre-meta index
+    # migration on a width-asserting call stamps the DEFAULT width
+    # (the only one the repo's tooling ever built) and then fails the
+    # assertion LOUDLY — never records the caller's disagreeing width
+    with _pytest.raises(ValueError, match="built with bits=16"):
+        lsh_build(emb, idx, bits=24)
+    from realtime_gmall_flink_spark.indexutil import read_index_meta
+
+    assert read_index_meta(idx) == {"bits": 16}
+    shutil.rmtree(f"{idx}/meta")  # pre-meta again
     lsh_build(emb, idx)  # backfills meta; must NOT rebuild from emb
     assert os.path.isdir(f"{idx}/meta")
     kept = (
@@ -982,8 +991,22 @@ def test_index_meta_backfill_atomic_and_sweeps_stale_staging(
     stale = f"{idx}.meta-deadbeef"
     os.makedirs(stale)
     assert write_index_meta_atomic(spark, idx, {"bits": 16})
-    assert not os.path.isdir(stale)  # swept
+    assert not os.path.isdir(stale)  # swept after winning the rename
     assert read_index_meta(idx) == {"bits": 16}
     # meta already present -> no-op, value untouched
     assert not write_index_meta_atomic(spark, idx, {"bits": 24})
+    assert read_index_meta(idx) == {"bits": 16}
+
+    # wedged meta (legacy crash left the dir without a parquet part):
+    # reads fail LOUDLY (a silent default would probe a non-default
+    # index at the wrong width); the atomic backfill heals it
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    _shutil.rmtree(f"{idx}/meta")
+    os.makedirs(f"{idx}/meta")
+    with _pytest.raises(ValueError, match="wedged meta"):
+        read_index_meta(idx)
+    assert write_index_meta_atomic(spark, idx, {"bits": 16})
     assert read_index_meta(idx) == {"bits": 16}
