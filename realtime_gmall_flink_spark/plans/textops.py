@@ -2549,7 +2549,19 @@ def curation_pipeline_frame(docs: DataFrame) -> DataFrame:
 def curation_pipeline_from_scored(f: DataFrame) -> DataFrame:
     """The corpus-level stages over an ALREADY-SCORED frame (the
     score_docs columns) — what the streaming finalize feeds with its
-    persisted ingest-time flags instead of recomputing them."""
+    persisted ingest-time flags instead of recomputing them.
+
+    The funnel's per-stage counts are independent aggregates crossJoined
+    into one row, so without a materialization boundary every branch
+    would re-derive its shared subtree from the source (~6 corpus scans
+    + rescores at 100 TB). Both shared subtrees are therefore scored/
+    built ONCE and checkpointed: ``f`` (the scored corpus — feeds base,
+    the dedup window, and the eval-shingle branch) and ``s3`` (the
+    exact-dedup survivors — feed the pair self-join, the survivor
+    counts, and the train chain). Downstream branches read the
+    checkpointed blocks; no documents scan survives into the final
+    plan (asserted in tests/test_plan_shapes.py)."""
+    f = f.localCheckpoint(eager=True)  # score + scan the corpus once
     base = f.agg(
         F.count(F.lit(1)).alias("raw_ct"),
         F.sum("pass_lang").cast("long").alias("lang_known_ct"),
@@ -2561,6 +2573,7 @@ def curation_pipeline_from_scored(f: DataFrame) -> DataFrame:
         .withColumn("rn", F.row_number().over(wfp))
         .filter(F.col("rn") == 1)
         .select("doc_id", "text", "split")
+        .localCheckpoint(eager=True)  # dedup-window once, not per branch
     )
     dropped = (
         jaccard_pairs(s3)

@@ -612,6 +612,26 @@ def test_dup_ngram_coverage_single_scan(spark):
     assert plan.lower().count("posexplode") == 1
 
 
+def test_curation_funnel_batch_scores_corpus_once(spark):
+    """The funnel's per-stage counts are crossJoined independent
+    aggregates; the scored corpus and the exact-dedup survivor set are
+    checkpointed so NO branch re-derives them from the parquet source.
+    The final plan must contain zero documents scans (the one scan +
+    score happened at checkpoint build) and only checkpoint-block
+    reads; the scorer itself is a single-scan plan."""
+    df = catalog()["curation_pipeline_counts"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 0  # no per-branch re-derivation
+    assert "documents" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2  # branches read ckpt blocks
+    # the single corpus scan lives in the scorer that fed the checkpoint
+    from realtime_gmall_flink_spark.plans.textops import score_docs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scorer_plan = _plan(score_docs(docs))
+    assert scorer_plan.count("Scan parquet") == 1
+
+
 def test_sequence_packing_one_shard_exchange(spark):
     """Packing never sorts globally: the only hash exchange is on the
     shard bucket (window partition), and the output is shard-sized."""
