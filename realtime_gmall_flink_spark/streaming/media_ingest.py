@@ -9,6 +9,9 @@ no shuffle of the arriving blobs):
 
 - image-kind rows: fake-codec decode stats (width/height/mean
   intensity/byte length) -> ``media_stats/batch=<id>``;
+- image-kind rows: the chained resize(8x8)->decode stats (the
+  score-on-arrival twin of the media_resize_stats bench headliner)
+  -> ``media_resized/batch=<id>``;
 - ALL rows: the byte-histogram feature vector (the stand-in embedding
   extractor) -> ``media_features/batch=<id>``.
 
@@ -36,7 +39,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.multimodal import decode_images, extract_features
+from ..functions.multimodal import (
+    decode_images,
+    extract_features,
+    resize_images,
+)
 
 
 def media_decode_stats(media: DataFrame) -> DataFrame:
@@ -52,12 +59,41 @@ def media_decode_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def media_resize_decode_stats(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """The chained resize->decode scoring (the stages of the
+    media_resize_stats catalog entry, plans/media.py:137), usable on
+    batch or micro-batch frames alike. The output's width/height
+    columns ARE the resize parameters — self-describing rows, so a
+    re-ingest at a different size is detectable (and filterable) at
+    read time rather than silently mixed."""
+    resized = resize_images(
+        media, out_w=out_w, out_h=out_h, codec="fake"
+    ).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "content",
+        "width",
+        "height",
+    )
+    return decode_images(resized, codec="fake").select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.col("byte_len").cast("long").alias("byte_len"),
+    )
+
+
 def run_media_ingest(
     spark: SparkSession,
     src_dir: str,
     out_dir: str,
     ckpt: str,
     feature_dim: int = 16,
+    resize_w: int = 8,
+    resize_h: int = 8,
 ):
     """Start the availableNow ingest over ``src_dir`` (a parquet topic
     dir of media rows). Returns the started query."""
@@ -65,17 +101,29 @@ def run_media_ingest(
 
     stats_dir = os.path.join(out_dir, "media_stats")
     feat_dir = os.path.join(out_dir, "media_features")
+    resized_dir = os.path.join(out_dir, "media_resized")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        # one materialization of the arriving blobs feeds both scorers
+        # one materialization of the arriving blobs feeds all scorers
         # (without it each write would re-read the batch's source files)
         batch = batch.localCheckpoint(eager=True)
         media_decode_stats(batch).write.mode("overwrite").parquet(
             os.path.join(stats_dir, f"batch={batch_id}")
         )
-        extract_features(batch, dim=feature_dim).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(feat_dir, f"batch={batch_id}"))
+        media_resize_decode_stats(
+            batch, out_w=resize_w, out_h=resize_h
+        ).write.mode("overwrite").parquet(
+            os.path.join(resized_dir, f"batch={batch_id}")
+        )
+        # feature rows carry their extraction dim: after a checkpoint
+        # loss a re-ingest at a different dim must not be silently
+        # mixed with the prior run's stale batch=N rows — the reader
+        # filters on it (ADVICE r8)
+        extract_features(batch, dim=feature_dim).withColumn(
+            "feature_dim", F.lit(int(feature_dim))
+        ).write.mode("overwrite").parquet(
+            os.path.join(feat_dir, f"batch={batch_id}")
+        )
 
     return parquet_topic_ingest(spark, src_dir, ckpt, sink)
 
@@ -94,10 +142,41 @@ def read_media_stats(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return None if df is None else df.dropDuplicates(["media_id"])
 
 
-def read_media_features(
-    spark: SparkSession, out_dir: str
+def read_media_resized(
+    spark: SparkSession, out_dir: str, out_w: int = 8, out_h: int = 8
 ) -> DataFrame | None:
+    """Resize-stage reader: rows are self-describing (width/height ==
+    the resize parameters), so a checkpoint-loss re-ingest at a
+    different size leaves filterable — not silently mixed — rows; the
+    filter runs BEFORE the dedup so a surviving copy is always from
+    the requested geometry."""
+    from ..indexutil import read_batched
+
+    df = read_batched(spark, out_dir, "media_resized")
+    if df is None:
+        return None
+    return df.filter(
+        (F.col("width") == out_w) & (F.col("height") == out_h)
+    ).dropDuplicates(["media_id"])
+
+
+def read_media_features(
+    spark: SparkSession, out_dir: str, feature_dim: int = 16
+) -> DataFrame | None:
+    """Feature rows persist their extraction dim (the scoring is only
+    deterministic per (media_id, dim) — ADVICE r8): filter to the
+    requested dim BEFORE the at-least-once dedup so mixed-dim leftovers
+    from a pre-checkpoint-loss run can never be the surviving copy.
+    The column is dropped after the filter so consumers see the bare
+    extract_features shape; pre-dim legacy layouts (no column) are
+    read as-is, matching the in-place-migration invariant."""
     from ..indexutil import read_batched
 
     df = read_batched(spark, out_dir, "media_features")
-    return None if df is None else df.dropDuplicates(["media_id"])
+    if df is None:
+        return None
+    if "feature_dim" in df.columns:
+        df = df.filter(F.col("feature_dim") == int(feature_dim)).drop(
+            "feature_dim"
+        )
+    return df.dropDuplicates(["media_id"])

@@ -627,3 +627,75 @@ def test_sink_log_dir_ignores_orphan_files(spark, tmp_path):
     assert _rowset(spark.read.parquet(out)) == before
     compact_dir(spark, out, max_files=4)
     assert _rowset(spark.read.parquet(out)) == before
+
+
+def test_media_and_curation_batch_dirs_compact_with_reader_dedup(
+    spark, tmp_path
+):
+    """The r8 ingest side outputs (media_stats, scored_docs) are
+    claimed compaction-eligible: compact their batch=N trees AFTER a
+    checkpoint-loss replay (so stale-batch duplicate rows exist on
+    disk) and assert the READER-level results — which dedup by key
+    against exactly those stale rows — are unchanged. Compaction must
+    preserve duplicates as stored rows (it is a file rewrite, not a
+    semantic merge); the dedup stays the reader's job."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.media import (
+        synth_media_from_docs,
+    )
+    from realtime_gmall_flink_spark.plans.textops import _docs
+    from realtime_gmall_flink_spark.streaming import curation as CU
+    from realtime_gmall_flink_spark.streaming import media_ingest as MI
+
+    sf = "/root/testdata/sf0.001"
+
+    # --- media: two batches, lose the checkpoint, replay into batch=0
+    msrc = str(tmp_path / "m_arrivals")
+    mout = str(tmp_path / "m_out")
+    mckpt = str(tmp_path / "m_ckpt")
+    media = synth_media_from_docs(_docs(spark, sf))
+    media.filter(F.col("media_id") < 40).write.mode("append").parquet(msrc)
+    MI.run_media_ingest(spark, msrc, mout, mckpt).awaitTermination()
+    media.filter(
+        (F.col("media_id") >= 40) & (F.col("media_id") < 60)
+    ).write.mode("append").parquet(msrc)
+    MI.run_media_ingest(spark, msrc, mout, mckpt).awaitTermination()
+    shutil.rmtree(mckpt)
+    MI.run_media_ingest(spark, msrc, mout, mckpt).awaitTermination()
+
+    before = _rowset(MI.read_media_stats(spark, mout))
+    raw_before = spark.read.parquet(f"{mout}/media_stats").count()
+    stats = compact_dir(spark, f"{mout}/media_stats", max_files=1)
+    assert stats  # the replayed tree was fragmented enough to rewrite
+    for leaf in stats:
+        assert _pq_count(leaf) <= 1
+    # stored rows (incl. stale-batch duplicates) survive byte-for-row…
+    assert spark.read.parquet(f"{mout}/media_stats").count() == raw_before
+    # …and the deduping reader sees the identical result
+    assert _rowset(MI.read_media_stats(spark, mout)) == before
+
+    # --- curation: same lifecycle over scored_docs
+    csrc = str(tmp_path / "c_arrivals")
+    cout = str(tmp_path / "c_out")
+    cckpt = str(tmp_path / "c_ckpt")
+    docs = _docs(spark, sf)
+    docs.filter(F.col("doc_id") < 300).select("doc_id", "text").write.mode(
+        "append"
+    ).parquet(csrc)
+    CU.run_curation_ingest(spark, csrc, cout, cckpt).awaitTermination()
+    docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 500)
+    ).select("doc_id", "text").write.mode("append").parquet(csrc)
+    CU.run_curation_ingest(spark, csrc, cout, cckpt).awaitTermination()
+    shutil.rmtree(cckpt)
+    CU.run_curation_ingest(spark, csrc, cout, cckpt).awaitTermination()
+
+    funnel_before = _rowset(CU.finalize_curation(spark, cout))
+    craw = spark.read.parquet(f"{cout}/scored_docs").count()
+    cstats = compact_dir(spark, f"{cout}/scored_docs", max_files=1)
+    assert cstats
+    assert spark.read.parquet(f"{cout}/scored_docs").count() == craw
+    assert _rowset(CU.finalize_curation(spark, cout)) == funnel_before

@@ -63,6 +63,21 @@ def test_media_ingest_matches_batch_with_restart(spark, tmp_path):
     assert _rowset(got_feats) == _rowset(extract_features(all_media))
     assert got_feats.count() == all_media.count()
 
+    # resize-stage parity: image rows scored through the chained
+    # resize->decode stages exactly once, equal to the batch form and
+    # to the media_resize_stats bench headliner for the ingested range
+    from realtime_gmall_flink_spark.plans.media import media_resize_stats
+
+    got_resized = MI.read_media_resized(spark, out)
+    assert got_resized is not None
+    assert _rowset(got_resized) == _rowset(
+        MI.media_resize_decode_stats(all_media)
+    )
+    assert got_resized.count() == n_images
+    assert _rowset(got_resized) == _rowset(
+        media_resize_stats(spark, SF_DIR).filter(F.col("media_id") < 60)
+    )
+
     # the ingest matches the catalog's driver-green decode stage:
     # stats joined to docs lang == media_image_decode_stats rows for
     # the ingested id range
@@ -95,14 +110,17 @@ def test_media_ingest_replayed_batch_overwrites_itself(spark, tmp_path):
     _media_slice(spark, 0, 30).write.mode("append").parquet(src)
     MI.run_media_ingest(spark, src, out, ckpt).awaitTermination()
     first = _rowset(MI.read_media_stats(spark, out))
+    first_rs = _rowset(MI.read_media_resized(spark, out))
 
     shutil.rmtree(ckpt)  # lost checkpoint => batch 0 re-fires
     MI.run_media_ingest(spark, src, out, ckpt).awaitTermination()
     again = _rowset(MI.read_media_stats(spark, out))
     assert again == first
+    assert _rowset(MI.read_media_resized(spark, out)) == first_rs
 
     # batch dirs exist and carry the bookkeeping layout
     assert os.path.isdir(os.path.join(out, "media_stats", "batch=0"))
+    assert os.path.isdir(os.path.join(out, "media_resized", "batch=0"))
 
 
 def test_media_ingest_checkpoint_loss_after_multiple_batches(
@@ -141,3 +159,45 @@ def test_media_ingest_checkpoint_loss_after_multiple_batches(
     got_feats = MI.read_media_features(spark, out)
     assert _rowset(got_feats) == _rowset(extract_features(all_media))
     assert got_feats.count() == all_media.count()
+
+    got_resized = MI.read_media_resized(spark, out)
+    assert _rowset(got_resized) == _rowset(
+        MI.media_resize_decode_stats(all_media)
+    )
+
+
+def test_media_feature_dim_change_after_checkpoint_loss(spark, tmp_path):
+    """The ADVICE r8 scenario: features are only deterministic per
+    (media_id, dim). After a checkpoint loss, a re-ingest at a
+    DIFFERENT feature_dim overwrites batch=0 but leaves the prior
+    run's stale batch=1 rows (old dim) on disk — the reader's dim
+    filter must keep the two populations apart instead of letting the
+    media_id dedup keep an arbitrary-dim survivor."""
+    import shutil
+
+    from realtime_gmall_flink_spark.functions.multimodal import (
+        extract_features,
+    )
+
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _media_slice(spark, 0, 40).write.mode("append").parquet(src)
+    MI.run_media_ingest(spark, src, out, ckpt, feature_dim=16).awaitTermination()
+    _media_slice(spark, 40, 60).write.mode("append").parquet(src)
+    MI.run_media_ingest(spark, src, out, ckpt, feature_dim=16).awaitTermination()
+
+    shutil.rmtree(ckpt)  # loss; re-ingest everything at a new dim
+    MI.run_media_ingest(spark, src, out, ckpt, feature_dim=8).awaitTermination()
+
+    all_media = _media_slice(spark, 0, 60)
+    # the new dim sees every row exactly once, scored at dim 8
+    got8 = MI.read_media_features(spark, out, feature_dim=8)
+    assert _rowset(got8) == _rowset(extract_features(all_media, dim=8))
+    # the old dim sees only the stale batch=1 leftovers — and every one
+    # of those is a genuine dim-16 vector, not a mixed-dim survivor
+    got16 = MI.read_media_features(spark, out, feature_dim=16)
+    assert _rowset(got16) == _rowset(
+        extract_features(_media_slice(spark, 40, 60), dim=16)
+    )
