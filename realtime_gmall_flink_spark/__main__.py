@@ -169,6 +169,15 @@ def main(argv: list[str] | None = None) -> int:
             ckpt = args.checkpoint or tempfile.mkdtemp(
                 prefix="gmall-pipeline-ckpt-"
             )
+            if not args.checkpoint:
+                # the checkpoint is the exactly-once resume token: a
+                # silent throwaway dir would make the NEXT invocation
+                # re-ingest everything — tell the user how to resume
+                print(
+                    f"checkpoint: {ckpt}  (pass --checkpoint {ckpt} to"
+                    " resume this ingest exactly-once)",
+                    file=sys.stderr,
+                )
             curation.run_curation_ingest(
                 spark, args.src, args.out, ckpt
             ).awaitTermination()
@@ -187,6 +196,12 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming import warehouse
 
         ckpt = args.checkpoint or tempfile.mkdtemp(prefix="gmall-ckpt-")
+        if not args.checkpoint:
+            print(
+                f"checkpoint: {ckpt}  (pass --checkpoint {ckpt} to"
+                " resume exactly-once)",
+                file=sys.stderr,
+            )
         base_dic = spark.createDataFrame([], BASE_DIC_SCHEMA)
         q1 = warehouse.run_log_side(
             spark, args.log_dir, args.out, f"{ckpt}/log"

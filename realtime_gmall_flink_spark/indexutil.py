@@ -275,3 +275,39 @@ def resolve_index_meta(
             f"got {field}={passed} — rebuild the index to change it"
         )
     return stored
+
+
+def migrate_premeta_default(
+    spark,
+    index_dir: str,
+    field: str,
+    default: int,
+    passed: int | None,
+    what: str,
+) -> bool:
+    """Migrate a pre-meta layout in place by stamping the DEFAULT
+    build parameter — the only value this repo's tooling ever built,
+    and the only one provenance supports (the true width is unknowable
+    from the layout's bytes). A caller simultaneously demanding a
+    NON-default value must NOT trigger the stamp: baking the assumed
+    default in first would turn the subsequent mismatch error into a
+    lie ("was built with X" for a value nobody recorded) and leave a
+    legacy index genuinely built at another width permanently
+    mislabeled. Instead that call raises HERE, stating the assumption
+    and the manual remedy. A wedged meta (legacy non-atomic crash) is
+    healed by the atomic stamp like any other pre-meta state."""
+    if passed is not None and passed != default:
+        try:
+            row = read_index_meta(index_dir)
+        except ValueError:  # wedged meta: width as unknowable as pre-meta
+            row = None
+        if row is None:
+            raise ValueError(
+                f"{what} at {index_dir!r} predates meta/: its {field} is"
+                f" unknowable from the layout and migration can only"
+                f" assume the default {field}={default} (the only value"
+                f" this repo's tooling ever built); got {field}={passed}"
+                f" — delete the index dir to rebuild it at that {field}"
+            )
+        return False  # a real meta exists; resolve_index_meta adjudicates
+    return write_index_meta_atomic(spark, index_dir, {field: default})

@@ -1018,10 +1018,11 @@ def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     width. Staged + renamed like ivf_build; an existing dir without the
     layout is untrusted debris and rebuilt. A pre-meta index is
     migrated in place FIRST — stamped ANN_BITS, the only width the
-    repo's own tooling ever built (the migration cannot reconstruct a
-    width from bucket values, so it records the one provenance
-    supports and lets a disagreeing caller fail LOUDLY on the next
-    line) — and an existing index recorded at a DIFFERENT width
+    repo's own tooling ever built; the migration cannot reconstruct a
+    width from bucket values, so a caller demanding a NON-default
+    width fails LOUDLY inside the migration (naming the assumption and
+    the delete-and-rebuild remedy) instead of mislabeling the layout —
+    and an existing index recorded at a DIFFERENT width
     raises instead of being silently reused. The backfill is atomic
     (indexutil.write_index_meta_atomic): staging sibling + rename, so
     no crash or concurrent build can wedge a half-written meta inside
@@ -1029,14 +1030,19 @@ def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     import os
 
     from ..indexutil import (
+        migrate_premeta_default,
         staged_index_build,
-        write_index_meta_atomic,
         write_meta_into,
     )
 
     spark = emb.sparkSession
     if os.path.isdir(os.path.join(index_dir, "buckets")):
-        write_index_meta_atomic(spark, index_dir, {"bits": ANN_BITS})
+        # a pre-meta layout is stamped ANN_BITS only when the caller
+        # agrees with it; a non-default caller raises with the manual
+        # remedy instead of being mislabeled first (ADVICE r8)
+        migrate_premeta_default(
+            spark, index_dir, "bits", ANN_BITS, bits, "LSH index"
+        )
         _lsh_index_bits(index_dir, bits)  # mismatch raises
 
     def write(staging: str) -> None:

@@ -427,18 +427,25 @@ def _gram_index_k(index_dir: str, k: int | None) -> int:
     return resolve_index_meta(index_dir, "k", 8, k, "gram index")
 
 
-def _backfill_gram_meta(spark: SparkSession, index_dir: str) -> bool:
+def _backfill_gram_meta(
+    spark: SparkSession, index_dir: str, k: int = 8
+) -> bool:
     """Migrate a pre-meta gram index in place (same contract as the
     shingle index's build_stats backfill: a layout upgrade must never
     let staged_index_build treat a GROWN index as debris and rebuild
     it from the caller's docs, dropping appended hashes). k=8 is the
-    only width a pre-meta build could have used. Atomic via
-    indexutil.write_index_meta_atomic (staging sibling + rename)."""
-    from ..indexutil import write_index_meta_atomic
+    only width a pre-meta build could have used — so a caller
+    demanding a DIFFERENT k raises inside the migration (stating the
+    assumption and the delete-and-rebuild remedy) rather than stamping
+    the assumed default first and mislabeling the layout (the LSH
+    twin shares this contract — indexutil.migrate_premeta_default)."""
+    from ..indexutil import migrate_premeta_default
 
     if not os.path.isdir(os.path.join(index_dir, "grams")):
         return False
-    return write_index_meta_atomic(spark, index_dir, {"k": 8})
+    return migrate_premeta_default(
+        spark, index_dir, "k", 8, k, "gram index"
+    )
 
 
 def gram_index_build(
@@ -455,7 +462,7 @@ def gram_index_build(
     from ..plans.textops import gram_positions
 
     spark = docs.sparkSession
-    _backfill_gram_meta(spark, index_dir)
+    _backfill_gram_meta(spark, index_dir, k)
     if os.path.isdir(os.path.join(index_dir, "grams")):
         _gram_index_k(index_dir, k)  # mismatch raises
 

@@ -108,3 +108,44 @@ def test_compact_cli_smoke(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "->" in out
     assert spark.read.parquet(str(d)).count() == before
+
+
+def test_pipeline_cli_streaming_prints_resumable_checkpoint(
+    spark, tmp_path, capsys
+):
+    """pipeline --streaming without --checkpoint must TELL the user
+    where the generated checkpoint lives (it is the exactly-once
+    resume token — a silent throwaway dir makes every rerun a full
+    re-ingest), and passing that path back must resume the same
+    checkpoint: the second run ingests only the new arrivals."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.textops import _docs
+
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "pipe_out")
+    docs = _docs(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    docs.filter(F.col("doc_id") < 200).write.mode("append").parquet(src)
+
+    assert main(["pipeline", "--streaming", "--src", src, "--out", out]) == 0
+    err = capsys.readouterr().err
+    m = re.search(r"--checkpoint (\S+)", err)
+    assert m, err
+    ckpt = m.group(1)
+    assert os.path.isdir(ckpt)
+
+    # resume on the printed path: only the new drop becomes batch=1
+    docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    ).write.mode("append").parquet(src)
+    assert main(["pipeline", "--streaming", "--src", src, "--out", out,
+                 "--checkpoint", ckpt]) == 0
+    # an explicit checkpoint is not re-announced
+    assert "--checkpoint " not in capsys.readouterr().err
+    assert os.path.isdir(os.path.join(out, "scored_docs", "batch=1"))
+    got = spark.read.parquet(os.path.join(out, "scored_docs")).drop(
+        "batch"
+    )
+    assert got.select("doc_id").distinct().count() == 300

@@ -909,3 +909,74 @@ def test_scale8_incremental_entry_plan_shape(spark, sf8_dir):
     assert scans.get("shingles") == 1, scans
     assert scans.get("dfreq") == 1, scans
     assert scans.get("sizes") == 1, scans
+
+
+@pytest.mark.scale
+def test_scale8_lsh_score_new_stays_pruned(spark, request):
+    """lsh_score_new against an 8x vector corpus (8 relabeled copies,
+    each rotated so the copies occupy DIFFERENT buckets): the candidate
+    scan must still carry the literal bkt_hi PartitionFilter bounded by
+    batch-his x mask fan-out, read the buckets layout exactly once, and
+    stay strictly below the occupied-partition count — the probe never
+    degenerates to a full buckets scan as the corpus (and its occupied
+    bucket space) grows. Covers the probe stage the
+    incremental_semantic_scoring entry wraps."""
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        lsh_build,
+        lsh_occupied_his,
+        lsh_score_new,
+    )
+
+    base = _emb(spark, _SF8_BASE).select("vec_id", "embedding", "label")
+    out = base
+    for i in range(1, 8):
+        out = out.unionByName(
+            base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, {64 - i}),"
+                    f" slice(embedding, 1, {i}))"
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    short = tempfile.mkdtemp(dir="/tmp", prefix="lsh8-")
+    request.addfinalizer(lambda: shutil.rmtree(short, ignore_errors=True))
+    shutil.rmtree(short)
+    lsh_build(out, short)
+
+    new = (
+        base.filter(F.col("vec_id") < 3)
+        .select((F.col("vec_id") + 900_000).alias("vec_id"), "embedding")
+    )
+    df = lsh_score_new(spark, short, new)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(
+        r"PartitionFilters: \[bkt_hi#\d+ (?:INSET|IN \()([0-9, ]+)", plan
+    )
+    assert m, plan
+    probed = [int(x) for x in m.group(1).split(",")]
+    assert len(probed) <= 3 * 37
+    # genuine pruning at 8x: strictly fewer partitions than occupied
+    occupied = lsh_occupied_his(short)
+    assert len(probed) < len(occupied), (len(probed), len(occupied))
+    assert "CartesianProduct" not in plan
+    scans = _scan_counts(plan)
+    assert scans.get("buckets") == 1, scans
+
+    flagged = {
+        (r["new_vec"], r["dup_of"])
+        for r in df.filter(F.col("cos_sim") == 1.0).collect()
+    }
+    for i in range(3):
+        assert (i + 900_000, i) in flagged

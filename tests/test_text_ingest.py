@@ -574,3 +574,12 @@ def test_gram_index_k_is_persisted_and_validated(spark, tmp_path):
     shutil.rmtree(f"{idx8}/meta")
     assert TI.gram_index_build(corpus, idx8) == idx8
     assert spark.read.parquet(f"{idx8}/grams").count() == n_before
+    # a pre-meta layout that was REALLY built at k=4: a k=4 caller must
+    # not be told "built with k=8" after a silent default stamp — the
+    # migration refuses to stamp and names the remedy (ADVICE r8)
+    from realtime_gmall_flink_spark.indexutil import read_index_meta
+
+    shutil.rmtree(f"{idx}/meta")
+    with _pytest.raises(ValueError, match="predates meta"):
+        TI.gram_index_build(corpus, idx, k=4)
+    assert read_index_meta(idx) is None  # not mislabeled as k=8

@@ -882,15 +882,17 @@ def test_lsh_bits_persisted_and_validated(spark, tmp_path):
     )
     assert lsh_append(spark, idx, appended) == 5
     shutil.rmtree(f"{idx}/meta")  # simulate a pre-meta index
-    # migration on a width-asserting call stamps the DEFAULT width
-    # (the only one the repo's tooling ever built) and then fails the
-    # assertion LOUDLY — never records the caller's disagreeing width
-    with _pytest.raises(ValueError, match="built with bits=16"):
+    # a non-default caller must NOT stamp the assumed default first —
+    # a legacy index genuinely built at another width would be
+    # permanently mislabeled and the mismatch error would misstate an
+    # assumption as a recorded fact. The migration itself raises,
+    # naming the assumption and the delete-and-rebuild remedy, and
+    # leaves the layout unstamped (ADVICE r8).
+    with _pytest.raises(ValueError, match="predates meta"):
         lsh_build(emb, idx, bits=24)
     from realtime_gmall_flink_spark.indexutil import read_index_meta
 
-    assert read_index_meta(idx) == {"bits": 16}
-    shutil.rmtree(f"{idx}/meta")  # pre-meta again
+    assert read_index_meta(idx) is None  # still pre-meta, not mislabeled
     lsh_build(emb, idx)  # backfills meta; must NOT rebuild from emb
     assert os.path.isdir(f"{idx}/meta")
     kept = (
