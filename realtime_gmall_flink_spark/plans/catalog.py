@@ -178,6 +178,11 @@ ROTATION_POOL: tuple[str, ...] = (
     "language_sampling_weights",
     "embedding_dim_stats",
     "incremental_semantic_scoring",
+    # r9 additions
+    "vocab_coverage_curve",
+    "source_quality_mix",
+    "near_dup_similarity_histogram",
+    "embedding_norm_percentiles",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

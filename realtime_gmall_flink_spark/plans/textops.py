@@ -2792,3 +2792,184 @@ def language_sampling_weights(
             sqd / F.col("z") * F.col("n_total") / F.col("doc_ct"), 6
         ).alias("sample_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — the tokenizer-design question every
+# pretraining run answers first: how many distinct words cover 50/90/99%
+# of all token OCCURRENCES? The naive form ranks the whole vocabulary by
+# frequency and takes a running sum — a vocab-sized single-partition
+# window sort (the global-sort scale killer this repo's plan tests ban).
+# The scale shape used here: words sharing a frequency are
+# interchangeable for coverage, so collapse the vocabulary into
+# FREQUENCY CLASSES (ct -> n_words) — a combine-collapsed groupBy —
+# and run the cumulative window over the classes, whose count is
+# bounded by the number of DISTINCT frequencies (<= O(sqrt(total
+# tokens)) by a divisor argument, thousands at any corpus size).
+# Inside the boundary class the needed word count is pure integer
+# arithmetic: ceil((target - cum_before) / ct). The oracle states the
+# naive ranked form; both reduce to the same integers because equal-ct
+# words contribute equally wherever the tie-break puts them.
+# Determinism: every quantity is an exact BIGINT (token counts, class
+# sums, ceil-division) — no doubles anywhere.
+_COVERAGE_PCTS = (50, 90, 99)
+
+
+@register(
+    "vocab_coverage_curve",
+    survey="A4(ext),P10(ext)",
+    oracle=f"""
+WITH w AS (
+    SELECT unnest({_WORDS_SQL}) AS w FROM documents
+), c AS (
+    SELECT w, count(*) AS ct FROM w GROUP BY w
+), r AS (
+    SELECT ct,
+           row_number() OVER (ORDER BY ct DESC, w) AS rank,
+           sum(ct) OVER (ORDER BY ct DESC, w
+                         ROWS UNBOUNDED PRECEDING) AS cum
+    FROM c
+), t AS (
+    SELECT CAST(sum(ct) AS BIGINT) AS tokens_total,
+           CAST(count(*) AS BIGINT) AS vocab_total
+    FROM c
+)
+SELECT tokens_total, vocab_total,
+       {", ".join(
+           f"CAST(min(CASE WHEN cum >= (tokens_total * {p} + 99) // 100"
+           f" THEN rank END) AS BIGINT) AS vocab_p{p}"
+           for p in _COVERAGE_PCTS
+       )}
+FROM r, t
+GROUP BY tokens_total, vocab_total
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    classes = counts.groupBy("ct").agg(F.count(F.lit(1)).alias("nw"))
+    wcls = Window.orderBy(F.desc("ct")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cl = classes.select(
+        "ct",
+        "nw",
+        F.sum(F.col("ct") * F.col("nw")).over(wcls).alias("cum_tokens"),
+        F.sum("nw").over(wcls).alias("cum_words"),
+    )
+    tot = classes.agg(
+        F.sum(F.col("ct") * F.col("nw")).cast("long").alias("tokens_total"),
+        F.sum("nw").cast("long").alias("vocab_total"),
+    )
+    j = cl.crossJoin(F.broadcast(tot)).withColumn(
+        "prev", F.col("cum_tokens") - F.col("ct") * F.col("nw")
+    )
+    aggs = []
+    for p in _COVERAGE_PCTS:
+        # all-integer arithmetic (div, not double division — a quotient
+        # one ulp off would move a ceil across an integer boundary):
+        # target = ceil(p% of total tokens); within the boundary class
+        # the words needed = ceil((target - prev) / ct)
+        aggs.append(
+            F.min(
+                F.expr(
+                    f"CASE WHEN cum_tokens >= (tokens_total * {p} + 99)"
+                    f" div 100 AND prev < (tokens_total * {p} + 99)"
+                    f" div 100 THEN cum_words - nw +"
+                    f" ((tokens_total * {p} + 99) div 100 - prev + ct - 1)"
+                    f" div ct END"
+                )
+            ).alias(f"vocab_p{p}")
+        )
+    return j.groupBy("tokens_total", "vocab_total").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation mix — the "where is my data coming from and what
+# is it worth" dashboard row: doc/token volume, mean quality, and
+# exact-duplicate rate per source. One scan into a combine-collapsed
+# two-key aggregate: the fingerprint-distinct count shuffles (source,
+# fp) DIGESTS (16 bytes/doc), never text. Determinism: token counts
+# and fingerprint counts are exact BIGINTs; quality_score is rounded
+# to 4 decimals BY DEFINITION, so scaling by 10^4 is an exact integer
+# per doc and the mean is a ratio of exact values (the _parity.py
+# never-sum-raw-doubles rule).
+@register(
+    "source_quality_mix",
+    survey="A4(ext),A7(ext),P10(ext)",
+    oracle=f"""
+SELECT source,
+       count(*) AS doc_ct,
+       CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS token_ct,
+       round(CAST(sum(CAST(round({_QUALITY_SQL} * 10000) AS BIGINT))
+                  AS DOUBLE) / count(*) / 10000, 6) AS mean_quality,
+       CAST(count(DISTINCT md5(trim(regexp_replace(lower(text),
+            '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS distinct_ct,
+       round(1.0 - CAST(count(DISTINCT md5(trim(regexp_replace(
+            lower(text), '[^a-z0-9]+', ' ', 'g')))) AS DOUBLE)
+            / count(*), 6) AS dup_ratio
+FROM documents
+GROUP BY source
+""",
+)
+def source_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    q4 = F.round(quality_score("text") * 10000).cast("decimal(20,0)")
+    d = docs.select(
+        "source",
+        token_count("text").cast("long").alias("toks"),
+        q4.alias("q4"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.sum("toks").cast("long").alias("token_ct"),
+        F.round(
+            F.sum("q4").cast("double") / F.count(F.lit(1)) / 10000, 6
+        ).alias("mean_quality"),
+        F.countDistinct("fp").alias("distinct_ct"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("fp").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity histogram over the capped near-dup pair space — the knob-
+# tuning report for the dedup threshold: how many pairs sit in each
+# 0.1-wide Jaccard band above the threshold? Rides jaccard_pairs'
+# single-scan capped pair plan unchanged and collapses it to <= 6
+# bins, so the marginal cost over the pair miner is one tiny combine-
+# collapsed aggregate. Bin edges: both engines compute the identical
+# IEEE double for jaccard (same single division), and floor(j*10) on
+# identical doubles is identical — exact duplicates (j == 1.0) get
+# their own bin 10 rather than polluting the 0.9 band.
+@register(
+    "near_dup_similarity_histogram",
+    survey="A4(ext),J1(ext)",
+    oracle=f"""
+SELECT CAST(floor(jaccard * 10) AS INTEGER) AS bin,
+       count(*) AS pair_ct,
+       round(min(jaccard), 6) AS min_jaccard,
+       round(max(jaccard), 6) AS max_jaccard
+FROM ({_JACCARD_PAIR_ORACLE})
+GROUP BY 1
+""",
+)
+def near_dup_similarity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = jaccard_pairs(_docs(spark, sf_dir))
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("pair_ct"),
+        F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )

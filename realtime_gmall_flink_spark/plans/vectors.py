@@ -2012,3 +2012,113 @@ def incremental_semantic_scoring(
     )
     lsh_build(corpus, idx)
     return lsh_score_new(spark, idx, new)
+
+
+# ---------------------------------------------------------------------------
+# Norm-distribution percentiles — the embedding-hygiene report (norm
+# outliers are the classic symptom of a broken encoder batch; ANN
+# cosine quality assumes a sane norm spread). The exact-percentile
+# operator (F.percentile) sorts the whole group — a corpus-sized
+# single-group sort at 100 TB — so this uses the HISTOGRAM-CLASS form
+# instead: norms are rounded to a 1e-6 grid (the output precision
+# anyway), collapsed to (norm, count) classes by a combine-collapsed
+# groupBy, and the nearest-rank percentile is picked by integer
+# cumulative arithmetic over the bounded class set (the same
+# frequency-class trick as textops.vocab_coverage_curve).
+# Determinism: per-row squares are nano-quantized BIGINTs folded in
+# array order (never a raw-double sum across rows — the _parity.py
+# rule), so sqrt/round see bit-identical inputs in both engines, and
+# every threshold is exact integer ceil-division.
+_NORM_PCTS = (50, 90, 99)
+
+
+@register(
+    "embedding_norm_percentiles",
+    survey="A4(ext),P10(ext)",
+    oracle=f"""
+WITH n AS (
+    SELECT round(sqrt(CAST(list_sum(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               * 1000000000) AS BIGINT)))
+           AS DOUBLE) / 1000000000), 6) AS norm,
+           round(CAST(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE), 6) AS peak
+    FROM embeddings
+), {", ".join(
+    f'''c_{m} AS (
+    SELECT {m} AS v, count(*) AS ct FROM n GROUP BY {m}
+), r_{m} AS (
+    SELECT v, ct,
+           sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+    FROM c_{m}
+), a_{m} AS (
+    SELECT CAST(t.n_vecs AS BIGINT) AS n_vecs,
+           round(min(v), 6) AS min_{m},
+           ''' + ", ".join(
+               f"min(CASE WHEN cum >= (t.n_vecs * {p} + 99) // 100"
+               f" THEN v END) AS p{p}_{m}"
+               for p in _NORM_PCTS
+           ) + f''',
+           round(max(v), 6) AS max_{m}
+    FROM r_{m}, (SELECT sum(ct) AS n_vecs FROM c_{m}) t
+    GROUP BY t.n_vecs
+)'''
+    for m in ("norm", "peak")
+)}
+SELECT a_norm.*, {", ".join(
+    ["min_peak"] + [f"p{p}_peak" for p in _NORM_PCTS] + ["max_peak"]
+)}
+FROM a_norm, a_peak
+""",
+)
+def embedding_norm_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    nano = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.round(
+            x.cast("double") * x.cast("double") * 1000000000
+        ).cast("long"),
+    )
+    peak = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    vals = _emb(spark, sf_dir).select(
+        F.round(F.sqrt(nano.cast("double") / 1000000000), 6).alias("norm"),
+        F.round(peak, 6).alias("peak"),
+    )
+
+    def hist_pcts(metric: str) -> DataFrame:
+        c = (
+            vals.select(F.col(metric).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+        wc = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        r = c.select("v", "ct", F.sum("ct").over(wc).alias("cum"))
+        t = c.agg(F.sum("ct").cast("long").alias("n_vecs"))
+        j = r.crossJoin(F.broadcast(t))
+        pct_aggs = [
+            F.min(
+                F.expr(
+                    f"CASE WHEN cum >= (n_vecs * {p} + 99) div 100"
+                    f" THEN v END"
+                )
+            ).alias(f"p{p}_{metric}")
+            for p in _NORM_PCTS
+        ]
+        return j.groupBy("n_vecs").agg(
+            F.round(F.min("v"), 6).alias(f"min_{metric}"),
+            *pct_aggs,
+            F.round(F.max("v"), 6).alias(f"max_{metric}"),
+        )
+
+    return hist_pcts("norm").crossJoin(
+        F.broadcast(hist_pcts("peak").drop("n_vecs"))
+    )
