@@ -2852,22 +2852,26 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ct"))
     )
     classes = counts.groupBy("ct").agg(F.count(F.lit(1)).alias("nw"))
+    # totals ride the SAME (tiny, class-sized) window partitioning as
+    # the running sums — a separate aggregate branch would re-derive
+    # the word-count subtree and scan documents twice
     wcls = Window.orderBy(F.desc("ct")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cl = classes.select(
+    wall = Window.orderBy(F.desc("ct")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = classes.select(
         "ct",
         "nw",
         F.sum(F.col("ct") * F.col("nw")).over(wcls).alias("cum_tokens"),
         F.sum("nw").over(wcls).alias("cum_words"),
-    )
-    tot = classes.agg(
-        F.sum(F.col("ct") * F.col("nw")).cast("long").alias("tokens_total"),
-        F.sum("nw").cast("long").alias("vocab_total"),
-    )
-    j = cl.crossJoin(F.broadcast(tot)).withColumn(
-        "prev", F.col("cum_tokens") - F.col("ct") * F.col("nw")
-    )
+        F.sum(F.col("ct") * F.col("nw"))
+        .over(wall)
+        .cast("long")
+        .alias("tokens_total"),
+        F.sum("nw").over(wall).cast("long").alias("vocab_total"),
+    ).withColumn("prev", F.col("cum_tokens") - F.col("ct") * F.col("nw"))
     aggs = []
     for p in _COVERAGE_PCTS:
         # all-integer arithmetic (div, not double division — a quotient

@@ -2091,34 +2091,63 @@ def embedding_norm_percentiles(
         F.round(F.sqrt(nano.cast("double") / 1000000000), 6).alias("norm"),
         F.round(peak, 6).alias("peak"),
     )
-
-    def hist_pcts(metric: str) -> DataFrame:
-        c = (
-            vals.select(F.col(metric).alias("v"))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("ct"))
-        )
-        wc = Window.orderBy("v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        r = c.select("v", "ct", F.sum("ct").over(wc).alias("cum"))
-        t = c.agg(F.sum("ct").cast("long").alias("n_vecs"))
-        j = r.crossJoin(F.broadcast(t))
-        pct_aggs = [
+    # ONE corpus scan for both metrics: unpivot to (metric, value)
+    # rows, class-collapse on (m, v), and run the cumulative AND the
+    # total over the SAME per-metric window partitioning — a separate
+    # totals aggregate (or one histogram subtree per metric) would
+    # re-derive the scan per branch, the curation-funnel multi-scan
+    # trap. The final 1-row reshape is a first(when(...)) pivot over a
+    # 2-row frame.
+    long = vals.select(
+        F.explode(
+            F.create_map(
+                F.lit("norm"), F.col("norm"), F.lit("peak"), F.col("peak")
+            )
+        ).alias("m", "v")
+    )
+    c = long.groupBy("m", "v").agg(F.count(F.lit(1)).alias("ct"))
+    wc = (
+        Window.partitionBy("m")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = (
+        Window.partitionBy("m")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    r = c.select(
+        "m",
+        "v",
+        F.sum("ct").over(wc).alias("cum"),
+        F.sum("ct").over(wall).cast("long").alias("n_vecs"),
+    )
+    a = r.groupBy("m").agg(
+        F.max("n_vecs").alias("n_vecs"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        *[
             F.min(
                 F.expr(
                     f"CASE WHEN cum >= (n_vecs * {p} + 99) div 100"
                     f" THEN v END"
                 )
-            ).alias(f"p{p}_{metric}")
+            ).alias(f"p{p}")
             for p in _NORM_PCTS
-        ]
-        return j.groupBy("n_vecs").agg(
-            F.round(F.min("v"), 6).alias(f"min_{metric}"),
-            *pct_aggs,
-            F.round(F.max("v"), 6).alias(f"max_{metric}"),
+        ],
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+    def pick(metric: str, col: str):
+        return F.first(
+            F.when(F.col("m") == metric, F.col(col)), ignorenulls=True
         )
 
-    return hist_pcts("norm").crossJoin(
-        F.broadcast(hist_pcts("peak").drop("n_vecs"))
+    return a.agg(
+        pick("norm", "n_vecs").alias("n_vecs"),
+        pick("norm", "min_v").alias("min_norm"),
+        *[pick("norm", f"p{p}").alias(f"p{p}_norm") for p in _NORM_PCTS],
+        pick("norm", "max_v").alias("max_norm"),
+        pick("peak", "min_v").alias("min_peak"),
+        *[pick("peak", f"p{p}").alias(f"p{p}_peak") for p in _NORM_PCTS],
+        pick("peak", "max_v").alias("max_peak"),
     )

@@ -980,3 +980,39 @@ def test_scale8_lsh_score_new_stays_pruned(spark, request):
     }
     for i in range(3):
         assert (i + 900_000, i) in flagged
+
+
+def test_vocab_coverage_single_scan_window_over_classes(spark):
+    """The coverage curve must scan documents ONCE: totals ride the
+    same class-sized window partitioning as the running sums (a
+    separate totals aggregate re-derives the word-count subtree), and
+    the only global-order window input is the frequency-CLASS frame,
+    never the vocabulary itself (two stacked aggregates sit between
+    the scan and the window)."""
+    df = catalog()["vocab_coverage_curve"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    # word-level and class-level aggregates both present below the window
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial/final
+
+
+def test_embedding_norm_percentiles_single_scan(spark):
+    """Both metric histograms (norm + peak) must come from ONE
+    embeddings scan (unpivoted rows, one (m, v) class shuffle) — one
+    histogram subtree per metric would scan the corpus per metric,
+    and a separate totals aggregate would double it again."""
+    df = catalog()["embedding_norm_percentiles"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_histogram_rides_single_scan_pairs(spark):
+    """The Jaccard band histogram adds one tiny aggregate on top of
+    the pair miner's single-scan plan — it must not re-introduce a
+    second documents scan or a join."""
+    df = catalog()["near_dup_similarity_histogram"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
