@@ -50,13 +50,21 @@ def staged_index_build(
     return index_dir
 
 
-def read_batched(spark, out_dir: str, sub: str):
+def read_batched(spark, out_dir: str, sub: str, merge_schema: bool = False):
     """Read a ``<out>/<sub>/batch=N`` side-output tree (None if the
-    ingest never produced it), dropping the batch bookkeeping column."""
+    ingest never produced it), dropping the batch bookkeeping column.
+    ``merge_schema`` is for trees whose LAYOUT evolved across batches
+    (a column added by a newer ingest version): schema inference
+    samples one file and would silently drop the new column whenever a
+    pre-upgrade batch is sampled first — readers that branch on such a
+    column's presence must see the union schema."""
     path = os.path.join(out_dir, sub)
     if not os.path.isdir(path):
         return None
-    return spark.read.parquet(path).drop("batch")
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path).drop("batch")
 
 
 _REBUILD_PREFIX = ".rebuild-"
@@ -266,10 +274,23 @@ def resolve_index_meta(
     """Resolve a build-time parameter for an index operation: the
     persisted value wins; a pre-meta index falls back to ``default``;
     an explicitly ``passed`` value that disagrees raises instead of
-    silently probing/hashing at the wrong width."""
+    silently probing/hashing at the wrong width. The two mismatch
+    errors are worded differently on purpose: a recorded value is a
+    FACT ("was built with"), the pre-meta fallback is an ASSUMPTION —
+    stating the default as recorded would mislead an operator whose
+    legacy index really was built at the passed width (the
+    migrate_premeta_default contract, applied to probe/append)."""
     row = read_index_meta(index_dir)
     stored = row[field] if row is not None else default
     if passed is not None and passed != stored:
+        if row is None:
+            raise ValueError(
+                f"{what} at {index_dir!r} predates meta/: its {field} is"
+                f" unrecorded and assumed {default} (the only value this"
+                f" repo's tooling ever built); got {field}={passed} — if"
+                f" the index really was built at {field}={passed}, delete"
+                f" the index dir and rebuild it"
+            )
         raise ValueError(
             f"{what} at {index_dir!r} was built with {field}={stored}; "
             f"got {field}={passed} — rebuild the index to change it"

@@ -165,11 +165,25 @@ def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst_dim, modulo blob length) is replicated in SQL over the same
     ASCII bytes, and (b) byte sums are integers, exactly representable
     in double, so summation order cannot matter."""
+    docs = _docs(spark, sf_dir)
+    return resize_decode_stats(synth_media_from_docs(docs))
+
+
+def resize_decode_stats(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """The chained resize->decode scoring over any media frame — ONE
+    definition shared by the catalog entry above and the streaming
+    score-on-arrival sink (streaming/media_ingest), so ingest-time and
+    batch-computed resize stats cannot diverge. The output's
+    width/height columns ARE the resize parameters: self-describing
+    rows, so a re-ingest at a different size is detectable (and
+    filterable) at read time rather than silently mixed."""
     from ..functions.multimodal import resize_images
 
-    docs = _docs(spark, sf_dir)
-    media = synth_media_from_docs(docs)
-    resized = resize_images(media, out_w=8, out_h=8, codec="fake").select(
+    resized = resize_images(
+        media, out_w=out_w, out_h=out_h, codec="fake"
+    ).select(
         "media_id",
         F.lit("image").alias("kind"),
         "content",

@@ -2560,8 +2560,14 @@ def curation_pipeline_from_scored(f: DataFrame) -> DataFrame:
     exact-dedup survivors — feed the pair self-join, the survivor
     counts, and the train chain). Downstream branches read the
     checkpointed blocks; no documents scan survives into the final
-    plan (asserted in tests/test_plan_shapes.py)."""
-    f = f.localCheckpoint(eager=True)  # score + scan the corpus once
+    plan (asserted in tests/test_plan_shapes.py). persist(), not
+    localCheckpoint: nothing here consumes results mid-build, and
+    checkpointing — even lazy — materializes the shuffle stages at
+    the .rdd conversion under AQE, so merely CONSTRUCTING the frame
+    (an `explain`) would score the whole corpus at 100 TB. The cache
+    manager dedups repeated builds by canonicalized plan, and the lone
+    final action materializes each cache once."""
+    f = f.persist()  # score + scan the corpus once
     base = f.agg(
         F.count(F.lit(1)).alias("raw_ct"),
         F.sum("pass_lang").cast("long").alias("lang_known_ct"),
@@ -2573,7 +2579,7 @@ def curation_pipeline_from_scored(f: DataFrame) -> DataFrame:
         .withColumn("rn", F.row_number().over(wfp))
         .filter(F.col("rn") == 1)
         .select("doc_id", "text", "split")
-        .localCheckpoint(eager=True)  # dedup-window once, not per branch
+        .persist()  # dedup-window once, not per branch
     )
     dropped = (
         jaccard_pairs(s3)

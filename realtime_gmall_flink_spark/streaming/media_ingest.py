@@ -39,11 +39,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.multimodal import (
-    decode_images,
-    extract_features,
-    resize_images,
-)
+from ..functions.multimodal import decode_images, extract_features
+
+# the chained resize->decode scoring — ONE definition, owned by
+# plans/media (the catalog's bench headliner runs the exact same
+# chain, so ingest-time resize stats cannot drift from it; same
+# ownership pattern as streaming/curation.score_doc_stream)
+from ..plans.media import resize_decode_stats as media_resize_decode_stats
 
 
 def media_decode_stats(media: DataFrame) -> DataFrame:
@@ -51,33 +53,6 @@ def media_decode_stats(media: DataFrame) -> DataFrame:
     frames alike — the parity tests run both forms. Matches the
     decode stage of the media_image_decode_stats catalog entry."""
     return decode_images(media, codec="fake").select(
-        "media_id",
-        "width",
-        "height",
-        F.round("mean_intensity", 6).alias("mean_intensity"),
-        F.col("byte_len").cast("long").alias("byte_len"),
-    )
-
-
-def media_resize_decode_stats(
-    media: DataFrame, out_w: int = 8, out_h: int = 8
-) -> DataFrame:
-    """The chained resize->decode scoring (the stages of the
-    media_resize_stats catalog entry, plans/media.py:137), usable on
-    batch or micro-batch frames alike. The output's width/height
-    columns ARE the resize parameters — self-describing rows, so a
-    re-ingest at a different size is detectable (and filterable) at
-    read time rather than silently mixed."""
-    resized = resize_images(
-        media, out_w=out_w, out_h=out_h, codec="fake"
-    ).select(
-        "media_id",
-        F.lit("image").alias("kind"),
-        "content",
-        "width",
-        "height",
-    )
-    return decode_images(resized, codec="fake").select(
         "media_id",
         "width",
         "height",
@@ -167,16 +142,35 @@ def read_media_features(
     deterministic per (media_id, dim) — ADVICE r8): filter to the
     requested dim BEFORE the at-least-once dedup so mixed-dim leftovers
     from a pre-checkpoint-loss run can never be the surviving copy.
-    The column is dropped after the filter so consumers see the bare
-    extract_features shape; pre-dim legacy layouts (no column) are
-    read as-is, matching the in-place-migration invariant."""
+
+    Legacy (pre-dim-column) batches can coexist in one tree with new
+    ones, so the read MERGES schemas (plain inference samples one file
+    and would silently drop the column — making the guard vacuous —
+    whenever a legacy batch is sampled first). A legacy row's dim is
+    UNKNOWN (pre-column ingests accepted any feature_dim), so it is
+    assumed to match the request — the pre-column read-as-is contract —
+    but always LOSES the per-media dedup to a row whose recorded dim
+    matches, so a replay at a known dim supersedes stale unknown rows.
+    The bookkeeping column is dropped after the filter; consumers see
+    the bare extract_features shape."""
+    from pyspark.sql import Window
+
     from ..indexutil import read_batched
 
-    df = read_batched(spark, out_dir, "media_features")
+    df = read_batched(spark, out_dir, "media_features", merge_schema=True)
     if df is None:
         return None
-    if "feature_dim" in df.columns:
-        df = df.filter(F.col("feature_dim") == int(feature_dim)).drop(
-            "feature_dim"
+    if "feature_dim" not in df.columns:  # pure-legacy tree
+        return df.dropDuplicates(["media_id"])
+    w = Window.partitionBy("media_id").orderBy(
+        F.col("feature_dim").isNull().cast("int")  # known dim first
+    )
+    return (
+        df.filter(
+            (F.col("feature_dim") == int(feature_dim))
+            | F.col("feature_dim").isNull()
         )
-    return df.dropDuplicates(["media_id"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "feature_dim")
+    )

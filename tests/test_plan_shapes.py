@@ -615,16 +615,21 @@ def test_dup_ngram_coverage_single_scan(spark):
 def test_curation_funnel_batch_scores_corpus_once(spark):
     """The funnel's per-stage counts are crossJoined independent
     aggregates; the scored corpus and the exact-dedup survivor set are
-    checkpointed so NO branch re-derives them from the parquet source.
-    The final plan must contain zero documents scans (the one scan +
-    score happened at checkpoint build) and only checkpoint-block
-    reads; the scorer itself is a single-scan plan."""
+    persist()ed so NO branch re-derives them from the parquet source
+    (and, unlike a checkpoint, construction runs no corpus jobs —
+    lazy-checkpointing still executes the shuffle stages at the .rdd
+    conversion under AQE). Every LEAF of the main physical plan must
+    be a cache scan — a FileSourceScan leaf would mean some branch
+    re-reads documents; the one real scan lives inside the cached
+    relation, and the scorer itself is single-scan."""
     df = catalog()["curation_pipeline_counts"].builder(spark, SF_DIR)
-    plan = _plan(df)
-    assert plan.count("Scan parquet") == 0  # no per-branch re-derivation
-    assert "documents" not in plan
-    assert plan.count("Scan ExistingRDD") >= 2  # branches read ckpt blocks
-    # the single corpus scan lives in the scorer that fed the checkpoint
+    jplan = df._jdf.queryExecution().executedPlan()
+    top = jplan.collectLeaves().apply(0)
+    inner = top.initialPlan() if top.nodeName() == "AdaptiveSparkPlan" else jplan
+    lv = inner.collectLeaves()
+    names = [lv.apply(i).nodeName() for i in range(lv.size())]
+    assert names and set(names) == {"InMemoryTableScan"}, names
+    # the single corpus scan lives in the scorer that fed the cache
     from realtime_gmall_flink_spark.plans.textops import score_docs
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -201,3 +201,51 @@ def test_media_feature_dim_change_after_checkpoint_loss(spark, tmp_path):
     assert _rowset(got16) == _rowset(
         extract_features(_media_slice(spark, 40, 60), dim=16)
     )
+
+
+def test_media_feature_reads_survive_legacy_and_new_batches_mixed(
+    spark, tmp_path
+):
+    """A tree mixing PRE-dim-column batches with new ones must not let
+    schema inference drop the dim column (plain parquet inference
+    samples one file — if it samples a legacy batch the filter guard
+    silently disengages): the read merges schemas. A legacy row's dim
+    is unknown and assumed to match any request (the pre-column
+    contract), but loses the per-media dedup to a known-dim row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.functions.multimodal import (
+        extract_features,
+    )
+
+    out = str(tmp_path / "mixed_out")
+    feat = os.path.join(out, "media_features")
+
+    # legacy batch=0: no feature_dim column, really dim 16, media 0-40
+    extract_features(_media_slice(spark, 0, 40), dim=16).write.parquet(
+        os.path.join(feat, "batch=0")
+    )
+    # new batch=1: recorded dim 8, media 20-60 (overlaps 20-40)
+    extract_features(_media_slice(spark, 20, 60), dim=8).withColumn(
+        "feature_dim", F.lit(8)
+    ).write.parquet(os.path.join(feat, "batch=1"))
+
+    # request dim 8: every known-dim row returned; overlapped media use
+    # the KNOWN dim-8 copy (legacy unknowns only fill the 0-20 gap)
+    got8 = MI.read_media_features(spark, out, feature_dim=8)
+    assert got8.count() == 60
+    expected_overlap = _rowset(
+        extract_features(_media_slice(spark, 20, 60), dim=8)
+    )
+    assert (
+        _rowset(got8.filter(F.col("media_id") >= 20)) == expected_overlap
+    )
+
+    # request dim 16: known dim-8 rows are filtered OUT, legacy rows
+    # (unknown, assumed to match) survive — no silent data loss
+    got16 = MI.read_media_features(spark, out, feature_dim=16)
+    assert _rowset(got16) == _rowset(
+        extract_features(_media_slice(spark, 0, 40), dim=16)
+    )

@@ -583,3 +583,7 @@ def test_gram_index_k_is_persisted_and_validated(spark, tmp_path):
     with _pytest.raises(ValueError, match="predates meta"):
         TI.gram_index_build(corpus, idx, k=4)
     assert read_index_meta(idx) is None  # not mislabeled as k=8
+    # probe/append paths word the pre-meta fallback as an ASSUMPTION
+    # too — never "was built with k=8" for a value nobody recorded
+    with _pytest.raises(ValueError, match="assumed 8"):
+        TI.score_new_docs_spans(spark, idx, copy, k=4)
