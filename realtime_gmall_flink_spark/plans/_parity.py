@@ -47,3 +47,14 @@ def DSUM_PRODUCT_SQL(a: str, b: str) -> str:
 def micros_between(start: Column, end: Column) -> Column:
     """Whole-microsecond difference (exact in both engines)."""
     return F.timestamp_diff("MICROSECOND", start, end)
+
+
+def nearest_rank_target(total: str, p: int, floor_div: str = "div") -> str:
+    """``ceil(p% of total)`` in exact integer arithmetic — the
+    nearest-rank percentile threshold shared by the frequency-class
+    entries (textops.vocab_coverage_curve, vectors.
+    embedding_norm_percentiles). Never spell this with double division
+    + ceil: a quotient one ulp off moves the ceil across an integer
+    boundary and the two engines disagree. ``floor_div``: Spark spells
+    integer division ``div``, DuckDB ``//``."""
+    return f"({total} * {p} + 99) {floor_div} 100"

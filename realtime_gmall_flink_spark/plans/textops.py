@@ -35,6 +35,7 @@ from ..functions.tokenize import (
     tokenize,
 )
 from ..operators.dedup import exact_dedup
+from ._parity import nearest_rank_target
 from ..sources.testdata import load_table
 from .catalog import register
 
@@ -2566,7 +2567,14 @@ def curation_pipeline_from_scored(f: DataFrame) -> DataFrame:
     the .rdd conversion under AQE, so merely CONSTRUCTING the frame
     (an `explain`) would score the whole corpus at 100 TB. The cache
     manager dedups repeated builds by canonicalized plan, and the lone
-    final action materializes each cache once."""
+    final action materializes each cache once. Cache lifetime: the
+    entries live until the session ends or the path is refreshed —
+    the batch catalog entry keeps ONE entry per corpus (plan-deduped);
+    the streaming finalize MUST refresh (streaming/curation.py does:
+    the cache matches a re-read of the same root path even after new
+    batch dirs land, so an unrefreshed second finalize serves stale
+    counts — test-pinned) which also releases the prior run's
+    blocks."""
     f = f.persist()  # score + scan the corpus once
     base = f.agg(
         F.count(F.lit(1)).alias("raw_ct"),
@@ -2842,7 +2850,8 @@ WITH w AS (
 )
 SELECT tokens_total, vocab_total,
        {", ".join(
-           f"CAST(min(CASE WHEN cum >= (tokens_total * {p} + 99) // 100"
+           f"CAST(min(CASE WHEN cum >="
+           f" {nearest_rank_target('tokens_total', p, '//')}"
            f" THEN rank END) AS BIGINT) AS vocab_p{p}"
            for p in _COVERAGE_PCTS
        )}
@@ -2884,14 +2893,13 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one ulp off would move a ceil across an integer boundary):
         # target = ceil(p% of total tokens); within the boundary class
         # the words needed = ceil((target - prev) / ct)
+        tgt = nearest_rank_target("tokens_total", p)
         aggs.append(
             F.min(
                 F.expr(
-                    f"CASE WHEN cum_tokens >= (tokens_total * {p} + 99)"
-                    f" div 100 AND prev < (tokens_total * {p} + 99)"
-                    f" div 100 THEN cum_words - nw +"
-                    f" ((tokens_total * {p} + 99) div 100 - prev + ct - 1)"
-                    f" div ct END"
+                    f"CASE WHEN cum_tokens >= {tgt} AND prev < {tgt}"
+                    f" THEN cum_words - nw +"
+                    f" ({tgt} - prev + ct - 1) div ct END"
                 )
             ).alias(f"vocab_p{p}")
         )

@@ -33,6 +33,7 @@ from ..functions.similarity import (
 )
 from ..sources.testdata import load_table
 from .catalog import register
+from ._parity import nearest_rank_target
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -2055,7 +2056,8 @@ WITH n AS (
     SELECT CAST(t.n_vecs AS BIGINT) AS n_vecs,
            round(min(v), 6) AS min_{m},
            ''' + ", ".join(
-               f"min(CASE WHEN cum >= (t.n_vecs * {p} + 99) // 100"
+               f"min(CASE WHEN cum >="
+               f" {nearest_rank_target('t.n_vecs', p, '//')}"
                f" THEN v END) AS p{p}_{m}"
                for p in _NORM_PCTS
            ) + f''',
@@ -2128,7 +2130,7 @@ def embedding_norm_percentiles(
         *[
             F.min(
                 F.expr(
-                    f"CASE WHEN cum >= (n_vecs * {p} + 99) div 100"
+                    f"CASE WHEN cum >= {nearest_rank_target('n_vecs', p)}"
                     f" THEN v END"
                 )
             ).alias(f"p{p}")
@@ -2142,7 +2144,11 @@ def embedding_norm_percentiles(
             F.when(F.col("m") == metric, F.col(col)), ignorenulls=True
         )
 
-    return a.agg(
+    # grouped (on a constant) rather than a keyless agg: a keyless
+    # global aggregate emits one all-NULL row on an EMPTY corpus,
+    # while the oracle's cross join of empty grouped CTEs emits zero —
+    # grouping derives the single output row from data, matching it
+    return a.groupBy(F.lit(1).alias("__g")).agg(
         pick("norm", "n_vecs").alias("n_vecs"),
         pick("norm", "min_v").alias("min_norm"),
         *[pick("norm", f"p{p}").alias(f"p{p}_norm") for p in _NORM_PCTS],
@@ -2150,4 +2156,4 @@ def embedding_norm_percentiles(
         pick("peak", "min_v").alias("min_peak"),
         *[pick("peak", f"p{p}").alias(f"p{p}_peak") for p in _NORM_PCTS],
         pick("peak", "max_v").alias("max_peak"),
-    )
+    ).drop("__g")

@@ -71,7 +71,19 @@ def finalize_curation(spark: SparkSession, out_dir: str) -> DataFrame:
     (no rescoring pass over the corpus: the scorer is shared with the
     batch pipeline, so the flags are the ones it would compute).
     At-least-once arrivals are safe: dropDuplicates on doc_id keeps
-    raw_ct honest and collapses replayed rows."""
+    raw_ct honest and collapses replayed rows.
+
+    The refresh is the staleness barrier for REPEATED finalizes in one
+    session: the funnel persist()s its scored subtree, and Spark's
+    cache manager matches a later build of the same root path to that
+    cache by path equality — so after new batch=N dirs land, a second
+    finalize would silently serve the FIRST run's counts (test-pinned).
+    refreshByPath drops the stale cache + file listings for this tree
+    (and with them the prior run's otherwise-unreleasable cached
+    blocks) before the rebuild."""
+    scored_dir = os.path.join(out_dir, "scored_docs")
+    if os.path.isdir(scored_dir):
+        spark.catalog.refreshByPath(scored_dir)
     scored = read_scored_docs(spark, out_dir)
     if scored is None:
         raise FileNotFoundError(f"no scored_docs under {out_dir}")

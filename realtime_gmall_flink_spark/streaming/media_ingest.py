@@ -61,6 +61,13 @@ def media_decode_stats(media: DataFrame) -> DataFrame:
     )
 
 
+# the feature_dim a PRE-dim-column batch is assumed to carry: the
+# parameter's default since the ingest gained it, and the only value
+# this repo's own runs ever used — the same provenance argument the
+# index-meta migration makes for unrecorded build parameters
+LEGACY_FEATURE_DIM = 16
+
+
 def run_media_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -147,12 +154,14 @@ def read_media_features(
     ones, so the read MERGES schemas (plain inference samples one file
     and would silently drop the column — making the guard vacuous —
     whenever a legacy batch is sampled first). A legacy row's dim is
-    UNKNOWN (pre-column ingests accepted any feature_dim), so it is
-    assumed to match the request — the pre-column read-as-is contract —
-    but always LOSES the per-media dedup to a row whose recorded dim
-    matches, so a replay at a known dim supersedes stale unknown rows.
-    The bookkeeping column is dropped after the filter; consumers see
-    the bare extract_features shape."""
+    unrecorded and ASSUMED to be the ingest default
+    (``LEGACY_FEATURE_DIM`` — the migrate_premeta_default contract
+    applied per row): it satisfies only a default-dim request, never
+    an arbitrary one (letting it match anything would hand a consumer
+    mixed-width vectors), and it LOSES the per-media dedup to a row
+    whose recorded dim matches, so a replay at a known dim supersedes
+    stale unknown rows. The bookkeeping column is dropped after the
+    filter; consumers see the bare extract_features shape."""
     from pyspark.sql import Window
 
     from ..indexutil import read_batched
@@ -161,14 +170,15 @@ def read_media_features(
     if df is None:
         return None
     if "feature_dim" not in df.columns:  # pure-legacy tree
-        return df.dropDuplicates(["media_id"])
+        df = df.withColumn("feature_dim", F.lit(None).cast("int"))
     w = Window.partitionBy("media_id").orderBy(
         F.col("feature_dim").isNull().cast("int")  # known dim first
     )
+    legacy_ok = F.lit(int(feature_dim) == LEGACY_FEATURE_DIM)
     return (
         df.filter(
             (F.col("feature_dim") == int(feature_dim))
-            | F.col("feature_dim").isNull()
+            | (F.col("feature_dim").isNull() & legacy_ok)
         )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -148,3 +148,35 @@ def test_curation_checkpoint_loss_keeps_funnel_counts_exact(
     final = CU.finalize_curation(spark, out)
     expected = curation_pipeline_frame(_doc_slice(spark, 0, 500))
     assert _rowset(final) == _rowset(expected)
+
+
+def test_repeated_finalize_sees_new_batches_not_stale_cache(
+    spark, tmp_path
+):
+    """The funnel persist()s its scored subtree, and Spark's cache
+    manager matches plans to caches by ROOT PATH — so after new
+    batch=N dirs land under scored_docs, a second finalize in the same
+    session would silently serve the first run's counts without the
+    refreshByPath barrier (reproduced before the fix: raw_ct stayed
+    at the first run's value). Three finalizes over a growing tree
+    must each see the current corpus, and the final funnel must equal
+    the batch pipeline over the same docs."""
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _doc_slice(spark, 0, 200).write.mode("append").parquet(src)
+    CU.run_curation_ingest(spark, src, out, ckpt).awaitTermination()
+    assert CU.finalize_curation(spark, out).collect()[0]["raw_ct"] == 200
+
+    _doc_slice(spark, 200, 300).write.mode("append").parquet(src)
+    CU.run_curation_ingest(spark, src, out, ckpt).awaitTermination()
+    assert CU.finalize_curation(spark, out).collect()[0]["raw_ct"] == 300
+
+    _doc_slice(spark, 300, 400).write.mode("append").parquet(src)
+    CU.run_curation_ingest(spark, src, out, ckpt).awaitTermination()
+    final = CU.finalize_curation(spark, out)
+    expected = curation_pipeline_frame(
+        _doc_slice(spark, 0, 400).select("doc_id", "text")
+    )
+    assert _rowset(final) == _rowset(expected)

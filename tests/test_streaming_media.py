@@ -210,8 +210,10 @@ def test_media_feature_reads_survive_legacy_and_new_batches_mixed(
     schema inference drop the dim column (plain parquet inference
     samples one file — if it samples a legacy batch the filter guard
     silently disengages): the read merges schemas. A legacy row's dim
-    is unknown and assumed to match any request (the pre-column
-    contract), but loses the per-media dedup to a known-dim row."""
+    is unrecorded and ASSUMED to be the ingest default (16): it
+    satisfies only a default-dim request — letting it match anything
+    would hand a consumer mixed-width vectors — and loses the
+    per-media dedup to a known-dim row."""
     import os
 
     from pyspark.sql import functions as F
@@ -232,20 +234,22 @@ def test_media_feature_reads_survive_legacy_and_new_batches_mixed(
         "feature_dim", F.lit(8)
     ).write.parquet(os.path.join(feat, "batch=1"))
 
-    # request dim 8: every known-dim row returned; overlapped media use
-    # the KNOWN dim-8 copy (legacy unknowns only fill the 0-20 gap)
+    # request dim 8: ONLY recorded dim-8 rows — legacy unknowns are
+    # assumed dim 16 and must NOT fill the 0-20 gap with 16-wide
+    # vectors (uniform width for the consumer)
     got8 = MI.read_media_features(spark, out, feature_dim=8)
-    assert got8.count() == 60
-    expected_overlap = _rowset(
+    assert _rowset(got8) == _rowset(
         extract_features(_media_slice(spark, 20, 60), dim=8)
     )
-    assert (
-        _rowset(got8.filter(F.col("media_id") >= 20)) == expected_overlap
-    )
+    widths = {r[0] for r in got8.select(F.size("feature")).collect()}
+    assert widths == {8}
 
-    # request dim 16: known dim-8 rows are filtered OUT, legacy rows
-    # (unknown, assumed to match) survive — no silent data loss
+    # request dim 16 (the legacy default): known dim-8 rows filtered
+    # OUT, legacy rows survive under the default-dim assumption — no
+    # silent loss, and every returned vector is 16-wide
     got16 = MI.read_media_features(spark, out, feature_dim=16)
     assert _rowset(got16) == _rowset(
         extract_features(_media_slice(spark, 0, 40), dim=16)
     )
+    widths16 = {r[0] for r in got16.select(F.size("feature")).collect()}
+    assert widths16 == {16}
