@@ -284,18 +284,37 @@ def resolve_index_meta(
     stored = row[field] if row is not None else default
     if passed is not None and passed != stored:
         if row is None:
-            raise ValueError(
-                f"{what} at {index_dir!r} predates meta/: its {field} is"
-                f" unrecorded and assumed {default} (the only value this"
-                f" repo's tooling ever built); got {field}={passed} — if"
-                f" the index really was built at {field}={passed}, delete"
-                f" the index dir and rebuild it"
+            raise _assumed_width_error(
+                index_dir, field, default, passed, what
             )
         raise ValueError(
             f"{what} at {index_dir!r} was built with {field}={stored}; "
             f"got {field}={passed} — rebuild the index to change it"
         )
     return stored
+
+
+def _assumed_width_error(
+    index_dir: str,
+    field: str,
+    default: int,
+    passed: int,
+    what: str,
+    state: str = "predates meta/",
+) -> ValueError:
+    """The ONE wording for every unrecorded-build-parameter mismatch
+    (pre-meta probe/append, pre-meta migration, wedged-meta migration):
+    states the assumption — never "was built with" for a value nobody
+    recorded — and the delete-and-rebuild remedy. ``state`` names what
+    is actually on disk so a wedged meta is not misdescribed as
+    absent."""
+    return ValueError(
+        f"{what} at {index_dir!r} {state}: its {field} is unrecorded"
+        f" and assumed {default} (the only value this repo's tooling"
+        f" ever built); got {field}={passed} — if the index really was"
+        f" built at {field}={passed}, delete the index dir and rebuild"
+        f" it"
+    )
 
 
 def migrate_premeta_default(
@@ -318,17 +337,15 @@ def migrate_premeta_default(
     and the manual remedy. A wedged meta (legacy non-atomic crash) is
     healed by the atomic stamp like any other pre-meta state."""
     if passed is not None and passed != default:
+        state = "predates meta/"
         try:
             row = read_index_meta(index_dir)
         except ValueError:  # wedged meta: width as unknowable as pre-meta
             row = None
+            state = "has a wedged meta/ (a crashed legacy write)"
         if row is None:
-            raise ValueError(
-                f"{what} at {index_dir!r} predates meta/: its {field} is"
-                f" unknowable from the layout and migration can only"
-                f" assume the default {field}={default} (the only value"
-                f" this repo's tooling ever built); got {field}={passed}"
-                f" — delete the index dir to rebuild it at that {field}"
+            raise _assumed_width_error(
+                index_dir, field, default, passed, what, state
             )
         return False  # a real meta exists; resolve_index_meta adjudicates
     return write_index_meta_atomic(spark, index_dir, {field: default})

@@ -2038,12 +2038,12 @@ _NORM_PCTS = (50, 90, 99)
     survey="A4(ext),P10(ext)",
     oracle=f"""
 WITH n AS (
-    SELECT round(sqrt(CAST(list_sum(list_transform(embedding,
+    SELECT round(sqrt(CAST(coalesce(list_sum(list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                               * 1000000000) AS BIGINT)))
+                               * 1000000000) AS BIGINT))), 0)
            AS DOUBLE) / 1000000000), 6) AS norm,
-           round(CAST(list_max(list_transform(embedding,
-               x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE), 6) AS peak
+           round(CAST(coalesce(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 0.0) AS DOUBLE), 6) AS peak
     FROM embeddings
 ), {", ".join(
     f'''c_{m} AS (
@@ -2086,8 +2086,17 @@ def embedding_norm_percentiles(
             x.cast("double") * x.cast("double") * 1000000000
         ).cast("long"),
     )
-    peak = F.array_max(
-        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    # empty arrays: the integer fold's 0-init already yields norm 0.0,
+    # and peak coalesces to 0.0 — BOTH engines, so no NULL classes
+    # exist to diverge on window NULL ordering (Spark sorts NULLS
+    # FIRST, DuckDB NULLS LAST)
+    peak = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.col("embedding"), lambda x: F.abs(x.cast("double"))
+            )
+        ),
+        F.lit(0.0),
     )
     vals = _emb(spark, sf_dir).select(
         F.round(F.sqrt(nano.cast("double") / 1000000000), 6).alias("norm"),

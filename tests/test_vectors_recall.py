@@ -1012,3 +1012,68 @@ def test_index_meta_backfill_atomic_and_sweeps_stale_staging(
         read_index_meta(idx)
     assert write_index_meta_atomic(spark, idx, {"bits": 16})
     assert read_index_meta(idx) == {"bits": 16}
+
+
+def test_norm_percentiles_empty_array_and_empty_table_edges(
+    spark, tmp_path
+):
+    """Cross-engine edges the shipped fixed-64-dim testdata never
+    exercises: (a) a row with an EMPTY embedding array — Spark's
+    0-init fold and DuckDB's NULL list_sum must land on the same
+    norm/peak (both coalesced to 0.0, so no NULL classes exist to
+    diverge on window NULL ordering); (b) an empty embeddings table —
+    zero rows from BOTH engines (the grouped pivot derives its row
+    from data; a keyless agg would emit one all-NULL row)."""
+    import os
+    import shutil
+
+    from realtime_gmall_flink_spark.plans.catalog import catalog
+    from realtime_gmall_flink_spark.sources.testdata import TABLE_NAMES
+
+    from .conftest import SF_DIR
+    from .oracle_utils import compare
+
+    q = catalog()["embedding_norm_percentiles"]
+
+    edge = str(tmp_path / "edge_sf")
+    os.makedirs(edge)
+    for t in TABLE_NAMES:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{edge}/{t}.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    with_empty = emb.limit(5).unionByName(
+        emb.limit(1).select(
+            (F.col("vec_id") + 777).alias("vec_id"),
+            F.expr("CAST(array() AS array<float>)").alias("embedding"),
+            "label",
+        )
+    )
+    os.remove(f"{edge}/embeddings.parquet")
+    with_empty.coalesce(1).write.parquet(f"{edge}/_emb_tmp")
+    part = [
+        f
+        for f in os.listdir(f"{edge}/_emb_tmp")
+        if f.endswith(".parquet")
+    ][0]
+    shutil.move(f"{edge}/_emb_tmp/{part}", f"{edge}/embeddings.parquet")
+    shutil.rmtree(f"{edge}/_emb_tmp")
+    assert not compare(q.builder(spark, edge), q.oracle, edge)
+    # the empty-array row lands in the norm-0 class: min_norm must be 0
+    assert q.builder(spark, edge).collect()[0]["min_norm"] == 0.0
+
+    empty = str(tmp_path / "empty_sf")
+    os.makedirs(empty)
+    for t in TABLE_NAMES:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{empty}/{t}.parquet")
+    os.remove(f"{empty}/embeddings.parquet")
+    emb.limit(0).coalesce(1).write.parquet(f"{empty}/_emb_tmp")
+    part = [
+        f
+        for f in os.listdir(f"{empty}/_emb_tmp")
+        if f.endswith(".parquet")
+    ][0]
+    shutil.move(f"{empty}/_emb_tmp/{part}", f"{empty}/embeddings.parquet")
+    shutil.rmtree(f"{empty}/_emb_tmp")
+    assert q.builder(spark, empty).count() == 0
+    assert not compare(q.builder(spark, empty), q.oracle, empty)
