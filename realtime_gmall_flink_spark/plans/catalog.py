@@ -183,6 +183,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "source_quality_mix",
     "near_dup_similarity_histogram",
     "embedding_norm_percentiles",
+    "near_dup_cluster_sizes",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -2991,3 +2991,53 @@ def near_dup_similarity_histogram(
         F.round(F.min("jaccard"), 6).alias("min_jaccard"),
         F.round(F.max("jaccard"), 6).alias("max_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-size distribution over the near-dup component graph — the
+# dedup-policy report (how much of the corpus sits in 2-doc pairs vs
+# viral clusters decides keep-one vs keep-none): rides the O(log n)
+# star-contraction components unchanged, then two tiny combine-
+# collapsed aggregates (component-sized, then distinct-size-sized).
+# The oracle restates the whole thing declaratively: DuckDB's
+# recursive min-label walk, grouped twice — a genuinely different
+# algorithm landing on identical integers.
+@register(
+    "near_dup_cluster_sizes",
+    survey="D1(ext),A4(ext)",
+    oracle=f"""
+WITH RECURSIVE jp AS ({_JACCARD_PAIR_ORACLE}
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM jp
+    UNION ALL
+    SELECT doc_b, doc_a FROM jp
+), walk(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+), comp AS (
+    SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
+), s AS (
+    SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       count(*) AS cluster_ct,
+       CAST(sz * count(*) AS BIGINT) AS doc_ct
+FROM s GROUP BY sz
+""",
+)
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = jaccard_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    comp = star_contraction_components(docs, pairs, "doc_id", "cluster_id")
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy(
+        F.col("sz").cast("long").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).alias("cluster_ct"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("doc_ct"),
+    )
