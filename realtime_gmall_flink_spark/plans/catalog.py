@@ -184,6 +184,8 @@ ROTATION_POOL: tuple[str, ...] = (
     "near_dup_similarity_histogram",
     "embedding_norm_percentiles",
     "near_dup_cluster_sizes",
+    "per_source_doc_cap",
+    "near_dup_source_matrix",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

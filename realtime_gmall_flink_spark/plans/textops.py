@@ -3041,3 +3041,123 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("doc_ct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap — the "no single crawl dominates the mix"
+# curation rule: keep at most SOURCE_DOC_CAP docs per source, highest
+# n_chars first (doc_id breaks ties, so the selection is reproducible
+# row-for-row across runs and engines). One scan of a THREE-narrow-
+# column projection (doc_id, source, n_chars — the text column never
+# leaves the parquet footer), one shuffle: the rank window hash-
+# partitions by source and the per-source aggregate reuses that exact
+# partitioning, so the plan has a single Exchange end-to-end
+# (plan-asserted). Reporting kept AND dropped in the same pass means
+# conditional aggregation over the ranked rows rather than a rank
+# filter, deliberately: a kept-rows-only variant would take the
+# WindowGroupLimit pushdown (dedup_latest_event's shape), but the
+# policy report needs the totals, and both cost the same one shuffle.
+SOURCE_DOC_CAP = 15
+
+
+@register(
+    "per_source_doc_cap",
+    survey="A4(ext),D1(ext),P9(ext)",
+    oracle=f"""
+WITH r AS (
+    SELECT source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT source,
+       count(*) AS total_ct,
+       CAST(sum(CASE WHEN rn <= {SOURCE_DOC_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_ct,
+       CAST(sum(CASE WHEN rn <= {SOURCE_DOC_CAP} THEN n_chars END)
+            AS BIGINT) AS kept_char_sum
+FROM r GROUP BY source
+""",
+)
+def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    kept = F.col("rn") <= SOURCE_DOC_CAP
+    return (
+        docs.withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_ct"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("long")
+            .alias("kept_ct"),
+            F.sum(F.when(kept, F.col("n_chars")))
+            .cast("long")
+            .alias("kept_char_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup provenance matrix — WHICH sources copy from each other: the
+# near-dup pair graph aggregated to unordered source pairs (same-source
+# rows included; they are the within-crawl dup signal). Rides
+# jaccard_pairs' single-scan capped pair plan unchanged, then decorates
+# each pair endpoint with its source via two joins against the
+# (doc_id, source) projection — the text column is scanned exactly once
+# (inside the pair miner); the lookup sides are column-pruned two-field
+# scans, the right trade vs widening every shingle-shuffle row with a
+# source string. Aggregates are engine-exact: counts, and min/max over
+# bit-identical IEEE jaccard doubles (the histogram entry's argument) —
+# never a double sum.
+@register(
+    "near_dup_source_matrix",
+    survey="J1(ext),J4(ext),A4(ext)",
+    oracle=f"""
+WITH jp AS ({_JACCARD_PAIR_ORACLE}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS pair_ct,
+       round(min(jp.jaccard), 6) AS min_jaccard,
+       round(max(jp.jaccard), 6) AS max_jaccard
+FROM jp
+JOIN documents da ON jp.doc_a = da.doc_id
+JOIN documents db ON jp.doc_b = db.doc_id
+GROUP BY 1, 2
+""",
+)
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    pairs = jaccard_pairs(_docs(spark, sf_dir))
+    decorated = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "sa"
+            ),
+            "doc_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "sb"
+            ),
+            "doc_b",
+        )
+    )
+    return decorated.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("pair_ct"),
+        F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )

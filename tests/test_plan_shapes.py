@@ -1021,3 +1021,31 @@ def test_similarity_histogram_rides_single_scan_pairs(spark):
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_per_source_cap_one_exchange_window_feeds_agg(spark):
+    """The cap report's rank window hash-partitions by source and the
+    per-source aggregate reuses that exact partitioning: ONE Exchange
+    end-to-end, and the scan reads only the three narrow columns (the
+    text column never leaves the parquet footer)."""
+    df = catalog()["per_source_doc_cap"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Scan parquet" in plan and plan.count("Scan parquet") == 1
+    assert "text#" not in plan
+
+
+def test_near_dup_source_matrix_text_scanned_once(spark):
+    """The provenance matrix decorates the pair graph with sources via
+    column-pruned (doc_id, source) lookups — the text column is scanned
+    exactly once, inside the pair miner."""
+    df = catalog()["near_dup_source_matrix"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    text_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "text#" in ln
+    ]
+    assert len(text_scans) == 1
+    # the two source-lookup sides are column-pruned two-field scans
+    assert plan.count("FileScan parquet [doc_id#") >= 2
