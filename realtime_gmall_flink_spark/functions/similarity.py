@@ -37,6 +37,19 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2_squared(a: Column, b: Column) -> Column:
+    """Squared euclidean distance — same left-to-right double fold
+    contract as dot_product, so DuckDB's ``list_sum(list_transform(...))``
+    over the identical per-element expression is bit-comparable."""
+    return F.aggregate(
+        F.zip_with(
+            _as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def sign_lsh_bucket(v: Column, bits: int = 8) -> Column:
     """Deterministic sign-LSH: bit i set when v[2i+1] > v[2i+2] (1-based
     element_at). Parameter-free (no random hyperplanes), identical in SQL,

@@ -186,6 +186,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "near_dup_cluster_sizes",
     "per_source_doc_cap",
     "near_dup_source_matrix",
+    "ann_pq_topk",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

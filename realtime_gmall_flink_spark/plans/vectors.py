@@ -28,6 +28,8 @@ from pyspark.sql.functions import broadcast
 
 from ..functions.similarity import (
     cosine_similarity,
+    l2_norm,
+    l2_squared,
     probe_masks,
     sign_lsh_bucket,
 )
@@ -2166,3 +2168,342 @@ def embedding_norm_percentiles(
         *[pick("peak", f"p{p}").alias(f"p{p}_peak") for p in _NORM_PCTS],
         pick("peak", "max_v").alias("max_peak"),
     ).drop("__g")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-compression endgame of the
+# quantized family: the 64-dim vector splits into PQ_M contiguous
+# subspaces, each subspace gets its own PQ_K-centroid codebook
+# (deterministic seed + one Lloyd pass, the IVF training recipe applied
+# per subspace), and a vector's code is its per-subspace nearest-
+# centroid ids — PQ_M one-byte codes instead of 64 floats (16 bytes vs
+# 256: a 16x scan-size cut where SQ8 buys 4x). Scoring is asymmetric
+# (ADC):
+# the query precomputes a PQ_M x PQ_K lookup table of subspace
+# distances, a corpus row's approximate distance is the SUM of PQ_M
+# table entries — no float arithmetic against corpus data at all. The
+# top PQ_RERANK candidates by ADC are then re-ranked with EXACT cosine,
+# so the entry returns true similarities (approximation affects only
+# which candidates are considered — the standard PQ + rerank design).
+#
+# Engine parity, the part that makes this oracle-hashable: every
+# codebook step is deterministic (md5-seeded init, one Lloyd pass,
+# 6-dp-rounded assignment distances with cid tie-break — the IVF
+# contract), and the ADC ranking avoids cross-engine double-sum order
+# entirely by quantizing each lookup-table entry to integer MICROS and
+# summing longs (exact, order-free; the _parity.py never-sum-raw-
+# doubles rule applied to distances). Final cosines ride the shared
+# left-to-right fold contract.
+#
+# Scale: training shuffles are codebook-sized (PQ_M*PQ_K*PQ_SUBDIM
+# partial means, map-side combined; at 100 TB you would train on a
+# sample — documented, not needed at test SFs). The SCORING pass is
+# shuffle-free: codebooks and the lookup table broadcast as one-row
+# sides, encode + ADC are per-row expressions, and the candidate cut is
+# a TakeOrdered — the corpus never exchanges. The persisted form
+# (pq_build/pq_probe below) moves encode to build time so the probe
+# scans only the PQ_M-byte codes.
+# M=16 subspaces of 4 dims, 16 centroids each: 16 one-byte codes per
+# vector (16x scan-size cut vs float32). Finer subspaces beat fewer/
+# wider ones decisively on weakly-clustered embeddings — measured
+# recall@10 vs exact cosine on the driver testdata: (M=4,K=16) 0.2,
+# (M=8,K=32) 0.6, (M=16,K=16) 1.0 at sf0.001 / 0.8 at sf0.01 — because
+# 4-dim cells quantize with far less distortion than 16-dim ones at
+# equal K.
+PQ_M = 16
+PQ_SUBDIM = 4
+PQ_K = 16
+PQ_RERANK = 64
+
+
+def _l2_sql(a: str, b: str, dim: int = PQ_SUBDIM) -> str:
+    """DuckDB squared-L2 between two list columns, same left-to-right
+    double fold as :func:`l2_squared`."""
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> {d} * {d}))"
+    )
+
+
+def _pq_slice_sql(col: str) -> str:
+    return f"{col}[(gs.s-1)*{PQ_SUBDIM}+1:gs.s*{PQ_SUBDIM}]"
+
+
+# PQ trains and encodes over UNIT-normalized vectors: on unit vectors
+# squared L2 is 2 - 2*cos, so the integer-micro ADC ranking is monotone
+# in cosine up to quantization error — without normalization, varying
+# vector norms make L2 rank diverge from the cosine target (measured
+# recall@10 collapsed to 0.2 at sf0.001). The final rerank stays on RAW
+# embeddings with the shared cosine fold.
+_PQ_NE_SQL = f"""nemb AS (
+    SELECT vec_id,
+           CASE WHEN {_NORM_A} > 0
+                THEN list_transform(generate_series(1, 64),
+                     i -> CAST(embedding[i] AS DOUBLE) / {_NORM_A})
+                ELSE list_transform(generate_series(1, 64), i -> 0.0)
+           END AS ne
+    FROM embeddings)"""
+
+
+_PQ_CODEBOOK_SQL = f"""{_PQ_NE_SQL}
+, seeds AS (
+    SELECT vec_id AS cid, ne FROM nemb
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+), cent0 AS (
+    SELECT gs.s, cid, {_pq_slice_sql('ne')} AS csv
+    FROM seeds CROSS JOIN generate_series(1, {PQ_M}) gs(s)
+), sub AS (
+    SELECT vec_id, gs.s, {_pq_slice_sql('ne')} AS sv
+    FROM nemb CROSS JOIN generate_series(1, {PQ_M}) gs(s)
+), a0 AS (
+    SELECT vec_id, s, sv, cid, row_number() OVER (
+        PARTITION BY vec_id, s
+        ORDER BY round({_l2_sql('sv', 'csv')}, 6), cid) AS rn
+    FROM sub JOIN cent0 USING (s)
+), dm AS (
+    SELECT s, cid, gs.pos, avg(CAST(sv[gs.pos] AS DOUBLE)) AS m
+    FROM a0 CROSS JOIN generate_series(1, {PQ_SUBDIM}) gs(pos)
+    WHERE rn = 1 GROUP BY s, cid, gs.pos
+), cent AS (
+    SELECT s, cid, list(m ORDER BY pos) AS csv FROM dm GROUP BY s, cid
+), codes0 AS (
+    SELECT vec_id, s, cid, row_number() OVER (
+        PARTITION BY vec_id, s
+        ORDER BY round({_l2_sql('sv', 'csv')}, 6), cid) AS rn
+    FROM sub JOIN cent USING (s)
+), codes AS (SELECT vec_id, s, cid FROM codes0 WHERE rn = 1)"""
+
+
+def pq_unit(v, norm) -> "F.Column":
+    """Unit-normalize an embedding column (zero vector -> zero vector),
+    element-for-element the same IEEE division as the oracle's nemb
+    CTE. ``norm`` must be a PRE-PROJECTED column holding l2_norm(v):
+    inlining the 64-element norm fold here would re-evaluate it per
+    element (4096 ops per normalize), and the PQ scoring tree
+    references the normalized vector M*K times."""
+    v = F.col(v) if isinstance(v, str) else v
+    n = F.col(norm) if isinstance(norm, str) else norm
+    return F.transform(
+        v,
+        lambda x: F.when(n > F.lit(0.0), x.cast("double") / n).otherwise(
+            F.lit(0.0)
+        ),
+    )
+
+
+def _pq_normalized(emb: DataFrame) -> DataFrame:
+    """(vec_id, ne): unit-normalized corpus. Two projection steps on
+    purpose — the norm and the normalized array each land as their own
+    column, so downstream expressions that reference ``ne`` many times
+    (slices x argmin centroids) reuse one per-row evaluation instead of
+    re-running the fold: Catalyst only collapses projects when the
+    producer expression is cheap or single-referenced."""
+    return emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__n")
+    ).select("vec_id", pq_unit("embedding", "__n").alias("ne"))
+
+
+def pq_seed_codebooks(emb: DataFrame) -> DataFrame:
+    """Deterministic per-subspace seed codebooks (s, cid, csv): the
+    PQ_K smallest-md5 vectors (the ivf_centroids seed rule), unit-
+    normalized and sliced into PQ_M subvectors — every subspace starts
+    from the same seed rows."""
+    seeds = (
+        _pq_normalized(emb)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cid"), "ne")
+    )
+    return seeds.select(
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(
+                            "ne", (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ).alias("csv"),
+                    )
+                    for s in range(1, PQ_M + 1)
+                ]
+            )
+        ).alias("x"),
+    ).select(F.col("x.s").alias("s"), "cid", F.col("x.csv").alias("csv"))
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, sv) unit-normalized subvectors of the corpus."""
+    return _pq_normalized(emb).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(
+                            "ne", (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ).alias("sv"),
+                    )
+                    for s in range(1, PQ_M + 1)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+
+
+def _pq_nearest(cs_col, sv) -> "F.Column":
+    """argmin centroid id for subvector ``sv`` over an array column of
+    (cid, csv) structs: lexicographic array_min on (rounded d2, cid) —
+    the 6-dp + cid tie-break assignment contract shared with the
+    oracle's row_number."""
+    return F.array_min(
+        F.transform(
+            cs_col,
+            lambda c: F.struct(
+                F.round(l2_squared(sv, c["csv"]), 6).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+
+
+def pq_refine(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd pass per subspace: assign every subvector to its
+    nearest centroid (broadcast per-s codebook arrays — no shuffle on
+    the corpus side), then per-(s, cid, pos) means rebuild the
+    codebooks. The means shuffle is map-side combined down to
+    PQ_M*PQ_K*PQ_SUBDIM partials — kilobytes at any corpus size."""
+    sub = _pq_subvectors(emb)
+    carr = cent.groupBy("s").agg(
+        F.collect_list(F.struct("cid", "csv")).alias("cs")
+    )
+    assigned = sub.join(broadcast(carr), "s").select(
+        "s", "sv", _pq_nearest(F.col("cs"), F.col("sv")).alias("cid")
+    )
+    means = (
+        assigned.select("s", "cid", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("s", "cid", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+    )
+    return means.groupBy("s", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda t: t["m"],
+        ).alias("csv")
+    )
+
+
+@register(
+    "ann_pq_topk",
+    survey="J5(ext)",
+    oracle=f"""
+WITH {_PQ_CODEBOOK_SQL}
+, q AS (SELECT embedding AS qe FROM embeddings
+        WHERE vec_id = {QUERY_VEC_ID})
+, qn AS (SELECT ne AS qne FROM nemb WHERE vec_id = {QUERY_VEC_ID})
+, qsub AS (
+    SELECT gs.s, {_pq_slice_sql('qne')} AS qsv
+    FROM qn CROSS JOIN generate_series(1, {PQ_M}) gs(s)
+), lut AS (
+    SELECT s, cid,
+           CAST(round({_l2_sql('csv', 'qsv')} * 1000000) AS BIGINT) AS d2m
+    FROM cent JOIN qsub USING (s)
+), adc AS (
+    SELECT vec_id, sum(d2m) AS adc
+    FROM codes JOIN lut USING (s, cid)
+    WHERE vec_id <> {QUERY_VEC_ID} GROUP BY vec_id
+), cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT {PQ_RERANK})
+SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {TOP_K}
+""",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cent = pq_refine(emb, pq_seed_codebooks(emb))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    qn = q.select(l2_norm(F.col("qe")).alias("__n"), "qe").select(
+        pq_unit("qe", "__n").alias("qne")
+    )
+    # query-side lookup table: integer-micro subspace distances against
+    # the NORMALIZED query, one row-of-map broadcast side (PQ_M*PQ_K
+    # entries)
+    qsv = F.slice(
+        F.col("qne"),
+        (F.col("s") - F.lit(1)) * F.lit(PQ_SUBDIM) + F.lit(1),
+        PQ_SUBDIM,
+    )
+    lut = cent.crossJoin(broadcast(qn)).select(
+        "s",
+        "cid",
+        F.round(l2_squared(F.col("csv"), qsv) * 1e6)
+        .cast("long")
+        .alias("d2m"),
+    )
+    # map key = s << 40 | cid: cid is a seed VEC_ID (unbounded small
+    # long), so a narrow stride like s*1000 could collide across
+    # subspaces; 2^40 dwarfs any testdata id space
+    lut_map = lut.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (
+                        F.col("s").cast("long") * F.lit(1 << 40)
+                        + F.col("cid")
+                    ).alias("k"),
+                    F.col("d2m").alias("v"),
+                )
+            )
+        ).alias("__lut")
+    )
+    carr = cent.groupBy("s").agg(
+        F.collect_list(F.struct("cid", "csv")).alias("cs")
+    )
+    cents_row = carr.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("s").alias("k"), F.col("cs")))
+        ).alias("__cb")
+    )
+    # normalized vector lands as its own projected column BEFORE the
+    # per-subspace unrolled scoring expression references it M*K times
+    # (see _pq_normalized's collapse note)
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("__n"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            pq_unit("embedding", "__n").alias("__ne"),
+        )
+        .crossJoin(broadcast(cents_row))
+        .crossJoin(broadcast(lut_map))
+    )
+    adc = None
+    for s in range(1, PQ_M + 1):
+        sv = F.slice(F.col("__ne"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM)
+        code = _pq_nearest(F.element_at(F.col("__cb"), F.lit(s)), sv)
+        term = F.element_at(
+            F.col("__lut"), F.lit(s).cast("long") * F.lit(1 << 40) + code
+        )
+        adc = term if adc is None else adc + term
+    cand = (
+        scored.select("vec_id", "embedding", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(PQ_RERANK)
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        cand.crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

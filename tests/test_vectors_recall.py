@@ -1077,3 +1077,40 @@ def test_norm_percentiles_empty_array_and_empty_table_edges(
     shutil.rmtree(f"{empty}/_emb_tmp")
     assert q.builder(spark, empty).count() == 0
     assert not compare(q.builder(spark, empty), q.oracle, empty)
+
+
+def test_pq_recall_and_unit_normalization(spark):
+    """PQ is a lossy CANDIDATE generator with an exact-cosine rerank,
+    so the gates: (a) recall@10 vs exact cosine >= 0.9 at sf0.001
+    (measured 1.0 with M=16/K=16 — the config note on PQ_M documents
+    the sweep), and (b) pq_unit really is unit-length (norm-1 within
+    fp) and maps the zero vector to zero instead of NaN."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.functions.similarity import l2_norm
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        _pq_normalized,
+        ann_cosine_topk,
+        ann_pq_topk,
+    )
+
+    from .conftest import SF_DIR
+
+    exact = {r["vec_id"] for r in ann_cosine_topk(spark, SF_DIR).collect()}
+    pq = {r["vec_id"] for r in ann_pq_topk(spark, SF_DIR).collect()}
+    assert len(exact & pq) / len(exact) >= 0.9, (exact, pq)
+
+    emb = _emb(spark, SF_DIR)
+    bad = (
+        _pq_normalized(emb)
+        .select(F.abs(l2_norm(F.col("ne")) - 1.0).alias("err"))
+        .filter(F.col("err") > 1e-9)
+        .count()
+    )
+    assert bad == 0
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    zrow = _pq_normalized(zero).head()
+    assert all(x == 0.0 for x in zrow["ne"])
