@@ -2353,20 +2353,26 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
 
 
-def _pq_nearest(cs_col, sv) -> "F.Column":
-    """argmin centroid id for subvector ``sv`` over an array column of
-    (cid, csv) structs: lexicographic array_min on (rounded d2, cid) —
-    the 6-dp + cid tie-break assignment contract shared with the
-    oracle's row_number."""
+def _pq_argmin(cs_col, sv, fields: tuple[str, ...] = ()) -> "F.Column":
+    """argmin centroid struct for subvector ``sv`` over an array column
+    of (cid, csv, ...) structs: lexicographic array_min on (rounded d2,
+    cid, *fields) — the 6-dp + cid tie-break assignment contract shared
+    with the oracle's row_number. ``fields`` ride along AFTER cid so
+    they can never affect the ordering (cid is unique per codebook)."""
     return F.array_min(
         F.transform(
             cs_col,
             lambda c: F.struct(
                 F.round(l2_squared(sv, c["csv"]), 6).alias("d"),
                 c["cid"].alias("cid"),
+                *[c[f].alias(f) for f in fields],
             ),
         )
-    )["cid"]
+    )
+
+
+def _pq_nearest(cs_col, sv) -> "F.Column":
+    return _pq_argmin(cs_col, sv)["cid"]
 
 
 def pq_refine(emb: DataFrame, cent: DataFrame) -> DataFrame:
@@ -2507,3 +2513,275 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+# --- persisted PQ index (build once / probe many) -----------------------
+# Layout: codebooks/ (PQ_M*PQ_K rows: s, cid, rank, csv), codes/
+# (vec_id + PQ_M one-byte dense RANKS — not raw cids, which are seed
+# vec_ids and would cost 8 bytes each), meta/ (build parameters + build
+# size, written INSIDE the staged build so _valid_index can never bless
+# a layout whose parameters are unknown — the r8 persist-your-params
+# invariant). Probe and append adapt to the PERSISTED m/subdim/k, so an
+# index built under older constants keeps working after a constants
+# change (migrate-never-invalidate).
+PQ_INDEX_FORMAT = 1
+PQ_SUBDIRS = ("codes", "codebooks", "meta")
+
+
+def pq_index_dir(sf_dir: str) -> str:
+    return _index_cache_dir(
+        "pq",
+        sf_dir,
+        f"m={PQ_M}|sub={PQ_SUBDIM}|k={PQ_K}|v={PQ_INDEX_FORMAT}",
+    )
+
+
+def _pq_cb_row(cb: DataFrame) -> DataFrame:
+    """One broadcastable row mapping s -> array<struct(cid, rank, csv)>."""
+    return (
+        cb.groupBy("s")
+        .agg(F.collect_list(F.struct("cid", "rank", "csv")).alias("cs"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("s").alias("k"), F.col("cs")))
+            ).alias("__cb")
+        )
+    )
+
+
+def _pq_encode(ndf: DataFrame, cb: DataFrame, m: int, subdim: int) -> DataFrame:
+    """(vec_id, codes): dense-rank codes for NORMALIZED vectors ``ndf``
+    (columns vec_id, ne) against codebooks ``cb``. One broadcast side,
+    per-row expressions only — the corpus never shuffles."""
+    out = ndf.crossJoin(broadcast(_pq_cb_row(cb)))
+    ranks = []
+    for s in range(1, m + 1):
+        sv = F.slice(F.col("ne"), (s - 1) * subdim + 1, subdim)
+        ranks.append(
+            _pq_argmin(
+                F.element_at(F.col("__cb"), F.lit(s)), sv, ("rank",)
+            )["rank"].cast("tinyint")
+        )
+    return out.select("vec_id", F.array(*ranks).alias("codes"))
+
+
+def _pq_write(emb: DataFrame):
+    """The PQ materialization closure shared by build and rebuild.
+    Codes are encoded against the PERSISTED codebooks read back from
+    the staging dir (self-consistent layout, the sq8 pattern); meta
+    lands inside the same staged build."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..indexutil import write_meta_into
+
+    spark = emb.sparkSession
+
+    def write(staging: str) -> None:
+        cent = pq_refine(emb, pq_seed_codebooks(emb))
+        rank = (
+            F.row_number().over(Window.partitionBy("s").orderBy("cid"))
+            - 1
+        )
+        cent.select("s", "cid", rank.alias("rank"), "csv").coalesce(
+            1
+        ).write.parquet(os.path.join(staging, "codebooks"))
+        cb = spark.read.parquet(os.path.join(staging, "codebooks"))
+        _pq_encode(
+            _pq_normalized(emb), cb, PQ_M, PQ_SUBDIM
+        ).write.parquet(os.path.join(staging, "codes"))
+        n = spark.read.parquet(os.path.join(staging, "codes")).count()
+        write_meta_into(
+            spark,
+            os.path.join(staging, "meta"),
+            {
+                "pq_m": PQ_M,
+                "pq_subdim": PQ_SUBDIM,
+                "pq_k": PQ_K,
+                "n_vecs": n,
+            },
+        )
+
+    return write
+
+
+def pq_build(emb: DataFrame, index_dir: str) -> str:
+    """Materialize the PQ index (staged + atomic rename; an existing
+    complete index is reused, debris rebuilt)."""
+    from ..indexutil import staged_index_build
+
+    return staged_index_build(index_dir, PQ_SUBDIRS, _pq_write(emb))
+
+
+def _pq_meta(index_dir: str) -> dict:
+    from ..indexutil import read_index_meta
+
+    row = read_index_meta(index_dir)
+    if row is None:
+        raise ValueError(
+            f"not a valid PQ index: {index_dir!r} (no meta/) — PQ"
+            " layouts have persisted parameters from format v1 on;"
+            " rerun pq_build"
+        )
+    return row
+
+
+def pq_probe(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    emb: DataFrame,
+    exclude_vec_id: int | None = None,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Probe the persisted layout: the ADC pass scans ONLY the compact
+    codes (vec_id + pq_m bytes per row) against two broadcast one-row
+    sides (the query lookup table and nothing else — codebooks fold
+    into the table before the scan), TakeOrdered keeps the top
+    ``rerank``; the exact-cosine rerank then fetches just those raw
+    vectors from ``emb`` via a broadcast join (at cluster scale this is
+    the usual candidates-vs-keyed-store point fetch). Probe geometry
+    (m/subdim) comes from the persisted meta, not the module constants."""
+    import os
+
+    meta = _pq_meta(index_dir)
+    m, subdim = meta["pq_m"], meta["pq_subdim"]
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    qn = q.select(l2_norm(F.col("qe")).alias("__n"), "qe").select(
+        pq_unit("qe", "__n").alias("qne")
+    )
+    qsv = F.slice(
+        F.col("qne"),
+        (F.col("s") - F.lit(1)) * F.lit(subdim) + F.lit(1),
+        subdim,
+    )
+    lut_row = (
+        cb.crossJoin(broadcast(qn))
+        .select(
+            "s",
+            "rank",
+            F.round(l2_squared(F.col("csv"), qsv) * 1e6)
+            .cast("long")
+            .alias("d2m"),
+        )
+        .groupBy("s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "d2m"))),
+                lambda t: t["d2m"],
+            ).alias("arr")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("s").alias("k"), F.col("arr"))
+                )
+            ).alias("__lut")
+        )
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    if exclude_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
+    adc = None
+    for s in range(1, m + 1):
+        term = F.element_at(
+            F.element_at(F.col("__lut"), F.lit(s)),
+            F.element_at(F.col("codes"), s).cast("int") + 1,
+        )
+        adc = term if adc is None else adc + term
+    cand = (
+        codes.crossJoin(broadcast(lut_row))
+        .select("vec_id", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(rerank)
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        emb.join(broadcast(cand), "vec_id")
+        .crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def pq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
+    """Idempotently fold new vectors into the codes (duplicate ids in
+    the input or vs the layout are skipped — the shared append
+    contract). Encoding always lands on SOME centroid (argmin, no
+    range to fall outside), but vectors far from the build distribution
+    quantize poorly — pq_drift's growth signal is the rebuild cue.
+    Stopped-writer window, like every parquet append here."""
+    import os
+
+    meta = _pq_meta(index_dir)
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    codes_path = os.path.join(index_dir, "codes")
+    existing = spark.read.parquet(codes_path).select("vec_id")
+    fresh = (
+        _pq_encode(
+            _pq_normalized(emb.dropDuplicates(["vec_id"])),
+            cb,
+            meta["pq_m"],
+            meta["pq_subdim"],
+        )
+        .join(existing, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)  # count and write see the same rows
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(codes_path)
+    return n
+
+
+def pq_drift(
+    spark: SparkSession, index_dir: str, growth_warn: float = 0.5
+) -> dict:
+    """How stale are the frozen codebooks? Appends encode against
+    build-time centroids, so distribution drift degrades ADC fidelity
+    silently; the proxy (same scalar contract as sq8_drift): appended
+    fraction vs the build size persisted in meta."""
+    import os
+
+    total_build = _pq_meta(index_dir)["n_vecs"]
+    total_now = spark.read.parquet(
+        os.path.join(index_dir, "codes")
+    ).count()
+    appended = total_now - total_build
+    growth = appended / total_build if total_build else float("inf")
+    return {
+        "total_build": total_build,
+        "total_now": total_now,
+        "appended": appended,
+        "growth": growth,
+        "rebuild_recommended": growth > growth_warn,
+    }
+
+
+def pq_rebuild(spark: SparkSession, index_dir: str, emb: DataFrame) -> str:
+    """Rebuild IN PLACE over ``emb`` with the crash-safe two-rename
+    swap. Like sq8_rebuild there is NO self-sourced default: codes are
+    lossy (the raw floats are gone), so the caller MUST pass the full
+    intended corpus. Stopped-WORLD window (see indexutil.rebuild_index)."""
+    from ..indexutil import rebuild_index
+
+    return rebuild_index(index_dir, PQ_SUBDIRS, _pq_write(emb))
+
+
+def pq_refresh_if_drifted(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    **drift_kwargs,
+) -> dict:
+    """Check drift and rebuild over ``emb`` only when recommended
+    (``emb`` is REQUIRED — lossy-codes contract). Returns the drift
+    report with a ``rebuilt`` flag added."""
+    report = dict(pq_drift(spark, index_dir, **drift_kwargs))
+    report["rebuilt"] = False
+    if report["rebuild_recommended"]:
+        pq_rebuild(spark, index_dir, emb)
+        report["rebuilt"] = True
+    return report

@@ -1114,3 +1114,186 @@ def test_pq_recall_and_unit_normalization(spark):
     )
     zrow = _pq_normalized(zero).head()
     assert all(x == 0.0 for x in zrow["ne"])
+
+
+def test_pq_persisted_probe_equals_inmem_form(spark, tmp_path):
+    """pq_build + pq_probe must reproduce ann_pq_topk exactly: the
+    persisted codebooks are the same deterministic training output, the
+    dense-rank codes round-trip through tinyint losslessly, and the
+    rank-keyed lookup table selects the same candidates as the inmem
+    cid-keyed map (rank order == cid order by construction)."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        ann_pq_topk,
+        pq_build,
+        pq_probe,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = pq_build(emb, str(tmp_path / "pq"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in pq_probe(
+            spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_pq_topk(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_pq_append_idempotent_and_probeable(spark, tmp_path):
+    """Appended vectors become probeable (a planted copy of the query
+    ADC-ranks at the minimum possible sum — its cells ARE the query's
+    argmin cells — and reranks to cos 1.0); replaying the same batch
+    appends nothing."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        pq_append,
+        pq_build,
+        pq_drift,
+        pq_probe,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = pq_build(emb, str(tmp_path / "pqa"))
+    planted = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.lit(7_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    assert pq_append(spark, idx, planted) == 1
+    assert pq_append(spark, idx, planted) == 0  # replay: no dup
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        planted.select("vec_id", "embedding")
+    )
+    top = pq_probe(
+        spark, idx, q, corpus, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    assert top[0]["vec_id"] == 7_000_000
+    assert top[0]["cos_sim"] == 1.0  # exact rerank, exact copy
+    d = pq_drift(spark, idx)
+    assert d["appended"] == 1 and not d["rebuild_recommended"]
+
+
+def test_pq_probe_adc_scans_codes_not_floats(spark, tmp_path):
+    """The build-once/probe-many shape: the candidate (ADC) side of the
+    probe plan scans the pq_m-byte codes parquet; the ONLY scan of the
+    float corpus is the rerank point-fetch, joined against the
+    broadcast 64-candidate cut (BroadcastHashJoin, never a shuffle of
+    the corpus); no training aggregation (posexplode) survives into
+    the probe."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        pq_build,
+        pq_probe,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = pq_build(emb, str(tmp_path / "pqp"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    plan = (
+        pq_probe(spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "codes" in plan
+    assert "posexplode" not in plan.lower()
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_refresh_on_drift_resets_baseline(spark, tmp_path):
+    """Flooding appends past the growth threshold fires the monitor;
+    the refresh (over the explicitly-passed full corpus — codes are
+    lossy, no self-sourcing) retrains codebooks over the grown corpus
+    and resets the drift baseline."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        pq_append,
+        pq_build,
+        pq_drift,
+        pq_refresh_if_drifted,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = pq_build(emb, str(tmp_path / "pqr"))
+    n_base = pq_drift(spark, idx)["total_build"]
+    flood = emb.select(
+        (F.col("vec_id") + 900_000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    ).localCheckpoint(eager=True)
+    assert pq_append(spark, idx, flood) == n_base
+    r = pq_refresh_if_drifted(
+        spark,
+        idx,
+        emb.select("vec_id", "embedding").unionByName(flood),
+    )
+    assert r["rebuild_recommended"] and r["rebuilt"]
+    d = pq_drift(spark, idx)
+    assert d["total_build"] == 2 * n_base and d["growth"] == 0.0
+
+
+def test_pq_probe_adapts_to_persisted_params(spark, tmp_path, monkeypatch):
+    """Probe geometry comes from the index meta, not module constants:
+    an index built at (m=16, sub=4) keeps probing identically after the
+    constants change — the migrate-never-invalidate invariant applied
+    to PQ. A meta-less dir is refused by name."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import realtime_gmall_flink_spark.plans.vectors as V
+
+    from .conftest import SF_DIR
+
+    emb = V._emb(spark, SF_DIR)
+    idx = V.pq_build(emb, str(tmp_path / "pqm"))
+    q = emb.filter(F.col("vec_id") == V.QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    before = [
+        tuple(r)
+        for r in V.pq_probe(
+            spark, idx, q, emb, exclude_vec_id=V.QUERY_VEC_ID
+        ).collect()
+    ]
+    monkeypatch.setattr(V, "PQ_M", 4)
+    monkeypatch.setattr(V, "PQ_SUBDIM", 16)
+    after = [
+        tuple(r)
+        for r in V.pq_probe(
+            spark, idx, q, emb, exclude_vec_id=V.QUERY_VEC_ID
+        ).collect()
+    ]
+    assert before == after
+    with _pytest.raises(ValueError, match="no meta"):
+        V.pq_probe(spark, str(tmp_path), q, emb)
