@@ -189,10 +189,12 @@ def _meta_parts(meta: str) -> list[str]:
 
 def write_meta_into(spark, target_dir: str, row: dict) -> None:
     """Write the one-row meta parquet for ``row`` into ``target_dir``
-    — the ONE definition of the meta file shape (int fields,
-    single-part coalesce), used by build-time staged writes and the
-    atomic backfill alike so the contract cannot drift per index."""
-    fields = ", ".join(f"{k} int" for k in row)
+    — the ONE definition of the meta file shape (bigint fields —
+    counts like PQ's n_vecs are unbounded and would overflow int32 at
+    cluster scale; readers get Python ints either way — single-part
+    coalesce), used by build-time staged writes and the atomic
+    backfill alike so the contract cannot drift per index."""
+    fields = ", ".join(f"{k} bigint" for k in row)
     spark.createDataFrame(
         [tuple(row.values())], fields
     ).coalesce(1).write.parquet(target_dir)

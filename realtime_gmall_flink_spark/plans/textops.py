@@ -3027,9 +3027,9 @@ FROM s GROUP BY sz
 """,
 )
 def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id")
-    pairs = jaccard_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
-    comp = star_contraction_components(docs, pairs, "doc_id", "cluster_id")
+    # the histogram summarizes EXACTLY the cluster report's components —
+    # derive them through the same entry, never a re-implementation
+    comp = near_dup_clusters(spark, sf_dir)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("sz")
     )

@@ -2262,7 +2262,10 @@ _PQ_CODEBOOK_SQL = f"""{_PQ_NE_SQL}
         ORDER BY round({_l2_sql('sv', 'csv')}, 6), cid) AS rn
     FROM sub JOIN cent0 USING (s)
 ), dm AS (
-    SELECT s, cid, gs.pos, avg(CAST(sv[gs.pos] AS DOUBLE)) AS m
+    SELECT s, cid, gs.pos,
+           CAST(sum(CAST(round(CAST(sv[gs.pos] AS DOUBLE) * 1000000000)
+                         AS DECIMAL(38,0))) AS DOUBLE)
+           / count(*) / 1000000000 AS m
     FROM a0 CROSS JOIN generate_series(1, {PQ_SUBDIM}) gs(pos)
     WHERE rn = 1 GROUP BY s, cid, gs.pos
 ), cent AS (
@@ -2304,6 +2307,29 @@ def _pq_normalized(emb: DataFrame) -> DataFrame:
     ).select("vec_id", pq_unit("embedding", "__n").alias("ne"))
 
 
+def _pq_sliced(ndf: DataFrame, id_col: str, out: str) -> DataFrame:
+    """Explode a normalized frame's ``ne`` column into (id_col, s, out)
+    subvector rows — the ONE definition of the subspace slicing
+    geometry (1-based contiguous PQ_SUBDIM runs, matching
+    _pq_slice_sql), shared by seed codebooks and corpus training."""
+    return ndf.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(
+                            "ne", (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ).alias(out),
+                    )
+                    for s in range(1, PQ_M + 1)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, F.col("x.s").alias("s"), F.col(f"x.{out}").alias(out))
+
+
 def pq_seed_codebooks(emb: DataFrame) -> DataFrame:
     """Deterministic per-subspace seed codebooks (s, cid, csv): the
     PQ_K smallest-md5 vectors (the ivf_centroids seed rule), unit-
@@ -2315,42 +2341,12 @@ def pq_seed_codebooks(emb: DataFrame) -> DataFrame:
         .limit(PQ_K)
         .select(F.col("vec_id").alias("cid"), "ne")
     )
-    return seeds.select(
-        "cid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(
-                            "ne", (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM
-                        ).alias("csv"),
-                    )
-                    for s in range(1, PQ_M + 1)
-                ]
-            )
-        ).alias("x"),
-    ).select(F.col("x.s").alias("s"), "cid", F.col("x.csv").alias("csv"))
+    return _pq_sliced(seeds, "cid", "csv")
 
 
 def _pq_subvectors(emb: DataFrame) -> DataFrame:
     """(vec_id, s, sv) unit-normalized subvectors of the corpus."""
-    return _pq_normalized(emb).select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(
-                            "ne", (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM
-                        ).alias("sv"),
-                    )
-                    for s in range(1, PQ_M + 1)
-                ]
-            )
-        ).alias("x"),
-    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    return _pq_sliced(_pq_normalized(emb), "vec_id", "sv")
 
 
 def _pq_argmin(cs_col, sv, fields: tuple[str, ...] = ()) -> "F.Column":
@@ -2388,10 +2384,30 @@ def pq_refine(emb: DataFrame, cent: DataFrame) -> DataFrame:
     assigned = sub.join(broadcast(carr), "s").select(
         "s", "sv", _pq_nearest(F.col("cs"), F.col("sv")).alias("cid")
     )
+    # order-free mean (the never-average-raw-doubles rule): values
+    # quantize to integer NANOS summed in DECIMAL (exact, partial-agg-
+    # order independent), then ONE double division chain written
+    # identically in the oracle. 5e-10 quantization on unit-normalized
+    # inputs is noise against the 6-dp assignment rounding downstream.
     means = (
         assigned.select("s", "cid", F.posexplode("sv").alias("pos", "val"))
         .groupBy("s", "cid", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .agg(
+            F.sum(
+                F.round(F.col("val").cast("double") * 1e9).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sn"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "s",
+            "cid",
+            "pos",
+            (
+                F.col("sn").cast("double") / F.col("cnt") / F.lit(1e9)
+            ).alias("m"),
+        )
     )
     return means.groupBy("s", "cid").agg(
         F.transform(
