@@ -1266,12 +1266,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as a recursive CTE. Each round is linear in |edges|; lineage is cut
 # per round with localCheckpoint and convergence is a one-row
 # fingerprint read.
-@register(
-    "near_dup_clusters",
-    survey="D1(ext),J1(ext)",
-    headline=True,  # the bench's iterative-algorithm representative
-    oracle=f"""
-WITH RECURSIVE jp AS ({_JACCARD_PAIR_ORACLE}
+# The ONE definition of the oracle-side connected-components fixpoint
+# (jaccard pairs -> symmetric edges -> recursive min-label walk),
+# shared by every entry that reports over near-dup components — a
+# tie-break or threshold change lands in all their oracles at once.
+_COMPONENTS_WALK_SQL = f"""WITH RECURSIVE jp AS ({_JACCARD_PAIR_ORACLE}
 ), edges AS (
     SELECT doc_a AS s, doc_b AS d FROM jp
     UNION ALL
@@ -1280,7 +1279,15 @@ WITH RECURSIVE jp AS ({_JACCARD_PAIR_ORACLE}
     SELECT doc_id, doc_id FROM documents
     UNION
     SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
-)
+)"""
+
+
+@register(
+    "near_dup_clusters",
+    survey="D1(ext),J1(ext)",
+    headline=True,  # the bench's iterative-algorithm representative
+    oracle=f"""
+{_COMPONENTS_WALK_SQL}
 SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node
 """,
@@ -1797,16 +1804,8 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_dedup_survivor_stats",
     survey="D1(ext),J1(ext),A4(ext)",
     oracle=f"""
-WITH RECURSIVE jp AS ({_JACCARD_PAIR_ORACLE}
-), edges AS (
-    SELECT doc_a AS s, doc_b AS d FROM jp
-    UNION ALL
-    SELECT doc_b, doc_a FROM jp
-), walk(node, label) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
-), labels AS (
+{_COMPONENTS_WALK_SQL}
+, labels AS (
     SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
     FROM walk GROUP BY node
 )
@@ -3006,16 +3005,8 @@ def near_dup_similarity_histogram(
     "near_dup_cluster_sizes",
     survey="D1(ext),A4(ext)",
     oracle=f"""
-WITH RECURSIVE jp AS ({_JACCARD_PAIR_ORACLE}
-), edges AS (
-    SELECT doc_a AS s, doc_b AS d FROM jp
-    UNION ALL
-    SELECT doc_b, doc_a FROM jp
-), walk(node, label) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
-), comp AS (
+{_COMPONENTS_WALK_SQL}
+, comp AS (
     SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
 ), s AS (
     SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id

@@ -2581,10 +2581,22 @@ def _pq_cb_row(cb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_encode(ndf: DataFrame, cb: DataFrame, m: int, subdim: int) -> DataFrame:
+def _pq_encode(
+    ndf: DataFrame, cb: DataFrame, m: int, subdim: int, k: int
+) -> DataFrame:
     """(vec_id, codes): dense-rank codes for NORMALIZED vectors ``ndf``
     (columns vec_id, ne) against codebooks ``cb``. One broadcast side,
-    per-row expressions only — the corpus never shuffles."""
+    per-row expressions only — the corpus never shuffles. ``k`` is the
+    codebook size being encoded against: ranks live in tinyint codes,
+    so k > 128 would WRAP on the cast under non-ANSI Spark and probe
+    garbage lookup-table entries — refused here, at both build and
+    append, before any code is written."""
+    if k > 128:
+        raise ValueError(
+            f"PQ codebook size {k} exceeds the tinyint code range"
+            " (max 128 centroids per subspace) — widen the codes"
+            " column type before raising PQ_K past 128"
+        )
     out = ndf.crossJoin(broadcast(_pq_cb_row(cb)))
     ranks = []
     for s in range(1, m + 1):
@@ -2621,7 +2633,7 @@ def _pq_write(emb: DataFrame):
         ).write.parquet(os.path.join(staging, "codebooks"))
         cb = spark.read.parquet(os.path.join(staging, "codebooks"))
         _pq_encode(
-            _pq_normalized(emb), cb, PQ_M, PQ_SUBDIM
+            _pq_normalized(emb), cb, PQ_M, PQ_SUBDIM, PQ_K
         ).write.parquet(os.path.join(staging, "codes"))
         n = spark.read.parquet(os.path.join(staging, "codes")).count()
         write_meta_into(
@@ -2674,8 +2686,11 @@ def pq_probe(
     into the table before the scan), TakeOrdered keeps the top
     ``rerank``; the exact-cosine rerank then fetches just those raw
     vectors from ``emb`` via a broadcast join (at cluster scale this is
-    the usual candidates-vs-keyed-store point fetch). Probe geometry
-    (m/subdim) comes from the persisted meta, not the module constants."""
+    the usual candidates-vs-keyed-store point fetch). ``emb`` MUST
+    cover every indexed id — build corpus plus appends — and the plan
+    enforces it (execution error, never a silently shrunken top-k).
+    Probe geometry (m/subdim) comes from the persisted meta, not the
+    module constants."""
     import os
 
     meta = _pq_meta(index_dir)
@@ -2729,11 +2744,38 @@ def pq_probe(
         .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
         .limit(rerank)
     )
+    # ``emb`` must cover every indexed id (build + appends): the rerank
+    # INNER join would otherwise silently drop ADC winners that are
+    # missing from it, shrinking the top-k with no error. Enforced
+    # in-plan: the resolved-row count (one whole-frame window over the
+    # <=rerank joined rows) must equal the candidate count; a partial
+    # corpus fails loudly at execution instead of returning k' < k.
+    from pyspark.sql import Window
+
+    cand_n = cand.agg(F.count(F.lit(1)).alias("__cn"))
+    resolved = F.count(F.lit(1)).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    # the assert rides INSIDE cos_sim via coalesce (null on success) —
+    # a standalone checked-then-dropped column would be pruned unused
+    chk = F.assert_true(
+        resolved == F.col("__cn"),
+        F.lit(
+            "pq_probe: ADC candidates missing from the rerank corpus"
+            " — pass the full indexed corpus (build + appends) as emb"
+        ),
+    ).cast("double")
     return (
         emb.join(broadcast(cand), "vec_id")
+        .crossJoin(broadcast(cand_n))
         .crossJoin(broadcast(q))
-        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .select(
+            "vec_id",
+            F.coalesce(chk, F.round(cos, 6)).alias("cos_sim"),
+        )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -2758,6 +2800,7 @@ def pq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
             cb,
             meta["pq_m"],
             meta["pq_subdim"],
+            meta["pq_k"],
         )
         .join(existing, "vec_id", "left_anti")
         .localCheckpoint(eager=True)  # count and write see the same rows

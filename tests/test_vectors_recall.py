@@ -1297,3 +1297,38 @@ def test_pq_probe_adapts_to_persisted_params(spark, tmp_path, monkeypatch):
     assert before == after
     with _pytest.raises(ValueError, match="no meta"):
         V.pq_probe(spark, str(tmp_path), q, emb)
+
+
+def test_pq_probe_refuses_partial_rerank_corpus(spark, tmp_path):
+    """An emb that does not cover the indexed ids must fail LOUDLY at
+    execution (in-plan assert), never return a silently shrunken
+    top-k; and the tinyint code guard refuses k > 128 before any
+    encode work."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import realtime_gmall_flink_spark.plans.vectors as V
+
+    from .conftest import SF_DIR
+
+    emb = V._emb(spark, SF_DIR)
+    idx = V.pq_build(emb, str(tmp_path / "pqg"))
+    q = emb.filter(F.col("vec_id") == V.QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    partial = emb.filter(F.col("vec_id") % 2 == 0)
+    with _pytest.raises(Exception, match="missing from the rerank corpus"):
+        V.pq_probe(
+            spark, idx, q, partial, exclude_vec_id=V.QUERY_VEC_ID
+        ).collect()
+    # the full corpus still probes clean through the same assert path
+    assert (
+        len(
+            V.pq_probe(
+                spark, idx, q, emb, exclude_vec_id=V.QUERY_VEC_ID
+            ).collect()
+        )
+        == V.TOP_K
+    )
+    with _pytest.raises(ValueError, match="tinyint code range"):
+        V._pq_encode(None, None, 16, 4, 200)
