@@ -2671,26 +2671,19 @@ def _pq_meta(index_dir: str) -> dict:
     return row
 
 
-def pq_probe(
+def pq_adc_candidates(
     spark: SparkSession,
     index_dir: str,
     q: DataFrame,
-    emb: DataFrame,
     exclude_vec_id: int | None = None,
-    k: int = TOP_K,
     rerank: int = PQ_RERANK,
 ) -> DataFrame:
-    """Probe the persisted layout: the ADC pass scans ONLY the compact
-    codes (vec_id + pq_m bytes per row) against two broadcast one-row
-    sides (the query lookup table and nothing else — codebooks fold
-    into the table before the scan), TakeOrdered keeps the top
-    ``rerank``; the exact-cosine rerank then fetches just those raw
-    vectors from ``emb`` via a broadcast join (at cluster scale this is
-    the usual candidates-vs-keyed-store point fetch). ``emb`` MUST
-    cover every indexed id — build corpus plus appends — and the plan
-    enforces it (execution error, never a silently shrunken top-k).
-    Probe geometry (m/subdim) comes from the persisted meta, not the
-    module constants."""
+    """The ADC half of the probe: ONE scan of the compact codes
+    (vec_id + pq_m bytes per row) against a single broadcast one-row
+    side (the query lookup table — codebooks fold into it before the
+    scan), TakeOrdered down to the ``rerank`` best (adc, vec_id) rows.
+    Geometry (m/subdim) comes from the persisted meta, not the module
+    constants."""
     import os
 
     meta = _pq_meta(index_dir)
@@ -2738,44 +2731,56 @@ def pq_probe(
             F.element_at(F.col("codes"), s).cast("int") + 1,
         )
         adc = term if adc is None else adc + term
-    cand = (
+    return (
         codes.crossJoin(broadcast(lut_row))
         .select("vec_id", adc.alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
         .limit(rerank)
     )
-    # ``emb`` must cover every indexed id (build + appends): the rerank
-    # INNER join would otherwise silently drop ADC winners that are
-    # missing from it, shrinking the top-k with no error. Enforced
-    # in-plan: the resolved-row count (one whole-frame window over the
-    # <=rerank joined rows) must equal the candidate count; a partial
-    # corpus fails loudly at execution instead of returning k' < k.
-    from pyspark.sql import Window
 
-    cand_n = cand.agg(F.count(F.lit(1)).alias("__cn"))
-    resolved = F.count(F.lit(1)).over(
-        Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
+
+def pq_probe(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    emb: DataFrame,
+    exclude_vec_id: int | None = None,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Probe the persisted layout: pq_adc_candidates picks the
+    ``rerank`` best codes rows (one codes scan), their ids come to the
+    driver (bounded collect, <= rerank rows — the ivf_probe nprobe
+    precedent), and the exact-cosine rerank point-fetches those raw
+    vectors from ``emb`` with a pushed-down isin filter (one corpus
+    scan; at cluster scale parquet stats skip everything else).
+    ``emb`` MUST cover every indexed id — build corpus plus appends —
+    validated EAGERLY here with the missing ids named; duplicate ids in
+    ``emb`` (a replayed append union) are tolerated and deduped. The
+    fetched candidates are localCheckpoint'ed so validation and the
+    returned frame share one materialization."""
+    cand = pq_adc_candidates(
+        spark, index_dir, q, exclude_vec_id=exclude_vec_id, rerank=rerank
     )
-    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
-    # the assert rides INSIDE cos_sim via coalesce (null on success) —
-    # a standalone checked-then-dropped column would be pruned unused
-    chk = F.assert_true(
-        resolved == F.col("__cn"),
-        F.lit(
-            "pq_probe: ADC candidates missing from the rerank corpus"
-            " — pass the full indexed corpus (build + appends) as emb"
-        ),
-    ).cast("double")
-    return (
-        emb.join(broadcast(cand), "vec_id")
-        .crossJoin(broadcast(cand_n))
-        .crossJoin(broadcast(q))
-        .select(
-            "vec_id",
-            F.coalesce(chk, F.round(cos, 6)).alias("cos_sim"),
+    ids = [r["vec_id"] for r in cand.collect()]
+    fetched = (
+        emb.filter(F.col("vec_id").isin(ids))
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+    got = {r["vec_id"] for r in fetched.select("vec_id").collect()}
+    missing = sorted(set(ids) - got)
+    if missing:
+        raise ValueError(
+            f"pq_probe: {len(missing)} ADC candidates missing from the"
+            f" rerank corpus (e.g. {missing[:5]}) — pass the full"
+            " indexed corpus (build + appends) as emb"
         )
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        fetched.crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )

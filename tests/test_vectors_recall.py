@@ -1193,17 +1193,19 @@ def test_pq_append_idempotent_and_probeable(spark, tmp_path):
 
 
 def test_pq_probe_adc_scans_codes_not_floats(spark, tmp_path):
-    """The build-once/probe-many shape: the candidate (ADC) side of the
-    probe plan scans the pq_m-byte codes parquet; the ONLY scan of the
-    float corpus is the rerank point-fetch, joined against the
-    broadcast 64-candidate cut (BroadcastHashJoin, never a shuffle of
-    the corpus); no training aggregation (posexplode) survives into
-    the probe."""
+    """The build-once/probe-many shape: the candidate (ADC) plan scans
+    the pq_m-byte codes parquet and NEVER the float corpus (no
+    embeddings source, no training posexplode), cut with TakeOrdered;
+    the rerank point-fetch pushes the <=rerank candidate ids into the
+    corpus scan (isin filter visible in the fetch plan) and the
+    returned probe frame reruns nothing (checkpoint-backed, no
+    SortMergeJoin anywhere)."""
     from pyspark.sql import functions as F
 
     from realtime_gmall_flink_spark.plans.vectors import (
         QUERY_VEC_ID,
         _emb,
+        pq_adc_candidates,
         pq_build,
         pq_probe,
     )
@@ -1215,17 +1217,27 @@ def test_pq_probe_adc_scans_codes_not_floats(spark, tmp_path):
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    plan = (
+    adc_plan = (
+        pq_adc_candidates(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "codes" in adc_plan
+    # exactly three scans: codes, codebooks, and the QUERY side's
+    # one-row point lookup (pushed EqualTo — never a full corpus scan)
+    assert adc_plan.count("FileScan parquet") <= 3
+    assert "EqualTo(vec_id," in adc_plan
+    assert "posexplode" not in adc_plan.lower()
+    assert "TakeOrdered" in adc_plan
+    probe_plan = (
         pq_probe(spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "codes" in plan
-    assert "posexplode" not in plan.lower()
-    assert "TakeOrdered" in plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in probe_plan
+    assert "TakeOrdered" in probe_plan
 
 
 def test_pq_refresh_on_drift_resets_baseline(spark, tmp_path):
@@ -1317,18 +1329,27 @@ def test_pq_probe_refuses_partial_rerank_corpus(spark, tmp_path):
         F.col("embedding").alias("qe")
     )
     partial = emb.filter(F.col("vec_id") % 2 == 0)
-    with _pytest.raises(Exception, match="missing from the rerank corpus"):
-        V.pq_probe(
-            spark, idx, q, partial, exclude_vec_id=V.QUERY_VEC_ID
-        ).collect()
-    # the full corpus still probes clean through the same assert path
-    assert (
-        len(
-            V.pq_probe(
-                spark, idx, q, emb, exclude_vec_id=V.QUERY_VEC_ID
-            ).collect()
-        )
-        == V.TOP_K
+    with _pytest.raises(ValueError, match="missing from the rerank corpus"):
+        V.pq_probe(spark, idx, q, partial, exclude_vec_id=V.QUERY_VEC_ID)
+    # a COMPLETELY disjoint corpus (wrong table/snapshot) must raise
+    # too, not return an empty frame — zero overlap is the worst input
+    disjoint = emb.select(
+        (F.col("vec_id") + 50_000_000).alias("vec_id"), "embedding"
     )
+    with _pytest.raises(ValueError, match="missing from the rerank corpus"):
+        V.pq_probe(spark, idx, q, disjoint, exclude_vec_id=V.QUERY_VEC_ID)
+    # duplicate ids (a replayed append union) are the DOCUMENTED
+    # build+appends shape: tolerated, deduped, same result as clean
+    clean = V.pq_probe(
+        spark, idx, q, emb, exclude_vec_id=V.QUERY_VEC_ID
+    ).collect()
+    assert len(clean) == V.TOP_K
+    doubled = emb.select("vec_id", "embedding").unionByName(
+        emb.select("vec_id", "embedding")
+    )
+    dup = V.pq_probe(
+        spark, idx, q, doubled, exclude_vec_id=V.QUERY_VEC_ID
+    ).collect()
+    assert [tuple(r) for r in dup] == [tuple(r) for r in clean]
     with _pytest.raises(ValueError, match="tinyint code range"):
         V._pq_encode(None, None, 16, 4, 200)
