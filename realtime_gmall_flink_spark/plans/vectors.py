@@ -2751,14 +2751,17 @@ def pq_probe(
     """Probe the persisted layout: pq_adc_candidates picks the
     ``rerank`` best codes rows (one codes scan), their ids come to the
     driver (bounded collect, <= rerank rows — the ivf_probe nprobe
-    precedent), and the exact-cosine rerank point-fetches those raw
-    vectors from ``emb`` with a pushed-down isin filter (one corpus
-    scan; at cluster scale parquet stats skip everything else).
-    ``emb`` MUST cover every indexed id — build corpus plus appends —
-    validated EAGERLY here with the missing ids named; duplicate ids in
-    ``emb`` (a replayed append union) are tolerated and deduped. The
-    fetched candidates are localCheckpoint'ed so validation and the
-    returned frame share one materialization."""
+    precedent), and ``emb`` is validated EAGERLY here via a pushed-down
+    isin point-fetch: missing indexed ids raise with the ids named
+    (build corpus plus appends must all be present), ids appearing with
+    CONFLICTING embeddings raise too (identical replayed-append
+    duplicates dedup clean) — a partial or inconsistent corpus can
+    never silently shrink or skew the top-k. The RETURNED frame is the
+    lazy rerank plan over the same pushed point-fetch: plan-visible
+    (isin reaches the parquet scan), recomputable after executor loss,
+    and re-reads ``emb`` at action time."""
+    from collections import Counter
+
     cand = pq_adc_candidates(
         spark, index_dir, q, exclude_vec_id=exclude_vec_id, rerank=rerank
     )
@@ -2766,16 +2769,22 @@ def pq_probe(
     fetched = (
         emb.filter(F.col("vec_id").isin(ids))
         .select("vec_id", "embedding")
-        .dropDuplicates(["vec_id"])
-        .localCheckpoint(eager=True)
+        .dropDuplicates(["vec_id", "embedding"])
     )
-    got = {r["vec_id"] for r in fetched.select("vec_id").collect()}
-    missing = sorted(set(ids) - got)
+    got = [r["vec_id"] for r in fetched.select("vec_id").collect()]
+    missing = sorted(set(ids) - set(got))
     if missing:
         raise ValueError(
             f"pq_probe: {len(missing)} ADC candidates missing from the"
             f" rerank corpus (e.g. {missing[:5]}) — pass the full"
             " indexed corpus (build + appends) as emb"
+        )
+    conflicting = sorted(i for i, n in Counter(got).items() if n > 1)
+    if conflicting:
+        raise ValueError(
+            f"pq_probe: {len(conflicting)} candidate ids appear with"
+            f" conflicting embeddings in emb (e.g. {conflicting[:5]})"
+            " — the rerank corpus must be consistent per vec_id"
         )
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     return (

@@ -1226,7 +1226,7 @@ def test_pq_probe_adc_scans_codes_not_floats(spark, tmp_path):
     assert "codes" in adc_plan
     # exactly three scans: codes, codebooks, and the QUERY side's
     # one-row point lookup (pushed EqualTo — never a full corpus scan)
-    assert adc_plan.count("FileScan parquet") <= 3
+    assert adc_plan.count("FileScan parquet") == 3
     assert "EqualTo(vec_id," in adc_plan
     assert "posexplode" not in adc_plan.lower()
     assert "TakeOrdered" in adc_plan
@@ -1238,6 +1238,10 @@ def test_pq_probe_adc_scans_codes_not_floats(spark, tmp_path):
     )
     assert "SortMergeJoin" not in probe_plan
     assert "TakeOrdered" in probe_plan
+    # the rerank fetch is a pushed point-scan of the candidate ids,
+    # never a full corpus scan or a join against it
+    assert "In(vec_id, [" in probe_plan
+    assert "Join" not in probe_plan.replace("BroadcastNestedLoopJoin", "")
 
 
 def test_pq_refresh_on_drift_resets_baseline(spark, tmp_path):
@@ -1313,8 +1317,10 @@ def test_pq_probe_adapts_to_persisted_params(spark, tmp_path, monkeypatch):
 
 def test_pq_probe_refuses_partial_rerank_corpus(spark, tmp_path):
     """An emb that does not cover the indexed ids must fail LOUDLY at
-    execution (in-plan assert), never return a silently shrunken
-    top-k; and the tinyint code guard refuses k > 128 before any
+    probe construction (eager driver-side validation of the bounded
+    candidate set), never return a silently shrunken top-k; ids with
+    CONFLICTING embeddings are refused rather than arbitrarily
+    resolved; and the tinyint code guard refuses k > 128 before any
     encode work."""
     import pytest as _pytest
     from pyspark.sql import functions as F
@@ -1351,5 +1357,12 @@ def test_pq_probe_refuses_partial_rerank_corpus(spark, tmp_path):
         spark, idx, q, doubled, exclude_vec_id=V.QUERY_VEC_ID
     ).collect()
     assert [tuple(r) for r in dup] == [tuple(r) for r in clean]
+    # the same id carrying DIFFERENT embeddings is an inconsistent
+    # corpus: refused by name, never resolved by arbitrary row pick
+    conflict = emb.select("vec_id", "embedding").unionByName(
+        emb.select("vec_id", F.reverse("embedding").alias("embedding"))
+    )
+    with _pytest.raises(ValueError, match="conflicting embeddings"):
+        V.pq_probe(spark, idx, q, conflict, exclude_vec_id=V.QUERY_VEC_ID)
     with _pytest.raises(ValueError, match="tinyint code range"):
         V._pq_encode(None, None, 16, 4, 200)
