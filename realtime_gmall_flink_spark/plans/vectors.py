@@ -2751,41 +2751,48 @@ def pq_probe(
     """Probe the persisted layout: pq_adc_candidates picks the
     ``rerank`` best codes rows (one codes scan), their ids come to the
     driver (bounded collect, <= rerank rows — the ivf_probe nprobe
-    precedent), and ``emb`` is validated EAGERLY here via a pushed-down
-    isin point-fetch: missing indexed ids raise with the ids named
-    (build corpus plus appends must all be present), ids appearing with
-    CONFLICTING embeddings raise too (identical replayed-append
-    duplicates dedup clean) — a partial or inconsistent corpus can
-    never silently shrink or skew the top-k. The RETURNED frame is the
-    lazy rerank plan over the same pushed point-fetch: plan-visible
-    (isin reaches the parquet scan), recomputable after executor loss,
-    and re-reads ``emb`` at action time."""
-    from collections import Counter
-
+    precedent), and the candidates point-fetch from ``emb`` EXACTLY
+    ONCE via a pushed-down isin scan aggregated per id (bounded at
+    <= rerank rows whatever shape ``emb`` is in): missing indexed ids
+    raise with the ids named (build corpus plus appends must all be
+    present), ids appearing with CONFLICTING embeddings raise too
+    (identical replayed-append duplicates dedup clean) — a partial or
+    inconsistent corpus can never silently shrink or skew the top-k.
+    The RETURNED frame reranks the VALIDATED driver-side candidate
+    snapshot (a bounded local relation), so what was validated is
+    exactly what scores — no construction-to-action window where a
+    concurrent append could skew the result."""
     cand = pq_adc_candidates(
         spark, index_dir, q, exclude_vec_id=exclude_vec_id, rerank=rerank
     )
     ids = [r["vec_id"] for r in cand.collect()]
-    fetched = (
+    fetch_schema = emb.select("vec_id", "embedding").schema
+    per_id = (
         emb.filter(F.col("vec_id").isin(ids))
-        .select("vec_id", "embedding")
-        .dropDuplicates(["vec_id", "embedding"])
+        .groupBy("vec_id")
+        .agg(
+            F.count_distinct("embedding").alias("n_emb"),
+            F.min("embedding").alias("embedding"),
+        )
+        .collect()
     )
-    got = [r["vec_id"] for r in fetched.select("vec_id").collect()]
-    missing = sorted(set(ids) - set(got))
+    missing = sorted(set(ids) - {r["vec_id"] for r in per_id})
     if missing:
         raise ValueError(
             f"pq_probe: {len(missing)} ADC candidates missing from the"
             f" rerank corpus (e.g. {missing[:5]}) — pass the full"
             " indexed corpus (build + appends) as emb"
         )
-    conflicting = sorted(i for i, n in Counter(got).items() if n > 1)
+    conflicting = sorted(r["vec_id"] for r in per_id if r["n_emb"] > 1)
     if conflicting:
         raise ValueError(
             f"pq_probe: {len(conflicting)} candidate ids appear with"
             f" conflicting embeddings in emb (e.g. {conflicting[:5]})"
             " — the rerank corpus must be consistent per vec_id"
         )
+    fetched = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in per_id], fetch_schema
+    )
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     return (
         fetched.crossJoin(broadcast(q))

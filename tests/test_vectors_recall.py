@@ -1196,10 +1196,10 @@ def test_pq_probe_adc_scans_codes_not_floats(spark, tmp_path):
     """The build-once/probe-many shape: the candidate (ADC) plan scans
     the pq_m-byte codes parquet and NEVER the float corpus (no
     embeddings source, no training posexplode), cut with TakeOrdered;
-    the rerank point-fetch pushes the <=rerank candidate ids into the
-    corpus scan (isin filter visible in the fetch plan) and the
-    returned probe frame reruns nothing (checkpoint-backed, no
-    SortMergeJoin anywhere)."""
+    the returned probe frame reranks the validated driver-side
+    candidate snapshot — its plan holds NO corpus scan at all (the only
+    parquet read is the one-row query side) and no join beyond the
+    broadcast one-row cross."""
     from pyspark.sql import functions as F
 
     from realtime_gmall_flink_spark.plans.vectors import (
@@ -1238,9 +1238,10 @@ def test_pq_probe_adc_scans_codes_not_floats(spark, tmp_path):
     )
     assert "SortMergeJoin" not in probe_plan
     assert "TakeOrdered" in probe_plan
-    # the rerank fetch is a pushed point-scan of the candidate ids,
-    # never a full corpus scan or a join against it
-    assert "In(vec_id, [" in probe_plan
+    # the rerank scores a bounded LOCAL snapshot of the validated
+    # candidates: no corpus scan, no join beyond the one-row broadcast
+    # cross — the only parquet read left is the query point lookup
+    assert probe_plan.count("FileScan parquet") == 1
     assert "Join" not in probe_plan.replace("BroadcastNestedLoopJoin", "")
 
 
