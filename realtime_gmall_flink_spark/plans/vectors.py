@@ -2739,6 +2739,25 @@ def pq_adc_candidates(
     )
 
 
+def _pq_rerank_fetch(emb: DataFrame, ids: list[int]) -> DataFrame:
+    """The rerank point-fetch: candidate ids pushed into the corpus
+    scan as an isin filter (plan-asserted — a regression to a full
+    corpus aggregate is the probe's worst failure mode), aggregated
+    per id so the output is bounded at len(ids) rows whatever shape
+    ``emb`` is in. n_rows/n_nonnull/n_emb feed pq_probe's validation;
+    min() is the deterministic pick once consistency is established."""
+    return (
+        emb.filter(F.col("vec_id").isin(ids))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("embedding").alias("n_nonnull"),
+            F.count_distinct("embedding").alias("n_emb"),
+            F.min("embedding").alias("embedding"),
+        )
+    )
+
+
 def pq_probe(
     spark: SparkSession,
     index_dir: str,
@@ -2767,21 +2786,24 @@ def pq_probe(
     )
     ids = [r["vec_id"] for r in cand.collect()]
     fetch_schema = emb.select("vec_id", "embedding").schema
-    per_id = (
-        emb.filter(F.col("vec_id").isin(ids))
-        .groupBy("vec_id")
-        .agg(
-            F.count_distinct("embedding").alias("n_emb"),
-            F.min("embedding").alias("embedding"),
-        )
-        .collect()
-    )
+    per_id = _pq_rerank_fetch(emb, ids).collect()
     missing = sorted(set(ids) - {r["vec_id"] for r in per_id})
     if missing:
         raise ValueError(
             f"pq_probe: {len(missing)} ADC candidates missing from the"
             f" rerank corpus (e.g. {missing[:5]}) — pass the full"
             " indexed corpus (build + appends) as emb"
+        )
+    # NULL embeddings would slip past count_distinct/min (both skip
+    # NULLs) and score as NULL cos_sim sorting last — refused by name
+    nulled = sorted(
+        r["vec_id"] for r in per_id if r["n_nonnull"] != r["n_rows"]
+    )
+    if nulled:
+        raise ValueError(
+            f"pq_probe: {len(nulled)} candidate ids carry NULL"
+            f" embeddings in emb (e.g. {nulled[:5]}) — the rerank"
+            " corpus must have a real vector per id"
         )
     conflicting = sorted(r["vec_id"] for r in per_id if r["n_emb"] > 1)
     if conflicting:

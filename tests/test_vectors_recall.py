@@ -1365,5 +1365,23 @@ def test_pq_probe_refuses_partial_rerank_corpus(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="conflicting embeddings"):
         V.pq_probe(spark, idx, q, conflict, exclude_vec_id=V.QUERY_VEC_ID)
+    # NULL embeddings must not slip past the consistency checks (both
+    # count_distinct and min skip NULLs) nor score as NULL cos_sim
+    nulled = emb.select("vec_id", "embedding").unionByName(
+        emb.select(
+            "vec_id", F.lit(None).cast("array<float>").alias("embedding")
+        )
+    )
+    with _pytest.raises(ValueError, match="NULL embeddings"):
+        V.pq_probe(spark, idx, q, nulled, exclude_vec_id=V.QUERY_VEC_ID)
+    # the validation fetch itself must stay a pushed point-scan: the
+    # candidate ids reach the parquet scan as an In filter
+    fetch_plan = (
+        V._pq_rerank_fetch(emb, [1, 2, 3])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(vec_id, [" in fetch_plan
     with _pytest.raises(ValueError, match="tinyint code range"):
         V._pq_encode(None, None, 16, 4, 200)
