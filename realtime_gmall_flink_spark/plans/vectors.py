@@ -2683,9 +2683,17 @@ def pq_adc_candidates(
     side (the query lookup table — codebooks fold into it before the
     scan), TakeOrdered down to the ``rerank`` best (adc, vec_id) rows.
     Geometry (m/subdim) comes from the persisted meta, not the module
-    constants."""
+    constants. ``q`` must hold exactly ONE (qe) row, checked eagerly:
+    an empty q would make every lookup-table entry — and so every adc
+    — NULL, silently ranking arbitrary ids; a multi-row q would fan
+    the lookup table out per row."""
     import os
 
+    n_q = q.count()
+    if n_q != 1:
+        raise ValueError(
+            f"pq query frame must hold exactly one row (qe); got {n_q}"
+        )
     meta = _pq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
@@ -2774,9 +2782,11 @@ def pq_probe(
     ONCE via a pushed-down isin scan aggregated per id (bounded at
     <= rerank rows whatever shape ``emb`` is in): missing indexed ids
     raise with the ids named (build corpus plus appends must all be
-    present), ids appearing with CONFLICTING embeddings raise too
-    (identical replayed-append duplicates dedup clean) — a partial or
-    inconsistent corpus can never silently shrink or skew the top-k.
+    present), ids appearing with CONFLICTING or NULL embeddings raise
+    too (identical replayed-append duplicates dedup clean) — a partial
+    or inconsistent corpus can never silently shrink or skew the
+    top-k, and an empty/multi-row query frame is refused up front in
+    pq_adc_candidates.
     The RETURNED frame reranks the VALIDATED driver-side candidate
     snapshot (a bounded local relation), so what was validated is
     exactly what scores — no construction-to-action window where a

@@ -1383,5 +1383,11 @@ def test_pq_probe_refuses_partial_rerank_corpus(spark, tmp_path):
         .toString()
     )
     assert "In(vec_id, [" in fetch_plan
+    # a query frame without exactly one row is refused up front — an
+    # empty q would NULL every lookup entry and rank arbitrary ids
+    with _pytest.raises(ValueError, match="exactly one row"):
+        V.pq_probe(spark, idx, q.limit(0), emb)
+    with _pytest.raises(ValueError, match="exactly one row"):
+        V.pq_probe(spark, idx, q.unionByName(q), emb)
     with _pytest.raises(ValueError, match="tinyint code range"):
         V._pq_encode(None, None, 16, 4, 200)
