@@ -82,7 +82,24 @@ EXTRA_HEADLINERS = {
 }
 
 
+def _steal_ticks() -> int | None:
+    """Cumulative hypervisor steal ticks (Linux /proc/stat field 8) —
+    the shared-host noise signal: a big delta across the run explains
+    uniform 1.2-1.8x elevations better than any load average."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main() -> None:
+    env = {"steal_start": _steal_ticks()}
+    try:
+        env["load1_start"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="gmall-spark-bench")
@@ -147,6 +164,18 @@ def main() -> None:
                 f"{REGRESSION_FACTOR}x floor {floor}s{box_note}",
                 file=sys.stderr,
             )
+    # environment provenance: flags on a run whose steal delta is large
+    # (or whose load climbed) are host noise, not code regressions —
+    # r8/r9 both lost re-runs to uniformly-elevated noise windows
+    steal_end = _steal_ticks()
+    if steal_end is not None and env.get("steal_start") is not None:
+        env["steal_delta"] = steal_end - env.pop("steal_start")
+    else:
+        env.pop("steal_start", None)
+    try:
+        env["load1_end"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -157,6 +186,7 @@ def main() -> None:
                 " cold/settle times on stderr)",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "env": env,
             }
         )
     )
