@@ -1049,3 +1049,75 @@ def test_near_dup_source_matrix_text_scanned_once(spark):
     assert len(text_scans) == 1
     # the two source-lookup sides are column-pruned two-field scans
     assert plan.count("FileScan parquet [doc_id#") >= 2
+
+
+@pytest.mark.scale
+def test_scale8_pq_probe_shape_constant_and_exact(spark, request):
+    """PQ at an 8x corpus: the ADC plan keeps the EXACT operator
+    footprint of the 1x plan — same Exchange count (the only exchanges
+    are codebook-sized lookup-table reshapes; the codes side stays
+    scan -> project -> TakeOrdered with no corpus-sized exchange), same
+    three FileScans — and the candidate cut stays PQ_RERANK-bounded, so
+    probe cost structure is independent of corpus size. End-to-end: a
+    planted exact copy of the query still reranks to cos 1.0 top-1
+    through the 8x index."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        PQ_RERANK,
+        QUERY_VEC_ID,
+        _emb,
+        pq_adc_candidates,
+        pq_build,
+        pq_probe,
+    )
+
+    def adc_plan(index_dir, q):
+        df = pq_adc_candidates(spark, index_dir, q)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    base = _emb(spark, _SF8_BASE).select("vec_id", "embedding")
+    q = base.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    d1 = tempfile.mkdtemp(dir="/tmp", prefix="pq8a-")
+    d8 = tempfile.mkdtemp(dir="/tmp", prefix="pq8b-")
+    request.addfinalizer(lambda: shutil.rmtree(d1, ignore_errors=True))
+    request.addfinalizer(lambda: shutil.rmtree(d8, ignore_errors=True))
+    shutil.rmtree(d1)
+    shutil.rmtree(d8)
+
+    planted = q.select(
+        F.lit(900_000_000).cast("long").alias("vec_id"),
+        F.col("qe").alias("embedding"),
+    )
+    corpus8 = planted
+    for i in range(8):
+        corpus8 = corpus8.unionByName(
+            base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, {64 - i}),"
+                    f" slice(embedding, 1, {i}))"
+                ).alias("embedding"),
+            )
+        )
+    pq_build(base, d1)
+    pq_build(corpus8, d8)
+
+    p1, p8 = adc_plan(d1, q), adc_plan(d8, q)
+    assert p1.count("Exchange") == p8.count("Exchange"), (p1, p8)
+    assert p8.count("FileScan parquet") == 3
+    assert "TakeOrdered" in p8
+
+    cand8 = pq_adc_candidates(spark, d8, q).collect()
+    assert len(cand8) == PQ_RERANK
+
+    top = pq_probe(
+        spark, d8, q, corpus8, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    assert top[0]["vec_id"] == 900_000_000
+    assert top[0]["cos_sim"] == 1.0
