@@ -187,6 +187,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "per_source_doc_cap",
     "near_dup_source_matrix",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -716,51 +716,59 @@ def ivf_probe(
     )
 
 
-@register(
-    "ann_ivf_topk",
-    survey="J5(ext),J6(ext)",
-    headline=True,
-    oracle=f"""
-WITH cent0 AS (
+# The ONE oracle-side definition of the IVF cell structure (seed
+# centroids -> one Lloyd refinement -> full assignment + the query's
+# probed cells), shared by ann_ivf_topk and ann_ivfpq_topk. CTE names
+# are i-prefixed so the fragment composes with the PQ codebook CTEs
+# (which own nemb/seeds/cent0/cent/codes) in one WITH chain.
+_IVF_CELLS_SQL = f"""icent0 AS (
     SELECT vec_id AS cid, embedding AS ce FROM embeddings
     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
     LIMIT {IVF_CENTROIDS}
 ), q AS (
     SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
-), scored0 AS (
+), iscored0 AS (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
                         c.cid
            ) AS rn
-    FROM embeddings e CROSS JOIN cent0 c
-), assigned0 AS (
-    SELECT vec_id, embedding, cid FROM scored0 WHERE rn = 1
-), dimmeans AS (
+    FROM embeddings e CROSS JOIN icent0 c
+), iassigned0 AS (
+    SELECT vec_id, embedding, cid FROM iscored0 WHERE rn = 1
+), idimmeans AS (
     SELECT cid, gs.pos AS pos,
            avg(CAST(embedding[gs.pos] AS DOUBLE)) AS m
-    FROM assigned0 CROSS JOIN generate_series(1, 64) AS gs(pos)
+    FROM iassigned0 CROSS JOIN generate_series(1, 64) AS gs(pos)
     GROUP BY cid, gs.pos
-), cent AS (
-    SELECT cid, list(m ORDER BY pos) AS ce FROM dimmeans GROUP BY cid
-), scored AS (
+), icent AS (
+    SELECT cid, list(m ORDER BY pos) AS ce FROM idimmeans GROUP BY cid
+), iscored AS (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
                         c.cid
            ) AS rn
-    FROM embeddings e CROSS JOIN cent c
-), assigned AS (
-    SELECT vec_id, embedding, cid FROM scored WHERE rn = 1
+    FROM embeddings e CROSS JOIN icent c
+), iassigned AS (
+    SELECT vec_id, embedding, cid FROM iscored WHERE rn = 1
 ), qcent AS (
-    SELECT c.cid FROM cent c, q
+    SELECT c.cid FROM icent c, q
     ORDER BY round({_cos_sql('c.ce', 'qe')}, 6) DESC, c.cid
     LIMIT {IVF_NPROBE}
-)
+)"""
+
+
+@register(
+    "ann_ivf_topk",
+    survey="J5(ext),J6(ext)",
+    headline=True,
+    oracle=f"""
+WITH {_IVF_CELLS_SQL}
 SELECT a.vec_id, round({_cos_sql('a.embedding', 'qe')}, 6) AS cos_sim
-FROM assigned a JOIN qcent USING (cid), q
+FROM iassigned a JOIN qcent USING (cid), q
 WHERE a.vec_id <> {QUERY_VEC_ID}
 ORDER BY cos_sim DESC, a.vec_id
 LIMIT {TOP_K}
@@ -2457,14 +2465,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_probe(spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID)
 
 
-def pq_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-shot in-memory PQ (no persistence) — the test/ad-hoc path;
-    repeated queries should go through pq_build + pq_probe."""
-    emb = _emb(spark, sf_dir)
-    cent = pq_refine(emb, pq_seed_codebooks(emb))
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe")
-    )
+def _pq_inmem_adc(corpus: DataFrame, cent: DataFrame, q: DataFrame) -> DataFrame:
+    """(vec_id, embedding, adc): integer-micro ADC scores for the
+    ``corpus`` rows (vec_id, embedding) against one-shot codebooks
+    ``cent`` (s, cid, csv) and the one-row query ``q`` (qe) — the
+    scoring stage shared by pq_topk_inmem and ann_ivfpq_topk. Two
+    broadcast one-row sides (codebooks + the query lookup table); the
+    corpus side is per-row expressions only, no shuffle."""
     qn = q.select(l2_norm(F.col("qe")).alias("__n"), "qe").select(
         pq_unit("qe", "__n").alias("qne")
     )
@@ -2511,8 +2518,7 @@ def pq_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-subspace unrolled scoring expression references it M*K times
     # (see _pq_normalized's collapse note)
     scored = (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select(
+        corpus.select(
             "vec_id",
             "embedding",
             l2_norm(F.col("embedding")).alias("__n"),
@@ -2533,18 +2539,111 @@ def pq_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__lut"), F.lit(s).cast("long") * F.lit(1 << 40) + code
         )
         adc = term if adc is None else adc + term
-    cand = (
-        scored.select("vec_id", "embedding", adc.alias("adc"))
-        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
-        .limit(PQ_RERANK)
-    )
+    return scored.select("vec_id", "embedding", adc.alias("adc"))
+
+
+def _pq_rerank_topk(cand: DataFrame, q: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact-cosine rerank of an ADC candidate cut carrying raw
+    embeddings — the final stage shared by the inmem PQ entries."""
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     return (
         cand.crossJoin(broadcast(q))
         .select("vec_id", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(TOP_K)
+        .limit(k)
     )
+
+
+def pq_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot in-memory PQ (no persistence) — the test/ad-hoc path;
+    repeated queries should go through pq_build + pq_probe."""
+    emb = _emb(spark, sf_dir)
+    cent = pq_refine(emb, pq_seed_codebooks(emb))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = _pq_inmem_adc(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), cent, q
+    )
+    cand = scored.orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    ).limit(PQ_RERANK)
+    return _pq_rerank_topk(cand, q)
+
+
+# IVF-PQ: the canonical cluster-scale ANN composition — IVF's coarse
+# quantizer prunes the corpus to the query's NPROBE nearest cells
+# (1/4 of it at the test parameters; 1/nlist*nprobe generally), then
+# PQ's asymmetric-distance scan ranks only those rows and the usual
+# exact-cosine rerank finishes. At 100 TB this is the shape that works:
+# the cell restriction bounds the rows the ADC pass touches, the ADC
+# pass reads 16-byte codes not floats, and the rerank is a bounded
+# point-set — three multiplicative reductions before any exact math.
+# Training composes the two existing deterministic recipes unchanged
+# (IVF centroids over RAW vectors with the cosine argmax assignment;
+# PQ codebooks over UNIT-normalized vectors), so the oracle is the two
+# proven CTE fragments joined: _IVF_CELLS_SQL restricts, the PQ
+# codebook chain scores.
+@register(
+    "ann_ivfpq_topk",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH {_IVF_CELLS_SQL}
+, cells AS (
+    SELECT a.vec_id FROM iassigned a JOIN qcent USING (cid)
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+), {_PQ_CODEBOOK_SQL}
+, qn AS (SELECT ne AS qne FROM nemb WHERE vec_id = {QUERY_VEC_ID})
+, qsub AS (
+    SELECT gs.s, {_pq_slice_sql('qne')} AS qsv
+    FROM qn CROSS JOIN generate_series(1, {PQ_M}) gs(s)
+), lut AS (
+    SELECT s, cid,
+           CAST(round({_l2_sql('csv', 'qsv')} * 1000000) AS BIGINT) AS d2m
+    FROM cent JOIN qsub USING (s)
+), adcs AS (
+    SELECT vec_id, sum(d2m) AS adc
+    FROM cells JOIN codes USING (vec_id) JOIN lut USING (s, cid)
+    GROUP BY vec_id
+), cand AS (SELECT vec_id FROM adcs ORDER BY adc, vec_id LIMIT {PQ_RERANK})
+SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {TOP_K}
+""",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    icent = ivf_refine(
+        emb, ivf_centroids(emb), iters=IVF_LLOYD_ITERS
+    )
+    assigned = ivf_assign(emb, icent)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    qcent = (
+        icent.crossJoin(broadcast(q))
+        .select(
+            "cid",
+            F.round(
+                cosine_similarity(F.col("ce"), F.col("qe")), 6
+            ).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("cid").asc())
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cells = (
+        assigned.join(broadcast(qcent), "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "embedding")
+    )
+    pcent = pq_refine(emb, pq_seed_codebooks(emb))
+    scored = _pq_inmem_adc(cells, pcent, q)
+    cand = scored.orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    ).limit(PQ_RERANK)
+    return _pq_rerank_topk(cand, q)
 
 
 # --- persisted PQ index (build once / probe many) -----------------------
