@@ -673,19 +673,20 @@ def ivf_refresh_if_drifted(
     return report
 
 
-def ivf_probe(
+def ivf_probe_cells(
     spark: SparkSession,
     index_dir: str,
     q: DataFrame,
     exclude_vec_id: int | None = None,
-    k: int = TOP_K,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    """Probe a persisted index with a one-row query side ``q(qe)``.
-    The NPROBE nearest centroids are collected driver-side (nprobe rows,
-    metadata-sized) so the assignment filter is a LITERAL ``cid IN``
-    predicate — the partition-pruning path: only nprobe of k cell
-    partitions are listed and scanned."""
+    """The cell-restriction half of a persisted-IVF probe: the NPROBE
+    nearest centroids to the one-row query ``q(qe)`` are collected
+    driver-side (nprobe rows, metadata-sized) so the assignment filter
+    is a LITERAL ``cid IN`` predicate — the partition-pruning path:
+    only nprobe of k cell partitions are listed and scanned. Returns
+    the pruned assignment rows (vec_id, embedding, cid); ivf_probe
+    reranks them exactly, ann_ivfpq_topk ADC-scores them first."""
     import os
 
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
@@ -707,6 +708,23 @@ def ivf_probe(
     ).filter(F.col("cid").isin(cids))
     if exclude_vec_id is not None:
         assigned = assigned.filter(F.col("vec_id") != exclude_vec_id)
+    return assigned
+
+
+def ivf_probe(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    exclude_vec_id: int | None = None,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Probe a persisted index with a one-row query side ``q(qe)``:
+    exact cosine over the partition-pruned cells (see
+    ivf_probe_cells)."""
+    assigned = ivf_probe_cells(
+        spark, index_dir, q, exclude_vec_id=exclude_vec_id, nprobe=nprobe
+    )
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     return (
         assigned.crossJoin(broadcast(q))
@@ -718,9 +736,12 @@ def ivf_probe(
 
 # The ONE oracle-side definition of the IVF cell structure (seed
 # centroids -> one Lloyd refinement -> full assignment + the query's
-# probed cells), shared by ann_ivf_topk and ann_ivfpq_topk. CTE names
-# are i-prefixed so the fragment composes with the PQ codebook CTEs
-# (which own nemb/seeds/cent0/cent/codes) in one WITH chain.
+# probed cells), shared by ann_ivf_topk and ann_ivfpq_topk. The
+# internal CTEs are i-prefixed so the fragment composes with the PQ
+# codebook chain (which owns nemb/seeds/cent0/cent/codes); the
+# fragment itself OWNS the un-prefixed names `q` and `qcent` — a
+# composing query must not redefine either (ann_ivfpq_topk uses
+# qn/qsub for its query-side PQ CTEs for exactly this reason).
 _IVF_CELLS_SQL = f"""icent0 AS (
     SELECT vec_id AS cid, embedding AS ce FROM embeddings
     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
@@ -2542,9 +2563,19 @@ def _pq_inmem_adc(corpus: DataFrame, cent: DataFrame, q: DataFrame) -> DataFrame
     return scored.select("vec_id", "embedding", adc.alias("adc"))
 
 
-def _pq_rerank_topk(cand: DataFrame, q: DataFrame, k: int = TOP_K) -> DataFrame:
-    """Exact-cosine rerank of an ADC candidate cut carrying raw
-    embeddings — the final stage shared by the inmem PQ entries."""
+def _pq_rerank_topk(
+    scored: DataFrame,
+    q: DataFrame,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """The (adc, vec_id) candidate cut plus the exact-cosine rerank —
+    the ONE definition of the final PQ stages ('ORDER BY adc, vec_id
+    LIMIT rerank' is part of the oracle parity contract), shared by the
+    inmem PQ entries. ``scored`` carries (vec_id, embedding, adc)."""
+    cand = scored.orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    ).limit(rerank)
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     return (
         cand.crossJoin(broadcast(q))
@@ -2565,10 +2596,7 @@ def pq_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _pq_inmem_adc(
         emb.filter(F.col("vec_id") != QUERY_VEC_ID), cent, q
     )
-    cand = scored.orderBy(
-        F.col("adc").asc(), F.col("vec_id").asc()
-    ).limit(PQ_RERANK)
-    return _pq_rerank_topk(cand, q)
+    return _pq_rerank_topk(scored, q)
 
 
 # IVF-PQ: the canonical cluster-scale ANN composition — IVF's coarse
@@ -2613,37 +2641,30 @@ LIMIT {TOP_K}
 """,
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many composition of the two PERSISTED caches:
+    IVF's cell restriction comes from ivf_probe_cells (literal cid IN
+    partition pruning over the cached assignment — identical training
+    amortization as ann_ivf_topk), and ADC scores the pruned rows
+    against the cached PQ codebooks (identical training as
+    ann_pq_topk). Both quantizers train at most once per corpus."""
+    import os
+
     emb = _emb(spark, sf_dir)
-    icent = ivf_refine(
-        emb, ivf_centroids(emb), iters=IVF_LLOYD_ITERS
-    )
-    assigned = ivf_assign(emb, icent)
+    iidx = ivf_index_dir(sf_dir)
+    ivf_build(emb, iidx)
+    pidx = pq_index_dir(sf_dir)
+    pq_build(emb, pidx)
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    qcent = (
-        icent.crossJoin(broadcast(q))
-        .select(
-            "cid",
-            F.round(
-                cosine_similarity(F.col("ce"), F.col("qe")), 6
-            ).alias("qc"),
-        )
-        .orderBy(F.col("qc").desc(), F.col("cid").asc())
-        .limit(IVF_NPROBE)
-        .select("cid")
+    cells = ivf_probe_cells(
+        spark, iidx, q, exclude_vec_id=QUERY_VEC_ID
+    ).select("vec_id", "embedding")
+    pcent = spark.read.parquet(os.path.join(pidx, "codebooks")).select(
+        "s", "cid", "csv"
     )
-    cells = (
-        assigned.join(broadcast(qcent), "cid")
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", "embedding")
-    )
-    pcent = pq_refine(emb, pq_seed_codebooks(emb))
     scored = _pq_inmem_adc(cells, pcent, q)
-    cand = scored.orderBy(
-        F.col("adc").asc(), F.col("vec_id").asc()
-    ).limit(PQ_RERANK)
-    return _pq_rerank_topk(cand, q)
+    return _pq_rerank_topk(scored, q)
 
 
 # --- persisted PQ index (build once / probe many) -----------------------

@@ -1394,25 +1394,25 @@ def test_pq_probe_refuses_partial_rerank_corpus(spark, tmp_path):
 
 
 def test_ivfpq_recall_and_pruning_trade(spark):
-    """IVF-PQ composes the two lossy stages, so its recall@10 sits at
-    or below plain PQ's (the nprobe=4/16 cell cut removes ~75% of the
-    corpus before ADC ever scores a row — measured 0.8 vs 1.0 at
-    sf0.001 on the near-random driver embeddings) but must stay >= 0.7;
-    and the entry returns exactly TOP_K rows."""
+    """IVF-PQ stacks two lossy stages (the nprobe=4/16 cell cut
+    removes ~75% of the corpus before ADC ever scores a row — measured
+    recall@10 0.8 vs plain PQ's 1.0 at sf0.001 on the near-random
+    driver embeddings): the gate is >= 0.7 and exactly TOP_K rows.
+    NOTE the two entries' rerank candidate sets are NOT nested (the
+    cell cut happens before the top-64 ADC cut, so a neighbor ranked
+    >64 corpus-wide can rank <=64 within the probed cells), so no
+    ordering between the two recalls is asserted — empirically 36 of
+    64 candidates differ on this very fixture."""
     from realtime_gmall_flink_spark.plans.vectors import (
         TOP_K,
         ann_cosine_topk,
         ann_ivfpq_topk,
-        ann_pq_topk,
     )
 
     from .conftest import SF_DIR
 
     exact = [r["vec_id"] for r in ann_cosine_topk(spark, SF_DIR).collect()]
     ivfpq = [r["vec_id"] for r in ann_ivfpq_topk(spark, SF_DIR).collect()]
-    pq = [r["vec_id"] for r in ann_pq_topk(spark, SF_DIR).collect()]
     assert len(ivfpq) == TOP_K
     r_ivfpq = len(set(exact) & set(ivfpq)) / len(exact)
-    r_pq = len(set(exact) & set(pq)) / len(exact)
     assert r_ivfpq >= 0.7, (exact, ivfpq)
-    assert r_ivfpq <= r_pq + 1e-9  # pruning never ADDS recall
