@@ -2604,8 +2604,10 @@ def pq_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (1/4 of it at the test parameters; 1/nlist*nprobe generally), then
 # PQ's asymmetric-distance scan ranks only those rows and the usual
 # exact-cosine rerank finishes. At 100 TB this is the shape that works:
-# the cell restriction bounds the rows the ADC pass touches, the ADC
-# pass reads 16-byte codes not floats, and the rerank is a bounded
+# the cell restriction bounds the rows the ADC pass touches (the
+# pruned assignment carries raw vectors — the rerank needs them anyway
+# — so ADC re-encodes per row against the cached codebooks rather than
+# joining the un-cid-partitioned codes), and the rerank is a bounded
 # point-set — three multiplicative reductions before any exact math.
 # Training composes the two existing deterministic recipes unchanged
 # (IVF centroids over RAW vectors with the cosine argmax assignment;
@@ -2646,7 +2648,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning over the cached assignment — identical training
     amortization as ann_ivf_topk), and ADC scores the pruned rows
     against the cached PQ codebooks (identical training as
-    ann_pq_topk). Both quantizers train at most once per corpus."""
+    ann_pq_topk). Both quantizers train at most once per corpus.
+    pq_build is used even though this entry reads only codebooks/: the
+    cache is SHARED with ann_pq_topk (same dir key), so in any session
+    running both the codes encode is paid once regardless — a
+    codebooks-only layout would fork the cache for a one-time
+    saving."""
     import os
 
     emb = _emb(spark, sf_dir)
