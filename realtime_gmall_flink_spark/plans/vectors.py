@@ -1763,7 +1763,7 @@ def sq8_drift(
         os.path.join(index_dir, "codes")
     ).count()
     appended = total_now - total_build
-    growth = appended / total_build if total_build else float("inf")
+    growth = _growth_fraction(total_build, appended)
     return {
         "total_build": total_build,
         "total_now": total_now,
@@ -1771,6 +1771,17 @@ def sq8_drift(
         "growth": growth,
         "rebuild_recommended": growth > growth_warn,
     }
+
+
+def _growth_fraction(total_build: int, appended: int) -> float:
+    """Appended fraction for the scalar drift monitors. An index whose
+    BUILD corpus was empty reports growth 0.0 while nothing has been
+    appended (inf here would fire refresh_if_drifted into pointless
+    rebuilds of a still-empty index); any append onto an empty build is
+    unbounded drift by definition — inf, rebuild recommended."""
+    if total_build:
+        return appended / total_build
+    return 0.0 if appended == 0 else float("inf")
 
 
 def sq8_rebuild(spark: SparkSession, index_dir: str, emb: DataFrame) -> str:
@@ -2604,16 +2615,15 @@ def pq_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (1/4 of it at the test parameters; 1/nlist*nprobe generally), then
 # PQ's asymmetric-distance scan ranks only those rows and the usual
 # exact-cosine rerank finishes. At 100 TB this is the shape that works:
-# the cell restriction bounds the rows the ADC pass touches (the
-# pruned assignment carries raw vectors — the rerank needs them anyway
-# — so ADC re-encodes per row against the cached codebooks rather than
-# joining the un-cid-partitioned codes), and the rerank is a bounded
-# point-set — three multiplicative reductions before any exact math.
-# Training composes the two existing deterministic recipes unchanged
-# (IVF centroids over RAW vectors with the cosine argmax assignment;
-# PQ codebooks over UNIT-normalized vectors), so the oracle is the two
-# proven CTE fragments joined: _IVF_CELLS_SQL restricts, the PQ
-# codebook chain scores.
+# the probe scans the PERSISTED cid-partitioned codes layout (16 bytes
+# per candidate row, pruned to the probed cells by a literal
+# PartitionFilter — no float column even exists in that layout), and
+# the rerank is a bounded point-set — three multiplicative reductions
+# before any exact math. Training composes the two existing
+# deterministic recipes unchanged (IVF centroids over RAW vectors with
+# the cosine argmax assignment; PQ codebooks over UNIT-normalized
+# vectors), so the oracle is the two proven CTE fragments joined:
+# _IVF_CELLS_SQL restricts, the PQ codebook chain scores.
 @register(
     "ann_ivfpq_topk",
     survey="J5(ext),J6(ext)",
@@ -2643,35 +2653,26 @@ LIMIT {TOP_K}
 """,
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once/probe-many composition of the two PERSISTED caches:
-    IVF's cell restriction comes from ivf_probe_cells (literal cid IN
-    partition pruning over the cached assignment — identical training
-    amortization as ann_ivf_topk), and ADC scores the pruned rows
-    against the cached PQ codebooks (identical training as
-    ann_pq_topk). Both quantizers train at most once per corpus.
-    pq_build is used even though this entry reads only codebooks/: the
-    cache is SHARED with ann_pq_topk (same dir key), so in any session
-    running both the codes encode is paid once regardless — a
-    codebooks-only layout would fork the cache for a one-time
-    saving."""
-    import os
-
+    """Build-once/probe-many over the PERSISTED composed layout
+    (ivfpq_build joins the cached IVF assignment's cell labels to the
+    cached PQ codes — training amortizes with ann_ivf_topk and
+    ann_pq_topk via the shared parent caches): the probe prunes the
+    cid-partitioned codes to the query's nprobe cells with a literal
+    PartitionFilter, ADC-scans the 16-byte codes (never a float), and
+    exact-reranks the bounded candidate set via the pushed-isin
+    point-fetch."""
     emb = _emb(spark, sf_dir)
-    iidx = ivf_index_dir(sf_dir)
-    ivf_build(emb, iidx)
-    pidx = pq_index_dir(sf_dir)
-    pq_build(emb, pidx)
+    idx = ivfpq_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        pq_dir=pq_index_dir(sf_dir),
+    )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    cells = ivf_probe_cells(
-        spark, iidx, q, exclude_vec_id=QUERY_VEC_ID
-    ).select("vec_id", "embedding")
-    pcent = spark.read.parquet(os.path.join(pidx, "codebooks")).select(
-        "s", "cid", "csv"
-    )
-    scored = _pq_inmem_adc(cells, pcent, q)
-    return _pq_rerank_topk(scored, q)
+    return ivfpq_probe(spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID)
 
 
 # --- persisted PQ index (build once / probe many) -----------------------
@@ -2798,32 +2799,24 @@ def _pq_meta(index_dir: str) -> dict:
     return row
 
 
-def pq_adc_candidates(
-    spark: SparkSession,
-    index_dir: str,
-    q: DataFrame,
-    exclude_vec_id: int | None = None,
-    rerank: int = PQ_RERANK,
-) -> DataFrame:
-    """The ADC half of the probe: ONE scan of the compact codes
-    (vec_id + pq_m bytes per row) against a single broadcast one-row
-    side (the query lookup table — codebooks fold into it before the
-    scan), TakeOrdered down to the ``rerank`` best (adc, vec_id) rows.
-    Geometry (m/subdim) comes from the persisted meta, not the module
-    constants. ``q`` must hold exactly ONE (qe) row, checked eagerly:
-    an empty q would make every lookup-table entry — and so every adc
-    — NULL, silently ranking arbitrary ids; a multi-row q would fan
-    the lookup table out per row."""
-    import os
-
+def _require_one_query_row(q: DataFrame) -> None:
+    """Eager one-row check shared by every persisted-PQ probe: an empty
+    q would make every lookup-table entry — and so every adc — NULL,
+    silently ranking arbitrary ids; a multi-row q would fan the lookup
+    table out per row."""
     n_q = q.count()
     if n_q != 1:
         raise ValueError(
             f"pq query frame must hold exactly one row (qe); got {n_q}"
         )
-    meta = _pq_meta(index_dir)
-    m, subdim = meta["pq_m"], meta["pq_subdim"]
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+
+
+def _pq_lut_row(cb: DataFrame, q: DataFrame, subdim: int) -> DataFrame:
+    """The query-side lookup table as ONE broadcastable row:
+    ``__lut`` maps each subspace s to its rank-ordered array of
+    integer-micro subspace distances against the normalized query —
+    codebooks fold into it before any codes scan. Shared by the PQ and
+    IVF-PQ persisted probes (``cb`` carries s/rank/csv)."""
     qn = q.select(l2_norm(F.col("qe")).alias("__n"), "qe").select(
         pq_unit("qe", "__n").alias("qne")
     )
@@ -2832,7 +2825,7 @@ def pq_adc_candidates(
         (F.col("s") - F.lit(1)) * F.lit(subdim) + F.lit(1),
         subdim,
     )
-    lut_row = (
+    return (
         cb.crossJoin(broadcast(qn))
         .select(
             "s",
@@ -2856,9 +2849,13 @@ def pq_adc_candidates(
             ).alias("__lut")
         )
     )
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    if exclude_vec_id is not None:
-        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
+
+
+def _pq_adc_sum(m: int) -> "F.Column":
+    """The ADC expression over a codes row: sum of the query lookup
+    table's entry for each subspace's persisted dense-rank code (the
+    codes column holds ranks; arrays are 1-indexed). M map lookups per
+    row — never a distance evaluation."""
     adc = None
     for s in range(1, m + 1):
         term = F.element_at(
@@ -2866,9 +2863,36 @@ def pq_adc_candidates(
             F.element_at(F.col("codes"), s).cast("int") + 1,
         )
         adc = term if adc is None else adc + term
+    return adc
+
+
+def pq_adc_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    exclude_vec_id: int | None = None,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """The ADC half of the probe: ONE scan of the compact codes
+    (vec_id + pq_m bytes per row) against a single broadcast one-row
+    side (the query lookup table — codebooks fold into it before the
+    scan), TakeOrdered down to the ``rerank`` best (adc, vec_id) rows.
+    Geometry (m/subdim) comes from the persisted meta, not the module
+    constants. ``q`` must hold exactly ONE (qe) row, checked eagerly
+    (see _require_one_query_row)."""
+    import os
+
+    _require_one_query_row(q)
+    meta = _pq_meta(index_dir)
+    m, subdim = meta["pq_m"], meta["pq_subdim"]
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    lut_row = _pq_lut_row(cb, q, subdim)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    if exclude_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
     return (
         codes.crossJoin(broadcast(lut_row))
-        .select("vec_id", adc.alias("adc"))
+        .select("vec_id", _pq_adc_sum(m).alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
         .limit(rerank)
     )
@@ -2921,13 +2945,31 @@ def pq_probe(
     cand = pq_adc_candidates(
         spark, index_dir, q, exclude_vec_id=exclude_vec_id, rerank=rerank
     )
+    return _pq_validated_rerank(spark, cand, emb, q, k, caller="pq_probe")
+
+
+def _pq_validated_rerank(
+    spark: SparkSession,
+    cand: DataFrame,
+    emb: DataFrame,
+    q: DataFrame,
+    k: int,
+    caller: str,
+) -> DataFrame:
+    """The validated exact-rerank tail shared by the PQ and IVF-PQ
+    probes: the ADC candidates' ids come to the driver (bounded
+    collect, <= rerank rows), point-fetch from ``emb`` EXACTLY ONCE via
+    a pushed-down isin scan aggregated per id, and every missing /
+    NULL-carrying / conflicting id is refused BY NAME before any score
+    is returned (see pq_probe's contract). The returned frame scores
+    the validated driver-side snapshot — a bounded local relation."""
     ids = [r["vec_id"] for r in cand.collect()]
     fetch_schema = emb.select("vec_id", "embedding").schema
     per_id = _pq_rerank_fetch(emb, ids).collect()
     missing = sorted(set(ids) - {r["vec_id"] for r in per_id})
     if missing:
         raise ValueError(
-            f"pq_probe: {len(missing)} ADC candidates missing from the"
+            f"{caller}: {len(missing)} ADC candidates missing from the"
             f" rerank corpus (e.g. {missing[:5]}) — pass the full"
             " indexed corpus (build + appends) as emb"
         )
@@ -2938,14 +2980,14 @@ def pq_probe(
     )
     if nulled:
         raise ValueError(
-            f"pq_probe: {len(nulled)} candidate ids carry NULL"
+            f"{caller}: {len(nulled)} candidate ids carry NULL"
             f" embeddings in emb (e.g. {nulled[:5]}) — the rerank"
             " corpus must have a real vector per id"
         )
     conflicting = sorted(r["vec_id"] for r in per_id if r["n_emb"] > 1)
     if conflicting:
         raise ValueError(
-            f"pq_probe: {len(conflicting)} candidate ids appear with"
+            f"{caller}: {len(conflicting)} candidate ids appear with"
             f" conflicting embeddings in emb (e.g. {conflicting[:5]})"
             " — the rerank corpus must be consistent per vec_id"
         )
@@ -3005,7 +3047,7 @@ def pq_drift(
         os.path.join(index_dir, "codes")
     ).count()
     appended = total_now - total_build
-    growth = appended / total_build if total_build else float("inf")
+    growth = _growth_fraction(total_build, appended)
     return {
         "total_build": total_build,
         "total_now": total_now,
@@ -3038,5 +3080,321 @@ def pq_refresh_if_drifted(
     report["rebuilt"] = False
     if report["rebuild_recommended"]:
         pq_rebuild(spark, index_dir, emb)
+        report["rebuilt"] = True
+    return report
+
+
+# --- persisted IVF-PQ index: the flagship 100 TB layout -------------------
+# Composes the two quantizers into ONE materialized layout whose probe
+# reads NOTHING but 16-byte codes and two metadata-sized sides:
+#   centroids/   IVF coarse quantizer (k rows, copied from the IVF build)
+#   codebooks/   PQ subspace codebooks (m*k rows, copied from the PQ build)
+#   codes/       (vec_id, codes) partitioned BY cid — the join of the IVF
+#                assignment's cell labels with the PQ dense-rank codes
+#   build_stats/ per-cell count snapshot (drift baseline)
+#   meta/        build parameters + build size (persist-your-params)
+# The probe prunes the codes scan to the query's NPROBE cells with a
+# LITERAL cid IN PartitionFilter, ADC-scores the survivors via the
+# broadcast query lookup table (M map lookups per row — no float is read
+# and no distance is evaluated outside the LUT build), and reranks the
+# bounded candidate set exactly via the pushed-isin point-fetch. Training
+# is shared with the standalone IVF and PQ indexes (both parents are
+# reused when complete, built once when not); the join that produces the
+# cid-partitioned codes moves two SKINNY projections (vec_id+cid and
+# vec_id+16 bytes), never an embedding.
+IVFPQ_INDEX_FORMAT = 1
+IVFPQ_SUBDIRS = ("centroids", "codebooks", "codes", "build_stats", "meta")
+
+
+def ivfpq_index_dir(sf_dir: str) -> str:
+    return _index_cache_dir(
+        "ivfpq",
+        sf_dir,
+        f"k={IVF_CENTROIDS}|lloyd={IVF_LLOYD_ITERS}|m={PQ_M}"
+        f"|sub={PQ_SUBDIM}|pk={PQ_K}|v={IVFPQ_INDEX_FORMAT}",
+    )
+
+
+def _ivfpq_parent_dirs(
+    index_dir: str, ivf_dir: str | None, pq_dir: str | None
+) -> tuple[str, str]:
+    """Default parent-index locations: siblings of the composed layout
+    (callers with canonical per-corpus caches — the catalog entry —
+    pass them explicitly so training amortizes across entries)."""
+    return (ivf_dir or f"{index_dir}-ivf", pq_dir or f"{index_dir}-pq")
+
+
+def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
+    """The IVF-PQ materialization closure shared by build and rebuild:
+    ensure both parent indexes exist (no-op when already complete),
+    copy their trained artifacts, and join assignment cells to PQ codes
+    into the cid-partitioned codes layout. The join is validated
+    eagerly: a row count disagreement between the parents (one appended
+    without the other) must fail the build by name, never silently drop
+    the unmatched rows."""
+    import os
+
+    from ..indexutil import write_meta_into
+
+    spark = emb.sparkSession
+
+    def write(staging: str) -> None:
+        ivf_build(emb, ivf_dir)
+        pq_build(emb, pq_dir)
+        pm = _pq_meta(pq_dir)
+        cent = spark.read.parquet(os.path.join(ivf_dir, "centroids"))
+        cent.coalesce(1).write.parquet(os.path.join(staging, "centroids"))
+        spark.read.parquet(os.path.join(pq_dir, "codebooks")).coalesce(
+            1
+        ).write.parquet(os.path.join(staging, "codebooks"))
+        cells = spark.read.parquet(
+            os.path.join(ivf_dir, "assignment")
+        ).select("vec_id", F.col("cid").cast("long").alias("cid"))
+        codes = spark.read.parquet(os.path.join(pq_dir, "codes"))
+        codes.join(cells, "vec_id").write.partitionBy("cid").parquet(
+            os.path.join(staging, "codes")
+        )
+        out = spark.read.parquet(os.path.join(staging, "codes"))
+        n, n_cells, n_codes = out.count(), cells.count(), codes.count()
+        if not (n == n_cells == n_codes):
+            raise ValueError(
+                f"ivfpq build: parent indexes disagree — assignment has"
+                f" {n_cells} rows, PQ codes {n_codes}, their join {n}."
+                " One parent was appended without the other; rebuild"
+                " both over the same corpus"
+            )
+        out.groupBy("cid").count().write.parquet(
+            os.path.join(staging, "build_stats")
+        )
+        write_meta_into(
+            spark,
+            os.path.join(staging, "meta"),
+            {
+                "ivf_k": cent.count(),
+                "pq_m": pm["pq_m"],
+                "pq_subdim": pm["pq_subdim"],
+                "pq_k": pm["pq_k"],
+                "n_vecs": n,
+            },
+        )
+
+    return write
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    index_dir: str,
+    ivf_dir: str | None = None,
+    pq_dir: str | None = None,
+) -> str:
+    """Materialize the composed IVF-PQ index (staged + atomic rename;
+    an existing complete index is reused, debris rebuilt). Parent IVF
+    and PQ indexes are built only if absent — pass the canonical cache
+    dirs to share training with the standalone entries."""
+    from ..indexutil import staged_index_build
+
+    ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
+    return staged_index_build(
+        index_dir, IVFPQ_SUBDIRS, _ivfpq_write(emb, ivf_dir, pq_dir)
+    )
+
+
+def _ivfpq_meta(index_dir: str) -> dict:
+    from ..indexutil import read_index_meta
+
+    row = read_index_meta(index_dir)
+    if row is None:
+        raise ValueError(
+            f"not a valid IVF-PQ index: {index_dir!r} (no meta/) —"
+            " rerun ivfpq_build"
+        )
+    return row
+
+
+def _ivfpq_probe_cids(
+    spark: SparkSession, index_dir: str, q: DataFrame, nprobe: int
+) -> list[int]:
+    """The NPROBE nearest cell ids to the one-row query — a bounded
+    driver-side collect (nprobe rows, metadata-sized) so the codes
+    filter is a LITERAL ``cid IN`` predicate the scan prunes on."""
+    import os
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    rows = (
+        cent.crossJoin(broadcast(q))
+        .select(
+            "cid",
+            F.round(
+                cosine_similarity(F.col("ce"), F.col("qe")), 6
+            ).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    return [r["cid"] for r in rows]
+
+
+def ivfpq_adc_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    exclude_vec_id: int | None = None,
+    rerank: int = PQ_RERANK,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """The pruned ADC half of the IVF-PQ probe: ONE scan of the codes
+    layout restricted to the query's nprobe cells by a literal
+    PartitionFilter (1/k*nprobe of the corpus listed and read), scored
+    against the broadcast query lookup table, TakeOrdered to the
+    ``rerank`` best (adc, vec_id) rows. No float column exists in the
+    codes layout, so the scan CANNOT read one — the probe IO per
+    candidate row is vec_id + pq_m bytes. Geometry comes from the
+    persisted meta, not module constants."""
+    import os
+
+    _require_one_query_row(q)
+    meta = _ivfpq_meta(index_dir)
+    m, subdim = meta["pq_m"], meta["pq_subdim"]
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    lut_row = _pq_lut_row(cb, q, subdim)
+    cids = _ivfpq_probe_cids(spark, index_dir, q, nprobe)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("cid").isin(cids)
+    )
+    if exclude_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        codes.crossJoin(broadcast(lut_row))
+        .select("vec_id", _pq_adc_sum(m).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(rerank)
+    )
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    emb: DataFrame,
+    exclude_vec_id: int | None = None,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Probe the persisted composed layout: cell-pruned codes-only ADC
+    (ivfpq_adc_candidates) then the shared validated exact rerank —
+    identical corpus-consistency guarantees as pq_probe."""
+    cand = ivfpq_adc_candidates(
+        spark,
+        index_dir,
+        q,
+        exclude_vec_id=exclude_vec_id,
+        rerank=rerank,
+        nprobe=nprobe,
+    )
+    return _pq_validated_rerank(
+        spark, cand, emb, q, k, caller="ivfpq_probe"
+    )
+
+
+def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
+    """Idempotently fold new vectors into the cid-partitioned codes:
+    encode against the persisted codebooks AND assign against the
+    persisted centroids (both frozen — ivfpq_drift is the rebuild cue),
+    skip ids already present, append whole-row files into their cell
+    partitions. Stopped-writer window, like every parquet append."""
+    import os
+
+    meta = _ivfpq_meta(index_dir)
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    codes_path = os.path.join(index_dir, "codes")
+    existing = spark.read.parquet(codes_path).select("vec_id")
+    fresh_in = emb.dropDuplicates(["vec_id"])
+    encoded = _pq_encode(
+        _pq_normalized(fresh_in),
+        cb,
+        meta["pq_m"],
+        meta["pq_subdim"],
+        meta["pq_k"],
+    )
+    cells = ivf_assign(fresh_in, cent).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+    fresh = (
+        encoded.join(cells, "vec_id")
+        .join(existing, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)  # count and write see the same rows
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("cid").parquet(codes_path)
+    return n
+
+
+def ivfpq_drift(
+    spark: SparkSession, index_dir: str, growth_warn: float = 0.5
+) -> dict:
+    """How stale are the frozen quantizers? Appends encode against
+    build-time codebooks and assign against build-time centroids, so
+    growth degrades both the cell balance and the ADC fidelity — the
+    same scalar contract as pq_drift (appended fraction vs the build
+    size persisted in meta)."""
+    import os
+
+    total_build = _ivfpq_meta(index_dir)["n_vecs"]
+    total_now = spark.read.parquet(
+        os.path.join(index_dir, "codes")
+    ).count()
+    appended = total_now - total_build
+    growth = _growth_fraction(total_build, appended)
+    return {
+        "total_build": total_build,
+        "total_now": total_now,
+        "appended": appended,
+        "growth": growth,
+        "rebuild_recommended": growth > growth_warn,
+    }
+
+
+def ivfpq_rebuild(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    ivf_dir: str | None = None,
+    pq_dir: str | None = None,
+) -> str:
+    """Rebuild IN PLACE over ``emb`` with the crash-safe two-rename
+    swap. Codes are lossy (the raw floats are gone), so the caller MUST
+    pass the full intended corpus — no self-sourced default. BOTH
+    parent indexes are retrained over ``emb`` first (they share the
+    corpus by contract), then the composed layout is rejoined from the
+    fresh parents. Stopped-WORLD window (indexutil.rebuild_index)."""
+    from ..indexutil import rebuild_index
+
+    ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
+    ivf_rebuild(spark, ivf_dir, emb)
+    pq_rebuild(spark, pq_dir, emb)
+    return rebuild_index(
+        index_dir, IVFPQ_SUBDIRS, _ivfpq_write(emb, ivf_dir, pq_dir)
+    )
+
+
+def ivfpq_refresh_if_drifted(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    ivf_dir: str | None = None,
+    pq_dir: str | None = None,
+    **drift_kwargs,
+) -> dict:
+    """Check drift and rebuild over ``emb`` only when recommended
+    (``emb`` is REQUIRED — lossy-codes contract). Returns the drift
+    report with a ``rebuilt`` flag added."""
+    report = dict(ivfpq_drift(spark, index_dir, **drift_kwargs))
+    report["rebuilt"] = False
+    if report["rebuild_recommended"]:
+        ivfpq_rebuild(spark, index_dir, emb, ivf_dir, pq_dir)
         report["rebuilt"] = True
     return report

@@ -1416,3 +1416,224 @@ def test_ivfpq_recall_and_pruning_trade(spark):
     assert len(ivfpq) == TOP_K
     r_ivfpq = len(set(exact) & set(ivfpq)) / len(exact)
     assert r_ivfpq >= 0.7, (exact, ivfpq)
+
+
+def test_ivfpq_persisted_probe_scans_pruned_codes_only(spark, tmp_path):
+    """The flagship 100 TB shape: the IVF-PQ candidate (ADC) plan scans
+    the cid-PARTITIONED codes parquet pruned to nprobe cells by a
+    literal PartitionFilter, and NEVER a float — the codes layout has
+    no embedding column at all, the lookup-table side folds codebooks
+    into one broadcast row, and the only embeddings.parquet read is the
+    one-row query point lookup. The probe result equals the catalog
+    entry (same layout, same oracle-checked semantics)."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_NPROBE,
+        QUERY_VEC_ID,
+        _emb,
+        ivfpq_adc_candidates,
+        ivfpq_build,
+        ivfpq_probe,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = ivfpq_build(emb, str(tmp_path / "ivfpq"))
+    cells = [
+        d
+        for d in os.listdir(os.path.join(idx, "codes"))
+        if d.startswith("cid=")
+    ]
+    assert len(cells) > IVF_NPROBE  # pruning has something to prune
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = ivfpq_adc_candidates(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = cand._jdf.queryExecution().explainString(mode)
+    m = re.search(
+        r"PartitionFilters: \[cid#\d+ "
+        r"(?:IN \(([0-9]+(?:, ?[0-9]+)*)\)|INSET ([0-9]+(?:, ?[0-9]+)*))",
+        plan,
+    )
+    assert m, plan
+    assert len((m.group(1) or m.group(2)).split(",")) == IVF_NPROBE
+    # codes-only IO: the codes scan's ReadSchema carries NO embedding
+    # column (vec_id + tinyint ranks only), and the float corpus
+    # appears exactly once in the whole plan — the query point lookup
+    codes_chunks = [
+        c for c in plan.split("Scan parquet") if "/codes" in c
+    ]
+    assert codes_chunks, plan
+    for c in codes_chunks:
+        rs = re.search(r"ReadSchema: (\S+)", c)
+        assert rs and "embedding" not in rs.group(1), c
+    assert plan.count("embeddings.parquet") == 1
+    assert "posexplode" not in plan.lower()  # probe, not build, plan
+    exec_plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in exec_plan
+    # embedding never survives into the ADC scan output either
+    assert "embedding" not in exec_plan.split("FileScan")[0]
+
+    top = ivfpq_probe(
+        spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    from realtime_gmall_flink_spark.plans.vectors import ann_ivfpq_topk
+
+    want = ann_ivfpq_topk(spark, SF_DIR).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in want]
+
+
+def test_ivfpq_append_idempotent_and_probeable(spark, tmp_path):
+    """Appended vectors land in their assigned cell partition and
+    become probeable (a planted copy of the query ADC-ranks at the
+    minimum sum within the probed cells and reranks to cos 1.0);
+    replaying the same batch appends nothing; drift tracks the appended
+    fraction against the meta baseline."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_drift,
+        ivfpq_probe,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = ivfpq_build(emb, str(tmp_path / "ivfpqa"))
+    planted = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.lit(7_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    assert ivfpq_append(spark, idx, planted) == 1
+    assert ivfpq_append(spark, idx, planted) == 0  # replay: no dup
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        planted.select("vec_id", "embedding")
+    )
+    top = ivfpq_probe(
+        spark, idx, q, corpus, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    assert top[0]["vec_id"] == 7_000_000
+    assert top[0]["cos_sim"] == 1.0  # exact rerank, exact copy
+    d = ivfpq_drift(spark, idx)
+    assert d["appended"] == 1 and not d["rebuild_recommended"]
+
+
+def test_ivfpq_refresh_on_drift_resets_baseline(spark, tmp_path):
+    """Flooding appends past the growth threshold fires the monitor;
+    the refresh retrains BOTH parents over the explicitly-passed full
+    corpus (lossy codes — no self-sourcing) and resets the baseline."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_drift,
+        ivfpq_refresh_if_drifted,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = ivfpq_build(emb, str(tmp_path / "ivfpqr"))
+    n_base = ivfpq_drift(spark, idx)["total_build"]
+    flood = emb.select(
+        (F.col("vec_id") + 900_000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    ).localCheckpoint(eager=True)
+    assert ivfpq_append(spark, idx, flood) == n_base
+    r = ivfpq_refresh_if_drifted(
+        spark,
+        idx,
+        emb.select("vec_id", "embedding").unionByName(flood),
+    )
+    assert r["rebuild_recommended"] and r["rebuilt"]
+    d = ivfpq_drift(spark, idx)
+    assert d["total_build"] == 2 * n_base and d["growth"] == 0.0
+
+
+def test_ivfpq_build_refuses_inconsistent_parents(spark, tmp_path):
+    """A parent pair whose corpora diverged (one appended without the
+    other) must fail the composed build BY NAME — the join would
+    otherwise silently drop the unmatched rows from the index."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        ivf_build,
+        ivfpq_build,
+        pq_append,
+        pq_build,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    ivf_dir = str(tmp_path / "p-ivf")
+    pq_dir = str(tmp_path / "p-pq")
+    ivf_build(emb, ivf_dir)
+    pq_build(emb, pq_dir)
+    extra = emb.limit(1).select(
+        F.lit(8_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    assert pq_append(spark, pq_dir, extra) == 1
+    with _pytest.raises(ValueError, match="parent indexes disagree"):
+        ivfpq_build(
+            emb, str(tmp_path / "composed"), ivf_dir=ivf_dir, pq_dir=pq_dir
+        )
+
+
+def test_ivfpq_probe_adapts_to_persisted_params(spark, tmp_path, monkeypatch):
+    """Probe geometry comes from the index meta, not module constants
+    (migrate-never-invalidate); a meta-less dir is refused by name; an
+    empty-build index reports growth 0.0 until something is appended
+    (the drift monitor must not fire pointless rebuilds)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import realtime_gmall_flink_spark.plans.vectors as V
+
+    from .conftest import SF_DIR
+
+    emb = V._emb(spark, SF_DIR)
+    idx = V.ivfpq_build(emb, str(tmp_path / "ivfpqm"))
+    q = emb.filter(F.col("vec_id") == V.QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    before = [
+        tuple(r)
+        for r in V.ivfpq_probe(
+            spark, idx, q, emb, exclude_vec_id=V.QUERY_VEC_ID
+        ).collect()
+    ]
+    monkeypatch.setattr(V, "PQ_M", 4)
+    monkeypatch.setattr(V, "PQ_SUBDIM", 16)
+    after = [
+        tuple(r)
+        for r in V.ivfpq_probe(
+            spark, idx, q, emb, exclude_vec_id=V.QUERY_VEC_ID
+        ).collect()
+    ]
+    assert before == after
+    with _pytest.raises(ValueError, match="no meta"):
+        V.ivfpq_probe(spark, str(tmp_path), q, emb)
+    # empty-build drift contract (shared _growth_fraction): no appends
+    # -> growth 0.0, no rebuild recommendation
+    assert V._growth_fraction(0, 0) == 0.0
+    assert V._growth_fraction(0, 5) == float("inf")
+    assert V._growth_fraction(10, 5) == 0.5
