@@ -188,6 +188,9 @@ ROTATION_POOL: tuple[str, ...] = (
     "near_dup_source_matrix",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # r10 additions
+    "ann_pq_batch_topk",
+    "ann_ivfpq_batch_topk",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -3398,3 +3398,397 @@ def ivfpq_refresh_if_drifted(
         ivfpq_rebuild(spark, index_dir, emb, ivf_dir, pq_dir)
         report["rebuilt"] = True
     return report
+
+
+# --- batch probes: many queries, ONE codes scan ---------------------------
+# A real dedup-by-embedding pass probes millions of queries; paying one
+# codes scan (and one bounded validation fetch) PER QUERY would multiply
+# the probe cost by the batch size. The batch forms follow
+# ivf_probe_batch: per-query lookup tables broadcast as an N-row side,
+# every (code row, query) pair scored in the one scan, a per-qid window
+# takes the rerank candidates, and ONE pushed-isin point-fetch validates
+# and reranks the union of all candidates across the batch.
+
+
+def _pq_lut_rows(
+    cb: DataFrame, queries: DataFrame, subdim: int
+) -> DataFrame:
+    """Per-query lookup tables (qid, __lut) — the batch form of
+    _pq_lut_row: one row per query, each carrying its rank-ordered
+    integer-micro distance arrays per subspace. nq * pq_m * pq_k
+    entries total — metadata-sized for any sane batch, broadcast."""
+    qn = queries.select(
+        "qid", l2_norm(F.col("qe")).alias("__n"), "qe"
+    ).select("qid", pq_unit("qe", "__n").alias("qne"))
+    qsv = F.slice(
+        F.col("qne"),
+        (F.col("s") - F.lit(1)) * F.lit(subdim) + F.lit(1),
+        subdim,
+    )
+    return (
+        cb.crossJoin(broadcast(qn))
+        .select(
+            "qid",
+            "s",
+            "rank",
+            F.round(l2_squared(F.col("csv"), qsv) * 1e6)
+            .cast("long")
+            .alias("d2m"),
+        )
+        .groupBy("qid", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "d2m"))),
+                lambda t: t["d2m"],
+            ).alias("arr")
+        )
+        .groupBy("qid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("s").alias("k"), F.col("arr"))
+                )
+            ).alias("__lut")
+        )
+    )
+
+
+def _pq_batch_candidate_cut(
+    scored: DataFrame, rerank: int
+) -> DataFrame:
+    """Per-qid (adc, vec_id) candidate cut — the batch twin of the
+    single-query 'ORDER BY adc, vec_id LIMIT rerank' contract."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__crn", F.row_number().over(w))
+        .filter(F.col("__crn") <= rerank)
+        .select("qid", "vec_id")
+    )
+
+
+def _pq_validated_rerank_batch(
+    spark: SparkSession,
+    cand: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    caller: str,
+) -> DataFrame:
+    """The batch exact-rerank tail: candidate (qid, vec_id) pairs come
+    to the driver (bounded collect, <= nq * rerank rows), the UNION of
+    candidate ids point-fetches from ``emb`` exactly once with the same
+    missing/NULL/conflict refusals as the single-query form (validation
+    amortizes across the batch), and a per-qid window takes the top k.
+    Output schema matches ivf_probe_batch: (qid, vec_id, cos_sim, rk)."""
+    from pyspark.sql import Window
+
+    pairs = [(r["qid"], r["vec_id"]) for r in cand.collect()]
+    ids = sorted({v for _, v in pairs})
+    fetch_schema = emb.select("vec_id", "embedding").schema
+    per_id = _pq_rerank_fetch(emb, ids).collect()
+    missing = sorted(set(ids) - {r["vec_id"] for r in per_id})
+    if missing:
+        raise ValueError(
+            f"{caller}: {len(missing)} ADC candidates missing from the"
+            f" rerank corpus (e.g. {missing[:5]}) — pass the full"
+            " indexed corpus (build + appends) as emb"
+        )
+    nulled = sorted(
+        r["vec_id"] for r in per_id if r["n_nonnull"] != r["n_rows"]
+    )
+    if nulled:
+        raise ValueError(
+            f"{caller}: {len(nulled)} candidate ids carry NULL"
+            f" embeddings in emb (e.g. {nulled[:5]}) — the rerank"
+            " corpus must have a real vector per id"
+        )
+    conflicting = sorted(r["vec_id"] for r in per_id if r["n_emb"] > 1)
+    if conflicting:
+        raise ValueError(
+            f"{caller}: {len(conflicting)} candidate ids appear with"
+            f" conflicting embeddings in emb (e.g. {conflicting[:5]})"
+            " — the rerank corpus must be consistent per vec_id"
+        )
+    fetched = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in per_id], fetch_schema
+    )
+    pairs_df = spark.createDataFrame(pairs, "qid long, vec_id long")
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        fetched.join(broadcast(pairs_df), "vec_id")
+        .join(broadcast(queries), "qid")
+        .select("qid", "vec_id", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            "cos_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def _require_query_batch(queries: DataFrame) -> None:
+    """Eager batch-query check: an empty batch or duplicate qids would
+    silently produce nothing / fan scores out per duplicate — refused
+    by name (the one-row-q precedent applied to batches)."""
+    agg = queries.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("qid").alias("nq"),
+    ).head()
+    if agg["n"] == 0:
+        raise ValueError("pq batch query frame is empty (qid, qe)")
+    if agg["n"] != agg["nq"]:
+        raise ValueError(
+            f"pq batch query frame carries duplicate qids"
+            f" ({agg['n']} rows, {agg['nq']} distinct)"
+        )
+
+
+def pq_probe_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    emb: DataFrame,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Top-k for MANY query vectors against the persisted PQ index in
+    ONE codes scan: the N per-query lookup tables broadcast as one
+    N-row side, each codes row scores against all N in the scan, a
+    per-qid window cuts the candidates, one fetch validates and
+    reranks. Corpus query ids exclude their self-match (the
+    ivf_probe_batch contract)."""
+    import os
+
+    _require_query_batch(queries)
+    meta = _pq_meta(index_dir)
+    m, subdim = meta["pq_m"], meta["pq_subdim"]
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    luts = _pq_lut_rows(cb, queries, subdim)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    scored = (
+        codes.crossJoin(broadcast(luts))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _pq_adc_sum(m).alias("adc"))
+    )
+    cand = _pq_batch_candidate_cut(scored, rerank)
+    return _pq_validated_rerank_batch(
+        spark, cand, emb, queries, k, caller="pq_probe_batch"
+    )
+
+
+def ivfpq_probe_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    emb: DataFrame,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Top-k for MANY query vectors against the persisted IVF-PQ index
+    in ONE pruned codes scan: per-query probe cells come from ranking
+    the centroids per qid (the ivf_probe_batch pattern — the (qid, cid)
+    pairs are a bounded driver collect), the scan prunes to the UNION
+    of probed cells with a literal filter, the broadcast pair join
+    restores per-query cell scoping, the broadcast lookup-table join
+    scores, and one fetch validates and reranks."""
+    import os
+
+    from pyspark.sql import Window
+
+    _require_query_batch(queries)
+    meta = _ivfpq_meta(index_dir)
+    m, subdim = meta["pq_m"], meta["pq_subdim"]
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    luts = _pq_lut_rows(cb, queries, subdim)
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    qc = F.round(cosine_similarity(F.col("ce"), F.col("qe")), 6)
+    rank_w = Window.partitionBy("qid").orderBy(
+        F.col("__qc").desc(), F.col("cid").asc()
+    )
+    probe_pairs = (
+        queries.crossJoin(broadcast(cent))
+        .select("qid", "cid", qc.alias("__qc"))
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("qid", "cid")
+        .collect()
+    )
+    cids = sorted({r["cid"] for r in probe_pairs})
+    pairs_df = spark.createDataFrame(
+        [(r["qid"], r["cid"]) for r in probe_pairs], "qid long, cid long"
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("cid").isin(cids)
+    )
+    scored = (
+        codes.join(broadcast(pairs_df), "cid")
+        .join(broadcast(luts), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _pq_adc_sum(m).alias("adc"))
+    )
+    cand = _pq_batch_candidate_cut(scored, rerank)
+    return _pq_validated_rerank_batch(
+        spark, cand, emb, queries, k, caller="ivfpq_probe_batch"
+    )
+
+
+# Batch-oracle query-side fragments shared by the two batch PQ entries:
+# per-qid normalized queries, subspace slices, and lookup tables over
+# the proven _PQ_CODEBOOK_SQL chain (which owns nemb/cent/codes).
+_PQ_BATCH_QUERY_SQL = f"""q AS (
+    SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    WHERE vec_id IN {IVF_BATCH_QIDS}
+), qn AS (
+    SELECT vec_id AS qid, ne AS qne FROM nemb
+    WHERE vec_id IN {IVF_BATCH_QIDS}
+), qsub AS (
+    SELECT qid, gs.s, {_pq_slice_sql('qne')} AS qsv
+    FROM qn CROSS JOIN generate_series(1, {PQ_M}) gs(s)
+), lut AS (
+    SELECT qid, s, cid,
+           CAST(round({_l2_sql('csv', 'qsv')} * 1000000) AS BIGINT) AS d2m
+    FROM cent JOIN qsub USING (s)
+)"""
+
+# The shared rerank tail: per-qid candidate cut (the batch twin of
+# 'ORDER BY adc, vec_id LIMIT rerank') then per-qid exact-cosine top-k,
+# output (qid, vec_id, cos_sim, rk) like ann_ivf_batch_topk.
+_PQ_BATCH_RERANK_SQL = f"""cand AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+            PARTITION BY qid ORDER BY adc, vec_id) AS crn
+        FROM adcs)
+    WHERE crn <= {PQ_RERANK}
+), ranked AS (
+    SELECT c.qid, e.vec_id,
+           round({_cos_sql('e.embedding', 'q.qe')}, 6) AS cos_sim,
+           row_number() OVER (
+               PARTITION BY c.qid
+               ORDER BY round({_cos_sql('e.embedding', 'q.qe')}, 6) DESC,
+                        e.vec_id
+           ) AS rk
+    FROM cand c JOIN embeddings e USING (vec_id) JOIN q ON q.qid = c.qid
+)
+SELECT qid, vec_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {TOP_K}"""
+
+
+@register(
+    "ann_pq_batch_topk",
+    survey="J5(ext)",
+    oracle=f"""
+WITH {_PQ_CODEBOOK_SQL}
+, {_PQ_BATCH_QUERY_SQL}
+, adcs AS (
+    SELECT qid, vec_id, sum(d2m) AS adc
+    FROM codes JOIN lut USING (s, cid)
+    WHERE vec_id <> qid GROUP BY qid, vec_id
+), {_PQ_BATCH_RERANK_SQL}
+""",
+)
+def ann_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch PQ search: top-k for several query vectors in ONE scan of
+    the persisted codes (contrast ann_pq_topk's single query). Query
+    ids are corpus vectors, so each excludes its self-match."""
+    emb = _emb(spark, sf_dir)
+    idx = pq_index_dir(sf_dir)
+    pq_build(emb, idx)
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_BATCH_QIDS))
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    return pq_probe_batch(spark, idx, queries, emb)
+
+
+# The assignment chain of _IVF_CELLS_SQL without its single-query
+# q/qcent tail — the batch entry scopes cells per qid instead.
+_IVF_ASSIGN_BATCH_SQL = f"""icent0 AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_CENTROIDS}
+), iscored0 AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN icent0 c
+), iassigned0 AS (
+    SELECT vec_id, embedding, cid FROM iscored0 WHERE rn = 1
+), idimmeans AS (
+    SELECT cid, gs.pos AS pos,
+           avg(CAST(embedding[gs.pos] AS DOUBLE)) AS m
+    FROM iassigned0 CROSS JOIN generate_series(1, 64) AS gs(pos)
+    GROUP BY cid, gs.pos
+), icent AS (
+    SELECT cid, list(m ORDER BY pos) AS ce FROM idimmeans GROUP BY cid
+), iscored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN icent c
+), iassigned AS (
+    SELECT vec_id, embedding, cid FROM iscored WHERE rn = 1
+)"""
+
+
+@register(
+    "ann_ivfpq_batch_topk",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_BATCH_SQL}
+, {_PQ_CODEBOOK_SQL}
+, {_PQ_BATCH_QUERY_SQL}
+, iqcent AS (
+    SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round({_cos_sql('c.ce', 'q.qe')}, 6) DESC,
+                            c.cid
+               ) AS rn
+        FROM icent c CROSS JOIN q)
+    WHERE rn <= {IVF_NPROBE}
+), cells AS (
+    SELECT iq.qid, a.vec_id FROM iassigned a JOIN iqcent iq USING (cid)
+    WHERE a.vec_id <> iq.qid
+), adcs AS (
+    SELECT cl.qid, cl.vec_id, sum(d2m) AS adc
+    FROM cells cl JOIN codes USING (vec_id)
+    JOIN lut ON lut.qid = cl.qid AND lut.s = codes.s
+            AND lut.cid = codes.cid
+    GROUP BY cl.qid, cl.vec_id
+), {_PQ_BATCH_RERANK_SQL}
+""",
+)
+def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ search: top-k for several query vectors in ONE
+    pruned scan of the persisted cid-partitioned codes (contrast
+    ann_ivfpq_topk's single query). Query ids are corpus vectors, so
+    each excludes its self-match."""
+    emb = _emb(spark, sf_dir)
+    idx = ivfpq_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        pq_dir=pq_index_dir(sf_dir),
+    )
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_BATCH_QIDS))
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    return ivfpq_probe_batch(spark, idx, queries, emb)

@@ -1637,3 +1637,124 @@ def test_ivfpq_probe_adapts_to_persisted_params(spark, tmp_path, monkeypatch):
     assert V._growth_fraction(0, 0) == 0.0
     assert V._growth_fraction(0, 5) == float("inf")
     assert V._growth_fraction(10, 5) == 0.5
+
+
+def test_pq_batch_probe_single_codes_scan(spark, tmp_path):
+    """pq_probe_batch: ONE scan of the persisted codes regardless of
+    query count (the N per-query lookup tables ride a broadcast side),
+    no float column read outside the query lookups, and per-qid results
+    equal to N single-query probes."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_BATCH_QIDS,
+        _emb,
+        pq_build,
+        pq_probe,
+        pq_probe_batch,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = pq_build(emb, str(tmp_path / "pqb"))
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_BATCH_QIDS))
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    got = pq_probe_batch(spark, idx, queries, emb)
+    rows = sorted(
+        (r["qid"], r["rk"], r["vec_id"], r["cos_sim"])
+        for r in got.collect()
+    )
+    want = []
+    for qid in IVF_BATCH_QIDS:
+        q = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qe")
+        )
+        for rk, r in enumerate(
+            pq_probe(spark, idx, q, emb, exclude_vec_id=qid).collect(), 1
+        ):
+            want.append((qid, rk, r["vec_id"], r["cos_sim"]))
+    assert rows == sorted(want)
+    # plan shape: the scored stage (pre-collect) reads codes ONCE
+    import os
+
+    meta_cb = spark.read.parquet(os.path.join(idx, "codebooks"))
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _pq_adc_sum,
+        _pq_batch_candidate_cut,
+        _pq_lut_rows,
+    )
+    from pyspark.sql.functions import broadcast
+
+    luts = _pq_lut_rows(meta_cb, queries, 4)
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    scored = (
+        codes.crossJoin(broadcast(luts))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _pq_adc_sum(16).alias("adc"))
+    )
+    cand = _pq_batch_candidate_cut(scored, 64)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = cand._jdf.queryExecution().explainString(mode)
+    assert plan.count("pqb/codes") == 1
+    assert "posexplode" not in plan.lower()
+
+
+def test_ivfpq_batch_probe_single_pruned_codes_scan(spark, tmp_path):
+    """ivfpq_probe_batch: ONE scan of the cid-partitioned codes pruned
+    to the union of all probed cells (literal PartitionFilter, <=
+    nq*nprobe cells), codes-only ReadSchema, per-qid results equal to N
+    single-query probes."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_BATCH_QIDS,
+        IVF_NPROBE,
+        _emb,
+        ivfpq_build,
+        ivfpq_probe,
+        ivfpq_probe_batch,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = ivfpq_build(emb, str(tmp_path / "ivfpqb"))
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_BATCH_QIDS))
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    got = ivfpq_probe_batch(spark, idx, queries, emb)
+    rows = sorted(
+        (r["qid"], r["rk"], r["vec_id"], r["cos_sim"])
+        for r in got.collect()
+    )
+    want = []
+    for qid in IVF_BATCH_QIDS:
+        q = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qe")
+        )
+        for rk, r in enumerate(
+            ivfpq_probe(
+                spark, idx, q, emb, exclude_vec_id=qid
+            ).collect(),
+            1,
+        ):
+            want.append((qid, rk, r["vec_id"], r["cos_sim"]))
+    assert rows == sorted(want)
+    # batch-frame refusals: empty and duplicate-qid query frames fail
+    # eagerly by name, never silently score nothing / double-score
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="is empty"):
+        ivfpq_probe_batch(spark, idx, queries.limit(0), emb)
+    with _pytest.raises(ValueError, match="duplicate qids"):
+        ivfpq_probe_batch(
+            spark, idx, queries.unionByName(queries), emb
+        )
