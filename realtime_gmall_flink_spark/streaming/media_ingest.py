@@ -161,7 +161,13 @@ def read_media_features(
     mixed-width vectors), and it LOSES the per-media dedup to a row
     whose recorded dim matches, so a replay at a known dim supersedes
     stale unknown rows. The bookkeeping column is dropped after the
-    filter; consumers see the bare extract_features shape."""
+    filter; consumers see the bare extract_features shape.
+
+    A NON-default dim requested against a tree whose only rows are
+    legacy is refused BY NAME (one metadata-cheap aggregate, run only
+    for non-default requests): the filter would empty a non-empty tree
+    and the caller could not distinguish 'wrong dim requested against
+    legacy data' from 'nothing ingested' (ADVICE r9)."""
     from pyspark.sql import Window
 
     from ..indexutil import read_batched
@@ -171,6 +177,25 @@ def read_media_features(
         return None
     if "feature_dim" not in df.columns:  # pure-legacy tree
         df = df.withColumn("feature_dim", F.lit(None).cast("int"))
+    if int(feature_dim) != LEGACY_FEATURE_DIM:
+        counts = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.col("feature_dim") == int(feature_dim), 1)
+            ).alias("n_match"),
+            F.count(
+                F.when(F.col("feature_dim").isNull(), 1)
+            ).alias("n_legacy"),
+        ).head()
+        if counts["n_match"] == 0 and counts["n_legacy"] > 0:
+            raise ValueError(
+                f"read_media_features: dim={int(feature_dim)} matches"
+                f" no recorded rows, and the tree's {counts['n_legacy']}"
+                f" legacy (pre-dim-column) rows can only satisfy the"
+                f" default dim LEGACY_FEATURE_DIM={LEGACY_FEATURE_DIM}"
+                " — re-ingest at the requested dim (run_media_ingest"
+                " with feature_dim set) to record it per row"
+            )
     w = Window.partitionBy("media_id").orderBy(
         F.col("feature_dim").isNull().cast("int")  # known dim first
     )

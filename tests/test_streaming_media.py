@@ -253,3 +253,38 @@ def test_media_feature_reads_survive_legacy_and_new_batches_mixed(
     )
     widths16 = {r[0] for r in got16.select(F.size("feature")).collect()}
     assert widths16 == {16}
+
+
+def test_media_feature_read_refuses_nondefault_dim_on_pure_legacy(
+    spark, tmp_path
+):
+    """A NON-default dim requested against a tree whose only rows are
+    legacy must raise BY NAME (ADVICE r9) — the filter would empty a
+    non-empty tree and the caller could not tell 'wrong dim against
+    legacy data' from 'nothing ingested'. A default-dim request keeps
+    reading the legacy rows; a tree holding only OTHER recorded dims
+    returns the honest empty frame (diagnosable — dims are recorded)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.functions.multimodal import (
+        extract_features,
+    )
+
+    out = str(tmp_path / "legacy_out")
+    feat = os.path.join(out, "media_features")
+    extract_features(_media_slice(spark, 0, 20), dim=16).write.parquet(
+        os.path.join(feat, "batch=0")
+    )
+    with _pytest.raises(ValueError, match="LEGACY_FEATURE_DIM"):
+        MI.read_media_features(spark, out, feature_dim=8)
+    assert MI.read_media_features(spark, out, feature_dim=16).count() == 20
+
+    # recorded-but-different dims: empty result, no raise
+    out2 = str(tmp_path / "recorded_out")
+    extract_features(_media_slice(spark, 0, 10), dim=4).withColumn(
+        "feature_dim", F.lit(4)
+    ).write.parquet(os.path.join(out2, "media_features", "batch=0"))
+    assert MI.read_media_features(spark, out2, feature_dim=8).count() == 0
