@@ -168,3 +168,34 @@ def append_scored_to_sq8(
 
     scored = read_scored(spark, out_dir).select("vec_id", "embedding")
     return sq8_append(spark, sq8_dir, scored)
+
+
+def append_scored_to_pq(
+    spark: SparkSession, pq_dir: str, out_dir: str
+) -> int:
+    """Fold the ingest's scored rows into a persisted PQ index — the
+    ADC sweep path sees arrivals through the same 16-byte codes scan as
+    the build corpus. Delegates to pq_append, so the idempotence
+    contract (dropDuplicates + anti-join on persisted ids) and the
+    encode-against-frozen-codebooks semantics are exactly the batch
+    append's (pq_drift is the rebuild cue). Stopped-writer window;
+    returns rows appended."""
+    from ..plans.vectors import pq_append
+
+    scored = read_scored(spark, out_dir).select("vec_id", "embedding")
+    return pq_append(spark, pq_dir, scored)
+
+
+def append_scored_to_ivfpq(
+    spark: SparkSession, ivfpq_dir: str, out_dir: str
+) -> int:
+    """Fold the ingest's scored rows into the persisted composed IVF-PQ
+    layout: each arrival is encoded against the frozen codebooks AND
+    assigned to its cell against the frozen centroids, landing in the
+    cid partition a full rebuild would give it. Delegates to
+    ivfpq_append (idempotent). Stopped-writer window; returns rows
+    appended."""
+    from ..plans.vectors import ivfpq_append
+
+    scored = read_scored(spark, out_dir).select("vec_id", "embedding")
+    return ivfpq_append(spark, ivfpq_dir, scored)

@@ -216,3 +216,91 @@ def test_append_scored_to_sq8_idempotent_and_probeable(spark, tmp_path):
     top = sq8_probe(spark, sq8, q, exclude_vec_id=0).collect()
     assert top[0]["vec_id"] == 100000
     assert top[0]["cos_sim"] >= 0.999
+
+
+def test_append_scored_to_pq_idempotent_and_probeable(spark, tmp_path):
+    """The PQ twin of the maintenance step: one ingest run's scored
+    rows encode into the persisted codes idempotently, and an ingested
+    exact copy ADC-ranks into the candidates and exact-reranks to
+    cosine 1.0 (the rerank corpus = build corpus + arrivals)."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        pq_build,
+        pq_probe,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ivf = ivf_build(emb, str(tmp_path / "ivf"))
+    pq = pq_build(emb, str(tmp_path / "pq"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base_ids = [0, 1, 2]
+    _arrivals(spark, base_ids, 100000).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
+
+    n = VI.append_scored_to_pq(spark, pq, out)
+    assert n == len(base_ids)
+    assert VI.append_scored_to_pq(spark, pq, out) == 0  # idempotent
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        _arrivals(spark, base_ids, 100000)
+    )
+    top = pq_probe(spark, pq, q, corpus, exclude_vec_id=0).collect()
+    assert top[0]["vec_id"] == 100000
+    assert top[0]["cos_sim"] == 1.0  # exact rerank, exact copy
+
+
+def test_append_scored_to_ivfpq_idempotent_and_probeable(spark, tmp_path):
+    """The composed-layout twin: arrivals land in the cid partition a
+    rebuild would give them (cell parity vs the batch assignment) and
+    probe back at cosine 1.0 through the pruned codes-only scan."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivf_assign,
+        ivfpq_build,
+        ivfpq_probe,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ivf = ivf_build(emb, str(tmp_path / "ivf"))
+    ivfpq = ivfpq_build(emb, str(tmp_path / "ivfpq"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base_ids = [0, 1, 2]
+    _arrivals(spark, base_ids, 100000).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
+
+    n = VI.append_scored_to_ivfpq(spark, ivfpq, out)
+    assert n == len(base_ids)
+    assert VI.append_scored_to_ivfpq(spark, ivfpq, out) == 0  # idempotent
+
+    # appended cids match the batch assignment (rebuild-equivalent)
+    cent = spark.read.parquet(f"{ivfpq}/centroids")
+    want = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(
+            _arrivals(spark, base_ids, 100000), cent
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in spark.read.parquet(f"{ivfpq}/codes")
+        .filter(F.col("vec_id") >= 100000)
+        .collect()
+    }
+    assert got == want
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        _arrivals(spark, base_ids, 100000)
+    )
+    top = ivfpq_probe(spark, ivfpq, q, corpus, exclude_vec_id=0).collect()
+    assert top[0]["vec_id"] == 100000
+    assert top[0]["cos_sim"] == 1.0
