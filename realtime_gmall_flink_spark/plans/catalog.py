@@ -191,6 +191,7 @@ ROTATION_POOL: tuple[str, ...] = (
     # r10 additions
     "ann_pq_batch_topk",
     "ann_ivfpq_batch_topk",
+    "materialized_mixture_stats",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -2808,6 +2808,115 @@ def language_sampling_weights(
 
 
 # ---------------------------------------------------------------------------
+# Materialized temperature mixture — CONSUMES the sampling weights: the
+# per-language sample_factor becomes a deterministic per-doc copy count
+# (the decision a data loader actually applies), and the entry reports
+# what the materialized mixture holds per language. factor f splits
+# into floor(f) full copies for every doc plus one extra copy for docs
+# whose 16-bit md5 bucket falls under the fractional remainder — the
+# same md5-prefix hash family as split_bucket/stratified sampling
+# (precision 1/65536), so the materialization is reproducible
+# row-for-row across runs and engines, up-sampling (f > 1) and
+# down-sampling (f < 1) handled by ONE rule. The factor itself is
+# quantized to an integer number of 1/65536 slots (fm) before any
+# per-doc decision — all downstream arithmetic is exact integers.
+# Scale: pass 1 is a combine-collapsed groupBy over the lang column
+# ONLY (column pruning keeps the scan metadata-cheap); pass 2 scans
+# text once with the language-sized factor table broadcast — the
+# corpus never shuffles (groupBy(lang) moves per-language partials).
+MIX_BUCKETS = 65536
+
+
+@register(
+    "materialized_mixture_stats",
+    survey="A4(ext),J6(ext),P10(ext)",
+    oracle=f"""
+WITH c AS (
+    SELECT lang, count(*) AS doc_ct,
+           CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000000)
+                AS BIGINT) AS sq_nano
+    FROM documents GROUP BY lang
+), t AS (
+    SELECT CAST(sum(doc_ct) AS BIGINT) AS n_total,
+           CAST(sum(sq_nano) AS DOUBLE) AS z
+    FROM c
+), f AS (
+    SELECT lang,
+           CAST(round(CAST(sq_nano AS DOUBLE) / z * n_total / doc_ct
+                      * {MIX_BUCKETS}) AS BIGINT) AS fm
+    FROM c, t
+), d AS (
+    SELECT lang, len({_WORDS_SQL}) AS toks,
+           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 4)) AS INTEGER) AS b16
+    FROM documents
+), m AS (
+    SELECT d.lang, d.toks,
+           (f.fm // {MIX_BUCKETS})
+           + (CASE WHEN d.b16 < f.fm % {MIX_BUCKETS} THEN 1 ELSE 0 END)
+               AS copies
+    FROM d JOIN f USING (lang)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS doc_ct,
+       CAST(sum(copies) AS BIGINT) AS kept_docs,
+       CAST(sum(copies * toks) AS BIGINT) AS kept_tokens,
+       round(CAST(sum(copies) AS DOUBLE) / count(*), 6) AS eff_factor
+FROM m GROUP BY lang
+""",
+)
+def materialized_mixture_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    sq_nano = F.round(
+        F.sqrt(F.count(F.lit(1)).cast("double")) * 1000000000
+    ).cast("decimal(20,0)")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_ct"), sq_nano.alias("sq_nano")
+    )
+    # normalizer via a GLOBAL window over the language-sized aggregate
+    # (the vocab-coverage window-over-classes shape): a separate c.agg
+    # would re-scan documents for the same sums — this keeps pass 1 to
+    # exactly one lang-only scan; the single-partition window holds <=
+    # one row per language
+    w = Window.partitionBy()
+    n_total = F.sum("doc_ct").over(w).cast("long")
+    z = F.sum("sq_nano").over(w).cast("double")
+    sqd = F.col("sq_nano").cast("double")
+    factors = c.select(
+        "lang",
+        F.round(sqd / z * n_total / F.col("doc_ct") * MIX_BUCKETS)
+        .cast("long")
+        .alias("fm"),
+    )
+    b16 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("b16")
+    )
+    d = docs.select("lang", token_count("text").alias("toks"), b16)
+    copies = F.floor(F.col("fm") / MIX_BUCKETS).cast("long") + F.when(
+        F.col("b16") < F.col("fm") % MIX_BUCKETS, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        d.join(F.broadcast(factors), "lang")
+        .select("lang", "toks", copies.alias("copies"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("copies").alias("kept_docs"),
+            F.sum(F.col("copies") * F.col("toks")).alias("kept_tokens"),
+            F.round(
+                F.sum("copies").cast("double") / F.count(F.lit(1)), 6
+            ).alias("eff_factor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage curve — the tokenizer-design question every
 # pretraining run answers first: how many distinct words cover 50/90/99%
 # of all token OCCURRENCES? The naive form ranks the whole vocabulary by

@@ -3147,21 +3147,34 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
         spark.read.parquet(os.path.join(pq_dir, "codebooks")).coalesce(
             1
         ).write.parquet(os.path.join(staging, "codebooks"))
-        cells = spark.read.parquet(
-            os.path.join(ivf_dir, "assignment")
-        ).select("vec_id", F.col("cid").cast("long").alias("cid"))
+        # ONE cell label per vec_id: a corpus carrying duplicate ids
+        # (at-least-once appends, unioned snapshots) holds its dup rows
+        # in BOTH parents — joining them raw would multiply copies
+        # (k dups -> k^2 joined rows); deduping the label side keeps
+        # exactly the codes-side multiplicity
+        cells = (
+            spark.read.parquet(os.path.join(ivf_dir, "assignment"))
+            .select("vec_id", F.col("cid").cast("long").alias("cid"))
+            .dropDuplicates(["vec_id"])
+        )
         codes = spark.read.parquet(os.path.join(pq_dir, "codes"))
         codes.join(cells, "vec_id").write.partitionBy("cid").parquet(
             os.path.join(staging, "codes")
         )
         out = spark.read.parquet(os.path.join(staging, "codes"))
-        n, n_cells, n_codes = out.count(), cells.count(), codes.count()
-        if not (n == n_cells == n_codes):
+        n, n_codes = out.count(), codes.count()
+        n_cell_ids = cells.count()
+        n_code_ids = codes.select("vec_id").distinct().count()
+        # id-set agreement, both directions: a codes id missing a cell
+        # label shrinks the join (n < n_codes); a cell id missing codes
+        # leaves the distinct counts apart
+        if n != n_codes or n_cell_ids != n_code_ids:
             raise ValueError(
-                f"ivfpq build: parent indexes disagree — assignment has"
-                f" {n_cells} rows, PQ codes {n_codes}, their join {n}."
-                " One parent was appended without the other; rebuild"
-                " both over the same corpus"
+                f"ivfpq build: parent indexes disagree — assignment"
+                f" labels {n_cell_ids} distinct ids, PQ codes hold"
+                f" {n_code_ids} ({n_codes} rows, {n} joined). One"
+                " parent was appended without the other; rebuild both"
+                " over the same corpus"
             )
         out.groupBy("cid").count().write.parquet(
             os.path.join(staging, "build_stats")

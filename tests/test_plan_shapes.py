@@ -1121,3 +1121,111 @@ def test_scale8_pq_probe_shape_constant_and_exact(spark, request):
     ).collect()
     assert top[0]["vec_id"] == 900_000_000
     assert top[0]["cos_sim"] == 1.0
+
+
+@pytest.mark.scale
+def test_scale8_ivfpq_probe_stays_pruned_codes_scan(spark, tmp_path):
+    """The persisted IVF-PQ probe at 8x: the ADC stage still prunes the
+    cid-partitioned codes to NPROBE cells with a literal
+    PartitionFilter, still reads no embedding column from the codes
+    layout, and the candidate cut stays a TakeOrdered — the probe IO
+    per candidate row is vec_id + pq_m bytes at any corpus size."""
+    import re
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_NPROBE,
+        QUERY_VEC_ID,
+        _emb,
+        ivfpq_adc_candidates,
+        ivfpq_build,
+    )
+
+    # 8x with DISTINCT ids (the sf8 fixture duplicates ids, which
+    # collapses the md5-seeded centroid set — a real 8x corpus grows
+    # in rows, not copies of the same key)
+    base = _emb(spark, SF_DIR)
+    emb = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+            for i in range(8)
+        ],
+    ).localCheckpoint(eager=True)
+    idx = ivfpq_build(emb, str(tmp_path / "ivfpq8"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = ivfpq_adc_candidates(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = cand._jdf.queryExecution().explainString(mode)
+    m = re.search(
+        r"PartitionFilters: \[cid#\d+ "
+        r"(?:IN \(([0-9]+(?:, ?[0-9]+)*)\)|INSET ([0-9]+(?:, ?[0-9]+)*))",
+        plan,
+    )
+    assert m, plan
+    assert len((m.group(1) or m.group(2)).split(",")) == IVF_NPROBE
+    codes_chunks = [c for c in plan.split("Scan parquet") if "/codes" in c]
+    assert codes_chunks
+    for c in codes_chunks:
+        rs = re.search(r"ReadSchema: (\S+)", c)
+        assert rs and "embedding" not in rs.group(1), c
+    assert "TakeOrdered" in cand._jdf.queryExecution().executedPlan().toString()
+    # pruned-bytes ratio: the probed cells really are a minority of the
+    # 8x layout's cell partitions
+    import os
+
+    n_cells = sum(
+        1
+        for d in os.listdir(os.path.join(idx, "codes"))
+        if d.startswith("cid=")
+    )
+    assert n_cells > IVF_NPROBE
+    assert len(cand.collect()) > 0
+
+
+@pytest.mark.scale
+def test_scale8_sequence_packing_one_shard_exchange_holds(spark, sf8_dir):
+    """Packing at 8x: still no global sort (range exchange), no
+    cartesian, shard-sized output — the shard-bucket window is the only
+    corpus-wide exchange whatever the corpus size."""
+    df = catalog()["sequence_packing_stats"].builder(spark, sf8_dir)
+    plan = _plan(df)
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    from realtime_gmall_flink_spark.plans.textops import PACK_BUCKETS
+
+    assert df.count() <= PACK_BUCKETS
+
+
+@pytest.mark.scale
+def test_scale8_materialized_mixture_two_cheap_scans(spark, sf8_dir):
+    """The mixture materialization at 8x: language-sized output, no
+    cartesian, and the factor-table pass reads ONLY the lang column
+    (column pruning keeps pass 1 metadata-cheap — the text column is
+    read exactly once, in the per-doc pass)."""
+    import re
+
+    df = catalog()["materialized_mixture_stats"].builder(spark, sf8_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    doc_schemas = [
+        re.search(r"ReadSchema: (\S+)", c).group(1)
+        for c in plan.split("Scan parquet")
+        if "documents.parquet" in c and "ReadSchema" in c
+    ]
+    assert len(doc_schemas) == 2
+    assert sum("text" in s for s in doc_schemas) == 1  # text read once
+    assert any(s == "struct<lang:string>" for s in doc_schemas), doc_schemas
+    assert df.count() <= 16  # language-sized output regardless of 8x
