@@ -673,24 +673,16 @@ def ivf_refresh_if_drifted(
     return report
 
 
-def ivf_probe_cells(
-    spark: SparkSession,
-    index_dir: str,
-    q: DataFrame,
-    exclude_vec_id: int | None = None,
-    nprobe: int = IVF_NPROBE,
-) -> DataFrame:
-    """The cell-restriction half of a persisted-IVF probe: the NPROBE
-    nearest centroids to the one-row query ``q(qe)`` are collected
-    driver-side (nprobe rows, metadata-sized) so the assignment filter
-    is a LITERAL ``cid IN`` predicate — the partition-pruning path:
-    only nprobe of k cell partitions are listed and scanned. Returns
-    the pruned assignment rows (vec_id, embedding, cid); ivf_probe
-    reranks them exactly, ann_ivfpq_topk ADC-scores them first."""
-    import os
-
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    probe_rows = (
+def _nearest_cell_ids(
+    cent: DataFrame, q: DataFrame, nprobe: int
+) -> list[int]:
+    """The NPROBE nearest cell ids to the one-row query ``q(qe)`` over
+    a centroid table (cid, ce) — a bounded driver-side collect (nprobe
+    rows, metadata-sized) so callers can prune their scan with a
+    LITERAL ``cid IN`` predicate. The ONE definition of the probe-cell
+    ranking contract (rounded cos desc, cid asc — the oracle's qcent),
+    shared by the IVF and IVF-PQ persisted probes."""
+    rows = (
         cent.crossJoin(broadcast(q))
         .select(
             "cid",
@@ -702,7 +694,26 @@ def ivf_probe_cells(
         .limit(nprobe)
         .collect()
     )
-    cids = [r["cid"] for r in probe_rows]
+    return [r["cid"] for r in rows]
+
+
+def ivf_probe_cells(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    exclude_vec_id: int | None = None,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """The cell-restriction half of a persisted-IVF probe: the probed
+    cells come from _nearest_cell_ids, so the assignment filter is a
+    LITERAL ``cid IN`` predicate — the partition-pruning path: only
+    nprobe of k cell partitions are listed and scanned. Returns the
+    pruned assignment rows (vec_id, embedding, cid); ivf_probe reranks
+    them exactly."""
+    import os
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cids = _nearest_cell_ids(cent, q, nprobe)
     assigned = spark.read.parquet(
         os.path.join(index_dir, "assignment")
     ).filter(F.col("cid").isin(cids))
@@ -734,20 +745,15 @@ def ivf_probe(
     )
 
 
-# The ONE oracle-side definition of the IVF cell structure (seed
-# centroids -> one Lloyd refinement -> full assignment + the query's
-# probed cells), shared by ann_ivf_topk and ann_ivfpq_topk. The
-# internal CTEs are i-prefixed so the fragment composes with the PQ
-# codebook chain (which owns nemb/seeds/cent0/cent/codes); the
-# fragment itself OWNS the un-prefixed names `q` and `qcent` — a
-# composing query must not redefine either (ann_ivfpq_topk uses
-# qn/qsub for its query-side PQ CTEs for exactly this reason).
-_IVF_CELLS_SQL = f"""icent0 AS (
+# The ONE oracle-side definition of the IVF assignment chain (seed
+# centroids -> one Lloyd refinement -> full assignment), shared by
+# every IVF-flavored oracle. The internal CTEs are i-prefixed so the
+# fragment composes with the PQ codebook chain (which owns
+# nemb/seeds/cent0/cent/codes).
+_IVF_ASSIGN_SQL = f"""icent0 AS (
     SELECT vec_id AS cid, embedding AS ce FROM embeddings
     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
     LIMIT {IVF_CENTROIDS}
-), q AS (
-    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
 ), iscored0 AS (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (
@@ -775,6 +781,15 @@ _IVF_CELLS_SQL = f"""icent0 AS (
     FROM embeddings e CROSS JOIN icent c
 ), iassigned AS (
     SELECT vec_id, embedding, cid FROM iscored WHERE rn = 1
+)"""
+
+# The single-query cell structure: the assignment chain plus the
+# query's probed cells. The fragment OWNS the un-prefixed names `q`
+# and `qcent` — a composing query must not redefine either
+# (ann_ivfpq_topk uses qn/qsub for its query-side PQ CTEs for exactly
+# this reason).
+_IVF_CELLS_SQL = f"""{_IVF_ASSIGN_SQL}, q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
 ), qcent AS (
     SELECT c.cid FROM icent c, q
     ORDER BY round({_cos_sql('c.ce', 'qe')}, 6) DESC, c.cid
@@ -853,38 +868,8 @@ IVF_BATCH_QIDS = (0, 1, 2)
     "ann_ivf_batch_topk",
     survey="J5(ext),J6(ext)",
     oracle=f"""
-WITH cent0 AS (
-    SELECT vec_id AS cid, embedding AS ce FROM embeddings
-    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-    LIMIT {IVF_CENTROIDS}
-), scored0 AS (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
-                        c.cid
-           ) AS rn
-    FROM embeddings e CROSS JOIN cent0 c
-), assigned0 AS (
-    SELECT vec_id, embedding, cid FROM scored0 WHERE rn = 1
-), dimmeans AS (
-    SELECT cid, gs.pos AS pos,
-           avg(CAST(embedding[gs.pos] AS DOUBLE)) AS m
-    FROM assigned0 CROSS JOIN generate_series(1, 64) AS gs(pos)
-    GROUP BY cid, gs.pos
-), cent AS (
-    SELECT cid, list(m ORDER BY pos) AS ce FROM dimmeans GROUP BY cid
-), scored AS (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
-                        c.cid
-           ) AS rn
-    FROM embeddings e CROSS JOIN cent c
-), assigned AS (
-    SELECT vec_id, embedding, cid FROM scored WHERE rn = 1
-), q AS (
+WITH {_IVF_ASSIGN_SQL}
+, q AS (
     SELECT vec_id AS qid, embedding AS qe FROM embeddings
     WHERE vec_id IN {IVF_BATCH_QIDS}
 ), qcent AS (
@@ -895,7 +880,7 @@ WITH cent0 AS (
                    ORDER BY round({_cos_sql('c.ce', 'q.qe')}, 6) DESC,
                             c.cid
                ) AS rn
-        FROM cent c CROSS JOIN q)
+        FROM icent c CROSS JOIN q)
     WHERE rn <= {IVF_NPROBE}
 ), ranked AS (
     SELECT q.qid, a.vec_id,
@@ -905,7 +890,7 @@ WITH cent0 AS (
                ORDER BY round({_cos_sql('a.embedding', 'q.qe')}, 6) DESC,
                         a.vec_id
            ) AS rk
-    FROM assigned a JOIN qcent USING (cid) JOIN q USING (qid)
+    FROM iassigned a JOIN qcent USING (cid) JOIN q USING (qid)
     WHERE a.vec_id <> q.qid
 )
 SELECT qid, vec_id, cos_sim, CAST(rk AS INTEGER) AS rk
@@ -1376,7 +1361,7 @@ def ivf_drift(
     }
     total_build = sum(build.values())
     total_now = sum(now.values())
-    growth = (total_now - total_build) / total_build if total_build else 0.0
+    growth = _growth_fraction(total_build, total_now - total_build)
     # cell-share ratio: (cell_now/total_now) / (cell_build/total_build).
     # A cell EMPTY at build (Lloyd can strand a centroid) only counts as
     # infinite skew once it holds a material share (>=1% of the build
@@ -2627,6 +2612,7 @@ def pq_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivfpq_topk",
     survey="J5(ext),J6(ext)",
+    headline=True,
     oracle=f"""
 WITH {_IVF_CELLS_SQL}
 , cells AS (
@@ -2964,6 +2950,25 @@ def _pq_validated_rerank(
     is returned (see pq_probe's contract). The returned frame scores
     the validated driver-side snapshot — a bounded local relation."""
     ids = [r["vec_id"] for r in cand.collect()]
+    fetched = _pq_fetch_validated(spark, emb, ids, caller)
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        fetched.crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _pq_fetch_validated(
+    spark: SparkSession, emb: DataFrame, ids: list[int], caller: str
+) -> DataFrame:
+    """The ONE definition of the candidate point-fetch validation: pull
+    the bounded id set from ``emb`` via the pushed-isin scan aggregated
+    per id (_pq_rerank_fetch) and refuse missing / NULL-carrying /
+    conflicting ids BY NAME. Returns the validated (vec_id, embedding)
+    snapshot as a bounded local relation — shared by the single-query
+    and batch reranks so the refusal semantics cannot drift apart."""
     fetch_schema = emb.select("vec_id", "embedding").schema
     per_id = _pq_rerank_fetch(emb, ids).collect()
     missing = sorted(set(ids) - {r["vec_id"] for r in per_id})
@@ -2991,15 +2996,8 @@ def _pq_validated_rerank(
             f" conflicting embeddings in emb (e.g. {conflicting[:5]})"
             " — the rerank corpus must be consistent per vec_id"
         )
-    fetched = spark.createDataFrame(
+    return spark.createDataFrame(
         [(r["vec_id"], r["embedding"]) for r in per_id], fetch_schema
-    )
-    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
-    return (
-        fetched.crossJoin(broadcast(q))
-        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(k)
     )
 
 
@@ -3162,17 +3160,34 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
             os.path.join(staging, "codes")
         )
         out = spark.read.parquet(os.path.join(staging, "codes"))
-        n, n_codes = out.count(), codes.count()
-        n_cell_ids = cells.count()
-        n_code_ids = codes.select("vec_id").distinct().count()
-        # id-set agreement, both directions: a codes id missing a cell
-        # label shrinks the join (n < n_codes); a cell id missing codes
-        # leaves the distinct counts apart
-        if n != n_codes or n_cell_ids != n_code_ids:
+        n = out.count()
+        # id-set agreement in both directions, ONE job: full-outer-join
+        # the two skinny id projections and count the unmatched sides —
+        # a codes id missing its cell label would silently vanish from
+        # the join above; a labeled id missing codes means the parents'
+        # corpora diverged
+        agree = (
+            codes.select("vec_id", F.lit(1).alias("__c"))
+            .join(
+                cells.select("vec_id", F.lit(1).alias("__a")),
+                "vec_id",
+                "full_outer",
+            )
+            .agg(
+                F.count(F.when(F.col("__a").isNull(), 1)).alias(
+                    "codes_only"
+                ),
+                F.count(F.when(F.col("__c").isNull(), 1)).alias(
+                    "cells_only"
+                ),
+            )
+            .head()
+        )
+        if agree["codes_only"] or agree["cells_only"]:
             raise ValueError(
-                f"ivfpq build: parent indexes disagree — assignment"
-                f" labels {n_cell_ids} distinct ids, PQ codes hold"
-                f" {n_code_ids} ({n_codes} rows, {n} joined). One"
+                f"ivfpq build: parent indexes disagree —"
+                f" {agree['codes_only']} coded ids lack a cell label,"
+                f" {agree['cells_only']} labeled ids lack codes. One"
                 " parent was appended without the other; rebuild both"
                 " over the same corpus"
             )
@@ -3227,25 +3242,13 @@ def _ivfpq_meta(index_dir: str) -> dict:
 def _ivfpq_probe_cids(
     spark: SparkSession, index_dir: str, q: DataFrame, nprobe: int
 ) -> list[int]:
-    """The NPROBE nearest cell ids to the one-row query — a bounded
-    driver-side collect (nprobe rows, metadata-sized) so the codes
+    """The composed layout's probed cells — the shared
+    _nearest_cell_ids ranking over ITS copied centroids, so the codes
     filter is a LITERAL ``cid IN`` predicate the scan prunes on."""
     import os
 
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    rows = (
-        cent.crossJoin(broadcast(q))
-        .select(
-            "cid",
-            F.round(
-                cosine_similarity(F.col("ce"), F.col("qe")), 6
-            ).alias("qc"),
-        )
-        .orderBy(F.col("qc").desc(), F.col("cid").asc())
-        .limit(nprobe)
-        .collect()
-    )
-    return [r["cid"] for r in rows]
+    return _nearest_cell_ids(cent, q, nprobe)
 
 
 def ivfpq_adc_candidates(
@@ -3324,7 +3327,13 @@ def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     codes_path = os.path.join(index_dir, "codes")
     existing = spark.read.parquet(codes_path).select("vec_id")
-    fresh_in = emb.dropDuplicates(["vec_id"])
+    # materialize the dedup BEFORE the two lineage branches below: the
+    # duplicate pick is nondeterministic per execution, so encode and
+    # assign re-planning it independently could pair one copy's codes
+    # with ANOTHER copy's cell when a vec_id arrives twice with
+    # different embeddings — the snapshot makes both branches read the
+    # same row
+    fresh_in = emb.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
     encoded = _pq_encode(
         _pq_normalized(fresh_in),
         cb,
@@ -3347,27 +3356,59 @@ def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
 
 
 def ivfpq_drift(
-    spark: SparkSession, index_dir: str, growth_warn: float = 0.5
+    spark: SparkSession,
+    index_dir: str,
+    growth_warn: float = 0.5,
+    skew_warn: float = 2.0,
 ) -> dict:
     """How stale are the frozen quantizers? Appends encode against
     build-time codebooks and assign against build-time centroids, so
-    growth degrades both the cell balance and the ADC fidelity — the
-    same scalar contract as pq_drift (appended fraction vs the build
-    size persisted in meta)."""
+    growth degrades both the ADC fidelity (pq_drift's scalar: appended
+    fraction vs the meta build size) and the CELL BALANCE — the
+    build_stats snapshot exists for the second signal: like ivf_drift,
+    any cell whose share grows past ``skew_warn``x its build share
+    (ignoring immaterial cells, < 1% of the build) also recommends a
+    rebuild, catching an append flood that lands lopsided in one cell
+    while total growth still looks tame. Both reads are parquet-footer
+    row counts (no code data)."""
     import os
 
     total_build = _ivfpq_meta(index_dir)["n_vecs"]
-    total_now = spark.read.parquet(
-        os.path.join(index_dir, "codes")
-    ).count()
+    build = {
+        r["cid"]: r["count"]
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "build_stats")
+        ).collect()
+    }
+    now = {
+        r["cid"]: r["count"]
+        for r in spark.read.parquet(os.path.join(index_dir, "codes"))
+        .groupBy("cid")
+        .count()
+        .collect()
+    }
+    total_now = sum(now.values())
     appended = total_now - total_build
     growth = _growth_fraction(total_build, appended)
+    min_cell = max(1, total_build // 100)
+    max_ratio = 0.0
+    for cid, n in now.items():
+        b = build.get(cid)
+        if not b:
+            if n > min_cell:
+                max_ratio = float("inf")
+                break
+            continue
+        ratio = (n / total_now) / (b / total_build) if total_now else 0.0
+        max_ratio = max(max_ratio, ratio)
     return {
         "total_build": total_build,
         "total_now": total_now,
         "appended": appended,
         "growth": growth,
-        "rebuild_recommended": growth > growth_warn,
+        "max_cell_ratio": max_ratio,
+        "rebuild_recommended": growth > growth_warn
+        or max_ratio > skew_warn,
     }
 
 
@@ -3501,34 +3542,7 @@ def _pq_validated_rerank_batch(
 
     pairs = [(r["qid"], r["vec_id"]) for r in cand.collect()]
     ids = sorted({v for _, v in pairs})
-    fetch_schema = emb.select("vec_id", "embedding").schema
-    per_id = _pq_rerank_fetch(emb, ids).collect()
-    missing = sorted(set(ids) - {r["vec_id"] for r in per_id})
-    if missing:
-        raise ValueError(
-            f"{caller}: {len(missing)} ADC candidates missing from the"
-            f" rerank corpus (e.g. {missing[:5]}) — pass the full"
-            " indexed corpus (build + appends) as emb"
-        )
-    nulled = sorted(
-        r["vec_id"] for r in per_id if r["n_nonnull"] != r["n_rows"]
-    )
-    if nulled:
-        raise ValueError(
-            f"{caller}: {len(nulled)} candidate ids carry NULL"
-            f" embeddings in emb (e.g. {nulled[:5]}) — the rerank"
-            " corpus must have a real vector per id"
-        )
-    conflicting = sorted(r["vec_id"] for r in per_id if r["n_emb"] > 1)
-    if conflicting:
-        raise ValueError(
-            f"{caller}: {len(conflicting)} candidate ids appear with"
-            f" conflicting embeddings in emb (e.g. {conflicting[:5]})"
-            " — the rerank corpus must be consistent per vec_id"
-        )
-    fetched = spark.createDataFrame(
-        [(r["vec_id"], r["embedding"]) for r in per_id], fetch_schema
-    )
+    fetched = _pq_fetch_validated(spark, emb, ids, caller)
     pairs_df = spark.createDataFrame(pairs, "qid long, vec_id long")
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     w = Window.partitionBy("qid").orderBy(
@@ -3555,10 +3569,19 @@ def _require_query_batch(queries: DataFrame) -> None:
     by name (the one-row-q precedent applied to batches)."""
     agg = queries.agg(
         F.count(F.lit(1)).alias("n"),
+        F.count("qid").alias("n_nonnull"),
         F.count_distinct("qid").alias("nq"),
     ).head()
     if agg["n"] == 0:
         raise ValueError("pq batch query frame is empty (qid, qe)")
+    # count_distinct skips NULLs — check them first or a NULL qid would
+    # be misreported as a duplicate (and silently drop in the
+    # downstream qid joins if it slipped through)
+    if agg["n_nonnull"] != agg["n"]:
+        raise ValueError(
+            f"pq batch query frame carries"
+            f" {agg['n'] - agg['n_nonnull']} NULL qids"
+        )
     if agg["n"] != agg["nq"]:
         raise ValueError(
             f"pq batch query frame carries duplicate qids"
@@ -3723,47 +3746,11 @@ def ann_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_probe_batch(spark, idx, queries, emb)
 
 
-# The assignment chain of _IVF_CELLS_SQL without its single-query
-# q/qcent tail — the batch entry scopes cells per qid instead.
-_IVF_ASSIGN_BATCH_SQL = f"""icent0 AS (
-    SELECT vec_id AS cid, embedding AS ce FROM embeddings
-    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-    LIMIT {IVF_CENTROIDS}
-), iscored0 AS (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
-                        c.cid
-           ) AS rn
-    FROM embeddings e CROSS JOIN icent0 c
-), iassigned0 AS (
-    SELECT vec_id, embedding, cid FROM iscored0 WHERE rn = 1
-), idimmeans AS (
-    SELECT cid, gs.pos AS pos,
-           avg(CAST(embedding[gs.pos] AS DOUBLE)) AS m
-    FROM iassigned0 CROSS JOIN generate_series(1, 64) AS gs(pos)
-    GROUP BY cid, gs.pos
-), icent AS (
-    SELECT cid, list(m ORDER BY pos) AS ce FROM idimmeans GROUP BY cid
-), iscored AS (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
-                        c.cid
-           ) AS rn
-    FROM embeddings e CROSS JOIN icent c
-), iassigned AS (
-    SELECT vec_id, embedding, cid FROM iscored WHERE rn = 1
-)"""
-
-
 @register(
     "ann_ivfpq_batch_topk",
     survey="J5(ext),J6(ext)",
     oracle=f"""
-WITH {_IVF_ASSIGN_BATCH_SQL}
+WITH {_IVF_ASSIGN_SQL}
 , {_PQ_CODEBOOK_SQL}
 , {_PQ_BATCH_QUERY_SQL}
 , iqcent AS (

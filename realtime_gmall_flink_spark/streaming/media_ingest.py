@@ -163,11 +163,13 @@ def read_media_features(
     stale unknown rows. The bookkeeping column is dropped after the
     filter; consumers see the bare extract_features shape.
 
-    A NON-default dim requested against a tree whose only rows are
+    A NON-default dim requested against a tree whose ONLY rows are
     legacy is refused BY NAME (one metadata-cheap aggregate, run only
     for non-default requests): the filter would empty a non-empty tree
     and the caller could not distinguish 'wrong dim requested against
-    legacy data' from 'nothing ingested' (ADVICE r9)."""
+    legacy data' from 'nothing ingested' (ADVICE r9). A tree holding
+    any RECORDED rows keeps the honest-empty contract on a miss — the
+    recorded dims make the situation diagnosable."""
     from pyspark.sql import Window
 
     from ..indexutil import read_batched
@@ -187,7 +189,11 @@ def read_media_features(
                 F.when(F.col("feature_dim").isNull(), 1)
             ).alias("n_legacy"),
         ).head()
-        if counts["n_match"] == 0 and counts["n_legacy"] > 0:
+        if (
+            counts["n_match"] == 0
+            and counts["n_legacy"] > 0
+            and counts["n"] == counts["n_legacy"]  # pure-legacy only
+        ):
             raise ValueError(
                 f"read_media_features: dim={int(feature_dim)} matches"
                 f" no recorded rows, and the tree's {counts['n_legacy']}"

@@ -288,3 +288,10 @@ def test_media_feature_read_refuses_nondefault_dim_on_pure_legacy(
         "feature_dim", F.lit(4)
     ).write.parquet(os.path.join(out2, "media_features", "batch=0"))
     assert MI.read_media_features(spark, out2, feature_dim=8).count() == 0
+
+    # MIXED tree (legacy + recorded-other-dim): the recorded rows make
+    # the miss diagnosable — honest empty frame, no raise
+    extract_features(_media_slice(spark, 10, 15), dim=16).write.parquet(
+        os.path.join(out2, "media_features", "batch=1")
+    )
+    assert MI.read_media_features(spark, out2, feature_dim=8).count() == 0
