@@ -38,7 +38,13 @@ def staged_index_build(
             return index_dir
         shutil.rmtree(index_dir, ignore_errors=True)
     staging = f"{index_dir}.building-{uuid.uuid4().hex[:8]}"
-    write(staging)
+    try:
+        write(staging)
+    except BaseException:
+        # a refused/crashed write must not leave orphan staging debris
+        # (recover_index only sweeps rebuild/tombstone siblings)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     try:
         os.rename(staging, index_dir)
     except OSError:
@@ -157,7 +163,11 @@ def rebuild_index(
     recover_index(index_dir, subdirs)
     run = _run_id()
     new_dir = f"{index_dir}{_REBUILD_PREFIX}{run}"
-    write(new_dir)
+    try:
+        write(new_dir)
+    except BaseException:
+        shutil.rmtree(new_dir, ignore_errors=True)  # no orphan debris
+        raise
     if not _valid(new_dir):
         shutil.rmtree(new_dir, ignore_errors=True)
         raise RuntimeError(

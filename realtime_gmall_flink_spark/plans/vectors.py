@@ -1362,21 +1362,7 @@ def ivf_drift(
     total_build = sum(build.values())
     total_now = sum(now.values())
     growth = _growth_fraction(total_build, total_now - total_build)
-    # cell-share ratio: (cell_now/total_now) / (cell_build/total_build).
-    # A cell EMPTY at build (Lloyd can strand a centroid) only counts as
-    # infinite skew once it holds a material share (>=1% of the build
-    # size) — a single stray vector must not trigger a rebuild.
-    min_cell = max(1, total_build // 100)
-    max_ratio = 0.0
-    for cid, n in now.items():
-        b = build.get(cid)
-        if not b:
-            if n > min_cell:
-                max_ratio = float("inf")
-                break
-            continue
-        ratio = (n / total_now) / (b / total_build)
-        max_ratio = max(max_ratio, ratio)
+    max_ratio = _cell_skew_ratio(build, now, total_build, total_now)
     return {
         "total_build": total_build,
         "total_now": total_now,
@@ -1756,6 +1742,28 @@ def sq8_drift(
         "growth": growth,
         "rebuild_recommended": growth > growth_warn,
     }
+
+
+def _cell_skew_ratio(
+    build: dict, now: dict, total_build: int, total_now: int
+) -> float:
+    """Worst cell-share ratio (cell_now/total_now) / (cell_build/
+    total_build) for the cell-partitioned drift monitors (ivf_drift,
+    ivfpq_drift). A cell EMPTY at build (Lloyd can strand a centroid)
+    only counts as infinite skew once it holds a material share (>= 1%
+    of the build size) — a single stray vector must not trigger a
+    rebuild."""
+    min_cell = max(1, total_build // 100)
+    max_ratio = 0.0
+    for cid, n in now.items():
+        b = build.get(cid)
+        if not b:
+            if n > min_cell:
+                return float("inf")
+            continue
+        ratio = (n / total_now) / (b / total_build) if total_now else 0.0
+        max_ratio = max(max_ratio, ratio)
+    return max_ratio
 
 
 def _growth_fraction(total_build: int, appended: int) -> float:
@@ -2749,7 +2757,26 @@ def _pq_write(emb: DataFrame):
         _pq_encode(
             _pq_normalized(emb), cb, PQ_M, PQ_SUBDIM, PQ_K
         ).write.parquet(os.path.join(staging, "codes"))
-        n = spark.read.parquet(os.path.join(staging, "codes")).count()
+        stats = (
+            spark.read.parquet(os.path.join(staging, "codes"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("vec_id").alias("n_ids"),
+            )
+            .head()
+        )
+        n = stats["n"]
+        # the codes layout guarantees ONE row per vec_id — duplicate
+        # ids would crowd rerank slots at probe time and fan batch
+        # pairs out (the probes and the composed build all assume
+        # uniqueness); refused here, with the dedup remedy named
+        if n != stats["n_ids"]:
+            raise ValueError(
+                f"pq build: corpus carries duplicate vec_ids"
+                f" ({n} rows, {stats['n_ids']} distinct) — the codes"
+                " layout is one row per id; dropDuplicates(['vec_id'])"
+                " the corpus before pq_build"
+            )
         write_meta_into(
             spark,
             os.path.join(staging, "meta"),
@@ -3156,16 +3183,12 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
             .dropDuplicates(["vec_id"])
         )
         codes = spark.read.parquet(os.path.join(pq_dir, "codes"))
-        codes.join(cells, "vec_id").write.partitionBy("cid").parquet(
-            os.path.join(staging, "codes")
-        )
-        out = spark.read.parquet(os.path.join(staging, "codes"))
-        n = out.count()
-        # id-set agreement in both directions, ONE job: full-outer-join
-        # the two skinny id projections and count the unmatched sides —
-        # a codes id missing its cell label would silently vanish from
-        # the join above; a labeled id missing codes means the parents'
-        # corpora diverged
+        # id-set agreement in both directions BEFORE the expensive
+        # partitioned write, ONE job: full-outer-join the two skinny id
+        # projections and count the unmatched sides — a codes id
+        # missing its cell label would silently vanish from the join;
+        # a labeled id missing codes means the parents' corpora
+        # diverged
         agree = (
             codes.select("vec_id", F.lit(1).alias("__c"))
             .join(
@@ -3180,6 +3203,7 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
                 F.count(F.when(F.col("__c").isNull(), 1)).alias(
                     "cells_only"
                 ),
+                F.count(F.lit(1)).alias("n_union"),
             )
             .head()
         )
@@ -3191,6 +3215,23 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
                 " parent was appended without the other; rebuild both"
                 " over the same corpus"
             )
+        # parents can be REUSED caches: verify they actually cover the
+        # corpus the caller asked to index — stale parents built over a
+        # different corpus would otherwise compose a layout that
+        # silently never sees the new vectors (one column-pruned count)
+        n_emb = emb.select("vec_id").distinct().count()
+        if n_emb != agree["n_union"]:
+            raise ValueError(
+                f"ivfpq build: parent indexes cover {agree['n_union']}"
+                f" ids but the corpus holds {n_emb} — the parent caches"
+                " are stale for this corpus; rebuild them over it"
+                " (ivf_rebuild/pq_rebuild) or pass fresh parent dirs"
+            )
+        codes.join(cells, "vec_id").write.partitionBy("cid").parquet(
+            os.path.join(staging, "codes")
+        )
+        out = spark.read.parquet(os.path.join(staging, "codes"))
+        n = out.count()
         out.groupBy("cid").count().write.parquet(
             os.path.join(staging, "build_stats")
         )
@@ -3390,17 +3431,7 @@ def ivfpq_drift(
     total_now = sum(now.values())
     appended = total_now - total_build
     growth = _growth_fraction(total_build, appended)
-    min_cell = max(1, total_build // 100)
-    max_ratio = 0.0
-    for cid, n in now.items():
-        b = build.get(cid)
-        if not b:
-            if n > min_cell:
-                max_ratio = float("inf")
-                break
-            continue
-        ratio = (n / total_now) / (b / total_build) if total_now else 0.0
-        max_ratio = max(max_ratio, ratio)
+    max_ratio = _cell_skew_ratio(build, now, total_build, total_now)
     return {
         "total_build": total_build,
         "total_now": total_now,
@@ -3540,7 +3571,12 @@ def _pq_validated_rerank_batch(
     Output schema matches ivf_probe_batch: (qid, vec_id, cos_sim, rk)."""
     from pyspark.sql import Window
 
-    pairs = [(r["qid"], r["vec_id"]) for r in cand.collect()]
+    # set-dedup: the codes layout guarantees one row per id (pq_build
+    # refuses duplicates), but a duplicated (qid, vec_id) pair here
+    # would occupy two of the k ranks downstream — belt and braces
+    pairs = sorted(
+        {(r["qid"], r["vec_id"]) for r in cand.collect()}
+    )
     ids = sorted({v for _, v in pairs})
     fetched = _pq_fetch_validated(spark, emb, ids, caller)
     pairs_df = spark.createDataFrame(pairs, "qid long, vec_id long")
@@ -3589,20 +3625,17 @@ def _require_query_batch(queries: DataFrame) -> None:
         )
 
 
-def pq_probe_batch(
+def pq_batch_candidates(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
-    emb: DataFrame,
-    k: int = TOP_K,
     rerank: int = PQ_RERANK,
 ) -> DataFrame:
-    """Top-k for MANY query vectors against the persisted PQ index in
-    ONE codes scan: the N per-query lookup tables broadcast as one
-    N-row side, each codes row scores against all N in the scan, a
-    per-qid window cuts the candidates, one fetch validates and
-    reranks. Corpus query ids exclude their self-match (the
-    ivf_probe_batch contract)."""
+    """The ADC half of the batch probe: ONE codes scan scores every row
+    against all N broadcast lookup tables, a per-qid window cuts the
+    candidates. Geometry from the persisted meta. Exposed separately so
+    plan tests can pin the single-scan shape without reconstructing the
+    stage from internals."""
     import os
 
     _require_query_batch(queries)
@@ -3616,28 +3649,40 @@ def pq_probe_batch(
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", _pq_adc_sum(m).alias("adc"))
     )
-    cand = _pq_batch_candidate_cut(scored, rerank)
-    return _pq_validated_rerank_batch(
-        spark, cand, emb, queries, k, caller="pq_probe_batch"
-    )
+    return _pq_batch_candidate_cut(scored, rerank)
 
 
-def ivfpq_probe_batch(
+def pq_probe_batch(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
     emb: DataFrame,
     k: int = TOP_K,
     rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Top-k for MANY query vectors against the persisted PQ index in
+    ONE codes scan (pq_batch_candidates), then one fetch validates and
+    reranks. Corpus query ids exclude their self-match (the
+    ivf_probe_batch contract)."""
+    cand = pq_batch_candidates(spark, index_dir, queries, rerank)
+    return _pq_validated_rerank_batch(
+        spark, cand, emb, queries, k, caller="pq_probe_batch"
+    )
+
+
+def ivfpq_batch_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    rerank: int = PQ_RERANK,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    """Top-k for MANY query vectors against the persisted IVF-PQ index
-    in ONE pruned codes scan: per-query probe cells come from ranking
-    the centroids per qid (the ivf_probe_batch pattern — the (qid, cid)
-    pairs are a bounded driver collect), the scan prunes to the UNION
-    of probed cells with a literal filter, the broadcast pair join
-    restores per-query cell scoping, the broadcast lookup-table join
-    scores, and one fetch validates and reranks."""
+    """The pruned ADC half of the batch probe: per-query probe cells
+    come from ranking the centroids per qid (the ivf_probe_batch
+    pattern — the (qid, cid) pairs are a bounded driver collect), the
+    ONE codes scan prunes to the UNION of probed cells with a literal
+    filter, the broadcast pair join restores per-query cell scoping,
+    the broadcast lookup-table join scores, a per-qid window cuts."""
     import os
 
     from pyspark.sql import Window
@@ -3673,7 +3718,24 @@ def ivfpq_probe_batch(
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", _pq_adc_sum(m).alias("adc"))
     )
-    cand = _pq_batch_candidate_cut(scored, rerank)
+    return _pq_batch_candidate_cut(scored, rerank)
+
+
+def ivfpq_probe_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    emb: DataFrame,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Top-k for MANY query vectors against the persisted IVF-PQ index
+    in ONE pruned codes scan (ivfpq_batch_candidates), then one fetch
+    validates and reranks."""
+    cand = ivfpq_batch_candidates(
+        spark, index_dir, queries, rerank, nprobe
+    )
     return _pq_validated_rerank_batch(
         spark, cand, emb, queries, k, caller="ivfpq_probe_batch"
     )

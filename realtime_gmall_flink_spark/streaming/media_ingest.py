@@ -164,8 +164,10 @@ def read_media_features(
     filter; consumers see the bare extract_features shape.
 
     A NON-default dim requested against a tree whose ONLY rows are
-    legacy is refused BY NAME (one metadata-cheap aggregate, run only
-    for non-default requests): the filter would empty a non-empty tree
+    legacy is refused BY NAME (a limit-1 probe short-circuits the
+    common has-matches case; the disambiguation aggregate runs only
+    when the result is about to be empty): the filter would empty a
+    non-empty tree
     and the caller could not distinguish 'wrong dim requested against
     legacy data' from 'nothing ingested' (ADVICE r9). A tree holding
     any RECORDED rows keeps the honest-empty contract on a miss — the
@@ -180,17 +182,28 @@ def read_media_features(
     if "feature_dim" not in df.columns:  # pure-legacy tree
         df = df.withColumn("feature_dim", F.lit(None).cast("int"))
     if int(feature_dim) != LEGACY_FEATURE_DIM:
-        counts = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(
-                F.when(F.col("feature_dim") == int(feature_dim), 1)
-            ).alias("n_match"),
-            F.count(
-                F.when(F.col("feature_dim").isNull(), 1)
-            ).alias("n_legacy"),
-        ).head()
+        # short-circuit probe first: when ANY matching row exists the
+        # guard is moot, and limit(1) stops the scan at the first hit —
+        # the full disambiguation aggregate runs only for the
+        # about-to-be-empty case
+        has_match = (
+            df.filter(F.col("feature_dim") == int(feature_dim))
+            .limit(1)
+            .count()
+            == 1
+        )
+        counts = (
+            None
+            if has_match
+            else df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(
+                    F.when(F.col("feature_dim").isNull(), 1)
+                ).alias("n_legacy"),
+            ).head()
+        )
         if (
-            counts["n_match"] == 0
+            counts is not None
             and counts["n_legacy"] > 0
             and counts["n"] == counts["n_legacy"]  # pure-legacy only
         ):

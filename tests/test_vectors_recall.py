@@ -1678,25 +1678,13 @@ def test_pq_batch_probe_single_codes_scan(spark, tmp_path):
         ):
             want.append((qid, rk, r["vec_id"], r["cos_sim"]))
     assert rows == sorted(want)
-    # plan shape: the scored stage (pre-collect) reads codes ONCE
-    import os
-
-    meta_cb = spark.read.parquet(os.path.join(idx, "codebooks"))
+    # plan shape: the candidate stage (pre-collect, geometry from the
+    # persisted meta) reads codes ONCE for all N queries
     from realtime_gmall_flink_spark.plans.vectors import (
-        _pq_adc_sum,
-        _pq_batch_candidate_cut,
-        _pq_lut_rows,
+        pq_batch_candidates,
     )
-    from pyspark.sql.functions import broadcast
 
-    luts = _pq_lut_rows(meta_cb, queries, 4)
-    codes = spark.read.parquet(os.path.join(idx, "codes"))
-    scored = (
-        codes.crossJoin(broadcast(luts))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _pq_adc_sum(16).alias("adc"))
-    )
-    cand = _pq_batch_candidate_cut(scored, 64)
+    cand = pq_batch_candidates(spark, idx, queries)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
@@ -1748,8 +1736,36 @@ def test_ivfpq_batch_probe_single_pruned_codes_scan(spark, tmp_path):
         ):
             want.append((qid, rk, r["vec_id"], r["cos_sim"]))
     assert rows == sorted(want)
-    # batch-frame refusals: empty and duplicate-qid query frames fail
-    # eagerly by name, never silently score nothing / double-score
+    # plan shape, promised by the name: ONE codes scan pruned to the
+    # union of all probed cells with a literal PartitionFilter (<=
+    # nq*nprobe cells), codes-only ReadSchema
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivfpq_batch_candidates,
+    )
+
+    cand = ivfpq_batch_candidates(spark, idx, queries)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = cand._jdf.queryExecution().explainString(mode)
+    assert plan.count("ivfpqb/codes") == 1
+    m = re.search(
+        r"PartitionFilters: \[cid#\d+ "
+        r"(?:IN \(([0-9]+(?:, ?[0-9]+)*)\)|INSET ([0-9]+(?:, ?[0-9]+)*))",
+        plan,
+    )
+    assert m, plan
+    cells = (m.group(1) or m.group(2)).split(",")
+    assert 1 < len(cells) <= len(IVF_BATCH_QIDS) * IVF_NPROBE
+    for c in plan.split("Scan parquet"):
+        if "/codes" in c:
+            rs = re.search(r"ReadSchema: (\S+)", c)
+            assert rs and "embedding" not in rs.group(1), c
+    assert "posexplode" not in plan.lower()
+
+    # batch-frame refusals: empty, duplicate-qid, and NULL-qid query
+    # frames fail eagerly by name, never silently score nothing /
+    # double-score / drop a query
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="is empty"):
@@ -1758,3 +1774,10 @@ def test_ivfpq_batch_probe_single_pruned_codes_scan(spark, tmp_path):
         ivfpq_probe_batch(
             spark, idx, queries.unionByName(queries), emb
         )
+    nulled = queries.unionByName(
+        queries.limit(1).select(
+            F.lit(None).cast("long").alias("qid"), "qe"
+        )
+    )
+    with _pytest.raises(ValueError, match="NULL qids"):
+        ivfpq_probe_batch(spark, idx, nulled, emb)
