@@ -912,28 +912,18 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_batch(spark, idx, queries)
 
 
-def ivf_probe_batch(
-    spark: SparkSession,
-    index_dir: str,
-    queries: DataFrame,
-    k: int = TOP_K,
-    nprobe: int = IVF_NPROBE,
-) -> DataFrame:
-    """Top-k for MANY query vectors in one pass over the persisted
-    index — the probe-many shape batch ANN search actually runs.
-    ``queries`` is (qid, qe). Per-query probe cells come from ranking
-    the k-row centroid table per qid (a window over nq*k rows); the
-    (qid, cid) probe pairs are collected driver-side (nq*nprobe rows —
-    metadata-sized for any sane query batch) so the assignment scan is
-    pruned to the UNION of all probed cells with a literal filter, then
-    the broadcast probe-pair join restores per-query cell scoping and a
-    per-qid window takes the top k. One index scan total, regardless of
-    query count."""
-    import os
-
+def _probe_cell_pairs(
+    cent: DataFrame, queries: DataFrame, nprobe: int
+) -> tuple[list[int], DataFrame]:
+    """Per-query probe cells for a batch: rank the k-row centroid table
+    per qid (a window over nq*k rows) and collect the (qid, cid) pairs
+    driver-side (nq*nprobe rows — metadata-sized for any sane batch).
+    Returns (sorted union of probed cids for the literal scan filter,
+    broadcastable pairs frame restoring per-query scoping) — the ONE
+    definition of the batch cell-ranking contract, shared by the IVF
+    and IVF-PQ batch probes."""
     from pyspark.sql import Window
 
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     qc = F.round(cosine_similarity(F.col("ce"), F.col("qe")), 6)
     rank_w = Window.partitionBy("qid").orderBy(
         F.col("__qc").desc(), F.col("cid").asc()
@@ -947,9 +937,33 @@ def ivf_probe_batch(
         .collect()
     )
     cids = sorted({r["cid"] for r in probe_pairs})
-    pairs_df = spark.createDataFrame(
+    pairs_df = queries.sparkSession.createDataFrame(
         [(r["qid"], r["cid"]) for r in probe_pairs], "qid long, cid long"
     )
+    return cids, pairs_df
+
+
+def ivf_probe_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Top-k for MANY query vectors in one pass over the persisted
+    index — the probe-many shape batch ANN search actually runs.
+    ``queries`` is (qid, qe). Per-query probe cells come from
+    _probe_cell_pairs so the assignment scan is pruned to the UNION of
+    all probed cells with a literal filter, then the broadcast
+    probe-pair join restores per-query cell scoping and a per-qid
+    window takes the top k. One index scan total, regardless of query
+    count."""
+    import os
+
+    from pyspark.sql import Window
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     assigned = spark.read.parquet(
         os.path.join(index_dir, "assignment")
     ).filter(F.col("cid").isin(cids))
@@ -2745,6 +2759,21 @@ def _pq_write(emb: DataFrame):
     spark = emb.sparkSession
 
     def write(staging: str) -> None:
+        # duplicate-id refusal FIRST (one skinny scan): the codes
+        # layout and every probe assume one row per vec_id, and
+        # training + encode + write are the costliest jobs in this
+        # module — refuse before paying them
+        dup = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("vec_id").alias("n_ids"),
+        ).head()
+        if dup["n"] != dup["n_ids"]:
+            raise ValueError(
+                f"pq build: corpus carries duplicate vec_ids"
+                f" ({dup['n']} rows, {dup['n_ids']} distinct) — the"
+                " codes layout is one row per id;"
+                " dropDuplicates(['vec_id']) the corpus before pq_build"
+            )
         cent = pq_refine(emb, pq_seed_codebooks(emb))
         rank = (
             F.row_number().over(Window.partitionBy("s").orderBy("cid"))
@@ -2757,26 +2786,7 @@ def _pq_write(emb: DataFrame):
         _pq_encode(
             _pq_normalized(emb), cb, PQ_M, PQ_SUBDIM, PQ_K
         ).write.parquet(os.path.join(staging, "codes"))
-        stats = (
-            spark.read.parquet(os.path.join(staging, "codes"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_distinct("vec_id").alias("n_ids"),
-            )
-            .head()
-        )
-        n = stats["n"]
-        # the codes layout guarantees ONE row per vec_id — duplicate
-        # ids would crowd rerank slots at probe time and fan batch
-        # pairs out (the probes and the composed build all assume
-        # uniqueness); refused here, with the dedup remedy named
-        if n != stats["n_ids"]:
-            raise ValueError(
-                f"pq build: corpus carries duplicate vec_ids"
-                f" ({n} rows, {stats['n_ids']} distinct) — the codes"
-                " layout is one row per id; dropDuplicates(['vec_id'])"
-                " the corpus before pq_build"
-            )
+        n = spark.read.parquet(os.path.join(staging, "codes")).count()
         write_meta_into(
             spark,
             os.path.join(staging, "meta"),
@@ -3183,27 +3193,52 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
             .dropDuplicates(["vec_id"])
         )
         codes = spark.read.parquet(os.path.join(pq_dir, "codes"))
-        # id-set agreement in both directions BEFORE the expensive
-        # partitioned write, ONE job: full-outer-join the two skinny id
-        # projections and count the unmatched sides — a codes id
-        # missing its cell label would silently vanish from the join;
-        # a labeled id missing codes means the parents' corpora
-        # diverged
-        agree = (
-            codes.select("vec_id", F.lit(1).alias("__c"))
-            .join(
-                cells.select("vec_id", F.lit(1).alias("__a")),
-                "vec_id",
-                "full_outer",
+        # id-SET agreement BEFORE the expensive partitioned write, ONE
+        # job: full-outer-join the three skinny id projections (codes,
+        # cell labels, the corpus the caller asked to index) and count
+        # every unmatched category — a codes id missing its cell label
+        # would silently vanish from the join; a labeled id missing
+        # codes means the parents diverged from each other; a parent id
+        # outside the corpus (or a corpus id outside the parents) means
+        # REUSED parent caches are stale for this corpus and the
+        # composed index would silently never see the new vectors.
+        # Counts alone cannot catch an equal-cardinality swap — the
+        # sets themselves are compared.
+        c_ids = codes.select("vec_id", F.lit(1).alias("__c"))
+        a_ids = cells.select("vec_id", F.lit(1).alias("__a"))
+        e_ids = (
+            emb.select("vec_id").distinct().select(
+                "vec_id", F.lit(1).alias("__e")
             )
+        )
+        agree = (
+            c_ids.join(a_ids, "vec_id", "full_outer")
+            .join(e_ids, "vec_id", "full_outer")
             .agg(
-                F.count(F.when(F.col("__a").isNull(), 1)).alias(
-                    "codes_only"
-                ),
-                F.count(F.when(F.col("__c").isNull(), 1)).alias(
-                    "cells_only"
-                ),
-                F.count(F.lit(1)).alias("n_union"),
+                F.count(
+                    F.when(F.col("__c").isNotNull() & F.col("__a").isNull(), 1)
+                ).alias("codes_only"),
+                F.count(
+                    F.when(F.col("__a").isNotNull() & F.col("__c").isNull(), 1)
+                ).alias("cells_only"),
+                F.count(
+                    F.when(
+                        (
+                            F.col("__c").isNotNull()
+                            | F.col("__a").isNotNull()
+                        )
+                        & F.col("__e").isNull(),
+                        1,
+                    )
+                ).alias("parents_only"),
+                F.count(
+                    F.when(
+                        F.col("__e").isNotNull()
+                        & F.col("__c").isNull()
+                        & F.col("__a").isNull(),
+                        1,
+                    )
+                ).alias("corpus_only"),
             )
             .head()
         )
@@ -3215,16 +3250,12 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
                 " parent was appended without the other; rebuild both"
                 " over the same corpus"
             )
-        # parents can be REUSED caches: verify they actually cover the
-        # corpus the caller asked to index — stale parents built over a
-        # different corpus would otherwise compose a layout that
-        # silently never sees the new vectors (one column-pruned count)
-        n_emb = emb.select("vec_id").distinct().count()
-        if n_emb != agree["n_union"]:
+        if agree["parents_only"] or agree["corpus_only"]:
             raise ValueError(
-                f"ivfpq build: parent indexes cover {agree['n_union']}"
-                f" ids but the corpus holds {n_emb} — the parent caches"
-                " are stale for this corpus; rebuild them over it"
+                f"ivfpq build: parent caches are stale for this corpus"
+                f" — {agree['corpus_only']} corpus ids missing from the"
+                f" parents, {agree['parents_only']} parent ids not in"
+                " the corpus; rebuild the parents over it"
                 " (ivf_rebuild/pq_rebuild) or pass fresh parent dirs"
             )
         codes.join(cells, "vec_id").write.partitionBy("cid").parquet(
@@ -3682,10 +3713,9 @@ def ivfpq_batch_candidates(
     pattern — the (qid, cid) pairs are a bounded driver collect), the
     ONE codes scan prunes to the UNION of probed cells with a literal
     filter, the broadcast pair join restores per-query cell scoping,
-    the broadcast lookup-table join scores, a per-qid window cuts."""
+    the broadcast lookup-table join scores, a per-qid window cuts.
+    Cell ranking shares _probe_cell_pairs with ivf_probe_batch."""
     import os
-
-    from pyspark.sql import Window
 
     _require_query_batch(queries)
     meta = _ivfpq_meta(index_dir)
@@ -3693,22 +3723,7 @@ def ivfpq_batch_candidates(
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     luts = _pq_lut_rows(cb, queries, subdim)
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    qc = F.round(cosine_similarity(F.col("ce"), F.col("qe")), 6)
-    rank_w = Window.partitionBy("qid").orderBy(
-        F.col("__qc").desc(), F.col("cid").asc()
-    )
-    probe_pairs = (
-        queries.crossJoin(broadcast(cent))
-        .select("qid", "cid", qc.alias("__qc"))
-        .withColumn("__rn", F.row_number().over(rank_w))
-        .filter(F.col("__rn") <= nprobe)
-        .select("qid", "cid")
-        .collect()
-    )
-    cids = sorted({r["cid"] for r in probe_pairs})
-    pairs_df = spark.createDataFrame(
-        [(r["qid"], r["cid"]) for r in probe_pairs], "qid long, cid long"
-    )
+    cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
     )
