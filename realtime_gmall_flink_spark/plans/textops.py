@@ -2754,11 +2754,12 @@ def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: one combine-collapsed groupBy to a languages-sized frame;
 # the global sums ride a 1-row aggregate broadcast back (crossJoin of
 # aggregate singletons — BroadcastNestedLoop by construction).
-@register(
-    "language_sampling_weights",
-    survey="A4(ext),P10(ext)",
-    oracle="""
-WITH c AS (
+# The ONE oracle-side definition of the temperature ingredients (per-
+# language doc counts with nano-quantized sqrts, plus the exact-integer
+# normalizer), shared by language_sampling_weights and the materialized
+# mixture that CONSUMES its factors — the two entries must stay
+# provably identical on the mixing rule.
+_LANG_TEMP_SQL = """c AS (
     SELECT lang, count(*) AS doc_ct,
            CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000000)
                 AS BIGINT) AS sq_nano
@@ -2767,7 +2768,27 @@ WITH c AS (
     SELECT CAST(sum(doc_ct) AS BIGINT) AS n_total,
            CAST(sum(sq_nano) AS DOUBLE) AS z
     FROM c
-)
+)"""
+
+
+def _lang_sqrt_counts(docs: DataFrame) -> DataFrame:
+    """(lang, doc_ct, sq_nano): the Spark half of _LANG_TEMP_SQL's c
+    CTE — per-language doc counts with the nano-quantized sqrt summed
+    exactly in decimal downstream (the never-average-raw-doubles
+    rule)."""
+    sq_nano = F.round(
+        F.sqrt(F.count(F.lit(1)).cast("double")) * 1000000000
+    ).cast("decimal(20,0)")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_ct"), sq_nano.alias("sq_nano")
+    )
+
+
+@register(
+    "language_sampling_weights",
+    survey="A4(ext),P10(ext)",
+    oracle=f"""
+WITH {_LANG_TEMP_SQL}
 SELECT lang, doc_ct,
        round(CAST(doc_ct AS DOUBLE) / n_total, 6) AS raw_frac,
        round(CAST(sq_nano AS DOUBLE) / z, 6) AS weight,
@@ -2779,17 +2800,7 @@ FROM c, t
 def language_sampling_weights(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sq_nano = F.round(
-        F.sqrt(F.count(F.lit(1)).cast("double")) * 1000000000
-    ).cast("decimal(20,0)")
-    c = (
-        _docs(spark, sf_dir)
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("doc_ct"),
-            sq_nano.alias("sq_nano"),
-        )
-    )
+    c = _lang_sqrt_counts(_docs(spark, sf_dir))
     t = c.agg(
         F.sum("doc_ct").cast("long").alias("n_total"),
         F.sum("sq_nano").cast("double").alias("z"),
@@ -2831,16 +2842,8 @@ MIX_BUCKETS = 65536
     "materialized_mixture_stats",
     survey="A4(ext),J6(ext),P10(ext)",
     oracle=f"""
-WITH c AS (
-    SELECT lang, count(*) AS doc_ct,
-           CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000000)
-                AS BIGINT) AS sq_nano
-    FROM documents GROUP BY lang
-), t AS (
-    SELECT CAST(sum(doc_ct) AS BIGINT) AS n_total,
-           CAST(sum(sq_nano) AS DOUBLE) AS z
-    FROM c
-), f AS (
+WITH {_LANG_TEMP_SQL}
+, f AS (
     SELECT lang,
            CAST(round(CAST(sq_nano AS DOUBLE) / z * n_total / doc_ct
                       * {MIX_BUCKETS}) AS BIGINT) AS fm
@@ -2871,12 +2874,7 @@ def materialized_mixture_stats(
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    sq_nano = F.round(
-        F.sqrt(F.count(F.lit(1)).cast("double")) * 1000000000
-    ).cast("decimal(20,0)")
-    c = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("doc_ct"), sq_nano.alias("sq_nano")
-    )
+    c = _lang_sqrt_counts(docs)
     # normalizer via a GLOBAL window over the language-sized aggregate
     # (the vocab-coverage window-over-classes shape): a separate c.agg
     # would re-scan documents for the same sums — this keeps pass 1 to

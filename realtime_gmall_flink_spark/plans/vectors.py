@@ -957,11 +957,13 @@ def ivf_probe_batch(
     all probed cells with a literal filter, then the broadcast
     probe-pair join restores per-query cell scoping and a per-qid
     window takes the top k. One index scan total, regardless of query
-    count."""
+    count. Batch-frame refusals (empty / NULL qid / NULL qe /
+    duplicate qids) are shared with the PQ batch probes."""
     import os
 
     from pyspark.sql import Window
 
+    _require_query_batch(queries)
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     assigned = spark.read.parquet(
@@ -2765,8 +2767,18 @@ def _pq_write(emb: DataFrame):
         # module — refuse before paying them
         dup = emb.agg(
             F.count(F.lit(1)).alias("n"),
+            F.count("vec_id").alias("n_nonnull"),
             F.count_distinct("vec_id").alias("n_ids"),
         ).head()
+        # NULLs first (count_distinct skips them): a NULL id would be
+        # misdiagnosed as a duplicate, and the dedup remedy below would
+        # not cure it
+        if dup["n_nonnull"] != dup["n"]:
+            raise ValueError(
+                f"pq build: corpus carries"
+                f" {dup['n'] - dup['n_nonnull']} NULL vec_ids — give"
+                " every vector a real id before pq_build"
+            )
         if dup["n"] != dup["n_ids"]:
             raise ValueError(
                 f"pq build: corpus carries duplicate vec_ids"
@@ -2825,13 +2837,20 @@ def _pq_meta(index_dir: str) -> dict:
 def _require_one_query_row(q: DataFrame) -> None:
     """Eager one-row check shared by every persisted-PQ probe: an empty
     q would make every lookup-table entry — and so every adc — NULL,
-    silently ranking arbitrary ids; a multi-row q would fan the lookup
-    table out per row."""
-    n_q = q.count()
-    if n_q != 1:
+    silently ranking arbitrary ids (Spark ASC sorts NULLS FIRST, so
+    NULL adc rows would even win the cut); a multi-row q would fan the
+    lookup table out per row; a NULL qe NULLs the table the same way an
+    empty frame does. One aggregate job covers all three."""
+    agg = q.agg(
+        F.count(F.lit(1)).alias("n"), F.count("qe").alias("n_qe")
+    ).head()
+    if agg["n"] != 1:
         raise ValueError(
-            f"pq query frame must hold exactly one row (qe); got {n_q}"
+            f"pq query frame must hold exactly one row (qe);"
+            f" got {agg['n']}"
         )
+    if agg["n_qe"] != 1:
+        raise ValueError("pq query frame carries a NULL qe")
 
 
 def _pq_lut_row(cb: DataFrame, q: DataFrame, subdim: int) -> DataFrame:
@@ -3182,16 +3201,31 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
         spark.read.parquet(os.path.join(pq_dir, "codebooks")).coalesce(
             1
         ).write.parquet(os.path.join(staging, "codebooks"))
-        # ONE cell label per vec_id: a corpus carrying duplicate ids
-        # (at-least-once appends, unioned snapshots) holds its dup rows
-        # in BOTH parents — joining them raw would multiply copies
-        # (k dups -> k^2 joined rows); deduping the label side keeps
-        # exactly the codes-side multiplicity
+        # ONE cell label per vec_id: an IVF parent tolerates duplicate
+        # ids (its own builds and appends don't refuse them), so
+        # IDENTICAL (vec_id, cid) copies collapse here — but an id
+        # labeled with TWO DIFFERENT cells is ambiguous: an arbitrary
+        # pick could land a vector's codes in a cell that doesn't match
+        # the embedding they encode (probes of its true cell would
+        # never see it). Refused by name below.
         cells = (
             spark.read.parquet(os.path.join(ivf_dir, "assignment"))
             .select("vec_id", F.col("cid").cast("long").alias("cid"))
-            .dropDuplicates(["vec_id"])
+            .dropDuplicates(["vec_id", "cid"])
         )
+        ambiguous = (
+            cells.groupBy("vec_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if ambiguous:
+            raise ValueError(
+                f"ivfpq build: {ambiguous} vec_ids carry CONFLICTING"
+                " cell labels in the IVF parent (duplicate ids with"
+                " different embeddings) — dedup the corpus and rebuild"
+                " the IVF parent before composing"
+            )
         codes = spark.read.parquet(os.path.join(pq_dir, "codes"))
         # id-SET agreement BEFORE the expensive partitioned write, ONE
         # job: full-outer-join the three skinny id projections (codes,
@@ -3637,6 +3671,7 @@ def _require_query_batch(queries: DataFrame) -> None:
     agg = queries.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("qid").alias("n_nonnull"),
+        F.count("qe").alias("n_qe"),
         F.count_distinct("qid").alias("nq"),
     ).head()
     if agg["n"] == 0:
@@ -3648,6 +3683,14 @@ def _require_query_batch(queries: DataFrame) -> None:
         raise ValueError(
             f"pq batch query frame carries"
             f" {agg['n'] - agg['n_nonnull']} NULL qids"
+        )
+    # a NULL qe NULLs that query's whole lookup table and its adc sums
+    # — and Spark's ASC NULLS FIRST would rank the arbitrary lowest ids
+    # as its candidates
+    if agg["n_qe"] != agg["n"]:
+        raise ValueError(
+            f"pq batch query frame carries"
+            f" {agg['n'] - agg['n_qe']} NULL qe vectors"
         )
     if agg["n"] != agg["nq"]:
         raise ValueError(
