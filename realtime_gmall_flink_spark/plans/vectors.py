@@ -949,6 +949,7 @@ def ivf_probe_batch(
     queries: DataFrame,
     k: int = TOP_K,
     nprobe: int = IVF_NPROBE,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k for MANY query vectors in one pass over the persisted
     index — the probe-many shape batch ANN search actually runs.
@@ -975,11 +976,13 @@ def ivf_probe_batch(
     topk_w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
+    scoped = assigned.join(broadcast(pairs_df), "cid").join(
+        broadcast(queries), "qid"
+    )
+    if exclude_self:
+        scoped = scoped.filter(F.col("vec_id") != F.col("qid"))
     return (
-        assigned.join(broadcast(pairs_df), "cid")
-        .join(broadcast(queries), "qid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos.alias("cos_sim"))
+        scoped.select("qid", "vec_id", cos.alias("cos_sim"))
         .withColumn("rk", F.row_number().over(topk_w))
         .filter(F.col("rk") <= k)
         .select("qid", "vec_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
@@ -1297,6 +1300,23 @@ def ann_multiprobe_batch_topk(
     )
 
 
+def _refuse_null_ids(emb: DataFrame, caller: str) -> None:
+    """Shared append/build input guard: a NULL vec_id row would either
+    POISON the index (NULL never anti-joins, so replays re-append it
+    forever, and a NULL candidate id can never point-fetch — every
+    later probe raises) or silently vanish in an inner join, depending
+    on the surface. One skinny aggregate, refused by name — the same
+    contract as pq_build's."""
+    agg = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.count("vec_id").alias("n_ids")
+    ).head()
+    if agg["n"] != agg["n_ids"]:
+        raise ValueError(
+            f"{caller}: input carries {agg['n'] - agg['n_ids']} NULL"
+            " vec_ids — give every vector a real id first"
+        )
+
+
 def ivf_append(
     spark: SparkSession, index_dir: str, emb: DataFrame
 ) -> int:
@@ -1320,6 +1340,7 @@ def ivf_append(
     asg_path = os.path.join(index_dir, "assignment")
     if not (os.path.isdir(cent_path) and os.path.isdir(asg_path)):
         raise ValueError(f"not a valid IVF index: {index_dir!r}")
+    _refuse_null_ids(emb, "ivf_append")
     cent = spark.read.parquet(cent_path)
     # drop duplicate ids defensively (at-least-once producers) and
     # anti-join away ids already in the assignment (replayed appends)
@@ -1401,6 +1422,7 @@ def lsh_append(
     same pruned scan. Duplicate ids (within the input or vs the layout)
     are skipped, so the append is idempotent. Stopped-writer window,
     like every parquet append here. Returns rows appended."""
+    _refuse_null_ids(emb, "lsh_append")
     import os
 
     buckets = os.path.join(index_dir, "buckets")
@@ -1704,6 +1726,7 @@ def sq8_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     range CLAMP to the boundary code (quantization degrades, it never
     errors); heavy clamping is what sq8_drift's growth signal is for.
     Stopped-writer window, like every parquet append here."""
+    _refuse_null_ids(emb, "sq8_append")
     import os
 
     codes_path = os.path.join(index_dir, "codes")
@@ -1777,7 +1800,9 @@ def _cell_skew_ratio(
             if n > min_cell:
                 return float("inf")
             continue
-        ratio = (n / total_now) / (b / total_build) if total_now else 0.0
+        # b truthy implies total_build > 0, and a nonempty `now` loop
+        # implies total_now > 0 — both divisions are safe
+        ratio = (n / total_now) / (b / total_build)
         max_ratio = max(max_ratio, ratio)
     return max_ratio
 
@@ -3064,6 +3089,7 @@ def pq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     range to fall outside), but vectors far from the build distribution
     quantize poorly — pq_drift's growth signal is the rebuild cue.
     Stopped-writer window, like every parquet append here."""
+    _refuse_null_ids(emb, "pq_append")
     import os
 
     meta = _pq_meta(index_dir)
@@ -3156,8 +3182,15 @@ def pq_refresh_if_drifted(
 # reused when complete, built once when not); the join that produces the
 # cid-partitioned codes moves two SKINNY projections (vec_id+cid and
 # vec_id+16 bytes), never an embedding.
-IVFPQ_INDEX_FORMAT = 1
-IVFPQ_SUBDIRS = ("centroids", "codebooks", "codes", "build_stats", "meta")
+IVFPQ_INDEX_FORMAT = 2  # v2: parents/ records the composed-from dirs
+IVFPQ_SUBDIRS = (
+    "centroids",
+    "codebooks",
+    "codes",
+    "build_stats",
+    "meta",
+    "parents",
+)
 
 
 def ivfpq_index_dir(sf_dir: str) -> str:
@@ -3311,6 +3344,14 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
                 "n_vecs": n,
             },
         )
+        # parent locations are build parameters too (persist-your-
+        # params): a later rebuild/refresh that omits them must retrain
+        # the SAME parents, not silently fork fresh ones at the default
+        # sibling paths while the composed-from caches go stale
+        spark.createDataFrame(
+            [(os.path.abspath(ivf_dir), os.path.abspath(pq_dir))],
+            "ivf_dir string, pq_dir string",
+        ).coalesce(1).write.parquet(os.path.join(staging, "parents"))
 
     return write
 
@@ -3426,6 +3467,7 @@ def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     persisted centroids (both frozen — ivfpq_drift is the rebuild cue),
     skip ids already present, append whole-row files into their cell
     partitions. Stopped-writer window, like every parquet append."""
+    _refuse_null_ids(emb, "ivfpq_append")
     import os
 
     meta = _ivfpq_meta(index_dir)
@@ -3508,6 +3550,20 @@ def ivfpq_drift(
     }
 
 
+def _ivfpq_persisted_parents(
+    spark: SparkSession, index_dir: str
+) -> tuple[str, str] | None:
+    """The parent dirs this layout was composed from (None for a
+    pre-v2 layout without parents/)."""
+    import os
+
+    path = os.path.join(index_dir, "parents")
+    if not os.path.isdir(path):
+        return None
+    row = spark.read.parquet(path).head()
+    return (row["ivf_dir"], row["pq_dir"])
+
+
 def ivfpq_rebuild(
     spark: SparkSession,
     index_dir: str,
@@ -3520,9 +3576,17 @@ def ivfpq_rebuild(
     pass the full intended corpus — no self-sourced default. BOTH
     parent indexes are retrained over ``emb`` first (they share the
     corpus by contract), then the composed layout is rejoined from the
-    fresh parents. Stopped-WORLD window (indexutil.rebuild_index)."""
+    fresh parents. When the parent dirs are omitted they default to the
+    locations PERSISTED at build time (parents/) — the same parents are
+    retrained, never silently forked at the sibling paths while the
+    composed-from caches go stale. Stopped-WORLD window
+    (indexutil.rebuild_index)."""
     from ..indexutil import rebuild_index
 
+    if ivf_dir is None and pq_dir is None:
+        persisted = _ivfpq_persisted_parents(spark, index_dir)
+        if persisted is not None:
+            ivf_dir, pq_dir = persisted
     ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
     ivf_rebuild(spark, ivf_dir, emb)
     pq_rebuild(spark, pq_dir, emb)
@@ -3545,6 +3609,8 @@ def ivfpq_refresh_if_drifted(
     report = dict(ivfpq_drift(spark, index_dir, **drift_kwargs))
     report["rebuilt"] = False
     if report["rebuild_recommended"]:
+        # parent-dir defaulting (persisted parents/) happens inside
+        # ivfpq_rebuild
         ivfpq_rebuild(spark, index_dir, emb, ivf_dir, pq_dir)
         report["rebuilt"] = True
     return report
@@ -3704,12 +3770,16 @@ def pq_batch_candidates(
     index_dir: str,
     queries: DataFrame,
     rerank: int = PQ_RERANK,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The ADC half of the batch probe: ONE codes scan scores every row
     against all N broadcast lookup tables, a per-qid window cuts the
     candidates. Geometry from the persisted meta. Exposed separately so
     plan tests can pin the single-scan shape without reconstructing the
-    stage from internals."""
+    stage from internals. ``exclude_self`` drops each query's own
+    vec_id from its candidates — the right default for corpus queries,
+    but EXTERNAL queries whose qid numbering happens to collide with
+    corpus ids must pass False or silently lose that neighbor."""
     import os
 
     _require_query_batch(queries)
@@ -3718,11 +3788,10 @@ def pq_batch_candidates(
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     luts = _pq_lut_rows(cb, queries, subdim)
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    scored = (
-        codes.crossJoin(broadcast(luts))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _pq_adc_sum(m).alias("adc"))
-    )
+    scored = codes.crossJoin(broadcast(luts))
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("qid"))
+    scored = scored.select("qid", "vec_id", _pq_adc_sum(m).alias("adc"))
     return _pq_batch_candidate_cut(scored, rerank)
 
 
@@ -3733,12 +3802,15 @@ def pq_probe_batch(
     emb: DataFrame,
     k: int = TOP_K,
     rerank: int = PQ_RERANK,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k for MANY query vectors against the persisted PQ index in
     ONE codes scan (pq_batch_candidates), then one fetch validates and
     reranks. Corpus query ids exclude their self-match (the
     ivf_probe_batch contract)."""
-    cand = pq_batch_candidates(spark, index_dir, queries, rerank)
+    cand = pq_batch_candidates(
+        spark, index_dir, queries, rerank, exclude_self
+    )
     return _pq_validated_rerank_batch(
         spark, cand, emb, queries, k, caller="pq_probe_batch"
     )
@@ -3750,6 +3822,7 @@ def ivfpq_batch_candidates(
     queries: DataFrame,
     rerank: int = PQ_RERANK,
     nprobe: int = IVF_NPROBE,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The pruned ADC half of the batch probe: per-query probe cells
     come from ranking the centroids per qid (the ivf_probe_batch
@@ -3770,12 +3843,12 @@ def ivfpq_batch_candidates(
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
     )
-    scored = (
-        codes.join(broadcast(pairs_df), "cid")
-        .join(broadcast(luts), "qid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _pq_adc_sum(m).alias("adc"))
+    scored = codes.join(broadcast(pairs_df), "cid").join(
+        broadcast(luts), "qid"
     )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("qid"))
+    scored = scored.select("qid", "vec_id", _pq_adc_sum(m).alias("adc"))
     return _pq_batch_candidate_cut(scored, rerank)
 
 
@@ -3787,12 +3860,13 @@ def ivfpq_probe_batch(
     k: int = TOP_K,
     rerank: int = PQ_RERANK,
     nprobe: int = IVF_NPROBE,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k for MANY query vectors against the persisted IVF-PQ index
     in ONE pruned codes scan (ivfpq_batch_candidates), then one fetch
     validates and reranks."""
     cand = ivfpq_batch_candidates(
-        spark, index_dir, queries, rerank, nprobe
+        spark, index_dir, queries, rerank, nprobe, exclude_self
     )
     return _pq_validated_rerank_batch(
         spark, cand, emb, queries, k, caller="ivfpq_probe_batch"

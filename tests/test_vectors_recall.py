@@ -1781,3 +1781,85 @@ def test_ivfpq_batch_probe_single_pruned_codes_scan(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="NULL qids"):
         ivfpq_probe_batch(spark, idx, nulled, emb)
+
+
+def test_append_surfaces_refuse_null_ids_and_batch_excludes_optional(
+    spark, tmp_path
+):
+    """(a) Every append surface refuses NULL vec_ids by name — a NULL
+    id would poison the layout (never anti-joins, never point-fetches)
+    or silently vanish in the composed join. (b) The persisted-parents
+    default: a rebuild that omits the parent dirs retrains the SAME
+    parents recorded at build time. (c) exclude_self=False lets
+    external queries whose qids collide with corpus ids keep those
+    neighbors."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import realtime_gmall_flink_spark.plans.vectors as V
+
+    from .conftest import SF_DIR
+
+    emb = V._emb(spark, SF_DIR)
+    nulled = emb.limit(3).select(
+        F.lit(None).cast("long").alias("vec_id"), "embedding"
+    )
+    ivf = V.ivf_build(emb, str(tmp_path / "ivf"))
+    pq = V.pq_build(emb, str(tmp_path / "pq"))
+    ivfpq = V.ivfpq_build(
+        emb, str(tmp_path / "ivfpq"), ivf_dir=ivf, pq_dir=pq
+    )
+    sq8 = V.sq8_build(emb, str(tmp_path / "sq8"))
+    for fn, idx in (
+        (V.ivf_append, ivf),
+        (V.pq_append, pq),
+        (V.ivfpq_append, ivfpq),
+        (V.sq8_append, sq8),
+    ):
+        with _pytest.raises(ValueError, match="NULL"):
+            fn(spark, idx, nulled)
+    lsh = V.lsh_build(emb, str(tmp_path / "lsh"))
+    with _pytest.raises(ValueError, match="NULL"):
+        V.lsh_append(spark, lsh, nulled)
+    # NULL-id corpora are refused at build too
+    with _pytest.raises(ValueError, match="NULL vec_ids"):
+        V.pq_build(
+            emb.select("vec_id", "embedding").unionByName(nulled),
+            str(tmp_path / "pq-null"),
+        )
+
+    # (c) exclude_self=False keeps colliding-id neighbors: qid 0's own
+    # corpus row (cos 1.0) tops its list (checked BEFORE the rebuild
+    # below grows the shared pq parent past this rerank corpus)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = V.pq_probe_batch(
+        spark, pq, queries, emb, exclude_self=False
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        assert rows[0]["vec_id"] == qid and rows[0]["cos_sim"] == 1.0
+
+    # (b) persisted parents: rebuild with omitted dirs retrains the
+    # recorded parents (their trees change), not sibling forks
+    import os
+
+    assert V._ivfpq_persisted_parents(spark, ivfpq) == (
+        os.path.abspath(ivf),
+        os.path.abspath(pq),
+    )
+    corpus2 = emb.select("vec_id", "embedding").unionByName(
+        emb.select(
+            (F.col("vec_id") + 900_000).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"),
+        )
+    )
+    V.ivfpq_rebuild(spark, ivfpq, corpus2)
+    assert not os.path.isdir(str(tmp_path / "ivfpq-ivf"))  # no fork
+    assert not os.path.isdir(str(tmp_path / "ivfpq-pq"))
+    n2 = spark.read.parquet(os.path.join(ivfpq, "codes")).count()
+    n_ivf = spark.read.parquet(os.path.join(ivf, "assignment")).count()
+    assert n2 == n_ivf == 2 * emb.count()  # SAME parents retrained
