@@ -964,7 +964,7 @@ def ivf_probe_batch(
 
     from pyspark.sql import Window
 
-    _require_query_batch(queries)
+    _require_query_batch(queries, caller="ivf_probe_batch")
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     assigned = spark.read.parquet(
@@ -1305,15 +1305,24 @@ def _refuse_null_ids(emb: DataFrame, caller: str) -> None:
     POISON the index (NULL never anti-joins, so replays re-append it
     forever, and a NULL candidate id can never point-fetch — every
     later probe raises) or silently vanish in an inner join, depending
-    on the surface. One skinny aggregate, refused by name — the same
-    contract as pq_build's."""
+    on the surface; a NULL EMBEDDING encodes to deterministic garbage
+    codes (NULL distances tie, argmin falls to the min-cid centroid)
+    and later fails every probe whose cut ranks it. One skinny
+    aggregate, refused by name — the same contract as pq_build's."""
     agg = emb.agg(
-        F.count(F.lit(1)).alias("n"), F.count("vec_id").alias("n_ids")
+        F.count(F.lit(1)).alias("n"),
+        F.count("vec_id").alias("n_ids"),
+        F.count("embedding").alias("n_emb"),
     ).head()
     if agg["n"] != agg["n_ids"]:
         raise ValueError(
             f"{caller}: input carries {agg['n'] - agg['n_ids']} NULL"
             " vec_ids — give every vector a real id first"
+        )
+    if agg["n"] != agg["n_emb"]:
+        raise ValueError(
+            f"{caller}: input carries {agg['n'] - agg['n_emb']} NULL"
+            " embeddings — give every id a real vector first"
         )
 
 
@@ -2859,7 +2868,7 @@ def _pq_meta(index_dir: str) -> dict:
     return row
 
 
-def _require_one_query_row(q: DataFrame) -> None:
+def _require_one_query_row(q: DataFrame, caller: str = "pq") -> None:
     """Eager one-row check shared by every persisted-PQ probe: an empty
     q would make every lookup-table entry — and so every adc — NULL,
     silently ranking arbitrary ids (Spark ASC sorts NULLS FIRST, so
@@ -2871,11 +2880,11 @@ def _require_one_query_row(q: DataFrame) -> None:
     ).head()
     if agg["n"] != 1:
         raise ValueError(
-            f"pq query frame must hold exactly one row (qe);"
+            f"{caller} query frame must hold exactly one row (qe);"
             f" got {agg['n']}"
         )
     if agg["n_qe"] != 1:
-        raise ValueError("pq query frame carries a NULL qe")
+        raise ValueError(f"{caller} query frame carries a NULL qe")
 
 
 def _pq_lut_row(cb: DataFrame, q: DataFrame, subdim: int) -> DataFrame:
@@ -2949,7 +2958,7 @@ def pq_adc_candidates(
     (see _require_one_query_row)."""
     import os
 
-    _require_one_query_row(q)
+    _require_one_query_row(q, caller="pq_probe")
     meta = _pq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
@@ -3416,7 +3425,7 @@ def ivfpq_adc_candidates(
     persisted meta, not module constants."""
     import os
 
-    _require_one_query_row(q)
+    _require_one_query_row(q, caller="ivfpq_probe")
     meta = _ivfpq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
@@ -3475,13 +3484,18 @@ def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     codes_path = os.path.join(index_dir, "codes")
     existing = spark.read.parquet(codes_path).select("vec_id")
-    # materialize the dedup BEFORE the two lineage branches below: the
-    # duplicate pick is nondeterministic per execution, so encode and
-    # assign re-planning it independently could pair one copy's codes
-    # with ANOTHER copy's cell when a vec_id arrives twice with
-    # different embeddings — the snapshot makes both branches read the
-    # same row
-    fresh_in = emb.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
+    # dedup + anti-join the SKINNY id projection first (the ivf_append
+    # shape): a fully-replayed batch must cost an id comparison, not a
+    # full encode + assign. The surviving rows then materialize ONCE
+    # before the two lineage branches below — the duplicate pick is
+    # nondeterministic per execution, so encode and assign re-planning
+    # it independently could pair one copy's codes with ANOTHER copy's
+    # cell when a vec_id arrives twice with different embeddings
+    fresh_in = (
+        emb.dropDuplicates(["vec_id"])
+        .join(existing, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     encoded = _pq_encode(
         _pq_normalized(fresh_in),
         cb,
@@ -3492,11 +3506,9 @@ def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     cells = ivf_assign(fresh_in, cent).select(
         "vec_id", F.col("cid").cast("long").alias("cid")
     )
-    fresh = (
-        encoded.join(cells, "vec_id")
-        .join(existing, "vec_id", "left_anti")
-        .localCheckpoint(eager=True)  # count and write see the same rows
-    )
+    fresh = encoded.join(cells, "vec_id").localCheckpoint(
+        eager=True
+    )  # count and write see the same rows
     n = fresh.count()
     if n:
         fresh.write.mode("append").partitionBy("cid").parquet(codes_path)
@@ -3583,10 +3595,14 @@ def ivfpq_rebuild(
     (indexutil.rebuild_index)."""
     from ..indexutil import rebuild_index
 
-    if ivf_dir is None and pq_dir is None:
+    if ivf_dir is None or pq_dir is None:
         persisted = _ivfpq_persisted_parents(spark, index_dir)
         if persisted is not None:
-            ivf_dir, pq_dir = persisted
+            # default EACH omitted dir independently — passing only one
+            # override must not silently fork the other parent at the
+            # sibling path while its recorded cache goes stale
+            ivf_dir = ivf_dir or persisted[0]
+            pq_dir = pq_dir or persisted[1]
     ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
     ivf_rebuild(spark, ivf_dir, emb)
     pq_rebuild(spark, pq_dir, emb)
@@ -3730,7 +3746,9 @@ def _pq_validated_rerank_batch(
     )
 
 
-def _require_query_batch(queries: DataFrame) -> None:
+def _require_query_batch(
+    queries: DataFrame, caller: str = "pq"
+) -> None:
     """Eager batch-query check: an empty batch or duplicate qids would
     silently produce nothing / fan scores out per duplicate — refused
     by name (the one-row-q precedent applied to batches)."""
@@ -3741,13 +3759,15 @@ def _require_query_batch(queries: DataFrame) -> None:
         F.count_distinct("qid").alias("nq"),
     ).head()
     if agg["n"] == 0:
-        raise ValueError("pq batch query frame is empty (qid, qe)")
+        raise ValueError(
+            f"{caller} batch query frame is empty (qid, qe)"
+        )
     # count_distinct skips NULLs — check them first or a NULL qid would
     # be misreported as a duplicate (and silently drop in the
     # downstream qid joins if it slipped through)
     if agg["n_nonnull"] != agg["n"]:
         raise ValueError(
-            f"pq batch query frame carries"
+            f"{caller} batch query frame carries"
             f" {agg['n'] - agg['n_nonnull']} NULL qids"
         )
     # a NULL qe NULLs that query's whole lookup table and its adc sums
@@ -3755,12 +3775,12 @@ def _require_query_batch(queries: DataFrame) -> None:
     # as its candidates
     if agg["n_qe"] != agg["n"]:
         raise ValueError(
-            f"pq batch query frame carries"
+            f"{caller} batch query frame carries"
             f" {agg['n'] - agg['n_qe']} NULL qe vectors"
         )
     if agg["n"] != agg["nq"]:
         raise ValueError(
-            f"pq batch query frame carries duplicate qids"
+            f"{caller} batch query frame carries duplicate qids"
             f" ({agg['n']} rows, {agg['nq']} distinct)"
         )
 
@@ -3782,7 +3802,7 @@ def pq_batch_candidates(
     corpus ids must pass False or silently lose that neighbor."""
     import os
 
-    _require_query_batch(queries)
+    _require_query_batch(queries, caller="pq_probe_batch")
     meta = _pq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
@@ -3833,7 +3853,7 @@ def ivfpq_batch_candidates(
     Cell ranking shares _probe_cell_pairs with ivf_probe_batch."""
     import os
 
-    _require_query_batch(queries)
+    _require_query_batch(queries, caller="ivfpq_probe_batch")
     meta = _ivfpq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
