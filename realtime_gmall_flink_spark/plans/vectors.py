@@ -600,6 +600,7 @@ def _ivf_write(emb: DataFrame, n_centroids: int, lloyd_iters: int):
     spark = emb.sparkSession
 
     def write(staging: str) -> None:
+        _refuse_null_ids(emb, "ivf build")
         cent_path = os.path.join(staging, "centroids")
         ivf_refine(
             emb, ivf_centroids(emb, k=n_centroids), iters=lloyd_iters
@@ -1326,6 +1327,24 @@ def _refuse_null_ids(emb: DataFrame, caller: str) -> None:
         )
 
 
+def _refuse_wrong_width(
+    emb: DataFrame, meta: dict, caller: str
+) -> None:
+    """PQ-family appends must match the PERSISTED geometry: a vector
+    narrower/wider than pq_m * pq_subdim slices short, scores NULL
+    subspace distances, and encodes NULL-first garbage codes that
+    silently degrade recall — refused by name (sq8's clamp is a
+    defined degradation; there is none for a wrong-width PQ code)."""
+    want = meta["pq_m"] * meta["pq_subdim"]
+    bad = emb.filter(F.size("embedding") != want).count()
+    if bad:
+        raise ValueError(
+            f"{caller}: {bad} input rows are not {want}-dim — the"
+            " index geometry is"
+            f" m={meta['pq_m']} x subdim={meta['pq_subdim']}"
+        )
+
+
 def ivf_append(
     spark: SparkSession, index_dir: str, emb: DataFrame
 ) -> int:
@@ -1676,6 +1695,7 @@ def _sq8_write(emb: DataFrame):
     spark = emb.sparkSession
 
     def write(staging: str) -> None:
+        _refuse_null_ids(emb, "sq8 build")
         _sq8_stats(emb).coalesce(1).write.parquet(
             os.path.join(staging, "stats")
         )
@@ -2795,30 +2815,35 @@ def _pq_write(emb: DataFrame):
     spark = emb.sparkSession
 
     def write(staging: str) -> None:
-        # duplicate-id refusal FIRST (one skinny scan): the codes
-        # layout and every probe assume one row per vec_id, and
-        # training + encode + write are the costliest jobs in this
-        # module — refuse before paying them
+        # input refusals FIRST (one skinny scan each): training +
+        # encode + write are the costliest jobs in this module. NULL
+        # ids/embeddings share the append guard (a NULL id would be
+        # misdiagnosed as a duplicate by count_distinct, and a NULL
+        # vector encodes to garbage codes); duplicate ids violate the
+        # one-row-per-id codes contract; a row whose width disagrees
+        # with the PQ geometry would slice short and encode NULL-first
+        # garbage the same way.
+        _refuse_null_ids(emb, "pq build")
         dup = emb.agg(
             F.count(F.lit(1)).alias("n"),
-            F.count("vec_id").alias("n_nonnull"),
             F.count_distinct("vec_id").alias("n_ids"),
+            F.count(
+                F.when(F.size("embedding") != PQ_M * PQ_SUBDIM, 1)
+            ).alias("n_badwidth"),
         ).head()
-        # NULLs first (count_distinct skips them): a NULL id would be
-        # misdiagnosed as a duplicate, and the dedup remedy below would
-        # not cure it
-        if dup["n_nonnull"] != dup["n"]:
-            raise ValueError(
-                f"pq build: corpus carries"
-                f" {dup['n'] - dup['n_nonnull']} NULL vec_ids — give"
-                " every vector a real id before pq_build"
-            )
         if dup["n"] != dup["n_ids"]:
             raise ValueError(
                 f"pq build: corpus carries duplicate vec_ids"
                 f" ({dup['n']} rows, {dup['n_ids']} distinct) — the"
                 " codes layout is one row per id;"
                 " dropDuplicates(['vec_id']) the corpus before pq_build"
+            )
+        if dup["n_badwidth"]:
+            raise ValueError(
+                f"pq build: {dup['n_badwidth']} corpus rows are not"
+                f" {PQ_M * PQ_SUBDIM}-dim — PQ geometry is"
+                f" m={PQ_M} x subdim={PQ_SUBDIM}; fix the vectors or"
+                " the constants"
             )
         cent = pq_refine(emb, pq_seed_codebooks(emb))
         rank = (
@@ -3099,6 +3124,7 @@ def pq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     quantize poorly — pq_drift's growth signal is the rebuild cue.
     Stopped-writer window, like every parquet append here."""
     _refuse_null_ids(emb, "pq_append")
+    _refuse_wrong_width(emb, _pq_meta(index_dir), "pq_append")
     import os
 
     meta = _pq_meta(index_dir)
@@ -3235,6 +3261,10 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
     spark = emb.sparkSession
 
     def write(staging: str) -> None:
+        # refuse bad input BEFORE any parent builds: ivf_build running
+        # first could otherwise persist a poisoned parent cache that
+        # pq_build's refusal then strands as a "complete" index
+        _refuse_null_ids(emb, "ivfpq build")
         ivf_build(emb, ivf_dir)
         pq_build(emb, pq_dir)
         pm = _pq_meta(pq_dir)
@@ -3477,6 +3507,7 @@ def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     skip ids already present, append whole-row files into their cell
     partitions. Stopped-writer window, like every parquet append."""
     _refuse_null_ids(emb, "ivfpq_append")
+    _refuse_wrong_width(emb, _ivfpq_meta(index_dir), "ivfpq_append")
     import os
 
     meta = _ivfpq_meta(index_dir)
@@ -3573,7 +3604,13 @@ def _ivfpq_persisted_parents(
     if not os.path.isdir(path):
         return None
     row = spark.read.parquet(path).head()
-    return (row["ivf_dir"], row["pq_dir"])
+    # absolute paths go stale when an index tree is relocated to a new
+    # root/host: a persisted dir that no longer exists falls back to
+    # the sibling default (next to the moved composed index) rather
+    # than resurrecting the old location
+    ivf_dir = row["ivf_dir"] if os.path.isdir(row["ivf_dir"]) else None
+    pq_dir = row["pq_dir"] if os.path.isdir(row["pq_dir"]) else None
+    return (ivf_dir, pq_dir)
 
 
 def ivfpq_rebuild(
@@ -3600,7 +3637,9 @@ def ivfpq_rebuild(
         if persisted is not None:
             # default EACH omitted dir independently — passing only one
             # override must not silently fork the other parent at the
-            # sibling path while its recorded cache goes stale
+            # sibling path while its recorded cache goes stale (a
+            # persisted path that no longer exists reads back as None
+            # and falls through to the sibling default below)
             ivf_dir = ivf_dir or persisted[0]
             pq_dir = pq_dir or persisted[1]
     ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)

@@ -1161,23 +1161,16 @@ def test_scale8_ivfpq_probe_stays_pruned_codes_scan(spark, tmp_path):
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
+    from .plan_utils import (
+        assert_codes_scans_no_embedding,
+        formatted_plan,
+        pruned_cids,
+    )
+
     cand = ivfpq_adc_candidates(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    plan = cand._jdf.queryExecution().explainString(mode)
-    m = re.search(
-        r"PartitionFilters: \[cid#\d+ "
-        r"(?:IN \(([0-9]+(?:, ?[0-9]+)*)\)|INSET ([0-9]+(?:, ?[0-9]+)*))",
-        plan,
-    )
-    assert m, plan
-    assert len((m.group(1) or m.group(2)).split(",")) == IVF_NPROBE
-    codes_chunks = [c for c in plan.split("Scan parquet") if "/codes" in c]
-    assert codes_chunks
-    for c in codes_chunks:
-        rs = re.search(r"ReadSchema: (\S+)", c)
-        assert rs and "embedding" not in rs.group(1), c
+    plan = formatted_plan(cand)
+    assert len(pruned_cids(plan)) == IVF_NPROBE
+    assert_codes_scans_no_embedding(plan)
     assert "TakeOrdered" in cand._jdf.queryExecution().executedPlan().toString()
     # pruned-bytes ratio: the probed cells really are a minority of the
     # 8x layout's cell partitions

@@ -1453,28 +1453,19 @@ def test_ivfpq_persisted_probe_scans_pruned_codes_only(spark, tmp_path):
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
+    from .plan_utils import (
+        assert_codes_scans_no_embedding,
+        formatted_plan,
+        pruned_cids,
+    )
+
     cand = ivfpq_adc_candidates(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    plan = cand._jdf.queryExecution().explainString(mode)
-    m = re.search(
-        r"PartitionFilters: \[cid#\d+ "
-        r"(?:IN \(([0-9]+(?:, ?[0-9]+)*)\)|INSET ([0-9]+(?:, ?[0-9]+)*))",
-        plan,
-    )
-    assert m, plan
-    assert len((m.group(1) or m.group(2)).split(",")) == IVF_NPROBE
+    plan = formatted_plan(cand)
+    assert len(pruned_cids(plan)) == IVF_NPROBE
     # codes-only IO: the codes scan's ReadSchema carries NO embedding
     # column (vec_id + tinyint ranks only), and the float corpus
     # appears exactly once in the whole plan — the query point lookup
-    codes_chunks = [
-        c for c in plan.split("Scan parquet") if "/codes" in c
-    ]
-    assert codes_chunks, plan
-    for c in codes_chunks:
-        rs = re.search(r"ReadSchema: (\S+)", c)
-        assert rs and "embedding" not in rs.group(1), c
+    assert_codes_scans_no_embedding(plan)
     assert plan.count("embeddings.parquet") == 1
     assert "posexplode" not in plan.lower()  # probe, not build, plan
     exec_plan = cand._jdf.queryExecution().executedPlan().toString()
@@ -1684,11 +1675,10 @@ def test_pq_batch_probe_single_codes_scan(spark, tmp_path):
         pq_batch_candidates,
     )
 
+    from .plan_utils import formatted_plan
+
     cand = pq_batch_candidates(spark, idx, queries)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    plan = cand._jdf.queryExecution().explainString(mode)
+    plan = formatted_plan(cand)
     assert plan.count("pqb/codes") == 1
     assert "posexplode" not in plan.lower()
 
@@ -1743,24 +1733,18 @@ def test_ivfpq_batch_probe_single_pruned_codes_scan(spark, tmp_path):
         ivfpq_batch_candidates,
     )
 
+    from .plan_utils import (
+        assert_codes_scans_no_embedding,
+        formatted_plan,
+        pruned_cids,
+    )
+
     cand = ivfpq_batch_candidates(spark, idx, queries)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    plan = cand._jdf.queryExecution().explainString(mode)
+    plan = formatted_plan(cand)
     assert plan.count("ivfpqb/codes") == 1
-    m = re.search(
-        r"PartitionFilters: \[cid#\d+ "
-        r"(?:IN \(([0-9]+(?:, ?[0-9]+)*)\)|INSET ([0-9]+(?:, ?[0-9]+)*))",
-        plan,
-    )
-    assert m, plan
-    cells = (m.group(1) or m.group(2)).split(",")
+    cells = pruned_cids(plan)
     assert 1 < len(cells) <= len(IVF_BATCH_QIDS) * IVF_NPROBE
-    for c in plan.split("Scan parquet"):
-        if "/codes" in c:
-            rs = re.search(r"ReadSchema: (\S+)", c)
-            assert rs and "embedding" not in rs.group(1), c
+    assert_codes_scans_no_embedding(plan)
     assert "posexplode" not in plan.lower()
 
     # batch-frame refusals: empty, duplicate-qid, and NULL-qid query
