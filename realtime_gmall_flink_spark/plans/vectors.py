@@ -4045,3 +4045,66 @@ def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").isin(list(IVF_BATCH_QIDS))
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     return ivfpq_probe_batch(spark, idx, queries, emb)
+
+
+# ADC near-dup screening: the codes-only form of "is this arrival a
+# duplicate of something already indexed?" — the check a
+# dedup-by-embedding ingest runs on EVERY batch, so its IO shape
+# matters more than any single query's: one scan of the 16-byte codes
+# for the whole batch (the batch-probe machinery), never a float read.
+# ADC approximates 1e6 * squared-L2 between UNIT vectors = 2e6*(1-cos)
+# PLUS the codebook quantization residual: even an EXACT copy scores
+# its own residual (measured ~0.36-0.45e6 at M=16/K=16 on the 64-dim
+# near-random test embeddings, vs >= 1.05e6 for the nearest
+# non-duplicate), so the screen threshold must sit between the residual
+# floor and the background — it is geometry- and data-dependent, and
+# callers needing certainty exact-verify the survivors (bounded
+# point-fetch; the pair volume is already cut to near-dups).
+PQ_DUP_ADC_MICRO = 700_000
+
+
+def pq_adc_near_dups(
+    spark: SparkSession,
+    index_dir: str,
+    arrivals: DataFrame,
+    max_adc: int = PQ_DUP_ADC_MICRO,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Screen an arrival batch against a persisted PQ index for
+    suspected duplicates BEFORE appending: each arrival (vec_id,
+    embedding) becomes a query, ONE codes scan ADC-scores all of them,
+    and pairs under ``max_adc`` integer-micro units survive. Returns
+    (new_vec, dup_of, adc) — new_vec the arrival id, dup_of the
+    indexed id. Arrivals sharing an id with an indexed row report that
+    row (adc = the arrival's own quantization residual), which is the
+    point: replays and exact copies screen positive. The shared batch
+    validation refuses empty/NULL/duplicate-id arrival frames."""
+    import os
+
+    queries = arrivals.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    _require_query_batch(queries, caller="pq_adc_near_dups")
+    meta = _pq_meta(index_dir)
+    m, subdim = meta["pq_m"], meta["pq_subdim"]
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    luts = _pq_lut_rows(cb, queries, subdim)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    scored = codes.crossJoin(broadcast(luts)).select(
+        "qid", "vec_id", _pq_adc_sum(m).alias("adc")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.filter(F.col("adc") <= max_adc)
+        .withColumn("__crn", F.row_number().over(w))
+        .filter(F.col("__crn") <= rerank)
+        .select(
+            F.col("qid").alias("new_vec"),
+            F.col("vec_id").alias("dup_of"),
+            "adc",
+        )
+    )

@@ -199,3 +199,31 @@ def append_scored_to_ivfpq(
 
     scored = read_scored(spark, out_dir).select("vec_id", "embedding")
     return ivfpq_append(spark, ivfpq_dir, scored)
+
+
+def screen_scored_against_pq(
+    spark: SparkSession,
+    pq_dir: str,
+    out_dir: str,
+    max_adc: int | None = None,
+) -> DataFrame:
+    """ADC near-dup screening of the ingest's scored rows against a
+    persisted PQ index — the codes-only twin of the ingest's exact
+    same-cell check: ONE scan of the 16-byte codes for the whole
+    batch, no float read (run it BEFORE append_scored_to_pq to decide
+    which arrivals are worth indexing). Returns (new_vec, dup_of,
+    adc) pairs under the threshold; exact-verify survivors with the
+    corpus if certainty is needed (bounded point-fetch)."""
+    from ..plans.vectors import PQ_DUP_ADC_MICRO, pq_adc_near_dups
+
+    scored = (
+        read_scored(spark, out_dir)
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    return pq_adc_near_dups(
+        spark,
+        pq_dir,
+        scored,
+        max_adc=PQ_DUP_ADC_MICRO if max_adc is None else max_adc,
+    )

@@ -304,3 +304,53 @@ def test_append_scored_to_ivfpq_idempotent_and_probeable(spark, tmp_path):
     top = ivfpq_probe(spark, ivfpq, q, corpus, exclude_vec_id=0).collect()
     assert top[0]["vec_id"] == 100000
     assert top[0]["cos_sim"] == 1.0
+
+
+def test_pq_adc_screening_flags_planted_copies_codes_only(spark, tmp_path):
+    """The ADC near-dup screen: planted exact copies of indexed
+    vectors flag their source as the TOP (minimum-adc) candidate via
+    ONE codes scan — the plan reads no embedding column from the index
+    (the float corpus appears only as the arrivals side), and an
+    unrelated far vector screens clean."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        pq_adc_near_dups,
+        pq_build,
+    )
+
+    from tests.plan_utils import (
+        assert_codes_scans_no_embedding,
+        formatted_plan,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ivf = ivf_build(emb, str(tmp_path / "ivf"))
+    pq = pq_build(emb, str(tmp_path / "pq"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+    base_ids = [0, 1, 2]
+    _arrivals(spark, base_ids, 100000).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
+
+    dups = VI.screen_scored_against_pq(spark, pq, out)
+    plan = formatted_plan(dups)
+    assert_codes_scans_no_embedding(plan)
+    assert plan.count("pq/codes") == 1  # one codes scan for the batch
+    top = {}
+    for r in dups.collect():
+        cur = top.get(r["new_vec"])
+        if cur is None or (r["adc"], r["dup_of"]) < cur:
+            top[r["new_vec"]] = (r["adc"], r["dup_of"])
+    for i in base_ids:
+        assert top[i + 100000][1] == i, top  # source = min-adc candidate
+
+    # a vector far from everything screens clean: alternating +/-1
+    # pattern vs the near-random corpus
+    far = spark.createDataFrame(
+        [(999_999, [float(1 if i % 2 else -1) for i in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    clean = pq_adc_near_dups(spark, pq, far)
+    assert clean.count() == 0
