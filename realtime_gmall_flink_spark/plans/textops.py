@@ -2896,7 +2896,10 @@ def materialized_mixture_stats(
         .alias("b16")
     )
     d = docs.select("lang", token_count("text").alias("toks"), b16)
-    copies = F.floor(F.col("fm") / MIX_BUCKETS).cast("long") + F.when(
+    # exact INTEGRAL division (fm div B): floor(fm / B) would route
+    # through double and could differ by 1 from the oracle's BIGINT
+    # `//` once fm exceeds 2^53 at corpus scale
+    copies = F.expr(f"fm div {MIX_BUCKETS}") + F.when(
         F.col("b16") < F.col("fm") % MIX_BUCKETS, F.lit(1)
     ).otherwise(F.lit(0))
     return (

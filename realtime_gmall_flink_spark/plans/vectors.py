@@ -1064,6 +1064,7 @@ def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     (indexutil.write_index_meta_atomic): staging sibling + rename, so
     no crash or concurrent build can wedge a half-written meta inside
     an otherwise-valid layout."""
+    _refuse_null_ids(emb, "lsh build")
     import os
 
     from ..indexutil import (

@@ -214,16 +214,14 @@ def screen_scored_against_pq(
     which arrivals are worth indexing). Returns (new_vec, dup_of,
     adc) pairs under the threshold; exact-verify survivors with the
     corpus if certainty is needed (bounded point-fetch)."""
-    from ..plans.vectors import PQ_DUP_ADC_MICRO, pq_adc_near_dups
+    from ..plans.vectors import pq_adc_near_dups
 
     scored = (
         read_scored(spark, out_dir)
         .select("vec_id", "embedding")
         .dropDuplicates(["vec_id"])
     )
-    return pq_adc_near_dups(
-        spark,
-        pq_dir,
-        scored,
-        max_adc=PQ_DUP_ADC_MICRO if max_adc is None else max_adc,
-    )
+    # forward the threshold only when the caller supplied one — the
+    # default lives in pq_adc_near_dups' signature alone
+    kw = {} if max_adc is None else {"max_adc": max_adc}
+    return pq_adc_near_dups(spark, pq_dir, scored, **kw)
