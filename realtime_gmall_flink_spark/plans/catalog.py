@@ -192,6 +192,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "ann_pq_batch_topk",
     "ann_ivfpq_batch_topk",
     "materialized_mixture_stats",
+    "near_dup_sdc_pairs",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -4109,3 +4109,135 @@ def pq_adc_near_dups(
             "adc",
         )
     )
+
+
+# SDC pair mining — the ALL-PAIRS form of dedup-by-embedding at scale:
+# symmetric distance computation over the persisted composed layout.
+# Where ADC compares a raw query against codes, SDC compares codes
+# against codes via a precomputed codeword-to-codeword distance table
+# (m * k * k integer-micro entries — kilobytes, broadcast), so the
+# whole pair scan reads NOTHING but 16-byte codes: the pair space is
+# bounded to within-cell (the IVF restriction — cross-cell pairs are
+# far by construction), each pair costs m map lookups, and the global
+# closest-pairs cut is a map-side TakeOrdered. No float is read
+# anywhere (codebooks are m*k rows) — the plan test asserts the entry
+# never scans embeddings.parquet at all.
+SDC_TOP_PAIRS = 10
+
+
+@register(
+    "near_dup_sdc_pairs",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+, {_PQ_CODEBOOK_SQL}
+, cl AS (SELECT vec_id, cid AS cell FROM iassigned)
+, cpair AS (
+    SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+    FROM cl a JOIN cl b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), sdm AS (
+    SELECT a.s, a.cid AS ca, b.cid AS cb,
+           CAST(round({_l2_sql('a.csv', 'b.csv')} * 1000000)
+                AS BIGINT) AS d2m
+    FROM cent a JOIN cent b USING (s)
+), prs AS (
+    SELECT p.cell, p.a_id, p.b_id, sum(m.d2m) AS sdc
+    FROM cpair p
+    JOIN codes ka ON ka.vec_id = p.a_id
+    JOIN codes kb ON kb.vec_id = p.b_id AND kb.s = ka.s
+    JOIN sdm m ON m.s = ka.s AND m.ca = ka.cid AND m.cb = kb.cid
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(cell AS BIGINT) AS cell, a_id, b_id,
+       CAST(sdc AS BIGINT) AS sdc_micro
+FROM prs
+ORDER BY sdc, a_id, b_id
+LIMIT {SDC_TOP_PAIRS}
+""",
+)
+def near_dup_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's closest within-cell pairs by symmetric (codes-vs-
+    codes) PQ distance over the persisted composed layout — builds
+    once, then the mining pass is a codes self-join on the cell id
+    plus m broadcast-map lookups per pair and one TakeOrdered."""
+    emb = _emb(spark, sf_dir)
+    idx = ivfpq_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        pq_dir=pq_index_dir(sf_dir),
+    )
+    return sdc_pair_mine(spark, idx)
+
+
+def sdc_pair_mine(
+    spark: SparkSession,
+    index_dir: str,
+    top_pairs: int = SDC_TOP_PAIRS,
+) -> DataFrame:
+    """Mine the closest within-cell pairs from a persisted IVF-PQ
+    layout, codes-only: the m*k*k symmetric codeword distance table
+    folds into ONE broadcast map row, the pair space is the per-cell
+    codes self-join (a_id < b_id), and the cut is a global
+    TakeOrdered by (sdc, a_id, b_id). Geometry from the persisted
+    meta."""
+    import os
+
+    meta = _ivfpq_meta(index_dir)
+    m = meta["pq_m"]
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    # symmetric codeword table keyed s<<16 | rank_a<<8 | rank_b (ranks
+    # are < 128 by the tinyint contract, so 8 bits each never collide)
+    sdm = (
+        cb.alias("a")
+        .join(cb.alias("b"), "s")
+        .select(
+            (
+                F.col("s").cast("long") * F.lit(1 << 16)
+                + F.col("a.rank").cast("long") * F.lit(1 << 8)
+                + F.col("b.rank").cast("long")
+            ).alias("k"),
+            F.round(
+                l2_squared(F.col("a.csv"), F.col("b.csv")) * 1e6
+            )
+            .cast("long")
+            .alias("d2m"),
+        )
+    )
+    sdm_row = sdm.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("k"), F.col("d2m")))
+        ).alias("__sdm")
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    a = codes.select(
+        F.col("cid").cast("long").alias("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("codes").alias("__ca"),
+    )
+    b = codes.select(
+        F.col("cid").cast("long").alias("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("codes").alias("__cb"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("a_id") < F.col("b_id"))
+    sdc = None
+    for s in range(1, m + 1):
+        term = F.element_at(
+            F.col("__sdm"),
+            F.lit(s).cast("long") * F.lit(1 << 16)
+            + F.element_at(F.col("__ca"), s).cast("long") * F.lit(1 << 8)
+            + F.element_at(F.col("__cb"), s).cast("long"),
+        )
+        sdc = term if sdc is None else sdc + term
+    return (
+        pairs.crossJoin(broadcast(sdm_row))
+        .select("cell", "a_id", "b_id", sdc.alias("sdc_micro"))
+        .orderBy(
+            F.col("sdc_micro").asc(),
+            F.col("a_id").asc(),
+            F.col("b_id").asc(),
+        )
+        .limit(top_pairs)
+    )

@@ -1847,3 +1847,40 @@ def test_append_surfaces_refuse_null_ids_and_batch_excludes_optional(
     n2 = spark.read.parquet(os.path.join(ivfpq, "codes")).count()
     n_ivf = spark.read.parquet(os.path.join(ivf, "assignment")).count()
     assert n2 == n_ivf == 2 * emb.count()  # SAME parents retrained
+
+
+def test_sdc_pair_mining_codes_only_and_copy_pairs_at_zero(spark, tmp_path):
+    """SDC (codes-vs-codes) pair mining: (a) a planted exact copy
+    pairs with its source at distance 0 as the global closest pair —
+    identical vectors encode to identical codes in the same cell; (b)
+    the mining plan reads NO floats at all: zero embeddings.parquet
+    scans, no-embedding ReadSchema on every codes scan, and the cut is
+    a TakeOrdered (map-side top-k, no pair-space exchange for a global
+    sort)."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        ivfpq_build,
+        sdc_pair_mine,
+    )
+
+    from .conftest import SF_DIR
+    from .plan_utils import assert_codes_scans_no_embedding, formatted_plan
+
+    emb = _emb(spark, SF_DIR)
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") == 7).select(
+            F.lit(7_000_000).cast("long").alias("vec_id"), "embedding"
+        )
+    )
+    idx = ivfpq_build(corpus, str(tmp_path / "sdc"))
+    pairs = sdc_pair_mine(spark, idx)
+    plan = formatted_plan(pairs)
+    assert "embeddings.parquet" not in plan  # never reads a float row
+    assert_codes_scans_no_embedding(plan)
+    exec_plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in exec_plan
+    top = pairs.collect()
+    assert (top[0]["a_id"], top[0]["b_id"]) == (7, 7_000_000)
+    assert top[0]["sdc_micro"] == 0  # identical codes, identical cell
