@@ -1064,7 +1064,6 @@ def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
     (indexutil.write_index_meta_atomic): staging sibling + rename, so
     no crash or concurrent build can wedge a half-written meta inside
     an otherwise-valid layout."""
-    _refuse_null_ids(emb, "lsh build")
     import os
 
     from ..indexutil import (
@@ -1084,6 +1083,9 @@ def lsh_build(emb: DataFrame, index_dir: str, bits: int = ANN_BITS) -> str:
         _lsh_index_bits(index_dir, bits)  # mismatch raises
 
     def write(staging: str) -> None:
+        # inside the closure: staged_index_build never calls write()
+        # for a complete index, so cache hits stay free of this scan
+        _refuse_null_ids(emb, "lsh build")
         _lsh_bucketed(emb, bits).write.partitionBy("bkt_hi").parquet(
             os.path.join(staging, "buckets")
         )
@@ -1325,6 +1327,50 @@ def _refuse_null_ids(emb: DataFrame, caller: str) -> None:
         raise ValueError(
             f"{caller}: input carries {agg['n'] - agg['n_emb']} NULL"
             " embeddings — give every id a real vector first"
+        )
+
+
+def _refuse_bad_pq_corpus(emb: DataFrame, caller: str) -> None:
+    """The PQ-family BUILD input contract in ONE skinny aggregate:
+    refuse NULL ids (misdiagnosed as duplicates by count_distinct, and
+    never anti-joinable later), NULL embeddings (encode to garbage
+    codes), duplicate ids (the codes layout is one row per id), and
+    wrong-width vectors (slice short -> NULL-first garbage codes) —
+    all BEFORE training/encode/write, the costliest jobs in this
+    module. Shared by pq_build and the composed ivfpq_build so a bad
+    corpus can never strand a poisoned parent cache."""
+    agg = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("vec_id").alias("n_id"),
+        F.count("embedding").alias("n_emb"),
+        F.count_distinct("vec_id").alias("n_distinct"),
+        F.count(
+            F.when(F.size("embedding") != PQ_M * PQ_SUBDIM, 1)
+        ).alias("n_badwidth"),
+    ).head()
+    if agg["n"] != agg["n_id"]:
+        raise ValueError(
+            f"{caller}: corpus carries {agg['n'] - agg['n_id']} NULL"
+            " vec_ids — give every vector a real id first"
+        )
+    if agg["n"] != agg["n_emb"]:
+        raise ValueError(
+            f"{caller}: corpus carries {agg['n'] - agg['n_emb']} NULL"
+            " embeddings — give every id a real vector first"
+        )
+    if agg["n"] != agg["n_distinct"]:
+        raise ValueError(
+            f"{caller}: corpus carries duplicate vec_ids"
+            f" ({agg['n']} rows, {agg['n_distinct']} distinct) — the"
+            " codes layout is one row per id;"
+            " dropDuplicates(['vec_id']) the corpus first"
+        )
+    if agg["n_badwidth"]:
+        raise ValueError(
+            f"{caller}: {agg['n_badwidth']} corpus rows are not"
+            f" {PQ_M * PQ_SUBDIM}-dim — PQ geometry is"
+            f" m={PQ_M} x subdim={PQ_SUBDIM}; fix the vectors or the"
+            " constants"
         )
 
 
@@ -2816,36 +2862,7 @@ def _pq_write(emb: DataFrame):
     spark = emb.sparkSession
 
     def write(staging: str) -> None:
-        # input refusals FIRST (one skinny scan each): training +
-        # encode + write are the costliest jobs in this module. NULL
-        # ids/embeddings share the append guard (a NULL id would be
-        # misdiagnosed as a duplicate by count_distinct, and a NULL
-        # vector encodes to garbage codes); duplicate ids violate the
-        # one-row-per-id codes contract; a row whose width disagrees
-        # with the PQ geometry would slice short and encode NULL-first
-        # garbage the same way.
-        _refuse_null_ids(emb, "pq build")
-        dup = emb.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("vec_id").alias("n_ids"),
-            F.count(
-                F.when(F.size("embedding") != PQ_M * PQ_SUBDIM, 1)
-            ).alias("n_badwidth"),
-        ).head()
-        if dup["n"] != dup["n_ids"]:
-            raise ValueError(
-                f"pq build: corpus carries duplicate vec_ids"
-                f" ({dup['n']} rows, {dup['n_ids']} distinct) — the"
-                " codes layout is one row per id;"
-                " dropDuplicates(['vec_id']) the corpus before pq_build"
-            )
-        if dup["n_badwidth"]:
-            raise ValueError(
-                f"pq build: {dup['n_badwidth']} corpus rows are not"
-                f" {PQ_M * PQ_SUBDIM}-dim — PQ geometry is"
-                f" m={PQ_M} x subdim={PQ_SUBDIM}; fix the vectors or"
-                " the constants"
-            )
+        _refuse_bad_pq_corpus(emb, "pq build")
         cent = pq_refine(emb, pq_seed_codebooks(emb))
         rank = (
             F.row_number().over(Window.partitionBy("s").orderBy("cid"))
@@ -3264,8 +3281,9 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
     def write(staging: str) -> None:
         # refuse bad input BEFORE any parent builds: ivf_build running
         # first could otherwise persist a poisoned parent cache that
-        # pq_build's refusal then strands as a "complete" index
-        _refuse_null_ids(emb, "ivfpq build")
+        # pq_build's refusal (NULLs/dups/width) then strands as a
+        # "complete" index later builds silently reuse
+        _refuse_bad_pq_corpus(emb, "ivfpq build")
         ivf_build(emb, ivf_dir)
         pq_build(emb, pq_dir)
         pm = _pq_meta(pq_dir)
@@ -4185,23 +4203,25 @@ def sdc_pair_mine(
     import os
 
     meta = _ivfpq_meta(index_dir)
-    m, k = meta["pq_m"], meta["pq_k"]
+    m = meta["pq_m"]
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     # symmetric codeword table as NESTED ARRAYS, not one flat map:
     # Spark maps are entry arrays, so element_at on an m*k*k map is a
     # LINEAR scan per lookup (measured 177 s for 125k pairs at sf0.1
-    # with the flat-map form); array element_at is O(1). Outer array
-    # indexed by s, inner by rank_a * k + rank_b (ranks are dense
-    # 0..k-1 per subspace by the build contract).
+    # with the flat-map form); array element_at is O(1). Three levels,
+    # ALL positional — s, then rank_a, then rank_b — because ranks are
+    # dense 0..k'-1 PER SUBSPACE but k' can be < pq_k when Lloyd
+    # strands a seed codeword (e.g. duplicated seed embeddings):
+    # absolute rank_a*pq_k+rank_b arithmetic would then misalign every
+    # rank_a >= 1 and run off the array end into NULLs that an
+    # ascending top-k ranks FIRST. Positional nesting has no k in it.
     sdm = (
         cb.alias("a")
         .join(cb.alias("b"), "s")
         .select(
             "s",
-            (
-                F.col("a.rank").cast("long") * F.lit(k)
-                + F.col("b.rank").cast("long")
-            ).alias("pos"),
+            F.col("a.rank").alias("ra"),
+            F.col("b.rank").alias("rb"),
             F.round(
                 l2_squared(F.col("a.csv"), F.col("b.csv")) * 1e6
             )
@@ -4210,11 +4230,18 @@ def sdc_pair_mine(
         )
     )
     sdm_row = (
-        sdm.groupBy("s")
+        sdm.groupBy("s", "ra")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "d2m"))),
+                F.array_sort(F.collect_list(F.struct("rb", "d2m"))),
                 lambda t: t["d2m"],
+            ).alias("row_arr")
+        )
+        .groupBy("s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ra", "row_arr"))),
+                lambda t: t["row_arr"],
             ).alias("arr")
         )
         .agg(
@@ -4239,12 +4266,11 @@ def sdc_pair_mine(
     sdc = None
     for s in range(1, m + 1):
         term = F.element_at(
-            F.element_at(F.col("__sdm"), s),
-            (
-                F.element_at(F.col("__ca"), s).cast("int") * F.lit(k)
-                + F.element_at(F.col("__cb"), s).cast("int")
-                + F.lit(1)
+            F.element_at(
+                F.element_at(F.col("__sdm"), s),
+                F.element_at(F.col("__ca"), s).cast("int") + F.lit(1),
             ),
+            F.element_at(F.col("__cb"), s).cast("int") + F.lit(1),
         )
         sdc = term if sdc is None else sdc + term
     return (
