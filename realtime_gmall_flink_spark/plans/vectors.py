@@ -1304,20 +1304,32 @@ def ann_multiprobe_batch_topk(
     )
 
 
-def _refuse_null_ids(emb: DataFrame, caller: str) -> None:
+def _refuse_null_ids(
+    emb: DataFrame, caller: str, want_dim: int | None = None
+) -> None:
     """Shared append/build input guard: a NULL vec_id row would either
     POISON the index (NULL never anti-joins, so replays re-append it
     forever, and a NULL candidate id can never point-fetch — every
     later probe raises) or silently vanish in an inner join, depending
     on the surface; a NULL EMBEDDING encodes to deterministic garbage
     codes (NULL distances tie, argmin falls to the min-cid centroid)
-    and later fails every probe whose cut ranks it. One skinny
-    aggregate, refused by name — the same contract as pq_build's."""
-    agg = emb.agg(
+    and later fails every probe whose cut ranks it; and when the index
+    has persisted geometry, a WRONG-WIDTH vector slices short and
+    scores NULL subspace distances the same way (sq8's clamp is a
+    defined degradation; there is none for a wrong-width PQ code). ONE
+    skinny aggregate covers all of it, refused by name."""
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.count("vec_id").alias("n_ids"),
         F.count("embedding").alias("n_emb"),
-    ).head()
+    ]
+    if want_dim is not None:
+        aggs.append(
+            F.count(
+                F.when(F.size("embedding") != want_dim, 1)
+            ).alias("n_badwidth")
+        )
+    agg = emb.agg(*aggs).head()
     if agg["n"] != agg["n_ids"]:
         raise ValueError(
             f"{caller}: input carries {agg['n'] - agg['n_ids']} NULL"
@@ -1327,6 +1339,11 @@ def _refuse_null_ids(emb: DataFrame, caller: str) -> None:
         raise ValueError(
             f"{caller}: input carries {agg['n'] - agg['n_emb']} NULL"
             " embeddings — give every id a real vector first"
+        )
+    if want_dim is not None and agg["n_badwidth"]:
+        raise ValueError(
+            f"{caller}: {agg['n_badwidth']} input rows are not"
+            f" {want_dim}-dim — the index geometry disagrees"
         )
 
 
@@ -1371,24 +1388,6 @@ def _refuse_bad_pq_corpus(emb: DataFrame, caller: str) -> None:
             f" {PQ_M * PQ_SUBDIM}-dim — PQ geometry is"
             f" m={PQ_M} x subdim={PQ_SUBDIM}; fix the vectors or the"
             " constants"
-        )
-
-
-def _refuse_wrong_width(
-    emb: DataFrame, meta: dict, caller: str
-) -> None:
-    """PQ-family appends must match the PERSISTED geometry: a vector
-    narrower/wider than pq_m * pq_subdim slices short, scores NULL
-    subspace distances, and encodes NULL-first garbage codes that
-    silently degrade recall — refused by name (sq8's clamp is a
-    defined degradation; there is none for a wrong-width PQ code)."""
-    want = meta["pq_m"] * meta["pq_subdim"]
-    bad = emb.filter(F.size("embedding") != want).count()
-    if bad:
-        raise ValueError(
-            f"{caller}: {bad} input rows are not {want}-dim — the"
-            " index geometry is"
-            f" m={meta['pq_m']} x subdim={meta['pq_subdim']}"
         )
 
 
@@ -2911,16 +2910,22 @@ def _pq_meta(index_dir: str) -> dict:
     return row
 
 
-def _require_one_query_row(q: DataFrame, caller: str = "pq") -> None:
+def _require_one_query_row(
+    q: DataFrame, caller: str = "pq", want_dim: int | None = None
+) -> None:
     """Eager one-row check shared by every persisted-PQ probe: an empty
     q would make every lookup-table entry — and so every adc — NULL,
     silently ranking arbitrary ids (Spark ASC sorts NULLS FIRST, so
     NULL adc rows would even win the cut); a multi-row q would fan the
     lookup table out per row; a NULL qe NULLs the table the same way an
-    empty frame does. One aggregate job covers all three."""
-    agg = q.agg(
-        F.count(F.lit(1)).alias("n"), F.count("qe").alias("n_qe")
-    ).head()
+    empty frame does — and so does a WRONG-WIDTH qe (short slices,
+    NULL subspace distances). One aggregate job covers all of it."""
+    aggs = [F.count(F.lit(1)).alias("n"), F.count("qe").alias("n_qe")]
+    if want_dim is not None:
+        aggs.append(
+            F.count(F.when(F.size("qe") != want_dim, 1)).alias("n_bw")
+        )
+    agg = q.agg(*aggs).head()
     if agg["n"] != 1:
         raise ValueError(
             f"{caller} query frame must hold exactly one row (qe);"
@@ -2928,6 +2933,11 @@ def _require_one_query_row(q: DataFrame, caller: str = "pq") -> None:
         )
     if agg["n_qe"] != 1:
         raise ValueError(f"{caller} query frame carries a NULL qe")
+    if want_dim is not None and agg["n_bw"]:
+        raise ValueError(
+            f"{caller} query vector is not {want_dim}-dim — the index"
+            " geometry disagrees"
+        )
 
 
 def _pq_lut_row(cb: DataFrame, q: DataFrame, subdim: int) -> DataFrame:
@@ -3001,9 +3011,9 @@ def pq_adc_candidates(
     (see _require_one_query_row)."""
     import os
 
-    _require_one_query_row(q, caller="pq_probe")
     meta = _pq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
+    _require_one_query_row(q, caller="pq_probe", want_dim=m * subdim)
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     lut_row = _pq_lut_row(cb, q, subdim)
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
@@ -3141,8 +3151,10 @@ def pq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     range to fall outside), but vectors far from the build distribution
     quantize poorly — pq_drift's growth signal is the rebuild cue.
     Stopped-writer window, like every parquet append here."""
-    _refuse_null_ids(emb, "pq_append")
-    _refuse_wrong_width(emb, _pq_meta(index_dir), "pq_append")
+    meta0 = _pq_meta(index_dir)
+    _refuse_null_ids(
+        emb, "pq_append", want_dim=meta0["pq_m"] * meta0["pq_subdim"]
+    )
     import os
 
     meta = _pq_meta(index_dir)
@@ -3474,9 +3486,11 @@ def ivfpq_adc_candidates(
     persisted meta, not module constants."""
     import os
 
-    _require_one_query_row(q, caller="ivfpq_probe")
     meta = _ivfpq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
+    _require_one_query_row(
+        q, caller="ivfpq_probe", want_dim=m * subdim
+    )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     lut_row = _pq_lut_row(cb, q, subdim)
     cids = _ivfpq_probe_cids(spark, index_dir, q, nprobe)
@@ -3525,8 +3539,10 @@ def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     persisted centroids (both frozen — ivfpq_drift is the rebuild cue),
     skip ids already present, append whole-row files into their cell
     partitions. Stopped-writer window, like every parquet append."""
-    _refuse_null_ids(emb, "ivfpq_append")
-    _refuse_wrong_width(emb, _ivfpq_meta(index_dir), "ivfpq_append")
+    meta0 = _ivfpq_meta(index_dir)
+    _refuse_null_ids(
+        emb, "ivfpq_append", want_dim=meta0["pq_m"] * meta0["pq_subdim"]
+    )
     import os
 
     meta = _ivfpq_meta(index_dir)
@@ -3805,17 +3821,22 @@ def _pq_validated_rerank_batch(
 
 
 def _require_query_batch(
-    queries: DataFrame, caller: str = "pq"
+    queries: DataFrame, caller: str = "pq", want_dim: int | None = None
 ) -> None:
     """Eager batch-query check: an empty batch or duplicate qids would
     silently produce nothing / fan scores out per duplicate — refused
     by name (the one-row-q precedent applied to batches)."""
-    agg = queries.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.count("qid").alias("n_nonnull"),
         F.count("qe").alias("n_qe"),
         F.count_distinct("qid").alias("nq"),
-    ).head()
+    ]
+    if want_dim is not None:
+        aggs.append(
+            F.count(F.when(F.size("qe") != want_dim, 1)).alias("n_bw")
+        )
+    agg = queries.agg(*aggs).head()
     if agg["n"] == 0:
         raise ValueError(
             f"{caller} batch query frame is empty (qid, qe)"
@@ -3841,6 +3862,12 @@ def _require_query_batch(
             f"{caller} batch query frame carries duplicate qids"
             f" ({agg['n']} rows, {agg['nq']} distinct)"
         )
+    if want_dim is not None and agg["n_bw"]:
+        raise ValueError(
+            f"{caller} batch query frame carries {agg['n_bw']} vectors"
+            f" that are not {want_dim}-dim — the index geometry"
+            " disagrees"
+        )
 
 
 def pq_batch_candidates(
@@ -3860,9 +3887,11 @@ def pq_batch_candidates(
     corpus ids must pass False or silently lose that neighbor."""
     import os
 
-    _require_query_batch(queries, caller="pq_probe_batch")
     meta = _pq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
+    _require_query_batch(
+        queries, caller="pq_probe_batch", want_dim=m * subdim
+    )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     luts = _pq_lut_rows(cb, queries, subdim)
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
@@ -3911,9 +3940,11 @@ def ivfpq_batch_candidates(
     Cell ranking shares _probe_cell_pairs with ivf_probe_batch."""
     import os
 
-    _require_query_batch(queries, caller="ivfpq_probe_batch")
     meta = _ivfpq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
+    _require_query_batch(
+        queries, caller="ivfpq_probe_batch", want_dim=m * subdim
+    )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     luts = _pq_lut_rows(cb, queries, subdim)
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
@@ -4103,9 +4134,11 @@ def pq_adc_near_dups(
     queries = arrivals.select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    _require_query_batch(queries, caller="pq_adc_near_dups")
     meta = _pq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
+    _require_query_batch(
+        queries, caller="pq_adc_near_dups", want_dim=m * subdim
+    )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     luts = _pq_lut_rows(cb, queries, subdim)
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))

@@ -1207,11 +1207,10 @@ def test_scale8_materialized_mixture_two_cheap_scans(spark, sf8_dir):
     read exactly once, in the per-doc pass)."""
     import re
 
+    from .plan_utils import formatted_plan
+
     df = catalog()["materialized_mixture_stats"].builder(spark, sf8_dir)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    plan = df._jdf.queryExecution().explainString(mode)
+    plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     doc_schemas = [
         re.search(r"ReadSchema: (\S+)", c).group(1)
