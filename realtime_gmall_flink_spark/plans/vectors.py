@@ -965,8 +965,14 @@ def ivf_probe_batch(
 
     from pyspark.sql import Window
 
-    _require_query_batch(queries, caller="ivf_probe_batch")
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    # a wrong-width qe would NULL-score through cosine_similarity and
+    # probe/rank arbitrary rows — derive the expected width from the
+    # persisted centroids and refuse by name, like the PQ-family probes
+    want_dim = cent.select(F.size("ce").alias("d")).first()["d"]
+    _require_query_batch(
+        queries, caller="ivf_probe_batch", want_dim=want_dim
+    )
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     assigned = spark.read.parquet(
         os.path.join(index_dir, "assignment")
@@ -3151,13 +3157,12 @@ def pq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     range to fall outside), but vectors far from the build distribution
     quantize poorly — pq_drift's growth signal is the rebuild cue.
     Stopped-writer window, like every parquet append here."""
-    meta0 = _pq_meta(index_dir)
+    meta = _pq_meta(index_dir)
     _refuse_null_ids(
-        emb, "pq_append", want_dim=meta0["pq_m"] * meta0["pq_subdim"]
+        emb, "pq_append", want_dim=meta["pq_m"] * meta["pq_subdim"]
     )
     import os
 
-    meta = _pq_meta(index_dir)
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     codes_path = os.path.join(index_dir, "codes")
     existing = spark.read.parquet(codes_path).select("vec_id")
@@ -3539,13 +3544,12 @@ def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     persisted centroids (both frozen — ivfpq_drift is the rebuild cue),
     skip ids already present, append whole-row files into their cell
     partitions. Stopped-writer window, like every parquet append."""
-    meta0 = _ivfpq_meta(index_dir)
+    meta = _ivfpq_meta(index_dir)
     _refuse_null_ids(
-        emb, "ivfpq_append", want_dim=meta0["pq_m"] * meta0["pq_subdim"]
+        emb, "ivfpq_append", want_dim=meta["pq_m"] * meta["pq_subdim"]
     )
     import os
 
-    meta = _ivfpq_meta(index_dir)
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     codes_path = os.path.join(index_dir, "codes")
@@ -3789,7 +3793,14 @@ def _pq_validated_rerank_batch(
     candidate ids point-fetches from ``emb`` exactly once with the same
     missing/NULL/conflict refusals as the single-query form (validation
     amortizes across the batch), and a per-qid window takes the top k.
-    Output schema matches ivf_probe_batch: (qid, vec_id, cos_sim, rk)."""
+    Output schema matches ivf_probe_batch: (qid, vec_id, cos_sim, rk).
+
+    A qid whose candidate set is EMPTY (its probed cells held no other
+    vectors) is simply absent from the output — zero rows, not an
+    error. Callers joining results back to the query batch must treat
+    a missing qid as 'no candidates in the probed cells', not as a
+    lost query; use a left join from the query frame if every qid must
+    surface."""
     from pyspark.sql import Window
 
     # set-dedup: the codes layout guarantees one row per id (pq_build

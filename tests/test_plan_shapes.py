@@ -172,6 +172,14 @@ def test_ivf_batch_probe_single_pruned_index_scan(spark, tmp_path):
     assert len(cells) <= 3 * IVF_NPROBE
     assert plan.count("ivf-batch-index/assignment") == 1
     assert "posexplode" not in plan
+    # wrong-width queries are refused vs the persisted centroid
+    # geometry, like every PQ-family probe — a mismatched qe would
+    # otherwise NULL-score and rank arbitrary rows (ADVICE r10)
+    import pytest as _pytest
+
+    bad = queries.select("qid", F.slice("qe", 1, 3).alias("qe"))
+    with _pytest.raises(ValueError, match="not 64-dim"):
+        ivf_probe_batch(spark, idx, bad)
 
 
 def test_runtime_bloom_filter_fires_on_selective_join(spark):
