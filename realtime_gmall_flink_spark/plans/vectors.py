@@ -413,6 +413,45 @@ IVF_NPROBE = 4
 IVF_LLOYD_ITERS = 1
 
 
+def adaptive_nlist(n_vecs: int) -> int:
+    """Corpus-derived IVF cell count: Θ(sqrt(n)) — the classical
+    inverted-file sizing (probe cost ~ nprobe*n/nlist and cell-ranking
+    cost ~ nlist balance at sqrt(n)-order nlist) — floored at the
+    documented ``IVF_CENTROIDS`` so tiny corpora keep the sandbox
+    geometry. This is the default when a build is not passed an
+    explicit ``n_centroids``: a 100x corpus gets ~10x the cells instead
+    of 100x the cell size, so probes and the SDC pair miner degrade
+    ~sqrt(n), not linearly. Geometry persists as the centroids table
+    itself (nlist = its row count), so probes/appends/rebuilds read it
+    back rather than trusting this module constant."""
+    import math
+
+    return max(IVF_CENTROIDS, round(math.sqrt(max(n_vecs, 0)) / 2))
+
+
+def sdc_nlist_for(
+    n_vecs: int, max_cell_pairs: int | None = None
+) -> int:
+    """The cell count that keeps :func:`sdc_pair_mine`'s per-cell pair
+    volume within ``max_cell_pairs`` at EXPECTED balance: cell size
+    n/nlist, pairs/cell ~ (n/nlist)^2/2 <= max -> nlist >=
+    n/sqrt(2*max). Cells scale ~linearly with the corpus, so the
+    miner's TOTAL pair volume is ~linear in n (each cell bounded) —
+    the sizing to pass a mining-heavy ``ivfpq_build``/``ivfpq_rebuild``
+    when the index exists to dedup, not just to probe. Never below the
+    ANN-oriented :func:`adaptive_nlist` default."""
+    import math
+
+    if max_cell_pairs is None:
+        max_cell_pairs = SDC_MAX_CELL_PAIRS
+    need = (
+        math.ceil(n_vecs / math.sqrt(2 * max_cell_pairs))
+        if n_vecs > 0
+        else 0
+    )
+    return max(adaptive_nlist(n_vecs), need)
+
+
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB cosine between two list columns, same left-to-right double
     fold as :func:`cosine_similarity`."""
@@ -571,7 +610,7 @@ def ivf_index_dir(
 def ivf_build(
     emb: DataFrame,
     index_dir: str,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = None,
     lloyd_iters: int = IVF_LLOYD_ITERS,
 ) -> str:
     """Materialize the IVF index: ``centroids/`` (k rows, Lloyd-refined)
@@ -580,7 +619,15 @@ def ivf_build(
     a half-index at ``index_dir`` (losers of the rename race discard
     their staging). The assignment is computed FROM the persisted
     centroids (read back — k rows), so index contents are exactly
-    self-consistent even across engine/rounding changes."""
+    self-consistent even across engine/rounding changes.
+
+    ``n_centroids=None`` (the default) derives the cell count from the
+    corpus size (:func:`adaptive_nlist`) — a fixed nlist at 100x the
+    data means 100x the cell size, which degrades probe pruning
+    linearly and the SDC pair miner quadratically. Pass an explicit
+    value to pin geometry (the catalog's canonical caches pin
+    ``IVF_CENTROIDS`` so their cross-engine oracles, which embed the
+    literal cell structure, stay stable across scale factors)."""
     from ..indexutil import staged_index_build
 
     return staged_index_build(
@@ -593,17 +640,26 @@ def ivf_build(
 IVF_SUBDIRS = ("centroids", "assignment", "build_stats")
 
 
-def _ivf_write(emb: DataFrame, n_centroids: int, lloyd_iters: int):
-    """The IVF materialization closure shared by build and rebuild."""
+def _ivf_write(emb: DataFrame, n_centroids: int | None, lloyd_iters: int):
+    """The IVF materialization closure shared by build and rebuild.
+    ``n_centroids=None`` resolves to :func:`adaptive_nlist` of the
+    corpus row count here — the ONE place the corpus-derived default
+    applies, so build and rebuild (which self-sources a GROWN corpus
+    and therefore picks a bigger nlist — the drift remedy) agree."""
     import os
 
     spark = emb.sparkSession
 
     def write(staging: str) -> None:
         _refuse_null_ids(emb, "ivf build")
+        k = (
+            adaptive_nlist(emb.count())
+            if n_centroids is None
+            else n_centroids
+        )
         cent_path = os.path.join(staging, "centroids")
         ivf_refine(
-            emb, ivf_centroids(emb, k=n_centroids), iters=lloyd_iters
+            emb, ivf_centroids(emb, k=k), iters=lloyd_iters
         ).write.parquet(cent_path)
         cent = spark.read.parquet(cent_path)
         ivf_assign(emb, cent).write.partitionBy("cid").parquet(
@@ -625,7 +681,7 @@ def ivf_rebuild(
     spark: SparkSession,
     index_dir: str,
     emb: DataFrame | None = None,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = None,
     lloyd_iters: int = IVF_LLOYD_ITERS,
 ) -> str:
     """Rebuild the index IN PLACE (refreshed centroids, assignment, and
@@ -659,7 +715,7 @@ def ivf_refresh_if_drifted(
     spark: SparkSession,
     index_dir: str,
     emb: DataFrame | None = None,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = None,
     lloyd_iters: int = IVF_LLOYD_ITERS,
     **drift_kwargs,
 ) -> dict:
@@ -813,7 +869,9 @@ LIMIT {TOP_K}
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_index_dir(sf_dir)
-    ivf_build(_emb(spark, sf_dir), idx)
+    # pinned geometry: the oracle SQL embeds the literal cell
+    # structure, so the canonical cache must not re-derive nlist per SF
+    ivf_build(_emb(spark, sf_dir), idx, n_centroids=IVF_CENTROIDS)
     q = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == QUERY_VEC_ID)
@@ -904,7 +962,9 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_topk's single query). Query ids are corpus vectors, so each
     excludes its self-match."""
     idx = ivf_index_dir(sf_dir)
-    ivf_build(_emb(spark, sf_dir), idx)
+    # pinned geometry: the oracle SQL embeds the literal cell
+    # structure, so the canonical cache must not re-derive nlist per SF
+    ivf_build(_emb(spark, sf_dir), idx, n_centroids=IVF_CENTROIDS)
     queries = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isin(list(IVF_BATCH_QIDS)))
@@ -2784,6 +2844,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx,
         ivf_dir=ivf_index_dir(sf_dir),
         pq_dir=pq_index_dir(sf_dir),
+        n_centroids=IVF_CENTROIDS,  # oracle embeds the literal cells
     )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
@@ -3281,7 +3342,12 @@ def _ivfpq_parent_dirs(
     return (ivf_dir or f"{index_dir}-ivf", pq_dir or f"{index_dir}-pq")
 
 
-def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
+def _ivfpq_write(
+    emb: DataFrame,
+    ivf_dir: str,
+    pq_dir: str,
+    n_centroids: int | None = None,
+):
     """The IVF-PQ materialization closure shared by build and rebuild:
     ensure both parent indexes exist (no-op when already complete),
     copy their trained artifacts, and join assignment cells to PQ codes
@@ -3301,7 +3367,7 @@ def _ivfpq_write(emb: DataFrame, ivf_dir: str, pq_dir: str):
         # pq_build's refusal (NULLs/dups/width) then strands as a
         # "complete" index later builds silently reuse
         _refuse_bad_pq_corpus(emb, "ivfpq build")
-        ivf_build(emb, ivf_dir)
+        ivf_build(emb, ivf_dir, n_centroids=n_centroids)
         pq_build(emb, pq_dir)
         pm = _pq_meta(pq_dir)
         cent = spark.read.parquet(os.path.join(ivf_dir, "centroids"))
@@ -3436,16 +3502,24 @@ def ivfpq_build(
     index_dir: str,
     ivf_dir: str | None = None,
     pq_dir: str | None = None,
+    n_centroids: int | None = None,
 ) -> str:
     """Materialize the composed IVF-PQ index (staged + atomic rename;
     an existing complete index is reused, debris rebuilt). Parent IVF
     and PQ indexes are built only if absent — pass the canonical cache
-    dirs to share training with the standalone entries."""
+    dirs to share training with the standalone entries.
+    ``n_centroids`` sizes the IVF parent like :func:`ivf_build` (None =
+    corpus-adaptive; pair-mining-heavy indexes should pass
+    :func:`sdc_nlist_for`); it only applies when the parent is actually
+    built here — an existing complete parent keeps its persisted
+    geometry."""
     from ..indexutil import staged_index_build
 
     ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
     return staged_index_build(
-        index_dir, IVFPQ_SUBDIRS, _ivfpq_write(emb, ivf_dir, pq_dir)
+        index_dir,
+        IVFPQ_SUBDIRS,
+        _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids),
     )
 
 
@@ -3658,6 +3732,7 @@ def ivfpq_rebuild(
     emb: DataFrame,
     ivf_dir: str | None = None,
     pq_dir: str | None = None,
+    n_centroids: int | None = None,
 ) -> str:
     """Rebuild IN PLACE over ``emb`` with the crash-safe two-rename
     swap. Codes are lossy (the raw floats are gone), so the caller MUST
@@ -3682,10 +3757,12 @@ def ivfpq_rebuild(
             ivf_dir = ivf_dir or persisted[0]
             pq_dir = pq_dir or persisted[1]
     ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
-    ivf_rebuild(spark, ivf_dir, emb)
+    ivf_rebuild(spark, ivf_dir, emb, n_centroids=n_centroids)
     pq_rebuild(spark, pq_dir, emb)
     return rebuild_index(
-        index_dir, IVFPQ_SUBDIRS, _ivfpq_write(emb, ivf_dir, pq_dir)
+        index_dir,
+        IVFPQ_SUBDIRS,
+        _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids),
     )
 
 
@@ -3695,17 +3772,22 @@ def ivfpq_refresh_if_drifted(
     emb: DataFrame,
     ivf_dir: str | None = None,
     pq_dir: str | None = None,
+    n_centroids: int | None = None,
     **drift_kwargs,
 ) -> dict:
     """Check drift and rebuild over ``emb`` only when recommended
     (``emb`` is REQUIRED — lossy-codes contract). Returns the drift
-    report with a ``rebuilt`` flag added."""
+    report with a ``rebuilt`` flag added. ``n_centroids=None`` lets the
+    rebuild re-derive the IVF geometry from the GROWN corpus — the
+    remedy for an index whose cells outgrew their build sizing."""
     report = dict(ivfpq_drift(spark, index_dir, **drift_kwargs))
     report["rebuilt"] = False
     if report["rebuild_recommended"]:
         # parent-dir defaulting (persisted parents/) happens inside
         # ivfpq_rebuild
-        ivfpq_rebuild(spark, index_dir, emb, ivf_dir, pq_dir)
+        ivfpq_rebuild(
+            spark, index_dir, emb, ivf_dir, pq_dir, n_centroids
+        )
         report["rebuilt"] = True
     return report
 
@@ -4101,6 +4183,7 @@ def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx,
         ivf_dir=ivf_index_dir(sf_dir),
         pq_dir=pq_index_dir(sf_dir),
+        n_centroids=IVF_CENTROIDS,  # oracle embeds the literal cells
     )
     queries = emb.filter(
         F.col("vec_id").isin(list(IVF_BATCH_QIDS))
@@ -4185,6 +4268,17 @@ def pq_adc_near_dups(
 # anywhere (codebooks are m*k rows) — the plan test asserts the entry
 # never scans embeddings.parquet at all.
 SDC_TOP_PAIRS = 10
+# Per-cell pair-volume bound for sdc_pair_mine: a cell of c rows
+# contributes c*(c-1)/2 pairs to the within-cell self-join, so ONE
+# oversized cell (an undersized build, or an append flood the skew
+# monitor hasn't healed yet) dominates the whole mining pass. 8M pairs
+# ~ a 4k-row cell — a bounded, compute-cheap task (each pair is pq_m
+# O(1) array lookups, no float IO). The miner REFUSES cells past the
+# bound by name (the near_dup_jaccard df-cap precedent: a silent cap
+# would under-report near-dups); the remedy is a rebuild at
+# sdc_nlist_for(n) geometry, which keeps cells ~constant-size and the
+# TOTAL pair volume ~linear in the corpus.
+SDC_MAX_CELL_PAIRS = 8_000_000
 
 
 @register(
@@ -4229,25 +4323,76 @@ def near_dup_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx,
         ivf_dir=ivf_index_dir(sf_dir),
         pq_dir=pq_index_dir(sf_dir),
+        n_centroids=IVF_CENTROIDS,  # oracle embeds the literal cells
     )
     return sdc_pair_mine(spark, idx)
+
+
+def _refuse_oversized_cells(
+    spark: SparkSession, codes_path: str, max_cell_pairs: int
+) -> None:
+    """Refuse cells whose within-cell pair volume c*(c-1)/2 exceeds
+    the bound, naming the worst offenders, the total corpus size, and
+    the sdc_nlist_for geometry that would fit. The count aggregates
+    over the PARTITION column only (parquet footer row counts — the
+    ivfpq_drift pattern), and the collect is bounded by nlist."""
+    counts = {
+        r["cid"]: r["count"]
+        for r in spark.read.parquet(codes_path)
+        .groupBy("cid")
+        .count()
+        .collect()
+    }
+    over = sorted(
+        (
+            (c * (c - 1) // 2, c, cid)
+            for cid, c in counts.items()
+            if c * (c - 1) // 2 > max_cell_pairs
+        ),
+        reverse=True,
+    )
+    if over:
+        n = sum(counts.values())
+        worst = ", ".join(
+            f"cid={cid}: {c} rows = {p} pairs" for p, c, cid in over[:5]
+        )
+        raise ValueError(
+            f"sdc_pair_mine: {len(over)} of {len(counts)} cells exceed"
+            f" max_cell_pairs={max_cell_pairs} ({worst}) — the index is"
+            f" undersized for pair mining at its current {n} vectors."
+            " Rebuild with ivfpq_rebuild(..., n_centroids="
+            f"sdc_nlist_for(n)) (= {sdc_nlist_for(n, max_cell_pairs)}"
+            " cells here) so per-cell pair volume stays bounded"
+        )
 
 
 def sdc_pair_mine(
     spark: SparkSession,
     index_dir: str,
     top_pairs: int = SDC_TOP_PAIRS,
+    max_cell_pairs: int = SDC_MAX_CELL_PAIRS,
 ) -> DataFrame:
     """Mine the closest within-cell pairs from a persisted IVF-PQ
     layout, codes-only: the m*k*k symmetric codeword distance table
     folds into ONE broadcast map row, the pair space is the per-cell
     codes self-join (a_id < b_id), and the cut is a global
     TakeOrdered by (sdc, a_id, b_id). Geometry from the persisted
-    meta."""
+    meta.
+
+    The pair space is QUADRATIC in cell size, so cells whose pair
+    volume exceeds ``max_cell_pairs`` are refused EAGERLY by name
+    (metadata-cheap per-cell counts — cid is the partition column, no
+    code bytes read) before any mining job runs: silently mining an
+    undersized index would be fine at test scale and a 10,000x blowup
+    at 100x the corpus. Remedy: ``ivfpq_rebuild(...,
+    n_centroids=sdc_nlist_for(n))``, which sizes cells to the bound."""
     import os
 
     meta = _ivfpq_meta(index_dir)
     m = meta["pq_m"]
+    _refuse_oversized_cells(
+        spark, os.path.join(index_dir, "codes"), max_cell_pairs
+    )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     # symmetric codeword table as NESTED ARRAYS, not one flat map:
     # Spark maps are entry arrays, so element_at on an m*k*k map is a

@@ -1229,3 +1229,68 @@ def test_scale8_materialized_mixture_two_cheap_scans(spark, sf8_dir):
     assert sum("text" in s for s in doc_schemas) == 1  # text read once
     assert any(s == "struct<lang:string>" for s in doc_schemas), doc_schemas
     assert df.count() <= 16  # language-sized output regardless of 8x
+
+
+@pytest.mark.scale
+def test_scale8_sdc_geometry_keeps_pair_volume_linear(spark, tmp_path):
+    """The r10 weak-mark closure, measured: at sdc_nlist_for geometry
+    the cell COUNT scales with the corpus, so the miner's total
+    within-cell pair volume grows ~linearly with an 8x corpus — while
+    the old fixed-nlist default grows it ~64x (quadratic). Volumes come
+    from assignment footer counts (the same per-cell counts the
+    sdc_pair_mine guard reads), no mining job needed."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        ivf_build,
+        sdc_nlist_for,
+    )
+
+    def pair_volume(emb, n, where, nlist):
+        idx = ivf_build(emb, str(tmp_path / where), n_centroids=nlist)
+        counts = [
+            r["count"]
+            for r in spark.read.parquet(f"{idx}/assignment")
+            .groupBy("cid")
+            .count()
+            .collect()
+        ]
+        return sum(c * (c - 1) // 2 for c in counts), len(counts)
+
+    # a small bound so the adaptive sizing is exercised at test scale
+    bound = 450
+    base = _emb(spark, SF_DIR).localCheckpoint(eager=True)
+    n1 = base.count()
+    emb8 = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: x + F.lit(float(i)) * 0.001 * (j + 1),
+                ).alias("embedding"),
+            )
+            for i in range(8)
+        ],
+    ).localCheckpoint(eager=True)
+    n8 = emb8.count()
+    assert n8 == 8 * n1
+    v1, cells1 = pair_volume(
+        base, n1, "sdc1", sdc_nlist_for(n1, bound)
+    )
+    v8, cells8 = pair_volume(
+        emb8, n8, "sdc8", sdc_nlist_for(n8, bound)
+    )
+    assert cells8 >= 5 * cells1  # cells really scale with n
+    # ~linear pair volume: generous 3x skew slack over the 8x corpus
+    # ratio, and decisively below the fixed-nlist quadratic 64x
+    assert v8 <= 24 * v1, (v1, v8, cells1, cells8)
+    # the fixed-geometry counterfactual really is quadratic-order
+    vq, _ = pair_volume(
+        emb8, n8, "sdcq", sdc_nlist_for(n1, bound)
+    )
+    assert vq >= 40 * v1, (v1, vq)

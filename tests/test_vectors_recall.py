@@ -1884,3 +1884,112 @@ def test_sdc_pair_mining_codes_only_and_copy_pairs_at_zero(spark, tmp_path):
     top = pairs.collect()
     assert (top[0]["a_id"], top[0]["b_id"]) == (7, 7_000_000)
     assert top[0]["sdc_micro"] == 0  # identical codes, identical cell
+
+
+def test_adaptive_nlist_and_sdc_sizing():
+    """The corpus-derived geometry defaults: Theta(sqrt n) cells for
+    ANN probes (floored at the documented sandbox IVF_CENTROIDS), and
+    ~n/sqrt(2*max_pairs) cells for pair mining so per-cell pair volume
+    stays within SDC_MAX_CELL_PAIRS — i.e. cells scale ~linearly with
+    the corpus and total mining volume stays ~linear, not quadratic."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_CENTROIDS,
+        SDC_MAX_CELL_PAIRS,
+        adaptive_nlist,
+        sdc_nlist_for,
+    )
+
+    assert adaptive_nlist(0) == IVF_CENTROIDS
+    assert adaptive_nlist(500) == IVF_CENTROIDS  # sandbox floor holds
+    assert adaptive_nlist(10_000) == 50
+    assert adaptive_nlist(1_000_000) == 500
+    n = 10_000_000
+    nlist = sdc_nlist_for(n)
+    cell = n / nlist
+    assert cell * (cell - 1) / 2 <= SDC_MAX_CELL_PAIRS
+    assert sdc_nlist_for(8 * n) >= 7 * nlist  # cells ~linear in n
+    assert sdc_nlist_for(0) == IVF_CENTROIDS
+    assert sdc_nlist_for(n) >= adaptive_nlist(n)
+
+
+def test_ivf_build_default_geometry_is_corpus_adaptive(spark, tmp_path):
+    """ivf_build without n_centroids derives nlist from the corpus: the
+    sandbox 500-row corpus keeps the documented floor, an 8x corpus
+    gets ~sqrt-scaled cells, and an explicit n_centroids still pins
+    (the catalog's oracle-parity contract)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_CENTROIDS,
+        _emb,
+        adaptive_nlist,
+        ivf_build,
+    )
+
+    from .conftest import SF_DIR
+
+    base = _emb(spark, SF_DIR)
+    idx = ivf_build(base, str(tmp_path / "ivf-floor"))
+    assert (
+        spark.read.parquet(f"{idx}/centroids").count() == IVF_CENTROIDS
+    )
+    # per-copy perturbation keeps embeddings DISTINCT: md5-drawn seeds
+    # that collide in VALUE collapse under Lloyd (assignment ties break
+    # to one cid and the empty cell drops), which would undercount the
+    # exact-geometry assertion below
+    emb8 = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: x + F.lit(float(i)) * 0.001 * (j + 1),
+                ).alias("embedding"),
+            )
+            for i in range(8)
+        ],
+    ).localCheckpoint(eager=True)
+    n8 = emb8.count()
+    want = adaptive_nlist(n8)
+    assert want > IVF_CENTROIDS  # the default really adapted
+    idx8 = ivf_build(emb8, str(tmp_path / "ivf-adaptive"))
+    assert spark.read.parquet(f"{idx8}/centroids").count() == want
+    pinned = ivf_build(
+        emb8, str(tmp_path / "ivf-pinned"), n_centroids=IVF_CENTROIDS
+    )
+    assert (
+        spark.read.parquet(f"{pinned}/centroids").count()
+        == IVF_CENTROIDS
+    )
+
+
+def test_sdc_pair_mine_refuses_undersized_index(spark, tmp_path):
+    """A deliberately undersized index (2 cells over 500 vectors) is
+    refused by name BEFORE any mining job — the quadratic pair space is
+    the r10 weak mark, and silently mining it at scale is the failure
+    the bound exists to prevent. The error carries the worst cells and
+    the sdc_nlist_for remedy; a bound sized for the cells accepts."""
+    import pytest as _pytest
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        ivfpq_build,
+        sdc_pair_mine,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = ivfpq_build(emb, str(tmp_path / "sdc-small"), n_centroids=2)
+    with _pytest.raises(
+        ValueError, match="undersized for pair mining"
+    ) as ei:
+        sdc_pair_mine(spark, idx, max_cell_pairs=10_000)
+    msg = str(ei.value)
+    assert "cid=" in msg and "sdc_nlist_for" in msg
+    # the same layout mines fine under a bound that fits its cells
+    rows = sdc_pair_mine(spark, idx, max_cell_pairs=200_000).collect()
+    assert len(rows) > 0
