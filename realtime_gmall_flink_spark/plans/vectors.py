@@ -2545,18 +2545,25 @@ def _pq_sliced(ndf: DataFrame, id_col: str, out: str) -> DataFrame:
     ).select(id_col, F.col("x.s").alias("s"), F.col(f"x.{out}").alias(out))
 
 
+def _pq_seed_codebooks_ndf(ndf: DataFrame) -> DataFrame:
+    """Seed codebooks over a PREPARED (vec_id, ne) frame — ``ne`` may
+    be a unit-normalized vector (standalone PQ) or a residual
+    (IVF-PQ's x̂ − ĉ): the training machinery is norm-agnostic, the
+    seed rule stays the md5-of-id contract either way."""
+    seeds = (
+        ndf.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cid"), "ne")
+    )
+    return _pq_sliced(seeds, "cid", "csv")
+
+
 def pq_seed_codebooks(emb: DataFrame) -> DataFrame:
     """Deterministic per-subspace seed codebooks (s, cid, csv): the
     PQ_K smallest-md5 vectors (the ivf_centroids seed rule), unit-
     normalized and sliced into PQ_M subvectors — every subspace starts
     from the same seed rows."""
-    seeds = (
-        _pq_normalized(emb)
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(PQ_K)
-        .select(F.col("vec_id").alias("cid"), "ne")
-    )
-    return _pq_sliced(seeds, "cid", "csv")
+    return _pq_seed_codebooks_ndf(_pq_normalized(emb))
 
 
 def _pq_subvectors(emb: DataFrame) -> DataFrame:
@@ -2587,12 +2594,19 @@ def _pq_nearest(cs_col, sv) -> "F.Column":
 
 
 def pq_refine(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """One Lloyd pass per subspace: assign every subvector to its
+    """One Lloyd pass per subspace over a raw corpus (normalized
+    here); see :func:`_pq_refine_ndf` for the machinery."""
+    return _pq_refine_ndf(_pq_normalized(emb), cent)
+
+
+def _pq_refine_ndf(ndf: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd pass per subspace over a PREPARED (vec_id, ne) frame
+    (unit vectors or residuals): assign every subvector to its
     nearest centroid (broadcast per-s codebook arrays — no shuffle on
     the corpus side), then per-(s, cid, pos) means rebuild the
     codebooks. The means shuffle is map-side combined down to
     PQ_M*PQ_K*PQ_SUBDIM partials — kilobytes at any corpus size."""
-    sub = _pq_subvectors(emb)
+    sub = _pq_sliced(ndf, "vec_id", "sv")
     carr = cent.groupBy("s").agg(
         F.collect_list(F.struct("cid", "csv")).alias("cs")
     )
@@ -2794,33 +2808,108 @@ def pq_topk_inmem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per candidate row, pruned to the probed cells by a literal
 # PartitionFilter — no float column even exists in that layout), and
 # the rerank is a bounded point-set — three multiplicative reductions
-# before any exact math. Training composes the two existing
-# deterministic recipes unchanged (IVF centroids over RAW vectors with
-# the cosine argmax assignment; PQ codebooks over UNIT-normalized
-# vectors), so the oracle is the two proven CTE fragments joined:
-# _IVF_CELLS_SQL restricts, the PQ codebook chain scores.
+# before any exact math. Since v3 the codes are RESIDUAL-encoded
+# (classical IVF-PQ): each vector stores x̂ − ĉ(cell) quantized against
+# codebooks TRAINED on those residuals, and the probe builds a
+# per-probed-cell lookup table from the query's residual in that cell
+# — (q̂ − ĉ) − (x̂ − ĉ) = q̂ − x̂, so the ranking target is identical
+# and only the quantization grid changes. The oracle replays the
+# residual training/encode with the same deterministic recipe (md5
+# seeds, one Lloyd pass with decimal-nano means, 6-dp + cid-tie-break
+# assignment, integer-micro lookup tables).
+
+
+def _norm_sql(col: str) -> str:
+    """DuckDB L2 norm of a 64-dim list column — the _NORM_A contract
+    generalized to any column (the residual chain normalizes the IVF
+    centroids with it)."""
+    return (
+        "sqrt(list_sum(list_transform(generate_series(1, 64),"
+        f" i -> CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE))))"
+    )
+
+
+# The residual codebook/codes chain — composes AFTER _IVF_ASSIGN_SQL
+# (owns icent/iassigned) and _PQ_NE_SQL (owns nemb). Owns: icentn,
+# rvec, rseeds, rcent0, rsub, ra0, rdm, rcent, rcodes0, rcodes.
+_IVFPQ_RES_SQL = f"""icentn AS (
+    SELECT cid, CASE WHEN {_norm_sql('ce')} > 0
+                THEN list_transform(generate_series(1, 64),
+                     i -> CAST(ce[i] AS DOUBLE) / {_norm_sql('ce')})
+                ELSE list_transform(generate_series(1, 64), i -> 0.0)
+           END AS cen
+    FROM icent
+), rvec AS (
+    SELECT a.vec_id, a.cid,
+           list_transform(generate_series(1, 64),
+                          i -> n.ne[i] - c.cen[i]) AS rne
+    FROM iassigned a JOIN nemb n USING (vec_id)
+    JOIN icentn c USING (cid)
+), rseeds AS (
+    SELECT vec_id AS cid, rne FROM rvec
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+), rcent0 AS (
+    SELECT gs.s, cid, {_pq_slice_sql('rne')} AS csv
+    FROM rseeds CROSS JOIN generate_series(1, {PQ_M}) gs(s)
+), rsub AS (
+    SELECT vec_id, gs.s, {_pq_slice_sql('rne')} AS sv
+    FROM rvec CROSS JOIN generate_series(1, {PQ_M}) gs(s)
+), ra0 AS (
+    SELECT vec_id, s, sv, cid, row_number() OVER (
+        PARTITION BY vec_id, s
+        ORDER BY round({_l2_sql('sv', 'csv')}, 6), cid) AS rn
+    FROM rsub JOIN rcent0 USING (s)
+), rdm AS (
+    SELECT s, cid, gs.pos,
+           CAST(sum(CAST(round(CAST(sv[gs.pos] AS DOUBLE) * 1000000000)
+                         AS DECIMAL(38,0))) AS DOUBLE)
+           / count(*) / 1000000000 AS m
+    FROM ra0 CROSS JOIN generate_series(1, {PQ_SUBDIM}) gs(pos)
+    WHERE rn = 1 GROUP BY s, cid, gs.pos
+), rcent AS (
+    SELECT s, cid, list(m ORDER BY pos) AS csv FROM rdm GROUP BY s, cid
+), rcodes0 AS (
+    SELECT vec_id, s, cid, row_number() OVER (
+        PARTITION BY vec_id, s
+        ORDER BY round({_l2_sql('sv', 'csv')}, 6), cid) AS rn
+    FROM rsub JOIN rcent USING (s)
+), rcodes AS (SELECT vec_id, s, cid FROM rcodes0 WHERE rn = 1)"""
+
+# The single-query residual lookup tables — composes after
+# _IVF_CELLS_SQL (owns qcent) and a caller-supplied one-row qn(qne).
+# Owns: qres, qrsub, rlut.
+_IVFPQ_RES_QUERY_SQL = f"""qres AS (
+    SELECT qc.cid AS cell,
+           list_transform(generate_series(1, 64),
+                          i -> qne[i] - c.cen[i]) AS qrne
+    FROM qcent qc JOIN icentn c ON c.cid = qc.cid, qn
+), qrsub AS (
+    SELECT cell, gs.s, {_pq_slice_sql('qrne')} AS qsv
+    FROM qres CROSS JOIN generate_series(1, {PQ_M}) gs(s)
+), rlut AS (
+    SELECT qr.cell, rc.s, rc.cid,
+           CAST(round({_l2_sql('csv', 'qsv')} * 1000000) AS BIGINT) AS d2m
+    FROM rcent rc JOIN qrsub qr USING (s)
+)"""
+
+
 @register(
     "ann_ivfpq_topk",
     survey="J5(ext),J6(ext)",
     headline=True,
     oracle=f"""
 WITH {_IVF_CELLS_SQL}
-, cells AS (
-    SELECT a.vec_id FROM iassigned a JOIN qcent USING (cid)
-    WHERE a.vec_id <> {QUERY_VEC_ID}
-), {_PQ_CODEBOOK_SQL}
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
 , qn AS (SELECT ne AS qne FROM nemb WHERE vec_id = {QUERY_VEC_ID})
-, qsub AS (
-    SELECT gs.s, {_pq_slice_sql('qne')} AS qsv
-    FROM qn CROSS JOIN generate_series(1, {PQ_M}) gs(s)
-), lut AS (
-    SELECT s, cid,
-           CAST(round({_l2_sql('csv', 'qsv')} * 1000000) AS BIGINT) AS d2m
-    FROM cent JOIN qsub USING (s)
-), adcs AS (
-    SELECT vec_id, sum(d2m) AS adc
-    FROM cells JOIN codes USING (vec_id) JOIN lut USING (s, cid)
-    GROUP BY vec_id
+, {_IVFPQ_RES_QUERY_SQL}
+, adcs AS (
+    SELECT a.vec_id, sum(r.d2m) AS adc
+    FROM iassigned a JOIN qcent qc ON qc.cid = a.cid
+    JOIN rcodes k ON k.vec_id = a.vec_id
+    JOIN rlut r ON r.cell = a.cid AND r.s = k.s AND r.cid = k.cid
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    GROUP BY a.vec_id
 ), cand AS (SELECT vec_id FROM adcs ORDER BY adc, vec_id LIMIT {PQ_RERANK})
 SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
 FROM embeddings e JOIN cand USING (vec_id), q
@@ -2829,14 +2918,17 @@ LIMIT {TOP_K}
 """,
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once/probe-many over the PERSISTED composed layout
-    (ivfpq_build joins the cached IVF assignment's cell labels to the
-    cached PQ codes — training amortizes with ann_ivf_topk and
-    ann_pq_topk via the shared parent caches): the probe prunes the
+    """Build-once/probe-many over the PERSISTED composed layout —
+    RESIDUAL-encoded since v3 (classical IVF-PQ: codes quantize
+    x̂ − ĉ(cell) against residual-trained codebooks; the IVF parent
+    cache still amortizes with ann_ivf_topk): the probe prunes the
     cid-partitioned codes to the query's nprobe cells with a literal
-    PartitionFilter, ADC-scans the 16-byte codes (never a float), and
-    exact-reranks the bounded candidate set via the pushed-isin
-    point-fetch."""
+    PartitionFilter, ADC-scans the 16-byte codes (never a float)
+    against per-cell residual lookup tables, and exact-reranks the
+    bounded candidate set via the pushed-isin point-fetch. On this
+    fixture the ADC stage is lossless at the rerank budget — the
+    probe returns exactly the cell-true top-k, so all remaining
+    recall loss is the nprobe cell cut (tests pin this)."""
     emb = _emb(spark, sf_dir)
     idx = ivfpq_index_dir(sf_dir)
     ivfpq_build(
@@ -3313,7 +3405,12 @@ def pq_refresh_if_drifted(
 # reused when complete, built once when not); the join that produces the
 # cid-partitioned codes moves two SKINNY projections (vec_id+cid and
 # vec_id+16 bytes), never an embedding.
-IVFPQ_INDEX_FORMAT = 2  # v2: parents/ records the composed-from dirs
+# v2: parents/ records the composed-from dirs; v3: residual encoding
+# (meta enc_v=2) is the build default — the version is part of the
+# CANONICAL CACHE key below, so pre-v3 caches are simply left behind,
+# while explicitly-held v2 layouts keep working through the enc_v
+# read-path branch in probe/append/rebuild
+IVFPQ_INDEX_FORMAT = 3
 IVFPQ_SUBDIRS = (
     "centroids",
     "codebooks",
@@ -3340,6 +3437,318 @@ def _ivfpq_parent_dirs(
     (callers with canonical per-corpus caches — the catalog entry —
     pass them explicitly so training amortizes across entries)."""
     return (ivf_dir or f"{index_dir}-ivf", pq_dir or f"{index_dir}-pq")
+
+
+# IVF-PQ encoding formats (meta enc_v): 1 = raw (v2 layouts — the
+# composed join of the standalone PQ parent's codes; kept as a READ
+# path: probe/append/rebuild adapt to the persisted value, the
+# migrate-never-invalidate invariant), 2 = residual (v3 default —
+# classical IVF-PQ: each vector is encoded as x̂ − ĉ(cell) against
+# codebooks TRAINED on those residuals). Residuals have far less
+# variance than the vectors themselves, so the same 16 bytes quantize
+# them with less distortion; and since the per-cell offset cancels in
+# (q̂ − ĉ) − (x̂ − ĉ) = q̂ − x̂, a probe that builds its lookup table
+# from the query's residual IN EACH PROBED CELL approximates exactly
+# the same distance as before — only tighter.
+IVFPQ_ENC_RAW = 1
+IVFPQ_ENC_RESIDUAL = 2
+_IVFPQ_ENC_BY_NAME = {"raw": IVFPQ_ENC_RAW, "residual": IVFPQ_ENC_RESIDUAL}
+
+
+def _ivfpq_enc(meta: dict) -> int:
+    """The persisted encoding (pre-v3 metas carry no enc_v = raw)."""
+    return int(meta.get("enc_v") or IVFPQ_ENC_RAW)
+
+
+def _unit_centroids(cent: DataFrame) -> DataFrame:
+    """(cid long, cen): unit-normalized IVF centroids — the per-cell
+    offset residual encode/probe subtracts. Same zero-vector guard and
+    element-wise IEEE division as the corpus normalization (pq_unit),
+    so both engines derive bit-identical offsets."""
+    return cent.select(
+        F.col("cid").cast("long").alias("cid"),
+        l2_norm(F.col("ce")).alias("__n"),
+        "ce",
+    ).select("cid", pq_unit("ce", "__n").alias("cen"))
+
+
+def _ivfpq_residual_ndf(
+    emb: DataFrame, cells: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """(vec_id, cid, ne): each vector's RESIDUAL x̂ − ĉ(cell) — ``ne``
+    keeps the name so the PQ training/encode machinery applies
+    unchanged. ``cells`` is (vec_id, cid long), ``cent`` the composed
+    layout's centroids; the centroid side broadcasts (nlist rows)."""
+    ndf = _pq_normalized(emb)
+    return (
+        ndf.join(cells, "vec_id")
+        .join(broadcast(_unit_centroids(cent)), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with("ne", "cen", lambda a, b: a - b).alias("ne"),
+        )
+    )
+
+
+def _nested_adc_sum(lut_col, m: int) -> "F.Column":
+    """ADC over a codes row whose cell lookup table is ALREADY selected
+    (``lut_col``: per-subspace rank-ordered arrays — the residual
+    probes' per-cell shape). M O(1) array lookups per row."""
+    adc = None
+    for s in range(1, m + 1):
+        term = F.element_at(
+            F.element_at(lut_col, F.lit(s)),
+            F.element_at(F.col("codes"), s).cast("int") + 1,
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def _ivfpq_res_lut_row(
+    cb: DataFrame, cent_probed: DataFrame, q: DataFrame, subdim: int
+) -> DataFrame:
+    """The residual probe's lookup side as ONE broadcastable row:
+    ``__rlut`` maps each probed cell id to its per-subspace rank-
+    ordered integer-micro distances between the QUERY'S RESIDUAL IN
+    THAT CELL (q̂ − ĉ) and the residual codewords. nprobe * m * k
+    entries — kilobytes. Codebooks and centroids fold into it before
+    any codes scan, the _pq_lut_row contract per cell."""
+    qn = q.select(l2_norm(F.col("qe")).alias("__n"), "qe").select(
+        pq_unit("qe", "__n").alias("qne")
+    )
+    qr = (
+        _unit_centroids(cent_probed)
+        .crossJoin(broadcast(qn))
+        .select(
+            "cid",
+            F.zip_with("qne", "cen", lambda a, b: a - b).alias("qrne"),
+        )
+    )
+    qsv = F.slice(
+        F.col("qrne"),
+        (F.col("s") - F.lit(1)) * F.lit(subdim) + F.lit(1),
+        subdim,
+    )
+    per_cell = (
+        # cb carries its own cid (the seed id) — project it away so it
+        # can never clash with the CELL id riding on qr
+        cb.select("s", "rank", "csv")
+        .crossJoin(broadcast(qr))
+        .select(
+            "cid",
+            "s",
+            "rank",
+            F.round(l2_squared(F.col("csv"), qsv) * 1e6)
+            .cast("long")
+            .alias("d2m"),
+        )
+        .groupBy("cid", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "d2m"))),
+                lambda t: t["d2m"],
+            ).alias("arr")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "arr"))),
+                lambda t: t["arr"],
+            ).alias("cl")
+        )
+    )
+    return per_cell.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("cid").alias("k"), F.col("cl")))
+        ).alias("__rlut")
+    )
+
+
+def _ivfpq_res_lut_pairs(
+    cb: DataFrame,
+    cent: DataFrame,
+    pairs_df: DataFrame,
+    queries: DataFrame,
+    subdim: int,
+) -> DataFrame:
+    """Batch residual lookup tables: one row per PROBE PAIR
+    (qid, cid, __cl) carrying that query's residual distances in that
+    cell — joining the codes scan on cid restores per-query scoping
+    AND delivers the right table in one broadcast join (the pairs_df
+    and lut joins of the raw batch path fused). nq * nprobe * m * k
+    entries — metadata-sized for any sane batch."""
+    qn = queries.select(
+        "qid", l2_norm(F.col("qe")).alias("__n"), "qe"
+    ).select("qid", pq_unit("qe", "__n").alias("qne"))
+    qr = (
+        pairs_df.join(broadcast(qn), "qid")
+        .join(broadcast(_unit_centroids(cent)), "cid")
+        .select(
+            "qid",
+            "cid",
+            F.zip_with("qne", "cen", lambda a, b: a - b).alias("qrne"),
+        )
+    )
+    qsv = F.slice(
+        F.col("qrne"),
+        (F.col("s") - F.lit(1)) * F.lit(subdim) + F.lit(1),
+        subdim,
+    )
+    return (
+        # same seed-id projection as the single-query table
+        cb.select("s", "rank", "csv")
+        .join(qr, how="cross")
+        .select(
+            "qid",
+            "cid",
+            "s",
+            "rank",
+            F.round(l2_squared(F.col("csv"), qsv) * 1e6)
+            .cast("long")
+            .alias("d2m"),
+        )
+        .groupBy("qid", "cid", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "d2m"))),
+                lambda t: t["d2m"],
+            ).alias("arr")
+        )
+        .groupBy("qid", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "arr"))),
+                lambda t: t["arr"],
+            ).alias("__cl")
+        )
+    )
+
+
+def _ivfpq_cells_checked(spark: SparkSession, ivf_dir: str) -> DataFrame:
+    """ONE cell label per vec_id from the IVF parent: an IVF parent
+    tolerates duplicate ids (its own builds and appends don't refuse
+    them), so IDENTICAL (vec_id, cid) copies collapse here — but an id
+    labeled with TWO DIFFERENT cells is ambiguous: an arbitrary pick
+    could land a vector's codes in a cell that doesn't match the
+    embedding they encode (probes of its true cell would never see
+    it). Refused by name."""
+    import os
+
+    cells = (
+        spark.read.parquet(os.path.join(ivf_dir, "assignment"))
+        .select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .dropDuplicates(["vec_id", "cid"])
+    )
+    ambiguous = (
+        cells.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    if ambiguous:
+        raise ValueError(
+            f"ivfpq build: {ambiguous} vec_ids carry CONFLICTING"
+            " cell labels in the IVF parent (duplicate ids with"
+            " different embeddings) — dedup the corpus and rebuild"
+            " the IVF parent before composing"
+        )
+    return cells
+
+
+def _ivfpq_write_residual(
+    emb: DataFrame,
+    ivf_dir: str,
+    n_centroids: int | None = None,
+):
+    """The residual-encoded (enc_v=2, classical IVF-PQ) materialization
+    closure: the IVF parent supplies cells and centroids; residuals
+    x̂ − ĉ(cell) are trained and encoded INLINE (no PQ parent — raw-
+    vector codebooks cannot encode residuals), with the same
+    deterministic seed + one-Lloyd-pass + dense-rank contract as
+    pq_build so the DuckDB oracle replays it exactly."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..indexutil import write_meta_into
+
+    spark = emb.sparkSession
+
+    def write(staging: str) -> None:
+        _refuse_bad_pq_corpus(emb, "ivfpq build")
+        ivf_build(emb, ivf_dir, n_centroids=n_centroids)
+        cent = spark.read.parquet(os.path.join(ivf_dir, "centroids"))
+        cent.coalesce(1).write.parquet(os.path.join(staging, "centroids"))
+        cells = _ivfpq_cells_checked(spark, ivf_dir)
+        # id-SET agreement (the raw path's three-way check, minus the
+        # PQ parent that no longer exists): a REUSED stale IVF parent
+        # would silently drop new corpus ids from the layout, or
+        # resurrect ids the corpus no longer holds
+        a_ids = cells.select("vec_id", F.lit(1).alias("__a"))
+        e_ids = emb.select("vec_id").distinct().select(
+            "vec_id", F.lit(1).alias("__e")
+        )
+        agree = (
+            a_ids.join(e_ids, "vec_id", "full_outer")
+            .agg(
+                F.count(F.when(F.col("__e").isNull(), 1)).alias(
+                    "parent_only"
+                ),
+                F.count(F.when(F.col("__a").isNull(), 1)).alias(
+                    "corpus_only"
+                ),
+            )
+            .head()
+        )
+        if agree["parent_only"] or agree["corpus_only"]:
+            raise ValueError(
+                f"ivfpq build: the IVF parent cache is stale for this"
+                f" corpus — {agree['corpus_only']} corpus ids missing"
+                f" from the parent, {agree['parent_only']} parent ids"
+                " not in the corpus; rebuild it over this corpus"
+                " (ivf_rebuild) or pass a fresh ivf_dir"
+            )
+        # residual training: seeds and one Lloyd pass over x̂ − ĉ(cell)
+        rnd = _ivfpq_residual_ndf(emb, cells, cent).localCheckpoint(
+            eager=True  # train, encode, and the count below must see
+            # ONE materialization of the residual frame
+        )
+        cent_r = _pq_refine_ndf(rnd, _pq_seed_codebooks_ndf(rnd))
+        rank = (
+            F.row_number().over(Window.partitionBy("s").orderBy("cid"))
+            - 1
+        )
+        cent_r.select("s", "cid", rank.alias("rank"), "csv").coalesce(
+            1
+        ).write.parquet(os.path.join(staging, "codebooks"))
+        cb = spark.read.parquet(os.path.join(staging, "codebooks"))
+        encoded = _pq_encode(rnd, cb, PQ_M, PQ_SUBDIM, PQ_K)
+        encoded.join(cells, "vec_id").write.partitionBy("cid").parquet(
+            os.path.join(staging, "codes")
+        )
+        out = spark.read.parquet(os.path.join(staging, "codes"))
+        n = out.count()
+        out.groupBy("cid").count().write.parquet(
+            os.path.join(staging, "build_stats")
+        )
+        write_meta_into(
+            spark,
+            os.path.join(staging, "meta"),
+            {
+                "ivf_k": cent.count(),
+                "pq_m": PQ_M,
+                "pq_subdim": PQ_SUBDIM,
+                "pq_k": PQ_K,
+                "n_vecs": n,
+                "enc_v": IVFPQ_ENC_RESIDUAL,
+            },
+        )
+        # no PQ parent for a residual layout: pq_dir persists as ''
+        # (readers treat a non-dir as absent), the ivf parent as usual
+        spark.createDataFrame(
+            [(os.path.abspath(ivf_dir), "")],
+            "ivf_dir string, pq_dir string",
+        ).coalesce(1).write.parquet(os.path.join(staging, "parents"))
+
+    return write
 
 
 def _ivfpq_write(
@@ -3375,31 +3784,7 @@ def _ivfpq_write(
         spark.read.parquet(os.path.join(pq_dir, "codebooks")).coalesce(
             1
         ).write.parquet(os.path.join(staging, "codebooks"))
-        # ONE cell label per vec_id: an IVF parent tolerates duplicate
-        # ids (its own builds and appends don't refuse them), so
-        # IDENTICAL (vec_id, cid) copies collapse here — but an id
-        # labeled with TWO DIFFERENT cells is ambiguous: an arbitrary
-        # pick could land a vector's codes in a cell that doesn't match
-        # the embedding they encode (probes of its true cell would
-        # never see it). Refused by name below.
-        cells = (
-            spark.read.parquet(os.path.join(ivf_dir, "assignment"))
-            .select("vec_id", F.col("cid").cast("long").alias("cid"))
-            .dropDuplicates(["vec_id", "cid"])
-        )
-        ambiguous = (
-            cells.groupBy("vec_id")
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
-        )
-        if ambiguous:
-            raise ValueError(
-                f"ivfpq build: {ambiguous} vec_ids carry CONFLICTING"
-                " cell labels in the IVF parent (duplicate ids with"
-                " different embeddings) — dedup the corpus and rebuild"
-                " the IVF parent before composing"
-            )
+        cells = _ivfpq_cells_checked(spark, ivf_dir)
         codes = spark.read.parquet(os.path.join(pq_dir, "codes"))
         # id-SET agreement BEFORE the expensive partitioned write, ONE
         # job: full-outer-join the three skinny id projections (codes,
@@ -3483,6 +3868,7 @@ def _ivfpq_write(
                 "pq_subdim": pm["pq_subdim"],
                 "pq_k": pm["pq_k"],
                 "n_vecs": n,
+                "enc_v": IVFPQ_ENC_RAW,
             },
         )
         # parent locations are build parameters too (persist-your-
@@ -3503,6 +3889,7 @@ def ivfpq_build(
     ivf_dir: str | None = None,
     pq_dir: str | None = None,
     n_centroids: int | None = None,
+    encoding: str = "residual",
 ) -> str:
     """Materialize the composed IVF-PQ index (staged + atomic rename;
     an existing complete index is reused, debris rebuilt). Parent IVF
@@ -3512,15 +3899,42 @@ def ivfpq_build(
     corpus-adaptive; pair-mining-heavy indexes should pass
     :func:`sdc_nlist_for`); it only applies when the parent is actually
     built here — an existing complete parent keeps its persisted
-    geometry."""
-    from ..indexutil import staged_index_build
+    geometry.
 
+    ``encoding``: 'residual' (default, classical IVF-PQ — see
+    IVFPQ_ENC_RESIDUAL) or 'raw' (the v2 composed-parents layout). An
+    EXISTING index built with the other encoding is refused, never
+    silently reused as if it matched — upgrade it in place with
+    ``ivfpq_rebuild(..., encoding='residual')``."""
+    from ..indexutil import read_index_meta, staged_index_build
+
+    if encoding not in _IVFPQ_ENC_BY_NAME:
+        raise ValueError(
+            f"ivfpq_build: unknown encoding {encoding!r} — one of"
+            f" {sorted(_IVFPQ_ENC_BY_NAME)}"
+        )
+    want = _IVFPQ_ENC_BY_NAME[encoding]
+    try:
+        existing = read_index_meta(index_dir)
+    except ValueError:
+        existing = None  # wedged meta = debris; the staged build heals it
+    if existing is not None and _ivfpq_enc(existing) != want:
+        have = _ivfpq_enc(existing)
+        names = {v: k for k, v in _IVFPQ_ENC_BY_NAME.items()}
+        raise ValueError(
+            f"ivfpq_build: {index_dir!r} already holds a"
+            f" {names[have]}-encoded layout but encoding="
+            f"{encoding!r} was requested — reusing it would probe"
+            " the wrong quantization; upgrade in place with"
+            f" ivfpq_rebuild(..., encoding={encoding!r}) instead"
+        )
     ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
-    return staged_index_build(
-        index_dir,
-        IVFPQ_SUBDIRS,
-        _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids),
+    writer = (
+        _ivfpq_write_residual(emb, ivf_dir, n_centroids)
+        if want == IVFPQ_ENC_RESIDUAL
+        else _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids)
     )
+    return staged_index_build(index_dir, IVFPQ_SUBDIRS, writer)
 
 
 def _ivfpq_meta(index_dir: str) -> dict:
@@ -3571,19 +3985,43 @@ def ivfpq_adc_candidates(
         q, caller="ivfpq_probe", want_dim=m * subdim
     )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    lut_row = _pq_lut_row(cb, q, subdim)
     cids = _ivfpq_probe_cids(spark, index_dir, q, nprobe)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
     )
     if exclude_vec_id is not None:
         codes = codes.filter(F.col("vec_id") != exclude_vec_id)
-    return (
-        codes.crossJoin(broadcast(lut_row))
-        .select("vec_id", _pq_adc_sum(m).alias("adc"))
-        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
-        .limit(rerank)
-    )
+    if _ivfpq_enc(meta) == IVFPQ_ENC_RESIDUAL:
+        # per-cell lookup tables from the query's residual IN each
+        # probed cell — same single broadcast-row shape, nprobe*m*k
+        # entries; the codes scan stays codes-only
+        cent = spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).filter(F.col("cid").isin(cids))
+        lut_row = _ivfpq_res_lut_row(cb, cent, q, subdim)
+        scored = (
+            codes.crossJoin(broadcast(lut_row))
+            # the cell's table lands as ITS OWN projected column so the
+            # map lookup runs once per row, not once per subspace term
+            .select(
+                "vec_id",
+                "codes",
+                F.element_at(
+                    F.col("__rlut"), F.col("cid").cast("long")
+                ).alias("__cl"),
+            )
+            .select(
+                "vec_id", _nested_adc_sum(F.col("__cl"), m).alias("adc")
+            )
+        )
+    else:
+        lut_row = _pq_lut_row(cb, q, subdim)
+        scored = codes.crossJoin(broadcast(lut_row)).select(
+            "vec_id", _pq_adc_sum(m).alias("adc")
+        )
+    return scored.orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    ).limit(rerank)
 
 
 def ivfpq_probe(
@@ -3640,15 +4078,22 @@ def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
         .join(existing, "vec_id", "left_anti")
         .localCheckpoint(eager=True)
     )
+    cells = ivf_assign(fresh_in, cent).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+    if _ivfpq_enc(meta) == IVFPQ_ENC_RESIDUAL:
+        # encode the arrival's RESIDUAL in its assigned cell against
+        # the persisted residual-trained codebooks — the same geometry
+        # the probe's per-cell lookup tables assume
+        to_encode = _ivfpq_residual_ndf(fresh_in, cells, cent)
+    else:
+        to_encode = _pq_normalized(fresh_in)
     encoded = _pq_encode(
-        _pq_normalized(fresh_in),
+        to_encode,
         cb,
         meta["pq_m"],
         meta["pq_subdim"],
         meta["pq_k"],
-    )
-    cells = ivf_assign(fresh_in, cent).select(
-        "vec_id", F.col("cid").cast("long").alias("cid")
     )
     fresh = encoded.join(cells, "vec_id").localCheckpoint(
         eager=True
@@ -3733,19 +4178,32 @@ def ivfpq_rebuild(
     ivf_dir: str | None = None,
     pq_dir: str | None = None,
     n_centroids: int | None = None,
+    encoding: str | None = None,
 ) -> str:
     """Rebuild IN PLACE over ``emb`` with the crash-safe two-rename
     swap. Codes are lossy (the raw floats are gone), so the caller MUST
-    pass the full intended corpus — no self-sourced default. BOTH
-    parent indexes are retrained over ``emb`` first (they share the
-    corpus by contract), then the composed layout is rejoined from the
-    fresh parents. When the parent dirs are omitted they default to the
-    locations PERSISTED at build time (parents/) — the same parents are
-    retrained, never silently forked at the sibling paths while the
-    composed-from caches go stale. Stopped-WORLD window
-    (indexutil.rebuild_index)."""
+    pass the full intended corpus — no self-sourced default. The
+    parent indexes the layout depends on are retrained over ``emb``
+    first (they share the corpus by contract), then the composed
+    layout is rebuilt from the fresh parents. When the parent dirs are
+    omitted they default to the locations PERSISTED at build time
+    (parents/) — the same parents are retrained, never silently forked
+    at the sibling paths while the composed-from caches go stale.
+    Stopped-WORLD window (indexutil.rebuild_index).
+
+    ``encoding=None`` PRESERVES the layout's persisted encoding (the
+    migrate-never-invalidate contract); pass 'residual' to upgrade a
+    raw v2 layout in place (or 'raw' to downgrade)."""
     from ..indexutil import rebuild_index
 
+    if encoding is None:
+        names = {v: k for k, v in _IVFPQ_ENC_BY_NAME.items()}
+        encoding = names[_ivfpq_enc(_ivfpq_meta(index_dir))]
+    elif encoding not in _IVFPQ_ENC_BY_NAME:
+        raise ValueError(
+            f"ivfpq_rebuild: unknown encoding {encoding!r} — one of"
+            f" {sorted(_IVFPQ_ENC_BY_NAME)}"
+        )
     if ivf_dir is None or pq_dir is None:
         persisted = _ivfpq_persisted_parents(spark, index_dir)
         if persisted is not None:
@@ -3758,6 +4216,13 @@ def ivfpq_rebuild(
             pq_dir = pq_dir or persisted[1]
     ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
     ivf_rebuild(spark, ivf_dir, emb, n_centroids=n_centroids)
+    if _IVFPQ_ENC_BY_NAME[encoding] == IVFPQ_ENC_RESIDUAL:
+        # no PQ parent: residual codebooks retrain inside the write
+        return rebuild_index(
+            index_dir,
+            IVFPQ_SUBDIRS,
+            _ivfpq_write_residual(emb, ivf_dir, n_centroids),
+        )
     pq_rebuild(spark, pq_dir, emb)
     return rebuild_index(
         index_dir,
@@ -4039,12 +4504,25 @@ def ivfpq_batch_candidates(
         queries, caller="ivfpq_probe_batch", want_dim=m * subdim
     )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    luts = _pq_lut_rows(cb, queries, subdim)
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
     )
+    if _ivfpq_enc(meta) == IVFPQ_ENC_RESIDUAL:
+        # one broadcast (qid, cid, table) row per PROBE PAIR: joining
+        # on cid both restores per-query cell scoping AND delivers each
+        # query's residual table for that cell — the pairs and lut
+        # joins of the raw path fused into one
+        lutp = _ivfpq_res_lut_pairs(cb, cent, pairs_df, queries, subdim)
+        scored = codes.join(broadcast(lutp), "cid")
+        if exclude_self:
+            scored = scored.filter(F.col("vec_id") != F.col("qid"))
+        scored = scored.select(
+            "qid", "vec_id", _nested_adc_sum(F.col("__cl"), m).alias("adc")
+        )
+        return _pq_batch_candidate_cut(scored, rerank)
+    luts = _pq_lut_rows(cb, queries, subdim)
     scored = codes.join(broadcast(pairs_df), "cid").join(
         broadcast(luts), "qid"
     )
@@ -4147,9 +4625,15 @@ def ann_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J5(ext),J6(ext)",
     oracle=f"""
 WITH {_IVF_ASSIGN_SQL}
-, {_PQ_CODEBOOK_SQL}
-, {_PQ_BATCH_QUERY_SQL}
-, iqcent AS (
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
+, q AS (
+    SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    WHERE vec_id IN {IVF_BATCH_QIDS}
+), bqn AS (
+    SELECT vec_id AS qid, ne AS qne FROM nemb
+    WHERE vec_id IN {IVF_BATCH_QIDS}
+), iqcent AS (
     SELECT qid, cid FROM (
         SELECT q.qid, c.cid,
                row_number() OVER (
@@ -4159,14 +4643,28 @@ WITH {_IVF_ASSIGN_SQL}
                ) AS rn
         FROM icent c CROSS JOIN q)
     WHERE rn <= {IVF_NPROBE}
+), bqres AS (
+    SELECT bq.qid, iq.cid AS cell,
+           list_transform(generate_series(1, 64),
+                          i -> bq.qne[i] - c.cen[i]) AS qrne
+    FROM iqcent iq JOIN icentn c ON c.cid = iq.cid
+    JOIN bqn bq ON bq.qid = iq.qid
+), bqrsub AS (
+    SELECT qid, cell, gs.s, {_pq_slice_sql('qrne')} AS qsv
+    FROM bqres CROSS JOIN generate_series(1, {PQ_M}) gs(s)
+), rlut AS (
+    SELECT b.qid, b.cell, rc.s, rc.cid,
+           CAST(round({_l2_sql('csv', 'qsv')} * 1000000) AS BIGINT) AS d2m
+    FROM rcent rc JOIN bqrsub b USING (s)
 ), cells AS (
-    SELECT iq.qid, a.vec_id FROM iassigned a JOIN iqcent iq USING (cid)
+    SELECT iq.qid, a.vec_id, a.cid AS cell
+    FROM iassigned a JOIN iqcent iq USING (cid)
     WHERE a.vec_id <> iq.qid
 ), adcs AS (
-    SELECT cl.qid, cl.vec_id, sum(d2m) AS adc
-    FROM cells cl JOIN codes USING (vec_id)
-    JOIN lut ON lut.qid = cl.qid AND lut.s = codes.s
-            AND lut.cid = codes.cid
+    SELECT cl.qid, cl.vec_id, sum(r.d2m) AS adc
+    FROM cells cl JOIN rcodes k ON k.vec_id = cl.vec_id
+    JOIN rlut r ON r.qid = cl.qid AND r.cell = cl.cell
+               AND r.s = k.s AND r.cid = k.cid
     GROUP BY cl.qid, cl.vec_id
 ), {_PQ_BATCH_RERANK_SQL}
 """,
@@ -4286,7 +4784,8 @@ SDC_MAX_CELL_PAIRS = 8_000_000
     survey="J5(ext),J6(ext)",
     oracle=f"""
 WITH {_IVF_ASSIGN_SQL}
-, {_PQ_CODEBOOK_SQL}
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
 , cl AS (SELECT vec_id, cid AS cell FROM iassigned)
 , cpair AS (
     SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
@@ -4295,12 +4794,12 @@ WITH {_IVF_ASSIGN_SQL}
     SELECT a.s, a.cid AS ca, b.cid AS cb,
            CAST(round({_l2_sql('a.csv', 'b.csv')} * 1000000)
                 AS BIGINT) AS d2m
-    FROM cent a JOIN cent b USING (s)
+    FROM rcent a JOIN rcent b USING (s)
 ), prs AS (
     SELECT p.cell, p.a_id, p.b_id, sum(m.d2m) AS sdc
     FROM cpair p
-    JOIN codes ka ON ka.vec_id = p.a_id
-    JOIN codes kb ON kb.vec_id = p.b_id AND kb.s = ka.s
+    JOIN rcodes ka ON ka.vec_id = p.a_id
+    JOIN rcodes kb ON kb.vec_id = p.b_id AND kb.s = ka.s
     JOIN sdm m ON m.s = ka.s AND m.ca = ka.cid AND m.cb = kb.cid
     GROUP BY 1, 2, 3
 )
@@ -4315,7 +4814,11 @@ def near_dup_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus's closest within-cell pairs by symmetric (codes-vs-
     codes) PQ distance over the persisted composed layout — builds
     once, then the mining pass is a codes self-join on the cell id
-    plus m broadcast-map lookups per pair and one TakeOrdered."""
+    plus m broadcast-map lookups per pair and one TakeOrdered.
+    Residual encoding (v3) changes nothing structurally: within a cell
+    the per-cell offset cancels — (ĉ+ra) − (ĉ+rb) = ra − rb — so the
+    codeword table over residual codebooks approximates the same
+    within-cell distance."""
     emb = _emb(spark, sf_dir)
     idx = ivfpq_index_dir(sf_dir)
     ivfpq_build(
