@@ -4754,6 +4754,79 @@ def pq_adc_near_dups(
     )
 
 
+def pq_adc_calibrate(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    sample: int = 32,
+) -> dict:
+    """Measure the geometry-dependent ADC screen threshold for THIS
+    index (PQ_DUP_ADC_MICRO's docstring admits the residual floor is
+    geometry- and data-dependent — this returns the measured numbers):
+
+    - ``residual_floor``: the MAX ADC of ``sample`` indexed vectors
+      queried against their OWN codes — an exact copy of an indexed
+      row scores exactly its quantization residual, so any duplicate
+      screen must pass at least this much;
+    - ``background``: the MIN non-self ADC among the sampled queries
+      — the closest a non-identical indexed row comes;
+    - ``suggested``: their midpoint (use only when ``separated``);
+    - ``separated``: background > residual_floor — False means the
+      corpus holds real near-duplicates at this geometry's resolution
+      (or the geometry is too coarse) and a single threshold cannot
+      split copies from neighbors; exact-verify survivors instead.
+
+    Sample ids are the md5-smallest indexed ids (the deterministic
+    seed rule); ``emb`` must carry the raw vectors for them. ONE codes
+    scan for the whole calibration — the screen's own IO shape."""
+    import os
+
+    meta = _pq_meta(index_dir)
+    m, subdim = meta["pq_m"], meta["pq_subdim"]
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    ids = [
+        r["vec_id"]
+        for r in codes.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(sample)
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    _require_query_batch(
+        queries, caller="pq_adc_calibrate", want_dim=m * subdim
+    )
+    found = queries.count()
+    if found != len(ids):
+        raise ValueError(
+            f"pq_adc_calibrate: emb carries only {found} of the"
+            f" {len(ids)} sampled indexed ids — pass the indexed"
+            " corpus (build + appends)"
+        )
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    luts = _pq_lut_rows(cb, queries, subdim)
+    scored = codes.crossJoin(broadcast(luts)).select(
+        "qid", "vec_id", _pq_adc_sum(m).alias("adc")
+    )
+    agg = scored.agg(
+        F.max(
+            F.when(F.col("qid") == F.col("vec_id"), F.col("adc"))
+        ).alias("floor"),
+        F.min(
+            F.when(F.col("qid") != F.col("vec_id"), F.col("adc"))
+        ).alias("background"),
+    ).head()
+    floor, background = agg["floor"], agg["background"]
+    return {
+        "residual_floor": floor,
+        "background": background,
+        "suggested": (floor + background) // 2,
+        "separated": background > floor,
+        "sampled": len(ids),
+    }
+
+
 # SDC pair mining — the ALL-PAIRS form of dedup-by-embedding at scale:
 # symmetric distance computation over the persisted composed layout.
 # Where ADC compares a raw query against codes, SDC compares codes
@@ -4897,16 +4970,45 @@ def sdc_pair_mine(
         spark, os.path.join(index_dir, "codes"), max_cell_pairs
     )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    # symmetric codeword table as NESTED ARRAYS, not one flat map:
-    # Spark maps are entry arrays, so element_at on an m*k*k map is a
-    # LINEAR scan per lookup (measured 177 s for 125k pairs at sf0.1
-    # with the flat-map form); array element_at is O(1). Three levels,
-    # ALL positional — s, then rank_a, then rank_b — because ranks are
-    # dense 0..k'-1 PER SUBSPACE but k' can be < pq_k when Lloyd
-    # strands a seed codeword (e.g. duplicated seed embeddings):
-    # absolute rank_a*pq_k+rank_b arithmetic would then misalign every
-    # rank_a >= 1 and run off the array end into NULLs that an
-    # ascending top-k ranks FIRST. Positional nesting has no k in it.
+    sdm_row = _sdc_codeword_row(cb)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    a = codes.select(
+        F.col("cid").cast("long").alias("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("codes").alias("__ca"),
+    )
+    b = codes.select(
+        F.col("cid").cast("long").alias("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("codes").alias("__cb"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.crossJoin(broadcast(sdm_row))
+        .select("cell", "a_id", "b_id", _sdc_pair_sum(m).alias("sdc_micro"))
+        .orderBy(
+            F.col("sdc_micro").asc(),
+            F.col("a_id").asc(),
+            F.col("b_id").asc(),
+        )
+        .limit(top_pairs)
+    )
+
+
+def _sdc_codeword_row(cb: DataFrame) -> DataFrame:
+    """The m*k*k symmetric codeword distance table folded into ONE
+    broadcastable row (``__sdm``) — as NESTED ARRAYS, not one flat
+    map: Spark maps are entry arrays, so element_at on an m*k*k map is
+    a LINEAR scan per lookup (measured 177 s for 125k pairs at sf0.1
+    with the flat-map form); array element_at is O(1). Three levels,
+    ALL positional — s, then rank_a, then rank_b — because ranks are
+    dense 0..k'-1 PER SUBSPACE but k' can be < pq_k when Lloyd
+    strands a seed codeword (e.g. duplicated seed embeddings):
+    absolute rank_a*pq_k+rank_b arithmetic would then misalign every
+    rank_a >= 1 and run off the array end into NULLs that an
+    ascending top-k ranks FIRST. Positional nesting has no k in it.
+    Shared by the full pair miner and the incremental (new-vs-indexed)
+    scorer."""
     sdm = (
         cb.alias("a")
         .join(cb.alias("b"), "s")
@@ -4921,7 +5023,7 @@ def sdc_pair_mine(
             .alias("d2m"),
         )
     )
-    sdm_row = (
+    return (
         sdm.groupBy("s", "ra")
         .agg(
             F.transform(
@@ -4943,18 +5045,11 @@ def sdc_pair_mine(
             ).alias("__sdm")
         )
     )
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    a = codes.select(
-        F.col("cid").cast("long").alias("cell"),
-        F.col("vec_id").alias("a_id"),
-        F.col("codes").alias("__ca"),
-    )
-    b = codes.select(
-        F.col("cid").cast("long").alias("cell"),
-        F.col("vec_id").alias("b_id"),
-        F.col("codes").alias("__cb"),
-    )
-    pairs = a.join(b, "cell").filter(F.col("a_id") < F.col("b_id"))
+
+
+def _sdc_pair_sum(m: int) -> "F.Column":
+    """The symmetric per-pair distance over a (``__ca``, ``__cb``,
+    ``__sdm``) row: m O(1) nested-array lookups."""
     sdc = None
     for s in range(1, m + 1):
         term = F.element_at(
@@ -4965,13 +5060,114 @@ def sdc_pair_mine(
             F.element_at(F.col("__cb"), s).cast("int") + F.lit(1),
         )
         sdc = term if sdc is None else sdc + term
-    return (
-        pairs.crossJoin(broadcast(sdm_row))
-        .select("cell", "a_id", "b_id", sdc.alias("sdc_micro"))
-        .orderBy(
-            F.col("sdc_micro").asc(),
-            F.col("a_id").asc(),
-            F.col("b_id").asc(),
+    return sdc
+
+
+# Incremental SDC screening threshold: codes-vs-codes distance carries
+# NO query-side quantization residual (both sides are quantized), so an
+# exact copy of an indexed vector scores exactly 0 — the threshold only
+# has to sit below the within-cell background (the CLOSEST
+# non-duplicate pair in the whole sf0.001 corpus measures 516,770 —
+# sdc_pair_mine's top pair — and novel far vectors screen clean at
+# this bound). Geometry-dependent like PQ_DUP_ADC_MICRO;
+# exact-verify survivors when certainty is needed.
+SDC_DUP_MICRO = 400_000
+
+
+def sdc_score_new(
+    spark: SparkSession,
+    index_dir: str,
+    arrivals: DataFrame,
+    max_sdc: int = SDC_DUP_MICRO,
+    max_cell_pairs: int = SDC_MAX_CELL_PAIRS,
+) -> DataFrame:
+    """The INCREMENTAL form of SDC pair mining — the screen a
+    dedup-by-embedding ingest runs per batch: encode the arrival batch
+    ONCE against the persisted layout (cell assignment + raw/residual
+    codes, exactly what ivfpq_append would write), then score only the
+    (new x indexed) pairs inside the batch's TOUCHED cells — a literal
+    ``cid IN`` pruned codes scan, m O(1) codeword-table lookups per
+    pair, no float read of the corpus. Returns (new_vec, dup_of,
+    sdc_micro) pairs at or under ``max_sdc``. Complements
+    pq_adc_near_dups (query-vs-codes against the FLAT pq layout): this
+    one prunes by cell and needs no per-arrival lookup table, so big
+    batches amortize to one broadcast m*k*k table.
+
+    Pair volume here is n_new(cell) * n_indexed(cell) — refused by
+    name per cell past ``max_cell_pairs``, the sdc_pair_mine bound
+    applied to the incremental product."""
+    import os
+
+    meta = _ivfpq_meta(index_dir)
+    m, subdim = meta["pq_m"], meta["pq_subdim"]
+    _require_query_batch(
+        arrivals.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        ),
+        caller="sdc_score_new",
+        want_dim=m * subdim,
+    )
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cells = ivf_assign(arrivals, cent).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+    if _ivfpq_enc(meta) == IVFPQ_ENC_RESIDUAL:
+        nd = _ivfpq_residual_ndf(arrivals, cells, cent)
+    else:
+        nd = _pq_normalized(arrivals)
+    encoded = (
+        _pq_encode(nd, cb, m, subdim, meta["pq_k"])
+        .join(cells, "vec_id")
+        .localCheckpoint(eager=True)  # encode once; counts, the
+        # touched-cell collect, and the pair join see the same rows
+    )
+    batch_counts = {
+        r["cid"]: r["n"]
+        for r in encoded.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("cid").isin(sorted(batch_counts))
+    )
+    indexed_counts = {
+        r["cid"]: r["count"]
+        for r in codes.groupBy("cid").count().collect()
+    }
+    over = sorted(
+        (
+            (batch_counts[cid] * indexed_counts.get(cid, 0), cid)
+            for cid in batch_counts
+            if batch_counts[cid] * indexed_counts.get(cid, 0)
+            > max_cell_pairs
+        ),
+        reverse=True,
+    )
+    if over:
+        worst = ", ".join(f"cid={cid}: {p} pairs" for p, cid in over[:5])
+        raise ValueError(
+            f"sdc_score_new: {len(over)} touched cells exceed"
+            f" max_cell_pairs={max_cell_pairs} ({worst}) — the index"
+            " is undersized for incremental mining; rebuild with"
+            " ivfpq_rebuild(..., n_centroids=sdc_nlist_for(n)) or"
+            " split the arrival batch"
         )
-        .limit(top_pairs)
+    a = encoded.select(
+        F.col("cid").alias("cell"),
+        F.col("vec_id").alias("new_vec"),
+        F.col("codes").alias("__ca"),
+    )
+    b = codes.select(
+        F.col("cid").cast("long").alias("cell"),
+        F.col("vec_id").alias("dup_of"),
+        F.col("codes").alias("__cb"),
+    )
+    pairs = a.join(b, "cell").filter(
+        F.col("new_vec") != F.col("dup_of")
+    )
+    return (
+        pairs.crossJoin(broadcast(_sdc_codeword_row(cb)))
+        .select("new_vec", "dup_of", _sdc_pair_sum(m).alias("sdc_micro"))
+        .filter(F.col("sdc_micro") <= max_sdc)
     )

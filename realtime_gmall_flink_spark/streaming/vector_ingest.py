@@ -171,33 +171,82 @@ def append_scored_to_sq8(
 
 
 def append_scored_to_pq(
-    spark: SparkSession, pq_dir: str, out_dir: str
+    spark: SparkSession,
+    pq_dir: str,
+    out_dir: str,
+    screen: bool = True,
+    max_adc: int | None = None,
 ) -> int:
     """Fold the ingest's scored rows into a persisted PQ index — the
     ADC sweep path sees arrivals through the same 16-byte codes scan as
-    the build corpus. Delegates to pq_append, so the idempotence
-    contract (dropDuplicates + anti-join on persisted ids) and the
+    the build corpus. By DEFAULT the batch is ADC-screened first
+    (pq_adc_near_dups — codes-only, one scan) and arrivals flagged as
+    near-duplicates of already-indexed rows are NOT appended: a dedup
+    pipeline must not index the copies it exists to catch. Pass
+    ``screen=False`` for the raw append (everything lands), or
+    ``max_adc`` to override the threshold — calibrate it per index
+    with pq_adc_calibrate (the residual floor is geometry-dependent).
+    Delegates to pq_append, so the idempotence contract
+    (dropDuplicates + anti-join on persisted ids) and the
     encode-against-frozen-codebooks semantics are exactly the batch
     append's (pq_drift is the rebuild cue). Stopped-writer window;
-    returns rows appended."""
-    from ..plans.vectors import pq_append
+    returns rows appended (post-screen)."""
+    from ..plans.vectors import pq_adc_near_dups, pq_append
 
-    scored = read_scored(spark, out_dir).select("vec_id", "embedding")
+    scored = (
+        read_scored(spark, out_dir)
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)  # screen and append see one batch
+    )
+    if screen and scored.count() > 0:
+        kw = {} if max_adc is None else {"max_adc": max_adc}
+        dups = (
+            pq_adc_near_dups(spark, pq_dir, scored, **kw)
+            # a replayed id reports ITSELF (same id) — that is append
+            # idempotency, not a duplicate to drop; keep it for the
+            # anti-join below to skip
+            .filter(F.col("new_vec") != F.col("dup_of"))
+            .select(F.col("new_vec").alias("vec_id"))
+            .distinct()
+        )
+        scored = scored.join(dups, "vec_id", "left_anti")
     return pq_append(spark, pq_dir, scored)
 
 
 def append_scored_to_ivfpq(
-    spark: SparkSession, ivfpq_dir: str, out_dir: str
+    spark: SparkSession,
+    ivfpq_dir: str,
+    out_dir: str,
+    screen: bool = True,
+    max_sdc: int | None = None,
 ) -> int:
     """Fold the ingest's scored rows into the persisted composed IVF-PQ
     layout: each arrival is encoded against the frozen codebooks AND
     assigned to its cell against the frozen centroids, landing in the
-    cid partition a full rebuild would give it. Delegates to
-    ivfpq_append (idempotent). Stopped-writer window; returns rows
-    appended."""
-    from ..plans.vectors import ivfpq_append
+    cid partition a full rebuild would give it. By DEFAULT the batch
+    is SDC-screened first (sdc_score_new — codes-vs-codes inside the
+    batch's touched cells, cid-pruned scan, no per-arrival lookup
+    table) and near-duplicates of indexed rows are NOT appended; pass
+    ``screen=False`` for the raw append or ``max_sdc`` to override the
+    threshold. Delegates to ivfpq_append (idempotent). Stopped-writer
+    window; returns rows appended (post-screen)."""
+    from ..plans.vectors import ivfpq_append, sdc_score_new
 
-    scored = read_scored(spark, out_dir).select("vec_id", "embedding")
+    scored = (
+        read_scored(spark, out_dir)
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+    if screen and scored.count() > 0:
+        kw = {} if max_sdc is None else {"max_sdc": max_sdc}
+        dups = (
+            sdc_score_new(spark, ivfpq_dir, scored, **kw)
+            .select(F.col("new_vec").alias("vec_id"))
+            .distinct()
+        )
+        scored = scored.join(dups, "vec_id", "left_anti")
     return ivfpq_append(spark, ivfpq_dir, scored)
 
 

@@ -239,9 +239,13 @@ def test_append_scored_to_pq_idempotent_and_probeable(spark, tmp_path):
     _arrivals(spark, base_ids, 100000).write.mode("append").parquet(src)
     VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
 
-    n = VI.append_scored_to_pq(spark, pq, out)
+    # screen=False: this test exercises the RAW append mechanics —
+    # the arrivals are exact copies, which the default screen drops
+    n = VI.append_scored_to_pq(spark, pq, out, screen=False)
     assert n == len(base_ids)
-    assert VI.append_scored_to_pq(spark, pq, out) == 0  # idempotent
+    assert (
+        VI.append_scored_to_pq(spark, pq, out, screen=False) == 0
+    )  # idempotent
 
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
@@ -275,9 +279,12 @@ def test_append_scored_to_ivfpq_idempotent_and_probeable(spark, tmp_path):
     _arrivals(spark, base_ids, 100000).write.mode("append").parquet(src)
     VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
 
-    n = VI.append_scored_to_ivfpq(spark, ivfpq, out)
+    # screen=False: raw append mechanics under test (see pq twin)
+    n = VI.append_scored_to_ivfpq(spark, ivfpq, out, screen=False)
     assert n == len(base_ids)
-    assert VI.append_scored_to_ivfpq(spark, ivfpq, out) == 0  # idempotent
+    assert (
+        VI.append_scored_to_ivfpq(spark, ivfpq, out, screen=False) == 0
+    )  # idempotent
 
     # appended cids match the batch assignment (rebuild-equivalent)
     cent = spark.read.parquet(f"{ivfpq}/centroids")
@@ -354,3 +361,115 @@ def test_pq_adc_screening_flags_planted_copies_codes_only(spark, tmp_path):
     )
     clean = pq_adc_near_dups(spark, pq, far)
     assert clean.count() == 0
+
+
+def test_sdc_score_new_incremental_screen_and_default_append(
+    spark, tmp_path
+):
+    """The incremental dedup-by-embedding story end to end:
+    (a) sdc_score_new flags exact copies of indexed vectors at
+    sdc_micro == 0 via a cid-pruned codes-vs-codes scan (no float read
+    of the corpus), novel vectors screen clean, and the pair volume
+    guard refuses an oversized (new x indexed) product by name;
+    (b) append_scored_to_ivfpq's DEFAULT screen keeps those copies out
+    of the index while novel arrivals still land."""
+    import pytest as _pytest
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivfpq_build,
+        sdc_score_new,
+    )
+
+    from tests.plan_utils import (
+        assert_codes_scans_no_embedding,
+        formatted_plan,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ivf = ivf_build(emb, str(tmp_path / "ivf"))
+    ivfpq = ivfpq_build(emb, str(tmp_path / "ivfpq"))
+
+    # (a) batch form: copies flag their source at 0, codes-only plan
+    copies = _arrivals(spark, [0, 1, 2], 100000)
+    flagged = sdc_score_new(spark, ivfpq, copies)
+    plan = formatted_plan(flagged)
+    assert_codes_scans_no_embedding(plan)
+    got = {
+        (r["new_vec"], r["dup_of"]): r["sdc_micro"]
+        for r in flagged.collect()
+    }
+    assert got == {(100000, 0): 0, (100001, 1): 0, (100002, 2): 0}
+    novel = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    assert sdc_score_new(spark, ivfpq, novel).count() == 0
+    with _pytest.raises(ValueError, match="undersized for incremental"):
+        sdc_score_new(spark, ivfpq, copies, max_cell_pairs=1)
+
+    # (b) the default append screen: copies dropped, novels land
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+    _arrivals(spark, [0, 1, 2], 100000).unionByName(novel).write.mode(
+        "append"
+    ).parquet(src)
+    VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
+    assert VI.append_scored_to_ivfpq(spark, ivfpq, out) == novel.count()
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{ivfpq}/codes")
+        .filter(F.col("vec_id") >= 100000)
+        .collect()
+    }
+    assert ids == {200000, 200001, 200002}  # copies never indexed
+    # replay: idempotent under the default screen too
+    assert VI.append_scored_to_ivfpq(spark, ivfpq, out) == 0
+
+
+def test_pq_adc_calibrate_and_default_pq_screen(spark, tmp_path):
+    """pq_adc_calibrate measures the index's OWN residual floor and
+    background (separated on this fixture — the module default
+    threshold sits inside the measured band), and
+    append_scored_to_pq's default screen drops exact copies while
+    letting novel arrivals through."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        PQ_DUP_ADC_MICRO,
+        pq_adc_calibrate,
+        pq_build,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ivf = ivf_build(emb, str(tmp_path / "ivf"))
+    pq = pq_build(emb, str(tmp_path / "pq"))
+    cal = pq_adc_calibrate(spark, pq, emb)
+    assert cal["separated"], cal
+    assert cal["residual_floor"] < cal["suggested"] < cal["background"]
+    # the module default is usable for THIS geometry: above the floor
+    # (copies screen positive), below the background (novel rows pass)
+    assert cal["residual_floor"] < PQ_DUP_ADC_MICRO < cal["background"]
+
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+    novel = emb.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    _arrivals(spark, [0, 1, 2], 100000).unionByName(novel).write.mode(
+        "append"
+    ).parquet(src)
+    VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
+    assert VI.append_scored_to_pq(spark, pq, out) == novel.count()
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{pq}/codes")
+        .filter(F.col("vec_id") >= 100000)
+        .collect()
+    }
+    assert ids == {200000, 200001}
+    assert VI.append_scored_to_pq(spark, pq, out) == 0  # replay
