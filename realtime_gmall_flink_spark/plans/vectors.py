@@ -423,10 +423,16 @@ def adaptive_nlist(n_vecs: int) -> int:
     of 100x the cell size, so probes and the SDC pair miner degrade
     ~sqrt(n), not linearly. Geometry persists as the centroids table
     itself (nlist = its row count), so probes/appends/rebuilds read it
-    back rather than trusting this module constant."""
+    back rather than trusting this module constant. Half-UP rounding
+    (floor(x + 0.5)), not Python's banker's round(): the catalog
+    oracles derive the SAME k in SQL, and round-half-even has no cheap
+    cross-engine twin at the .5 boundaries (odd-square corpora)."""
     import math
 
-    return max(IVF_CENTROIDS, round(math.sqrt(max(n_vecs, 0)) / 2))
+    return max(
+        IVF_CENTROIDS,
+        int(math.floor(math.sqrt(max(n_vecs, 0)) / 2 + 0.5)),
+    )
 
 
 def sdc_nlist_for(
@@ -597,13 +603,14 @@ def _index_cache_dir(
 
 def ivf_index_dir(
     sf_dir: str,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = None,
     lloyd_iters: int = IVF_LLOYD_ITERS,
 ) -> str:
     return _index_cache_dir(
         "ivf",
         sf_dir,
-        f"k={n_centroids}|lloyd={lloyd_iters}|v={IVF_INDEX_FORMAT}",
+        f"k={'auto' if n_centroids is None else n_centroids}"
+        f"|lloyd={lloyd_iters}|v={IVF_INDEX_FORMAT}",
     )
 
 
@@ -624,10 +631,10 @@ def ivf_build(
     ``n_centroids=None`` (the default) derives the cell count from the
     corpus size (:func:`adaptive_nlist`) — a fixed nlist at 100x the
     data means 100x the cell size, which degrades probe pruning
-    linearly and the SDC pair miner quadratically. Pass an explicit
-    value to pin geometry (the catalog's canonical caches pin
-    ``IVF_CENTROIDS`` so their cross-engine oracles, which embed the
-    literal cell structure, stay stable across scale factors)."""
+    linearly and the SDC pair miner quadratically. The catalog's
+    canonical caches use this default too: their DuckDB oracles derive
+    the SAME k from count(*) (the ``ik`` CTE), so geometry and oracle
+    agree at every scale factor. Pass an explicit value to pin."""
     from ..indexutil import staged_index_build
 
     return staged_index_build(
@@ -643,9 +650,10 @@ IVF_SUBDIRS = ("centroids", "assignment", "build_stats")
 def _ivf_write(emb: DataFrame, n_centroids: int | None, lloyd_iters: int):
     """The IVF materialization closure shared by build and rebuild.
     ``n_centroids=None`` resolves to :func:`adaptive_nlist` of the
-    corpus row count here — the ONE place the corpus-derived default
-    applies, so build and rebuild (which self-sources a GROWN corpus
-    and therefore picks a bigger nlist — the drift remedy) agree."""
+    corpus row count here — FRESH builds only: ivf_rebuild resolves
+    None to the persisted centroid count BEFORE reaching this closure
+    (persist-your-params), so a drift refresh can never silently
+    re-gear a pinned or mining-sized layout."""
     import os
 
     spark = emb.sparkSession
@@ -698,6 +706,16 @@ def ivf_rebuild(
 
     from ..indexutil import rebuild_index
 
+    if n_centroids is None:
+        # persist-your-params: a rebuild KEEPS the layout's geometry
+        # (nlist = the persisted centroid count) — re-deriving the
+        # adaptive default here would silently discard an explicitly
+        # pinned or sdc_nlist_for-sized build on the next drift
+        # refresh. Re-gear deliberately: pass adaptive_nlist(n) after
+        # growth, or sdc_nlist_for(n) for mining-heavy layouts.
+        n_centroids = spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).count()
     if emb is None:
         # materialize before the swap: the rebuild's writes must not
         # lazily re-scan the directories the swap is about to replace
@@ -807,10 +825,16 @@ def ivf_probe(
 # every IVF-flavored oracle. The internal CTEs are i-prefixed so the
 # fragment composes with the PQ codebook chain (which owns
 # nemb/seeds/cent0/cent/codes).
-_IVF_ASSIGN_SQL = f"""icent0 AS (
-    SELECT vec_id AS cid, embedding AS ce FROM embeddings
-    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-    LIMIT {IVF_CENTROIDS}
+_IVF_ASSIGN_SQL = f"""ik AS (
+    SELECT GREATEST({IVF_CENTROIDS},
+                    CAST(floor(sqrt(count(*)) / 2 + 0.5) AS BIGINT)) AS k
+    FROM embeddings
+), icent0 AS (
+    SELECT vec_id AS cid, embedding AS ce FROM (
+        SELECT vec_id, embedding, row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+        FROM embeddings), ik
+    WHERE srn <= ik.k
 ), iscored0 AS (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (
@@ -869,9 +893,7 @@ LIMIT {TOP_K}
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_index_dir(sf_dir)
-    # pinned geometry: the oracle SQL embeds the literal cell
-    # structure, so the canonical cache must not re-derive nlist per SF
-    ivf_build(_emb(spark, sf_dir), idx, n_centroids=IVF_CENTROIDS)
+    ivf_build(_emb(spark, sf_dir), idx)
     q = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == QUERY_VEC_ID)
@@ -962,9 +984,7 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_topk's single query). Query ids are corpus vectors, so each
     excludes its self-match."""
     idx = ivf_index_dir(sf_dir)
-    # pinned geometry: the oracle SQL embeds the literal cell
-    # structure, so the canonical cache must not re-derive nlist per SF
-    ivf_build(_emb(spark, sf_dir), idx, n_centroids=IVF_CENTROIDS)
+    ivf_build(_emb(spark, sf_dir), idx)
     queries = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isin(list(IVF_BATCH_QIDS)))
@@ -1029,9 +1049,14 @@ def ivf_probe_batch(
     # a wrong-width qe would NULL-score through cosine_similarity and
     # probe/rank arbitrary rows — derive the expected width from the
     # persisted centroids and refuse by name, like the PQ-family probes
-    want_dim = cent.select(F.size("ce").alias("d")).first()["d"]
+    head = cent.select(F.size("ce").alias("d")).first()
+    if head is None:
+        raise ValueError(
+            f"ivf_probe_batch: {index_dir!r} holds an EMPTY centroids"
+            " table — not a probeable IVF index; rerun ivf_build"
+        )
     _require_query_batch(
-        queries, caller="ivf_probe_batch", want_dim=want_dim
+        queries, caller="ivf_probe_batch", want_dim=head["d"]
     )
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     assigned = spark.read.parquet(
@@ -2936,7 +2961,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx,
         ivf_dir=ivf_index_dir(sf_dir),
         pq_dir=pq_index_dir(sf_dir),
-        n_centroids=IVF_CENTROIDS,  # oracle embeds the literal cells
     )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
@@ -3425,7 +3449,7 @@ def ivfpq_index_dir(sf_dir: str) -> str:
     return _index_cache_dir(
         "ivfpq",
         sf_dir,
-        f"k={IVF_CENTROIDS}|lloyd={IVF_LLOYD_ITERS}|m={PQ_M}"
+        f"k=auto|lloyd={IVF_LLOYD_ITERS}|m={PQ_M}"
         f"|sub={PQ_SUBDIM}|pk={PQ_K}|v={IVFPQ_INDEX_FORMAT}",
     )
 
@@ -4050,22 +4074,46 @@ def ivfpq_probe(
     )
 
 
-def ivfpq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
+def ivfpq_append(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    pre_encoded: DataFrame | None = None,
+) -> int:
     """Idempotently fold new vectors into the cid-partitioned codes:
     encode against the persisted codebooks AND assign against the
     persisted centroids (both frozen — ivfpq_drift is the rebuild cue),
     skip ids already present, append whole-row files into their cell
-    partitions. Stopped-writer window, like every parquet append."""
+    partitions. Stopped-writer window, like every parquet append.
+
+    ``pre_encoded`` (internal — the screened streaming append): the
+    _ivfpq_encode_cells output for these arrivals, so a batch the
+    screen ALREADY encoded is not encoded twice. Must cover exactly
+    the ids of ``emb``'s deduped rows and come from THIS layout's
+    encode — anything else would write codes that disagree with the
+    geometry."""
     meta = _ivfpq_meta(index_dir)
     _refuse_null_ids(
         emb, "ivfpq_append", want_dim=meta["pq_m"] * meta["pq_subdim"]
     )
     import os
 
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     codes_path = os.path.join(index_dir, "codes")
     existing = spark.read.parquet(codes_path).select("vec_id")
+    if pre_encoded is not None:
+        fresh = (
+            pre_encoded.join(existing, "vec_id", "left_anti")
+            .select("vec_id", "codes", "cid")
+            .localCheckpoint(eager=True)
+        )
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").partitionBy("cid").parquet(
+                codes_path
+            )
+        return n
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     # dedup + anti-join the SKINNY id projection first (the ivf_append
     # shape): a fully-replayed batch must cost an id comparison, not a
     # full encode + assign. The surviving rows then materialize ONCE
@@ -4242,9 +4290,10 @@ def ivfpq_refresh_if_drifted(
 ) -> dict:
     """Check drift and rebuild over ``emb`` only when recommended
     (``emb`` is REQUIRED — lossy-codes contract). Returns the drift
-    report with a ``rebuilt`` flag added. ``n_centroids=None`` lets the
-    rebuild re-derive the IVF geometry from the GROWN corpus — the
-    remedy for an index whose cells outgrew their build sizing."""
+    report with a ``rebuilt`` flag added. ``n_centroids=None``
+    PRESERVES the layout's persisted IVF geometry (persist-your-
+    params); pass ``adaptive_nlist(n_now)`` or ``sdc_nlist_for(n_now)``
+    to re-gear an index whose cells outgrew their build sizing."""
     report = dict(ivfpq_drift(spark, index_dir, **drift_kwargs))
     report["rebuilt"] = False
     if report["rebuild_recommended"]:
@@ -4681,7 +4730,6 @@ def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx,
         ivf_dir=ivf_index_dir(sf_dir),
         pq_dir=pq_index_dir(sf_dir),
-        n_centroids=IVF_CENTROIDS,  # oracle embeds the literal cells
     )
     queries = emb.filter(
         F.col("vec_id").isin(list(IVF_BATCH_QIDS))
@@ -4818,6 +4866,17 @@ def pq_adc_calibrate(
         ).alias("background"),
     ).head()
     floor, background = agg["floor"], agg["background"]
+    # a single-row index has no non-self pair: background aggregates
+    # to NULL — report unseparated with no suggestion rather than
+    # crashing on None arithmetic
+    if background is None:
+        return {
+            "residual_floor": floor,
+            "background": None,
+            "suggested": None,
+            "separated": False,
+            "sampled": len(ids),
+        }
     return {
         "residual_floor": floor,
         "background": background,
@@ -4855,6 +4914,8 @@ SDC_MAX_CELL_PAIRS = 8_000_000
 @register(
     "near_dup_sdc_pairs",
     survey="J5(ext),J6(ext)",
+    headline=True,  # the flagship "dedup a 100 TB corpus by
+    # embedding" shape: cell-bounded codes-vs-codes pair mining
     oracle=f"""
 WITH {_IVF_ASSIGN_SQL}
 , {_PQ_NE_SQL}
@@ -4899,7 +4960,6 @@ def near_dup_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx,
         ivf_dir=ivf_index_dir(sf_dir),
         pq_dir=pq_index_dir(sf_dir),
-        n_centroids=IVF_CENTROIDS,  # oracle embeds the literal cells
     )
     return sdc_pair_mine(spark, idx)
 
@@ -5095,7 +5155,33 @@ def sdc_score_new(
 
     Pair volume here is n_new(cell) * n_indexed(cell) — refused by
     name per cell past ``max_cell_pairs``, the sdc_pair_mine bound
-    applied to the incremental product."""
+    applied to the incremental product.
+
+    Scope: pairs are (new x INDEXED) only — two near-duplicates
+    arriving in the SAME batch do not pair with each other here (the
+    streaming append collapses byte-identical intra-batch copies
+    separately; sub-identical intra-batch near-dups are the full
+    miner's job after append). The distance is the QUANTIZED
+    codes-vs-codes approximation: drops based on it trade a bounded
+    false-positive rate for never reading a float — exact-verify
+    survivors against the raw corpus when certainty matters (the
+    ingest's near_dups side output is the exact-cosine twin)."""
+    encoded = _ivfpq_encode_cells(spark, index_dir, arrivals)
+    return _sdc_score_encoded(
+        spark, index_dir, encoded, max_sdc, max_cell_pairs
+    )
+
+
+def _ivfpq_encode_cells(
+    spark: SparkSession, index_dir: str, arrivals: DataFrame
+) -> DataFrame:
+    """Encode an arrival batch against a persisted IVF-PQ layout:
+    (vec_id, cid, codes), exactly the rows ivfpq_append would write
+    (cell assignment vs the frozen centroids; raw or residual codes
+    per the persisted enc_v). Materialized eagerly so a screen, its
+    counts, and a subsequent append all see ONE encode. Shared by
+    sdc_score_new and the screened streaming append (which would
+    otherwise encode the batch twice)."""
     import os
 
     meta = _ivfpq_meta(index_dir)
@@ -5104,7 +5190,7 @@ def sdc_score_new(
         arrivals.select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
         ),
-        caller="sdc_score_new",
+        caller="ivfpq encode",
         want_dim=m * subdim,
     )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
@@ -5116,12 +5202,29 @@ def sdc_score_new(
         nd = _ivfpq_residual_ndf(arrivals, cells, cent)
     else:
         nd = _pq_normalized(arrivals)
-    encoded = (
+    return (
         _pq_encode(nd, cb, m, subdim, meta["pq_k"])
         .join(cells, "vec_id")
-        .localCheckpoint(eager=True)  # encode once; counts, the
-        # touched-cell collect, and the pair join see the same rows
+        .select("vec_id", "cid", "codes")
+        .localCheckpoint(eager=True)
     )
+
+
+def _sdc_score_encoded(
+    spark: SparkSession,
+    index_dir: str,
+    encoded: DataFrame,
+    max_sdc: int,
+    max_cell_pairs: int,
+) -> DataFrame:
+    """The scoring half of sdc_score_new over an ALREADY-encoded batch
+    (the _ivfpq_encode_cells output) — see sdc_score_new for the
+    contract."""
+    import os
+
+    meta = _ivfpq_meta(index_dir)
+    m = meta["pq_m"]
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     batch_counts = {
         r["cid"]: r["n"]
         for r in encoded.groupBy("cid")

@@ -200,6 +200,13 @@ def append_scored_to_pq(
         .localCheckpoint(eager=True)  # screen and append see one batch
     )
     if screen and scored.count() > 0:
+        # the ADC screen compares arrivals against INDEXED rows only —
+        # exact copies arriving together in one batch would all pass
+        # it, so collapse identical embeddings first (deterministic
+        # survivor: smallest vec_id). Near-identical intra-batch pairs
+        # remain out of this screen's scope (documented); route those
+        # through the ingest's exact same-cell near_dups side output.
+        scored = _dedup_identical_embeddings(scored)
         kw = {} if max_adc is None else {"max_adc": max_adc}
         dups = (
             pq_adc_near_dups(spark, pq_dir, scored, **kw)
@@ -212,6 +219,22 @@ def append_scored_to_pq(
         )
         scored = scored.join(dups, "vec_id", "left_anti")
     return pq_append(spark, pq_dir, scored)
+
+
+def _dedup_identical_embeddings(batch: DataFrame) -> DataFrame:
+    """Collapse rows carrying byte-identical embeddings to ONE
+    deterministic survivor (the smallest vec_id) — the intra-batch
+    half of the pre-append dedup screens, which otherwise only compare
+    arrivals against already-indexed rows. Exact equality only: it
+    needs no index, no threshold, and no quantization."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("embedding").orderBy(F.col("vec_id").asc())
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def append_scored_to_ivfpq(
@@ -231,7 +254,13 @@ def append_scored_to_ivfpq(
     ``screen=False`` for the raw append or ``max_sdc`` to override the
     threshold. Delegates to ivfpq_append (idempotent). Stopped-writer
     window; returns rows appended (post-screen)."""
-    from ..plans.vectors import ivfpq_append, sdc_score_new
+    from ..plans.vectors import (
+        SDC_DUP_MICRO,
+        SDC_MAX_CELL_PAIRS,
+        _ivfpq_encode_cells,
+        _sdc_score_encoded,
+        ivfpq_append,
+    )
 
     scored = (
         read_scored(spark, out_dir)
@@ -240,13 +269,28 @@ def append_scored_to_ivfpq(
         .localCheckpoint(eager=True)
     )
     if screen and scored.count() > 0:
-        kw = {} if max_sdc is None else {"max_sdc": max_sdc}
+        # intra-batch exact copies first (vs-indexed screens can't see
+        # them), then ONE encode serves both the SDC screen and the
+        # append below — the batch is never encoded twice
+        scored = _dedup_identical_embeddings(scored)
+        encoded = _ivfpq_encode_cells(spark, ivfpq_dir, scored)
         dups = (
-            sdc_score_new(spark, ivfpq_dir, scored, **kw)
+            _sdc_score_encoded(
+                spark,
+                ivfpq_dir,
+                encoded,
+                SDC_DUP_MICRO if max_sdc is None else max_sdc,
+                SDC_MAX_CELL_PAIRS,
+            )
             .select(F.col("new_vec").alias("vec_id"))
             .distinct()
         )
-        scored = scored.join(dups, "vec_id", "left_anti")
+        return ivfpq_append(
+            spark,
+            ivfpq_dir,
+            scored.join(dups, "vec_id", "left_anti"),
+            pre_encoded=encoded.join(dups, "vec_id", "left_anti"),
+        )
     return ivfpq_append(spark, ivfpq_dir, scored)
 
 

@@ -1249,7 +1249,7 @@ def test_scale8_sdc_geometry_keeps_pair_volume_linear(spark, tmp_path):
         sdc_nlist_for,
     )
 
-    def pair_volume(emb, n, where, nlist):
+    def pair_volume(emb, where, nlist):
         idx = ivf_build(emb, str(tmp_path / where), n_centroids=nlist)
         counts = [
             r["count"]
@@ -1279,18 +1279,12 @@ def test_scale8_sdc_geometry_keeps_pair_volume_linear(spark, tmp_path):
     ).localCheckpoint(eager=True)
     n8 = emb8.count()
     assert n8 == 8 * n1
-    v1, cells1 = pair_volume(
-        base, n1, "sdc1", sdc_nlist_for(n1, bound)
-    )
-    v8, cells8 = pair_volume(
-        emb8, n8, "sdc8", sdc_nlist_for(n8, bound)
-    )
+    v1, cells1 = pair_volume(base, "sdc1", sdc_nlist_for(n1, bound))
+    v8, cells8 = pair_volume(emb8, "sdc8", sdc_nlist_for(n8, bound))
     assert cells8 >= 5 * cells1  # cells really scale with n
     # ~linear pair volume: generous 3x skew slack over the 8x corpus
     # ratio, and decisively below the fixed-nlist quadratic 64x
     assert v8 <= 24 * v1, (v1, v8, cells1, cells8)
     # the fixed-geometry counterfactual really is quadratic-order
-    vq, _ = pair_volume(
-        emb8, n8, "sdcq", sdc_nlist_for(n1, bound)
-    )
+    vq, _ = pair_volume(emb8, "sdcq", sdc_nlist_for(n1, bound))
     assert vq >= 40 * v1, (v1, vq)
