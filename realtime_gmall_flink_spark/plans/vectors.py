@@ -681,6 +681,19 @@ def _ivf_write(emb: DataFrame, n_centroids: int | None, lloyd_iters: int):
             .count()
             .write.parquet(os.path.join(staging, "build_stats"))
         )
+        # persist the REQUESTED geometry (persist-your-params): the
+        # centroids table's row count can sit BELOW k when Lloyd drops
+        # an empty cell (value-colliding seeds), so a rebuild that
+        # re-seeded from the row count would ratchet nlist downward
+        # across refreshes. Not part of the validity set — legacy
+        # layouts without meta/ stay valid and fall back to the count.
+        from ..indexutil import write_meta_into
+
+        write_meta_into(
+            spark,
+            os.path.join(staging, "meta"),
+            {"n_centroids": k, "lloyd_iters": lloyd_iters},
+        )
 
     return write
 
@@ -704,18 +717,32 @@ def ivf_rebuild(
     versions)."""
     import os
 
-    from ..indexutil import rebuild_index
+    from ..indexutil import read_index_meta, rebuild_index, recover_index
 
+    # the live dir is missing inside the swap's two-rename crash
+    # window — heal FIRST, before any read of the layout below (the
+    # geometry default and the self-sourced corpus both read it)
+    recover_index(index_dir, IVF_SUBDIRS)
     if n_centroids is None:
-        # persist-your-params: a rebuild KEEPS the layout's geometry
-        # (nlist = the persisted centroid count) — re-deriving the
-        # adaptive default here would silently discard an explicitly
-        # pinned or sdc_nlist_for-sized build on the next drift
-        # refresh. Re-gear deliberately: pass adaptive_nlist(n) after
-        # growth, or sdc_nlist_for(n) for mining-heavy layouts.
-        n_centroids = spark.read.parquet(
-            os.path.join(index_dir, "centroids")
-        ).count()
+        # persist-your-params: a rebuild KEEPS the layout's geometry —
+        # re-deriving the adaptive default here would silently discard
+        # an explicitly pinned or sdc_nlist_for-sized build on the
+        # next drift refresh. Re-gear deliberately: pass
+        # adaptive_nlist(n) after growth, or sdc_nlist_for(n) for
+        # mining-heavy layouts. New builds persist the REQUESTED k in
+        # meta/; legacy pre-meta layouts fall back to the centroid
+        # row count (post-Lloyd, may sit below the original request).
+        try:
+            meta = read_index_meta(index_dir)
+        except ValueError:
+            meta = None  # wedged meta: not in the validity set — treat
+            # as pre-meta rather than failing the rebuild that heals it
+        if meta is not None and meta.get("n_centroids"):
+            n_centroids = int(meta["n_centroids"])
+        else:
+            n_centroids = spark.read.parquet(
+                os.path.join(index_dir, "centroids")
+            ).count()
     if emb is None:
         # materialize before the swap: the rebuild's writes must not
         # lazily re-scan the directories the swap is about to replace
@@ -4836,22 +4863,31 @@ def pq_adc_calibrate(
         r["vec_id"]
         for r in codes.select("vec_id")
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(sample)
+        .limit(meta["pq_k"] + sample)
         .collect()
     ]
+    # the first pq_k md5-ordered ids ARE the codebook training seeds
+    # (pq_seed_codebooks uses the same deterministic order), and seed
+    # rows sit systematically close to their trained codewords — a
+    # residual floor measured on them underestimates the corpus max.
+    # Sample PAST them; a tiny index falls back to whatever exists.
+    non_seed = ids[meta["pq_k"]:]
+    ids = non_seed if non_seed else ids
     queries = emb.filter(F.col("vec_id").isin(ids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    _require_query_batch(
-        queries, caller="pq_adc_calibrate", want_dim=m * subdim
-    )
+    # the corpus-coverage check runs FIRST: a disjoint emb would
+    # otherwise surface as the generic 'batch query frame is empty'
     found = queries.count()
     if found != len(ids):
         raise ValueError(
-            f"pq_adc_calibrate: emb carries only {found} of the"
+            f"pq_adc_calibrate: emb carries {found} rows for the"
             f" {len(ids)} sampled indexed ids — pass the indexed"
-            " corpus (build + appends)"
+            " corpus (build + appends), exactly one row per id"
         )
+    _require_query_batch(
+        queries, caller="pq_adc_calibrate", want_dim=m * subdim
+    )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     luts = _pq_lut_rows(cb, queries, subdim)
     scored = codes.crossJoin(broadcast(luts)).select(

@@ -191,34 +191,41 @@ def append_scored_to_pq(
     encode-against-frozen-codebooks semantics are exactly the batch
     append's (pq_drift is the rebuild cue). Stopped-writer window;
     returns rows appended (post-screen)."""
+    import os
+
     from ..plans.vectors import pq_adc_near_dups, pq_append
 
-    scored = (
-        read_scored(spark, out_dir)
-        .select("vec_id", "embedding")
-        .dropDuplicates(["vec_id"])
+    scored = read_scored(spark, out_dir).select("vec_id", "embedding")
+    if not screen:
+        # raw path: delegate untouched — pq_append's skinny-id
+        # anti-join makes a fully-replayed run cost an id comparison
+        return pq_append(spark, pq_dir, scored)
+    # screen only what is actually NEW: read_scored returns the FULL
+    # cumulative ingest history (at-least-once), and ADC-scoring every
+    # previously-appended row against the whole codes table on every
+    # maintenance run would grow the screen cost with history. The
+    # anti-join also removes replayed ids, so no arrival here can
+    # share an id with an indexed row.
+    existing = spark.read.parquet(os.path.join(pq_dir, "codes")).select(
+        "vec_id"
+    )
+    fresh = (
+        _dedup_identical_embeddings(
+            scored.dropDuplicates(["vec_id"]).join(
+                existing, "vec_id", "left_anti"
+            )
+        )
         .localCheckpoint(eager=True)  # screen and append see one batch
     )
-    if screen and scored.count() > 0:
-        # the ADC screen compares arrivals against INDEXED rows only —
-        # exact copies arriving together in one batch would all pass
-        # it, so collapse identical embeddings first (deterministic
-        # survivor: smallest vec_id). Near-identical intra-batch pairs
-        # remain out of this screen's scope (documented); route those
-        # through the ingest's exact same-cell near_dups side output.
-        scored = _dedup_identical_embeddings(scored)
-        kw = {} if max_adc is None else {"max_adc": max_adc}
-        dups = (
-            pq_adc_near_dups(spark, pq_dir, scored, **kw)
-            # a replayed id reports ITSELF (same id) — that is append
-            # idempotency, not a duplicate to drop; keep it for the
-            # anti-join below to skip
-            .filter(F.col("new_vec") != F.col("dup_of"))
-            .select(F.col("new_vec").alias("vec_id"))
-            .distinct()
-        )
-        scored = scored.join(dups, "vec_id", "left_anti")
-    return pq_append(spark, pq_dir, scored)
+    if fresh.count() == 0:
+        return 0
+    kw = {} if max_adc is None else {"max_adc": max_adc}
+    dups = (
+        pq_adc_near_dups(spark, pq_dir, fresh, **kw)
+        .select(F.col("new_vec").alias("vec_id"))
+        .distinct()
+    )
+    return pq_append(spark, pq_dir, fresh.join(dups, "vec_id", "left_anti"))
 
 
 def _dedup_identical_embeddings(batch: DataFrame) -> DataFrame:
@@ -254,6 +261,8 @@ def append_scored_to_ivfpq(
     ``screen=False`` for the raw append or ``max_sdc`` to override the
     threshold. Delegates to ivfpq_append (idempotent). Stopped-writer
     window; returns rows appended (post-screen)."""
+    import os
+
     from ..plans.vectors import (
         SDC_DUP_MICRO,
         SDC_MAX_CELL_PAIRS,
@@ -262,36 +271,48 @@ def append_scored_to_ivfpq(
         ivfpq_append,
     )
 
-    scored = (
-        read_scored(spark, out_dir)
-        .select("vec_id", "embedding")
-        .dropDuplicates(["vec_id"])
+    scored = read_scored(spark, out_dir).select("vec_id", "embedding")
+    if not screen:
+        # raw path untouched: a fully-replayed run costs ivfpq_append's
+        # skinny-id anti-join, never an encode
+        return ivfpq_append(spark, ivfpq_dir, scored)
+    # NEW rows only (see the pq twin): the cumulative scored history
+    # must not be re-encoded per maintenance run, and the SDC guard's
+    # batch-side cell counts must reflect actual arrivals — a replayed
+    # history would otherwise inflate batch x indexed past the bound
+    # and hard-fail maintenance on an index that has nothing to do.
+    existing = spark.read.parquet(
+        os.path.join(ivfpq_dir, "codes")
+    ).select("vec_id")
+    fresh = (
+        _dedup_identical_embeddings(
+            scored.dropDuplicates(["vec_id"]).join(
+                existing, "vec_id", "left_anti"
+            )
+        )
         .localCheckpoint(eager=True)
     )
-    if screen and scored.count() > 0:
-        # intra-batch exact copies first (vs-indexed screens can't see
-        # them), then ONE encode serves both the SDC screen and the
-        # append below — the batch is never encoded twice
-        scored = _dedup_identical_embeddings(scored)
-        encoded = _ivfpq_encode_cells(spark, ivfpq_dir, scored)
-        dups = (
-            _sdc_score_encoded(
-                spark,
-                ivfpq_dir,
-                encoded,
-                SDC_DUP_MICRO if max_sdc is None else max_sdc,
-                SDC_MAX_CELL_PAIRS,
-            )
-            .select(F.col("new_vec").alias("vec_id"))
-            .distinct()
-        )
-        return ivfpq_append(
+    if fresh.count() == 0:
+        return 0
+    # ONE encode serves both the SDC screen and the append below
+    encoded = _ivfpq_encode_cells(spark, ivfpq_dir, fresh)
+    dups = (
+        _sdc_score_encoded(
             spark,
             ivfpq_dir,
-            scored.join(dups, "vec_id", "left_anti"),
-            pre_encoded=encoded.join(dups, "vec_id", "left_anti"),
+            encoded,
+            SDC_DUP_MICRO if max_sdc is None else max_sdc,
+            SDC_MAX_CELL_PAIRS,
         )
-    return ivfpq_append(spark, ivfpq_dir, scored)
+        .select(F.col("new_vec").alias("vec_id"))
+        .distinct()
+    )
+    return ivfpq_append(
+        spark,
+        ivfpq_dir,
+        fresh.join(dups, "vec_id", "left_anti"),
+        pre_encoded=encoded.join(dups, "vec_id", "left_anti"),
+    )
 
 
 def screen_scored_against_pq(

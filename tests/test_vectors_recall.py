@@ -2119,3 +2119,38 @@ def test_ivfpq_residual_build_refuses_stale_ivf_parent(spark, tmp_path):
     shrunk = emb.filter(F.col("vec_id") >= 5)
     with _pytest.raises(ValueError, match="IVF parent cache is stale"):
         ivfpq_build(shrunk, str(tmp_path / "res"), ivf_dir=ivf_dir)
+
+
+def test_ivf_rebuild_preserves_requested_geometry(spark, tmp_path):
+    """persist-your-params for nlist: a rebuild (and so a drift
+    refresh) with the default n_centroids KEEPS the geometry the build
+    REQUESTED — read from the new meta/, not re-derived adaptively and
+    not ratcheted down to the post-Lloyd centroid row count. A legacy
+    pre-meta layout falls back to the persisted count."""
+    import shutil
+
+    from realtime_gmall_flink_spark.indexutil import read_index_meta
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        ivf_build,
+        ivf_rebuild,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = ivf_build(emb, str(tmp_path / "ivf-pin40"), n_centroids=40)
+    assert read_index_meta(idx)["n_centroids"] == 40
+    ivf_rebuild(spark, idx)  # default: preserve, not adaptive(500)=16
+    assert read_index_meta(idx)["n_centroids"] == 40
+    assert (
+        spark.read.parquet(f"{idx}/centroids").count() == 40
+    )
+    # legacy pre-meta layout: fall back to the persisted centroid count
+    shutil.rmtree(f"{idx}/meta")
+    ivf_rebuild(spark, idx)
+    assert read_index_meta(idx)["n_centroids"] == 40  # re-stamped
+    # explicit re-gearing still wins
+    ivf_rebuild(spark, idx, n_centroids=20)
+    assert spark.read.parquet(f"{idx}/centroids").count() == 20
+    assert read_index_meta(idx)["n_centroids"] == 20
