@@ -703,7 +703,7 @@ def ivf_rebuild(
     index_dir: str,
     emb: DataFrame | None = None,
     n_centroids: int | None = None,
-    lloyd_iters: int = IVF_LLOYD_ITERS,
+    lloyd_iters: int | None = None,
 ) -> str:
     """Rebuild the index IN PLACE (refreshed centroids, assignment, and
     drift baseline) with the crash-safe two-rename swap — the
@@ -723,26 +723,34 @@ def ivf_rebuild(
     # window — heal FIRST, before any read of the layout below (the
     # geometry default and the self-sourced corpus both read it)
     recover_index(index_dir, IVF_SUBDIRS)
-    if n_centroids is None:
-        # persist-your-params: a rebuild KEEPS the layout's geometry —
-        # re-deriving the adaptive default here would silently discard
-        # an explicitly pinned or sdc_nlist_for-sized build on the
-        # next drift refresh. Re-gear deliberately: pass
+    if n_centroids is None or lloyd_iters is None:
+        # persist-your-params: a rebuild KEEPS the layout's build
+        # parameters — re-deriving the adaptive default here would
+        # silently discard an explicitly pinned or sdc_nlist_for-sized
+        # build on the next drift refresh. Re-gear deliberately: pass
         # adaptive_nlist(n) after growth, or sdc_nlist_for(n) for
-        # mining-heavy layouts. New builds persist the REQUESTED k in
-        # meta/; legacy pre-meta layouts fall back to the centroid
-        # row count (post-Lloyd, may sit below the original request).
+        # mining-heavy layouts. New builds persist the REQUESTED
+        # params in meta/; legacy pre-meta layouts fall back to the
+        # centroid row count (post-Lloyd, may sit below the original
+        # request) and the module default iteration count.
         try:
             meta = read_index_meta(index_dir)
         except ValueError:
             meta = None  # wedged meta: not in the validity set — treat
             # as pre-meta rather than failing the rebuild that heals it
-        if meta is not None and meta.get("n_centroids"):
-            n_centroids = int(meta["n_centroids"])
-        else:
-            n_centroids = spark.read.parquet(
-                os.path.join(index_dir, "centroids")
-            ).count()
+        if n_centroids is None:
+            if meta is not None and meta.get("n_centroids"):
+                n_centroids = int(meta["n_centroids"])
+            else:
+                n_centroids = spark.read.parquet(
+                    os.path.join(index_dir, "centroids")
+                ).count()
+        if lloyd_iters is None:
+            lloyd_iters = (
+                int(meta["lloyd_iters"])
+                if meta is not None and meta.get("lloyd_iters") is not None
+                else IVF_LLOYD_ITERS
+            )
     if emb is None:
         # materialize before the swap: the rebuild's writes must not
         # lazily re-scan the directories the swap is about to replace
@@ -761,7 +769,7 @@ def ivf_refresh_if_drifted(
     index_dir: str,
     emb: DataFrame | None = None,
     n_centroids: int | None = None,
-    lloyd_iters: int = IVF_LLOYD_ITERS,
+    lloyd_iters: int | None = None,
     **drift_kwargs,
 ) -> dict:
     """Check drift and rebuild only when recommended (corpus
@@ -4851,28 +4859,37 @@ def pq_adc_calibrate(
       (or the geometry is too coarse) and a single threshold cannot
       split copies from neighbors; exact-verify survivors instead.
 
-    Sample ids are the md5-smallest indexed ids (the deterministic
-    seed rule); ``emb`` must carry the raw vectors for them. ONE codes
-    scan for the whole calibration — the screen's own IO shape."""
+    Sample ids follow a SALTED deterministic hash order (md5 of
+    'calib|'+id) so the codebook training seeds — systematically
+    low-residual rows — are not over-represented; ``emb`` must carry
+    the raw vectors for the sampled ids. ONE codes scan for the whole
+    calibration — the screen's own IO shape."""
     import os
 
     meta = _pq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    # a SALTED deterministic order, decorrelated from the seed rule:
+    # pq_seed_codebooks trains on the pq_k md5(vec_id)-smallest BUILD
+    # rows, whose residuals are systematically low — sampling by the
+    # same order would stack them into the sample and bias the floor
+    # down (and 'skip the first pq_k' breaks once appends reshuffle
+    # the order). Salting makes seed inclusion proportional to their
+    # share of the corpus instead of certain.
     ids = [
         r["vec_id"]
         for r in codes.select("vec_id")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(meta["pq_k"] + sample)
+        .orderBy(
+            F.md5(
+                F.concat(
+                    F.lit("calib|"), F.col("vec_id").cast("string")
+                )
+            ),
+            F.col("vec_id"),
+        )
+        .limit(sample)
         .collect()
     ]
-    # the first pq_k md5-ordered ids ARE the codebook training seeds
-    # (pq_seed_codebooks uses the same deterministic order), and seed
-    # rows sit systematically close to their trained codewords — a
-    # residual floor measured on them underestimates the corpus max.
-    # Sample PAST them; a tiny index falls back to whatever exists.
-    non_seed = ids[meta["pq_k"]:]
-    ids = non_seed if non_seed else ids
     queries = emb.filter(F.col("vec_id").isin(ids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )

@@ -191,8 +191,6 @@ def append_scored_to_pq(
     encode-against-frozen-codebooks semantics are exactly the batch
     append's (pq_drift is the rebuild cue). Stopped-writer window;
     returns rows appended (post-screen)."""
-    import os
-
     from ..plans.vectors import pq_adc_near_dups, pq_append
 
     scored = read_scored(spark, out_dir).select("vec_id", "embedding")
@@ -200,21 +198,20 @@ def append_scored_to_pq(
         # raw path: delegate untouched — pq_append's skinny-id
         # anti-join makes a fully-replayed run cost an id comparison
         return pq_append(spark, pq_dir, scored)
-    # screen only what is actually NEW: read_scored returns the FULL
-    # cumulative ingest history (at-least-once), and ADC-scoring every
-    # previously-appended row against the whole codes table on every
-    # maintenance run would grow the screen cost with history. The
-    # anti-join also removes replayed ids, so no arrival here can
-    # share an id with an indexed row.
+    # Exact-copy collapse runs over the FULL deduped history BEFORE
+    # the id anti-join: a new arrival byte-identical to a PREVIOUSLY
+    # APPENDED row must collapse into it (min-id survivor = the
+    # indexed row, dropped by the anti-join) rather than reach the
+    # threshold screen, whose quantized distance can sit above a
+    # tightly-calibrated max_adc. One history-wide shuffle — cheap
+    # next to the encode/ADC work the NEW-rows restriction avoids:
+    # only genuinely new ids are ADC-scored against the codes.
     existing = spark.read.parquet(os.path.join(pq_dir, "codes")).select(
         "vec_id"
     )
     fresh = (
-        _dedup_identical_embeddings(
-            scored.dropDuplicates(["vec_id"]).join(
-                existing, "vec_id", "left_anti"
-            )
-        )
+        _dedup_identical_embeddings(scored.dropDuplicates(["vec_id"]))
+        .join(existing, "vec_id", "left_anti")
         .localCheckpoint(eager=True)  # screen and append see one batch
     )
     if fresh.count() == 0:
@@ -261,8 +258,6 @@ def append_scored_to_ivfpq(
     ``screen=False`` for the raw append or ``max_sdc`` to override the
     threshold. Delegates to ivfpq_append (idempotent). Stopped-writer
     window; returns rows appended (post-screen)."""
-    import os
-
     from ..plans.vectors import (
         SDC_DUP_MICRO,
         SDC_MAX_CELL_PAIRS,
@@ -276,20 +271,18 @@ def append_scored_to_ivfpq(
         # raw path untouched: a fully-replayed run costs ivfpq_append's
         # skinny-id anti-join, never an encode
         return ivfpq_append(spark, ivfpq_dir, scored)
-    # NEW rows only (see the pq twin): the cumulative scored history
-    # must not be re-encoded per maintenance run, and the SDC guard's
-    # batch-side cell counts must reflect actual arrivals — a replayed
-    # history would otherwise inflate batch x indexed past the bound
-    # and hard-fail maintenance on an index that has nothing to do.
+    # Exact-copy collapse over the full history FIRST, then the id
+    # anti-join restricts the expensive work (encode + SDC) to
+    # genuinely NEW rows — see the pq twin for the ordering rationale;
+    # it also keeps the SDC guard's batch-side cell counts equal to
+    # actual arrivals, so a replayed history cannot inflate
+    # batch x indexed past the bound and hard-fail idle maintenance.
     existing = spark.read.parquet(
         os.path.join(ivfpq_dir, "codes")
     ).select("vec_id")
     fresh = (
-        _dedup_identical_embeddings(
-            scored.dropDuplicates(["vec_id"]).join(
-                existing, "vec_id", "left_anti"
-            )
-        )
+        _dedup_identical_embeddings(scored.dropDuplicates(["vec_id"]))
+        .join(existing, "vec_id", "left_anti")
         .localCheckpoint(eager=True)
     )
     if fresh.count() == 0:
