@@ -4859,27 +4859,34 @@ def pq_adc_calibrate(
       (or the geometry is too coarse) and a single threshold cannot
       split copies from neighbors; exact-verify survivors instead.
 
-    Sample ids follow a SALTED deterministic hash order (md5 of
-    'calib|'+id) so the codebook training seeds — systematically
-    low-residual rows — are not over-represented; ``emb`` must carry
-    the raw vectors for the sampled ids. ONE codes scan for the whole
+    The codebook training seeds (exactly identifiable: the
+    codebooks' cid column records their vec_ids) are EXCLUDED — seed
+    rows sit systematically close to their trained codewords and
+    would bias the measured floor down; the rest are drawn by a
+    salted deterministic hash order. ``emb`` must carry the raw
+    vectors for the sampled ids. ONE codes scan for the whole
     calibration — the screen's own IO shape."""
     import os
 
     meta = _pq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    # a SALTED deterministic order, decorrelated from the seed rule:
-    # pq_seed_codebooks trains on the pq_k md5(vec_id)-smallest BUILD
-    # rows, whose residuals are systematically low — sampling by the
-    # same order would stack them into the sample and bias the floor
-    # down (and 'skip the first pq_k' breaks once appends reshuffle
-    # the order). Salting makes seed inclusion proportional to their
-    # share of the corpus instead of certain.
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    # EXACT seed exclusion: the codebooks' cid column IS the training
+    # seeds' vec_ids (pq_seed_codebooks aliases vec_id -> cid), so the
+    # systematically-low-residual rows are identifiable at ANY index
+    # age — no reliance on the md5 order appends reshuffle. A salted
+    # hash order then draws the sample without correlating with the
+    # seed rule; a corpus that is nothing but seeds falls back to them.
+    seed_ids = sorted(
+        {r["cid"] for r in cb.select("cid").distinct().collect()}
+    )
+    candidates = codes.select("vec_id").filter(
+        ~F.col("vec_id").isin(seed_ids)
+    )
     ids = [
         r["vec_id"]
-        for r in codes.select("vec_id")
-        .orderBy(
+        for r in candidates.orderBy(
             F.md5(
                 F.concat(
                     F.lit("calib|"), F.col("vec_id").cast("string")
@@ -4890,6 +4897,8 @@ def pq_adc_calibrate(
         .limit(sample)
         .collect()
     ]
+    if not ids:
+        ids = seed_ids[:sample]
     queries = emb.filter(F.col("vec_id").isin(ids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -4905,7 +4914,6 @@ def pq_adc_calibrate(
     _require_query_batch(
         queries, caller="pq_adc_calibrate", want_dim=m * subdim
     )
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     luts = _pq_lut_rows(cb, queries, subdim)
     scored = codes.crossJoin(broadcast(luts)).select(
         "qid", "vec_id", _pq_adc_sum(m).alias("adc")

@@ -198,22 +198,10 @@ def append_scored_to_pq(
         # raw path: delegate untouched — pq_append's skinny-id
         # anti-join makes a fully-replayed run cost an id comparison
         return pq_append(spark, pq_dir, scored)
-    # Exact-copy collapse runs over the FULL deduped history BEFORE
-    # the id anti-join: a new arrival byte-identical to a PREVIOUSLY
-    # APPENDED row must collapse into it (min-id survivor = the
-    # indexed row, dropped by the anti-join) rather than reach the
-    # threshold screen, whose quantized distance can sit above a
-    # tightly-calibrated max_adc. One history-wide shuffle — cheap
-    # next to the encode/ADC work the NEW-rows restriction avoids:
-    # only genuinely new ids are ADC-scored against the codes.
     existing = spark.read.parquet(os.path.join(pq_dir, "codes")).select(
         "vec_id"
     )
-    fresh = (
-        _dedup_identical_embeddings(scored.dropDuplicates(["vec_id"]))
-        .join(existing, "vec_id", "left_anti")
-        .localCheckpoint(eager=True)  # screen and append see one batch
-    )
+    fresh = _fresh_unique_arrivals(scored, existing)
     if fresh.count() == 0:
         return 0
     kw = {} if max_adc is None else {"max_adc": max_adc}
@@ -239,6 +227,42 @@ def _dedup_identical_embeddings(batch: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _fresh_unique_arrivals(
+    scored: DataFrame, existing: DataFrame
+) -> DataFrame:
+    """The shared pre-screen reduction of a cumulative scored history
+    to GENUINELY NEW, exact-copy-free arrivals, materialized once:
+
+    1. skinny id anti-join FIRST — an idle or fully-replayed
+       maintenance run costs an id comparison, never an
+       embedding-keyed shuffle (checked by the early-exit count in
+       the callers);
+    2. intra-batch collapse among the new rows (min-id survivor —
+       deterministic because all candidates are new together);
+    3. drop any new row byte-identical to an ALREADY-INDEXED one by
+       joining against the indexed rows' own history embeddings —
+       id-order-independent (a min-id rule would keep a new copy
+       whose id happens to sort below the indexed one's), and
+       independent of any screen threshold the operator tightened
+       below the quantization residual floor. The indexed floats come
+       from the scored history itself (they entered through this
+       pipeline); rows indexed OUTSIDE the ingest remain the
+       threshold screens' job."""
+    deduped = scored.dropDuplicates(["vec_id"])
+    fresh_raw = deduped.join(existing, "vec_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    if fresh_raw.isEmpty():
+        return fresh_raw  # idle/replayed run: no embedding-keyed work
+    fresh = _dedup_identical_embeddings(fresh_raw)
+    indexed_embeddings = deduped.join(
+        existing, "vec_id", "left_semi"
+    ).select("embedding")
+    return fresh.join(
+        indexed_embeddings, "embedding", "left_anti"
+    ).localCheckpoint(eager=True)
 
 
 def append_scored_to_ivfpq(
@@ -271,20 +295,14 @@ def append_scored_to_ivfpq(
         # raw path untouched: a fully-replayed run costs ivfpq_append's
         # skinny-id anti-join, never an encode
         return ivfpq_append(spark, ivfpq_dir, scored)
-    # Exact-copy collapse over the full history FIRST, then the id
-    # anti-join restricts the expensive work (encode + SDC) to
-    # genuinely NEW rows — see the pq twin for the ordering rationale;
-    # it also keeps the SDC guard's batch-side cell counts equal to
-    # actual arrivals, so a replayed history cannot inflate
-    # batch x indexed past the bound and hard-fail idle maintenance.
+    # shared reduction: new ids only (keeps the SDC guard's batch-side
+    # cell counts equal to actual arrivals — a replayed history cannot
+    # inflate batch x indexed past the bound), exact copies collapsed
+    # intra-batch AND vs already-indexed rows
     existing = spark.read.parquet(
         os.path.join(ivfpq_dir, "codes")
     ).select("vec_id")
-    fresh = (
-        _dedup_identical_embeddings(scored.dropDuplicates(["vec_id"]))
-        .join(existing, "vec_id", "left_anti")
-        .localCheckpoint(eager=True)
-    )
+    fresh = _fresh_unique_arrivals(scored, existing)
     if fresh.count() == 0:
         return 0
     # ONE encode serves both the SDC screen and the append below

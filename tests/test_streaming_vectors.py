@@ -473,3 +473,77 @@ def test_pq_adc_calibrate_and_default_pq_screen(spark, tmp_path):
     }
     assert ids == {200000, 200001}
     assert VI.append_scored_to_pq(spark, pq, out) == 0  # replay
+
+
+def test_exact_copy_of_appended_row_never_reindexed(spark, tmp_path):
+    """The exact-copy guarantee the screens alone cannot give: a new
+    arrival byte-identical to a PREVIOUSLY APPENDED ingest row is
+    dropped deterministically even when the threshold screen is
+    tightened below the quantization residual floor (max_adc=0 /
+    max_sdc=-1 flag nothing), and regardless of id order (the copy's
+    id sorts BELOW the indexed row's). Intra-run identical pairs
+    collapse to one appended survivor."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivfpq_build,
+        pq_build,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ivf = ivf_build(emb, str(tmp_path / "ivf"))
+    pq = pq_build(emb, str(tmp_path / "pq"))
+    ivfpq = ivfpq_build(emb, str(tmp_path / "ivfpq"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: one NOVEL arrival (id 500500) + an intra-run identical
+    # pair (600000/600001 share one embedding) — 2 rows land
+    novel = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(500500).cast("long").alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    pair = emb.filter(F.col("vec_id") == 9).select(
+        F.lit(600000).cast("long").alias("vec_id"),
+        F.sort_array("embedding").alias("embedding"),
+    )
+    pair = pair.unionByName(
+        pair.select(
+            F.lit(600001).cast("long").alias("vec_id"), "embedding"
+        )
+    )
+    novel.unionByName(pair).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
+    assert VI.append_scored_to_pq(spark, pq, out, max_adc=0) == 2
+    assert VI.append_scored_to_ivfpq(spark, ivfpq, out, max_sdc=-1) == 2
+    for idx in (pq, ivfpq):
+        ids = {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{idx}/codes")
+            .filter(F.col("vec_id") >= 500000)
+            .collect()
+        }
+        assert ids == {500500, 600000}  # min-id intra-run survivor
+
+    # run 2: byte-identical copies of the run-1 arrivals under SMALLER
+    # ids — a min-id collapse would keep these; the vs-indexed exact
+    # drop must remove them with the screens disabled-by-threshold
+    copies = novel.select(
+        F.lit(400400).cast("long").alias("vec_id"), "embedding"
+    ).unionByName(
+        pair.limit(1).select(
+            F.lit(400401).cast("long").alias("vec_id"), "embedding"
+        )
+    )
+    copies.write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
+    assert VI.append_scored_to_pq(spark, pq, out, max_adc=0) == 0
+    assert VI.append_scored_to_ivfpq(spark, ivfpq, out, max_sdc=-1) == 0
+    for idx in (pq, ivfpq):
+        assert (
+            spark.read.parquet(f"{idx}/codes")
+            .filter(F.col("vec_id").isin(400400, 400401))
+            .count()
+            == 0
+        )
