@@ -4897,8 +4897,11 @@ def pq_adc_calibrate(
         .limit(sample)
         .collect()
     ]
-    if not ids:
-        ids = seed_ids[:sample]
+    if len(ids) < sample:
+        # young/small index: fewer non-seeds than the sample asks for —
+        # top back up from seeds (biased-low rows beat measuring the
+        # floor from almost nothing; `sampled` reports the truth)
+        ids += seed_ids[: sample - len(ids)]
     queries = emb.filter(F.col("vec_id").isin(ids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )

@@ -201,7 +201,7 @@ def append_scored_to_pq(
     existing = spark.read.parquet(os.path.join(pq_dir, "codes")).select(
         "vec_id"
     )
-    fresh = _fresh_unique_arrivals(scored, existing)
+    fresh = _fresh_unique_arrivals(spark, out_dir, existing)
     if fresh.count() == 0:
         return 0
     kw = {} if max_adc is None else {"max_adc": max_adc}
@@ -230,18 +230,22 @@ def _dedup_identical_embeddings(batch: DataFrame) -> DataFrame:
 
 
 def _fresh_unique_arrivals(
-    scored: DataFrame, existing: DataFrame
+    spark: SparkSession, out_dir: str, existing: DataFrame
 ) -> DataFrame:
     """The shared pre-screen reduction of a cumulative scored history
     to GENUINELY NEW, exact-copy-free arrivals, materialized once:
 
-    1. skinny id anti-join FIRST — an idle or fully-replayed
-       maintenance run costs an id comparison, never an
-       embedding-keyed shuffle (checked by the early-exit count in
-       the callers);
-    2. intra-batch collapse among the new rows (min-id survivor —
+    1. one deterministic row per id over the history, FIRST-WINS by
+       batch (matching append semantics: the EARLIEST arrival of an
+       id is what the index holds — an arbitrary dropDuplicates pick
+       could surface a later re-embedding that was never indexed and
+       mis-aim the exact-copy check both ways); ONE history shuffle,
+       materialized once and reused by every branch below;
+    2. skinny id anti-join — an idle or fully-replayed maintenance
+       run exits here, never paying an embedding-keyed shuffle;
+    3. intra-batch collapse among the new rows (min-id survivor —
        deterministic because all candidates are new together);
-    3. drop any new row byte-identical to an ALREADY-INDEXED one by
+    4. drop any new row byte-identical to an ALREADY-INDEXED one by
        joining against the indexed rows' own history embeddings —
        id-order-independent (a min-id rule would keep a new copy
        whose id happens to sort below the indexed one's), and
@@ -250,16 +254,29 @@ def _fresh_unique_arrivals(
        from the scored history itself (they entered through this
        pipeline); rows indexed OUTSIDE the ingest remain the
        threshold screens' job."""
-    deduped = scored.dropDuplicates(["vec_id"])
-    fresh_raw = deduped.join(existing, "vec_id", "left_anti").localCheckpoint(
-        eager=True
+    from pyspark.sql import Window
+
+    scored = spark.read.parquet(os.path.join(out_dir, "scored")).select(
+        "vec_id", "embedding", "batch"
     )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("batch").asc(), F.col("embedding").asc()
+    )
+    deduped = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    fresh_raw = deduped.join(existing, "vec_id", "left_anti")
     if fresh_raw.isEmpty():
         return fresh_raw  # idle/replayed run: no embedding-keyed work
     fresh = _dedup_identical_embeddings(fresh_raw)
-    indexed_embeddings = deduped.join(
-        existing, "vec_id", "left_semi"
-    ).select("embedding")
+    indexed_embeddings = (
+        deduped.join(existing, "vec_id", "left_semi")
+        .select("embedding")
+        .distinct()
+    )
     return fresh.join(
         indexed_embeddings, "embedding", "left_anti"
     ).localCheckpoint(eager=True)
@@ -302,7 +319,7 @@ def append_scored_to_ivfpq(
     existing = spark.read.parquet(
         os.path.join(ivfpq_dir, "codes")
     ).select("vec_id")
-    fresh = _fresh_unique_arrivals(scored, existing)
+    fresh = _fresh_unique_arrivals(spark, out_dir, existing)
     if fresh.count() == 0:
         return 0
     # ONE encode serves both the SDC screen and the append below
