@@ -4860,7 +4860,9 @@ def pq_adc_calibrate(
       split copies from neighbors; exact-verify survivors instead.
 
     The codebook training seeds (exactly identifiable: the
-    codebooks' cid column records their vec_ids) are EXCLUDED — seed
+    codebooks' cid column records their vec_ids) are excluded while
+    enough non-seeds exist (``seed_topup`` in the result reports how
+    many seed rows back-filled a short sample on a young index) — seed
     rows sit systematically close to their trained codewords and
     would bias the measured floor down; the rest are drawn by a
     salted deterministic hash order. ``emb`` must carry the raw
@@ -4897,11 +4899,12 @@ def pq_adc_calibrate(
         .limit(sample)
         .collect()
     ]
-    if len(ids) < sample:
+    seed_topup = max(0, min(sample - len(ids), len(seed_ids)))
+    if seed_topup:
         # young/small index: fewer non-seeds than the sample asks for —
         # top back up from seeds (biased-low rows beat measuring the
-        # floor from almost nothing; `sampled` reports the truth)
-        ids += seed_ids[: sample - len(ids)]
+        # floor from almost nothing; `seed_topup` reports how many)
+        ids += seed_ids[:seed_topup]
     queries = emb.filter(F.col("vec_id").isin(ids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -4940,6 +4943,7 @@ def pq_adc_calibrate(
             "suggested": None,
             "separated": False,
             "sampled": len(ids),
+            "seed_topup": seed_topup,
         }
     return {
         "residual_floor": floor,
@@ -4947,6 +4951,7 @@ def pq_adc_calibrate(
         "suggested": (floor + background) // 2,
         "separated": background > floor,
         "sampled": len(ids),
+        "seed_topup": seed_topup,
     }
 
 

@@ -111,8 +111,11 @@ def run_embedding_ingest(
     )
 
 
-def read_scored(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "scored")).drop("batch")
+def read_scored(
+    spark: SparkSession, out_dir: str, keep_batch: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(os.path.join(out_dir, "scored"))
+    return df if keep_batch else df.drop("batch")
 
 
 def read_near_dups(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -193,11 +196,14 @@ def append_scored_to_pq(
     returns rows appended (post-screen)."""
     from ..plans.vectors import pq_adc_near_dups, pq_append
 
-    scored = read_scored(spark, out_dir).select("vec_id", "embedding")
     if not screen:
         # raw path: delegate untouched — pq_append's skinny-id
         # anti-join makes a fully-replayed run cost an id comparison
-        return pq_append(spark, pq_dir, scored)
+        return pq_append(
+            spark,
+            pq_dir,
+            read_scored(spark, out_dir).select("vec_id", "embedding"),
+        )
     existing = spark.read.parquet(os.path.join(pq_dir, "codes")).select(
         "vec_id"
     )
@@ -253,12 +259,30 @@ def _fresh_unique_arrivals(
        below the quantization residual floor. The indexed floats come
        from the scored history itself (they entered through this
        pipeline); rows indexed OUTSIDE the ingest remain the
-       threshold screens' job."""
+       threshold screens' job.
+
+    The first-wins pick mirrors what the APPEND paths index under the
+    engine's id-immutability contract (duplicate ids with differing
+    embeddings are refused at every build surface); a history that
+    violates it upstream gets a deterministic resolution here rather
+    than a per-run arbitrary one, but mixing raw (screen=False) and
+    screened maintenance over such a violating history can still
+    index either copy — fix the producer, not the screen."""
     from pyspark.sql import Window
 
-    scored = spark.read.parquet(os.path.join(out_dir, "scored")).select(
+    scored = read_scored(spark, out_dir, keep_batch=True).select(
         "vec_id", "embedding", "batch"
     )
+    # skinny id-only freshness probe BEFORE any embedding-carrying
+    # shuffle: idle/fully-replayed runs exit on a column-pruned
+    # distinct + anti-join and never sort the history's float arrays
+    if (
+        scored.select("vec_id")
+        .distinct()
+        .join(existing, "vec_id", "left_anti")
+        .isEmpty()
+    ):
+        return scored.select("vec_id", "embedding").limit(0)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("batch").asc(), F.col("embedding").asc()
     )
@@ -268,15 +292,15 @@ def _fresh_unique_arrivals(
         .select("vec_id", "embedding")
         .localCheckpoint(eager=True)
     )
-    fresh_raw = deduped.join(existing, "vec_id", "left_anti")
-    if fresh_raw.isEmpty():
-        return fresh_raw  # idle/replayed run: no embedding-keyed work
-    fresh = _dedup_identical_embeddings(fresh_raw)
-    indexed_embeddings = (
-        deduped.join(existing, "vec_id", "left_semi")
-        .select("embedding")
-        .distinct()
+    fresh = _dedup_identical_embeddings(
+        deduped.join(existing, "vec_id", "left_anti")
     )
+    # no distinct() on the anti-join's build side: duplicate right
+    # keys don't change left_anti semantics, and the screens keep
+    # indexed embeddings near-unique anyway
+    indexed_embeddings = deduped.join(
+        existing, "vec_id", "left_semi"
+    ).select("embedding")
     return fresh.join(
         indexed_embeddings, "embedding", "left_anti"
     ).localCheckpoint(eager=True)
@@ -307,11 +331,14 @@ def append_scored_to_ivfpq(
         ivfpq_append,
     )
 
-    scored = read_scored(spark, out_dir).select("vec_id", "embedding")
     if not screen:
         # raw path untouched: a fully-replayed run costs ivfpq_append's
         # skinny-id anti-join, never an encode
-        return ivfpq_append(spark, ivfpq_dir, scored)
+        return ivfpq_append(
+            spark,
+            ivfpq_dir,
+            read_scored(spark, out_dir).select("vec_id", "embedding"),
+        )
     # shared reduction: new ids only (keeps the SDC guard's batch-side
     # cell counts equal to actual arrivals — a replayed history cannot
     # inflate batch x indexed past the bound), exact copies collapsed
