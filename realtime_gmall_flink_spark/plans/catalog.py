@@ -193,6 +193,8 @@ ROTATION_POOL: tuple[str, ...] = (
     "ann_ivfpq_batch_topk",
     "materialized_mixture_stats",
     "near_dup_sdc_pairs",
+    # r11 additions
+    "incremental_sdc_screen",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

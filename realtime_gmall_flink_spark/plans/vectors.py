@@ -5343,3 +5343,56 @@ def _sdc_score_encoded(
         .select("new_vec", "dup_of", _sdc_pair_sum(m).alias("sdc_micro"))
         .filter(F.col("sdc_micro") <= max_sdc)
     )
+
+
+@register(
+    "incremental_sdc_screen",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
+, arr AS (
+    SELECT vec_id AS src, vec_id + 1000000 AS new_vec
+    FROM embeddings WHERE vec_id < 10
+), cl AS (SELECT vec_id, cid AS cell FROM iassigned)
+, sdm AS (
+    SELECT a.s, a.cid AS ca, b.cid AS cb,
+           CAST(round({_l2_sql('a.csv', 'b.csv')} * 1000000)
+                AS BIGINT) AS d2m
+    FROM rcent a JOIN rcent b USING (s)
+), prs AS (
+    SELECT ar.new_vec, cb.vec_id AS dup_of, sum(m.d2m) AS sdc
+    FROM arr ar
+    JOIN cl ca ON ca.vec_id = ar.src
+    JOIN cl cb ON cb.cell = ca.cell
+    JOIN rcodes ka ON ka.vec_id = ar.src
+    JOIN rcodes kb ON kb.vec_id = cb.vec_id AND kb.s = ka.s
+    JOIN sdm m ON m.s = ka.s AND m.ca = ka.cid AND m.cb = kb.cid
+    GROUP BY 1, 2
+)
+SELECT new_vec, dup_of, CAST(sdc AS BIGINT) AS sdc_micro
+FROM prs WHERE sdc <= {SDC_DUP_MICRO}
+""",
+)
+def incremental_sdc_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-batch dedup-by-embedding screen as a graded entry: ten
+    exact copies of corpus vectors arrive under fresh ids and are
+    scored codes-vs-codes against the persisted composed layout inside
+    their touched cells only (sdc_score_new). A copy lands in its
+    source's cell with its source's codes — deterministic in both
+    engines — so the oracle replays the pair space from the source
+    rows' persisted cells/codes and applies the same integer-micro
+    threshold."""
+    emb = _emb(spark, sf_dir)
+    idx = ivfpq_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        pq_dir=pq_index_dir(sf_dir),
+    )
+    arrivals = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return sdc_score_new(spark, idx, arrivals)
