@@ -3584,43 +3584,56 @@ def _ivfpq_res_lut_row(
             F.zip_with("qne", "cen", lambda a, b: a - b).alias("qrne"),
         )
     )
+    per_cell = _res_lut_arrays(cb, qr, ["cid"], subdim)
+    return per_cell.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("cid").alias("k"), F.col("__cl"))
+            )
+        ).alias("__rlut")
+    )
+
+
+def _res_lut_arrays(
+    cb: DataFrame, qr: DataFrame, keys: list, subdim: int
+) -> DataFrame:
+    """The ONE residual lookup-table numeric contract, shared by the
+    single-query and batch probes (they must stay bit-identical to
+    each other and to the oracle): for each ``keys`` group of ``qr``
+    (*keys, qrne — the query's residual in that cell), the
+    per-subspace rank-ordered arrays of integer-micro distances to the
+    residual codewords. cb's own cid (the seed id) is projected away
+    so it can never clash with a cell id riding on qr."""
     qsv = F.slice(
         F.col("qrne"),
         (F.col("s") - F.lit(1)) * F.lit(subdim) + F.lit(1),
         subdim,
     )
-    per_cell = (
-        # cb carries its own cid (the seed id) — project it away so it
-        # can never clash with the CELL id riding on qr
+    return (
         cb.select("s", "rank", "csv")
-        .crossJoin(broadcast(qr))
+        .join(broadcast(qr), how="cross")
         .select(
-            "cid",
+            *keys,
             "s",
             "rank",
             F.round(l2_squared(F.col("csv"), qsv) * 1e6)
             .cast("long")
             .alias("d2m"),
         )
-        .groupBy("cid", "s")
+        .groupBy(*keys, "s")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("rank", "d2m"))),
                 lambda t: t["d2m"],
             ).alias("arr")
         )
-        .groupBy("cid")
+        .groupBy(*keys)
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("s", "arr"))),
                 lambda t: t["arr"],
-            ).alias("cl")
+            ).alias("__cl")
         )
-    )
-    return per_cell.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("cid").alias("k"), F.col("cl")))
-        ).alias("__rlut")
     )
 
 
@@ -3649,39 +3662,7 @@ def _ivfpq_res_lut_pairs(
             F.zip_with("qne", "cen", lambda a, b: a - b).alias("qrne"),
         )
     )
-    qsv = F.slice(
-        F.col("qrne"),
-        (F.col("s") - F.lit(1)) * F.lit(subdim) + F.lit(1),
-        subdim,
-    )
-    return (
-        # same seed-id projection as the single-query table
-        cb.select("s", "rank", "csv")
-        .join(qr, how="cross")
-        .select(
-            "qid",
-            "cid",
-            "s",
-            "rank",
-            F.round(l2_squared(F.col("csv"), qsv) * 1e6)
-            .cast("long")
-            .alias("d2m"),
-        )
-        .groupBy("qid", "cid", "s")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rank", "d2m"))),
-                lambda t: t["d2m"],
-            ).alias("arr")
-        )
-        .groupBy("qid", "cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "arr"))),
-                lambda t: t["arr"],
-            ).alias("__cl")
-        )
-    )
+    return _res_lut_arrays(cb, qr, ["qid", "cid"], subdim)
 
 
 def _ivfpq_cells_checked(spark: SparkSession, ivf_dir: str) -> DataFrame:
@@ -3975,8 +3956,19 @@ def ivfpq_build(
     want = _IVFPQ_ENC_BY_NAME[encoding]
     try:
         existing = read_index_meta(index_dir)
-    except ValueError:
-        existing = None  # wedged meta = debris; the staged build heals it
+    except ValueError as e:
+        # a wedged meta (dir present, no parquet part) under otherwise
+        # complete subdirs would be silently REUSED by the staged
+        # build — with the encoding of its persisted codes UNKNOWABLE.
+        # Refuse with the remedy that works without reading meta: an
+        # explicit-encoding rebuild re-encodes from the caller's corpus
+        raise ValueError(
+            f"ivfpq_build: {index_dir!r} holds a wedged meta (crashed"
+            " legacy write) — the persisted codes' encoding is"
+            " unknowable, so the layout cannot be safely reused;"
+            " rebuild it over the full corpus with"
+            f" ivfpq_rebuild(..., encoding={encoding!r})"
+        ) from e
     if existing is not None and _ivfpq_enc(existing) != want:
         have = _ivfpq_enc(existing)
         names = {v: k for k, v in _IVFPQ_ENC_BY_NAME.items()}
@@ -4277,8 +4269,12 @@ def ivfpq_rebuild(
     ``encoding=None`` PRESERVES the layout's persisted encoding (the
     migrate-never-invalidate contract); pass 'residual' to upgrade a
     raw v2 layout in place (or 'raw' to downgrade)."""
-    from ..indexutil import rebuild_index
+    from ..indexutil import rebuild_index, recover_index
 
+    # heal the two-rename crash window BEFORE reading the layout (the
+    # encoding preservation below reads meta/ and parents/) — the
+    # ivf_rebuild recover-first contract applied to the composed form
+    recover_index(index_dir, IVFPQ_SUBDIRS)
     if encoding is None:
         names = {v: k for k, v in _IVFPQ_ENC_BY_NAME.items()}
         encoding = names[_ivfpq_enc(_ivfpq_meta(index_dir))]
@@ -5230,7 +5226,13 @@ def sdc_score_new(
     arriving in the SAME batch do not pair with each other here (the
     streaming append collapses byte-identical intra-batch copies
     separately; sub-identical intra-batch near-dups are the full
-    miner's job after append). The distance is the QUANTIZED
+    miner's job after append). Same-ID pairs are EXCLUDED — an
+    arrival replaying an indexed vec_id screens CLEAN here, by
+    design: identity replays are the append's idempotency contract
+    (anti-joined before any screen), and this screen reports
+    duplicate CONTENT under distinct ids. Contrast pq_adc_near_dups,
+    which deliberately reports same-id replays (its callers may have
+    no append in the loop). The distance is the QUANTIZED
     codes-vs-codes approximation: drops based on it trade a bounded
     false-positive rate for never reading a float — exact-verify
     survivors against the raw corpus when certainty matters (the

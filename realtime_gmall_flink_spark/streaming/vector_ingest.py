@@ -207,8 +207,15 @@ def append_scored_to_pq(
     existing = spark.read.parquet(os.path.join(pq_dir, "codes")).select(
         "vec_id"
     )
-    fresh = _fresh_unique_arrivals(spark, out_dir, existing)
+    decided_dir = os.path.join(out_dir, "screened_pq")
+    fresh, decided_ids = _fresh_unique_arrivals(
+        spark, out_dir, existing, _read_decided(spark, decided_dir)
+    )
     if fresh.count() == 0:
+        # new ids may still have been RESOLVED (all exact-copy drops):
+        # record them or every later run re-pays their collapse
+        if not decided_ids.isEmpty():
+            _record_decided(spark, decided_dir, decided_ids)
         return 0
     kw = {} if max_adc is None else {"max_adc": max_adc}
     dups = (
@@ -216,7 +223,9 @@ def append_scored_to_pq(
         .select(F.col("new_vec").alias("vec_id"))
         .distinct()
     )
-    return pq_append(spark, pq_dir, fresh.join(dups, "vec_id", "left_anti"))
+    n = pq_append(spark, pq_dir, fresh.join(dups, "vec_id", "left_anti"))
+    _record_decided(spark, decided_dir, decided_ids)
+    return n
 
 
 def _dedup_identical_embeddings(batch: DataFrame) -> DataFrame:
@@ -235,11 +244,39 @@ def _dedup_identical_embeddings(batch: DataFrame) -> DataFrame:
     )
 
 
+def _read_decided(spark: SparkSession, path: str) -> DataFrame | None:
+    """Ids a previous screened maintenance run RESOLVED (appended or
+    dropped) — the sticky memory that keeps a dup-heavy history from
+    re-encoding/re-screening its all-time dropped set on every run.
+    None when no run recorded decisions yet."""
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("vec_id").distinct()
+
+
+def _record_decided(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> None:
+    """Append this run's resolved ids (AFTER the index append — a
+    crash between the two merely re-screens them once). Decisions are
+    STICKY: a dropped duplicate is never reconsidered, even if the
+    operator later loosens the threshold — delete the directory to
+    re-screen history."""
+    ids.select("vec_id").distinct().write.mode("append").parquet(path)
+
+
 def _fresh_unique_arrivals(
-    spark: SparkSession, out_dir: str, existing: DataFrame
-) -> DataFrame:
+    spark: SparkSession,
+    out_dir: str,
+    existing: DataFrame,
+    decided: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """The shared pre-screen reduction of a cumulative scored history
-    to GENUINELY NEW, exact-copy-free arrivals, materialized once:
+    to GENUINELY NEW, exact-copy-free arrivals, materialized once.
+    Returns (fresh, decided_ids): ``fresh`` the rows to screen/append,
+    ``decided_ids`` every id resolved by this run (fresh plus the
+    exact-copy drops) for the caller to record AFTER its append.
+    Stages:
 
     1. one deterministic row per id over the history, FIRST-WINS by
        batch (matching append semantics: the EARLIEST arrival of an
@@ -270,19 +307,28 @@ def _fresh_unique_arrivals(
     index either copy — fix the producer, not the screen."""
     from pyspark.sql import Window
 
+    # ids already RESOLVED (indexed, or dropped by a previous screened
+    # run) — the freshness probe and the fresh cut exclude both, but
+    # the exact-copy reference below uses only truly INDEXED ids
+    known = (
+        existing
+        if decided is None
+        else existing.unionByName(decided)
+    )
     scored = read_scored(spark, out_dir, keep_batch=True).select(
         "vec_id", "embedding", "batch"
     )
+    empty = scored.select("vec_id", "embedding").limit(0)
     # skinny id-only freshness probe BEFORE any embedding-carrying
     # shuffle: idle/fully-replayed runs exit on a column-pruned
     # distinct + anti-join and never sort the history's float arrays
     if (
         scored.select("vec_id")
         .distinct()
-        .join(existing, "vec_id", "left_anti")
+        .join(known, "vec_id", "left_anti")
         .isEmpty()
     ):
-        return scored.select("vec_id", "embedding").limit(0)
+        return empty, empty.select("vec_id")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("batch").asc(), F.col("embedding").asc()
     )
@@ -292,18 +338,20 @@ def _fresh_unique_arrivals(
         .select("vec_id", "embedding")
         .localCheckpoint(eager=True)
     )
-    fresh = _dedup_identical_embeddings(
-        deduped.join(existing, "vec_id", "left_anti")
-    )
+    new_rows = deduped.join(known, "vec_id", "left_anti")
+    fresh = _dedup_identical_embeddings(new_rows)
     # no distinct() on the anti-join's build side: duplicate right
     # keys don't change left_anti semantics, and the screens keep
     # indexed embeddings near-unique anyway
     indexed_embeddings = deduped.join(
         existing, "vec_id", "left_semi"
     ).select("embedding")
-    return fresh.join(
-        indexed_embeddings, "embedding", "left_anti"
-    ).localCheckpoint(eager=True)
+    return (
+        fresh.join(
+            indexed_embeddings, "embedding", "left_anti"
+        ).localCheckpoint(eager=True),
+        new_rows.select("vec_id").localCheckpoint(eager=True),
+    )
 
 
 def append_scored_to_ivfpq(
@@ -346,8 +394,13 @@ def append_scored_to_ivfpq(
     existing = spark.read.parquet(
         os.path.join(ivfpq_dir, "codes")
     ).select("vec_id")
-    fresh = _fresh_unique_arrivals(spark, out_dir, existing)
+    decided_dir = os.path.join(out_dir, "screened_ivfpq")
+    fresh, decided_ids = _fresh_unique_arrivals(
+        spark, out_dir, existing, _read_decided(spark, decided_dir)
+    )
     if fresh.count() == 0:
+        if not decided_ids.isEmpty():
+            _record_decided(spark, decided_dir, decided_ids)
         return 0
     # ONE encode serves both the SDC screen and the append below
     encoded = _ivfpq_encode_cells(spark, ivfpq_dir, fresh)
@@ -362,12 +415,14 @@ def append_scored_to_ivfpq(
         .select(F.col("new_vec").alias("vec_id"))
         .distinct()
     )
-    return ivfpq_append(
+    n = ivfpq_append(
         spark,
         ivfpq_dir,
         fresh.join(dups, "vec_id", "left_anti"),
         pre_encoded=encoded.join(dups, "vec_id", "left_anti"),
     )
+    _record_decided(spark, decided_dir, decided_ids)
+    return n
 
 
 def screen_scored_against_pq(

@@ -547,3 +547,17 @@ def test_exact_copy_of_appended_row_never_reindexed(spark, tmp_path):
             .count()
             == 0
         )
+    # the drops were RECORDED (sticky decisions): the copies' ids sit
+    # in the decided logs, so a third run resolves them on the skinny
+    # id probe instead of re-paying the embedding collapse/screen
+    import os
+
+    for d in ("screened_pq", "screened_ivfpq"):
+        assert os.path.isdir(os.path.join(out, d))
+        got = {
+            r["vec_id"]
+            for r in spark.read.parquet(os.path.join(out, d)).collect()
+        }
+        assert {400400, 400401} <= got
+    assert VI.append_scored_to_pq(spark, pq, out, max_adc=0) == 0
+    assert VI.append_scored_to_ivfpq(spark, ivfpq, out, max_sdc=-1) == 0
