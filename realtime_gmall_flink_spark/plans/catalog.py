@@ -195,6 +195,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "near_dup_sdc_pairs",
     # r11 additions
     "incremental_sdc_screen",
+    "near_dup_sdc_clusters",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

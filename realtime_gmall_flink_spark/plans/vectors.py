@@ -5087,6 +5087,21 @@ def sdc_pair_mine(
     undersized index would be fine at test scale and a 10,000x blowup
     at 100x the corpus. Remedy: ``ivfpq_rebuild(...,
     n_centroids=sdc_nlist_for(n))``, which sizes cells to the bound."""
+    return _sdc_scored_pairs(spark, index_dir, max_cell_pairs).orderBy(
+        F.col("sdc_micro").asc(),
+        F.col("a_id").asc(),
+        F.col("b_id").asc(),
+    ).limit(top_pairs)
+
+
+def _sdc_scored_pairs(
+    spark: SparkSession, index_dir: str, max_cell_pairs: int
+) -> DataFrame:
+    """(cell, a_id, b_id, sdc_micro) for every within-cell pair of a
+    persisted IVF-PQ layout — the shared scored pair space of the
+    top-k miner and the threshold-bounded dup-pair form. Codes-only:
+    one broadcast codeword table, m O(1) lookups per pair, and the
+    oversized-cell refusal runs BEFORE any mining job."""
     import os
 
     meta = _ivfpq_meta(index_dir)
@@ -5108,16 +5123,101 @@ def sdc_pair_mine(
         F.col("codes").alias("__cb"),
     )
     pairs = a.join(b, "cell").filter(F.col("a_id") < F.col("b_id"))
-    return (
-        pairs.crossJoin(broadcast(sdm_row))
-        .select("cell", "a_id", "b_id", _sdc_pair_sum(m).alias("sdc_micro"))
-        .orderBy(
-            F.col("sdc_micro").asc(),
-            F.col("a_id").asc(),
-            F.col("b_id").asc(),
-        )
-        .limit(top_pairs)
+    return pairs.crossJoin(broadcast(sdm_row)).select(
+        "cell", "a_id", "b_id", _sdc_pair_sum(m).alias("sdc_micro")
     )
+
+
+def sdc_dup_pairs(
+    spark: SparkSession,
+    index_dir: str,
+    threshold: int,
+    max_cell_pairs: int = SDC_MAX_CELL_PAIRS,
+) -> DataFrame:
+    """Every within-cell pair whose symmetric codes distance is at or
+    under ``threshold`` — the EDGE SET of dedup-by-embedding
+    clustering, where sdc_pair_mine's global top-k answers "what are
+    the closest pairs". Same codes-only scan and oversized-cell
+    refusal; the output is threshold-bounded instead of count-bounded,
+    so at a fixed threshold the edge volume grows with the number of
+    genuine near-duplicates, not with the corpus."""
+    return _sdc_scored_pairs(spark, index_dir, max_cell_pairs).filter(
+        F.col("sdc_micro") <= threshold
+    )
+
+
+# Cluster-forming SDC threshold, calibrated on the fixture like
+# SDC_DUP_MICRO (the quantized-distance scale is geometry-dependent —
+# codes-vs-codes distances COMPRESS, so a cosine threshold cannot be
+# converted analytically): the closest within-cell pairs measure
+# 433k-650k across sf0.001/0.01/0.1 while the within-cell background
+# bulk sits past 700k, so 650k keeps a non-trivial but sparse edge set
+# at every graded scale. A deployment re-derives its own value from
+# pq_adc_calibrate-style measurement over ITS index.
+SDC_CLUSTER_MICRO = 650_000
+
+
+@register(
+    "near_dup_sdc_clusters",
+    survey="J5(ext),D1(ext)",
+    oracle=f"""
+WITH RECURSIVE {_IVF_ASSIGN_SQL}
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
+, cl AS (SELECT vec_id, cid AS cell FROM iassigned)
+, cpair AS (
+    SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+    FROM cl a JOIN cl b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), sdm AS (
+    SELECT a.s, a.cid AS ca, b.cid AS cb,
+           CAST(round({_l2_sql('a.csv', 'b.csv')} * 1000000)
+                AS BIGINT) AS d2m
+    FROM rcent a JOIN rcent b USING (s)
+), prs AS (
+    SELECT p.a_id, p.b_id, sum(m.d2m) AS sdc
+    FROM cpair p
+    JOIN rcodes ka ON ka.vec_id = p.a_id
+    JOIN rcodes kb ON kb.vec_id = p.b_id AND kb.s = ka.s
+    JOIN sdm m ON m.s = ka.s AND m.ca = ka.cid AND m.cb = kb.cid
+    GROUP BY 1, 2
+), ep AS (SELECT a_id, b_id FROM prs WHERE sdc <= {SDC_CLUSTER_MICRO})
+, edges AS (
+    SELECT a_id AS s, b_id AS d FROM ep
+    UNION ALL
+    SELECT b_id, a_id FROM ep
+), walk(node, label) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+)
+SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+""",
+)
+def near_dup_sdc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-embedding CLUSTERS entirely from the persisted codes
+    layout: the edge set is sdc_dup_pairs (within-cell codes-vs-codes
+    pairs at <= SDC_CLUSTER_MICRO — no float is read in the pair
+    stage), components via the same log-round star contraction as
+    near_dup_clusters. Completes the SDC story: pairs
+    (near_dup_sdc_pairs) -> arrival screening (incremental_sdc_screen)
+    -> corpus-wide duplicate clusters (this entry). The node frame is
+    the corpus's vec_id column only — the single non-codes input."""
+    from .textops import star_contraction_components
+
+    emb = _emb(spark, sf_dir)
+    idx = ivfpq_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        pq_dir=pq_index_dir(sf_dir),
+    )
+    nodes = emb.select("vec_id")
+    pairs = sdc_dup_pairs(spark, idx, SDC_CLUSTER_MICRO).select(
+        "a_id", "b_id"
+    )
+    return star_contraction_components(nodes, pairs, "vec_id", "cluster_id")
 
 
 def _sdc_codeword_row(cb: DataFrame) -> DataFrame:

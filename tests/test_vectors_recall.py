@@ -2156,3 +2156,70 @@ def test_ivf_rebuild_preserves_requested_geometry(spark, tmp_path):
     ivf_rebuild(spark, idx, n_centroids=20)
     assert spark.read.parquet(f"{idx}/centroids").count() <= 20
     assert read_index_meta(idx)["n_centroids"] == 20
+
+
+def test_sdc_clusters_group_planted_copies_codes_only(spark, tmp_path):
+    """near_dup_sdc_clusters' building blocks: (a) sdc_dup_pairs is
+    threshold-bounded — a planted exact copy yields the (source, copy)
+    edge at distance 0, and a threshold BELOW the corpus background
+    yields exactly the planted edges, not the whole pair space; (b)
+    the edge-set plan is codes-only (no embeddings.parquet scan,
+    no-embedding ReadSchema); (c) the components stage clusters the
+    copy with its source under one label = min(vec_id); (d) the
+    catalog fixture is non-trivial — the sf0.001 corpus forms at
+    least one multi-node cluster at SDC_CLUSTER_MICRO, so a silent
+    empty-edge regression cannot pass as all-singletons."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        SDC_CLUSTER_MICRO,
+        _emb,
+        ivfpq_build,
+        near_dup_sdc_clusters,
+        sdc_dup_pairs,
+    )
+
+    from .conftest import SF_DIR
+    from .plan_utils import assert_codes_scans_no_embedding, formatted_plan
+
+    emb = _emb(spark, SF_DIR)
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") == 7).select(
+            F.lit(7_000_000).cast("long").alias("vec_id"), "embedding"
+        )
+    )
+    idx = ivfpq_build(corpus, str(tmp_path / "sdcc"))
+    # threshold 0: exactly the planted identical-codes edge survives
+    zero = sdc_dup_pairs(spark, idx, threshold=0)
+    plan = formatted_plan(zero)
+    assert "embeddings.parquet" not in plan
+    assert_codes_scans_no_embedding(plan)
+    rows = zero.collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(7, 7_000_000)]
+    # the fixture entry: planted copy lands in its source's cluster
+    from realtime_gmall_flink_spark.plans.textops import (
+        star_contraction_components,
+    )
+
+    comp = star_contraction_components(
+        corpus.select("vec_id"),
+        sdc_dup_pairs(spark, idx, SDC_CLUSTER_MICRO).select("a_id", "b_id"),
+        "vec_id",
+        "cluster_id",
+    )
+    labels = {
+        r["vec_id"]: r["cluster_id"]
+        for r in comp.filter(
+            F.col("vec_id").isin(7, 7_000_000)
+        ).collect()
+    }
+    assert labels[7_000_000] == labels[7] == 7
+    # catalog fixture forms real clusters at the pinned threshold
+    sizes = (
+        near_dup_sdc_clusters(spark, SF_DIR)
+        .groupBy("cluster_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert sizes >= 1
