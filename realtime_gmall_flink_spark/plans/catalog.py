@@ -196,6 +196,8 @@ ROTATION_POOL: tuple[str, ...] = (
     # r11 additions
     "incremental_sdc_screen",
     "near_dup_sdc_clusters",
+    "ann_ivfpq_filtered_topk",
+    "snapshot_diff_stats",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

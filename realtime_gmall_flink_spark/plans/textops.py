@@ -3262,3 +3262,110 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("jaccard"), 6).alias("min_jaccard"),
         F.round(F.max("jaccard"), 6).alias("max_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff — the incremental-processing primitive of a
+# versioned corpus: given two snapshots, classify every document as
+# added / removed / changed / unchanged so downstream stages (dedup,
+# tokenization, index maintenance) re-process ONLY the delta instead of
+# the full 100 TB. The comparison moves (key, lang, md5-of-text) —
+# 50-ish bytes per row — never a document body: one hash-partitioned
+# full-outer join on the key, and equal text <=> equal fingerprint
+# (md5 collisions are below result precision, the near_dup_jaccard
+# argument). The test fixture derives the "next" snapshot
+# DETERMINISTICALLY from doc_id's md5 bucket (the split_bucket
+# machinery) so both engines build the identical pair of snapshots.
+SNAP_DEL_HI = 10  # bucket < 10: dropped in the next snapshot
+SNAP_CHG_HI = 20  # [10, 20): text edited in place
+SNAP_ADD_HI = 25  # [20, 25): cloned under a fresh id (an addition)
+SNAP_ADD_OFFSET = 1_000_000_000
+
+
+def simulated_next_snapshot(docs: DataFrame) -> DataFrame:
+    """The deterministic 'next version' of a corpus snapshot: ~10% of
+    docs deleted, ~10% edited, ~5% cloned under fresh ids — a pure
+    function of doc_id so the DuckDB oracle rebuilds the same frame."""
+    b = split_bucket("doc_id")
+    survivors = docs.filter(b >= SNAP_DEL_HI).withColumn(
+        "text",
+        F.when(
+            b < SNAP_CHG_HI, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    clones = docs.filter(
+        (b >= SNAP_CHG_HI) & (b < SNAP_ADD_HI)
+    ).withColumn("doc_id", F.col("doc_id") + SNAP_ADD_OFFSET)
+    return survivors.unionByName(clones)
+
+
+def snapshot_diff(
+    base: DataFrame, nxt: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """(key, lang, category) per document across two snapshots:
+    'added' (next only), 'removed' (base only), 'changed' (both, text
+    fingerprint differs), 'unchanged'. Both sides collapse to skinny
+    (key, lang, fingerprint) projections BEFORE the full-outer join —
+    the only shuffle moves fingerprints, and at 100 TB the join is
+    key-partitioned like any incremental merge."""
+    b = base.select(
+        F.col(key),
+        F.col("lang").alias("__bl"),
+        F.md5("text").alias("__bf"),
+    )
+    n = nxt.select(
+        F.col(key),
+        F.col("lang").alias("__nl"),
+        F.md5("text").alias("__nf"),
+    )
+    cat = (
+        F.when(F.col("__bf").isNull(), F.lit("added"))
+        .when(F.col("__nf").isNull(), F.lit("removed"))
+        .when(F.col("__bf") != F.col("__nf"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return b.join(n, key, "full_outer").select(
+        key,
+        F.coalesce("__nl", "__bl").alias("lang"),
+        cat.alias("category"),
+    )
+
+
+@register(
+    "snapshot_diff_stats",
+    survey="J2(ext),P9(ext)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, lang, text, {_BUCKET100_SQL} AS bucket
+    FROM documents
+), nx AS (
+    SELECT doc_id, lang,
+           CASE WHEN bucket < {SNAP_CHG_HI} THEN text || ' [rev2]'
+                ELSE text END AS text
+    FROM d WHERE bucket >= {SNAP_DEL_HI}
+    UNION ALL
+    SELECT doc_id + {SNAP_ADD_OFFSET}, lang, text FROM d
+    WHERE bucket >= {SNAP_CHG_HI} AND bucket < {SNAP_ADD_HI}
+), bf AS (SELECT doc_id, lang, md5(text) AS fp FROM d),
+nf AS (SELECT doc_id, lang, md5(text) AS fp FROM nx),
+j AS (
+    SELECT COALESCE(nf.lang, bf.lang) AS lang,
+           CASE WHEN bf.fp IS NULL THEN 'added'
+                WHEN nf.fp IS NULL THEN 'removed'
+                WHEN bf.fp <> nf.fp THEN 'changed'
+                ELSE 'unchanged' END AS category
+    FROM bf FULL OUTER JOIN nf USING (doc_id)
+)
+SELECT category, lang, count(*) AS doc_ct
+FROM j GROUP BY category, lang
+""",
+)
+def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff the corpus against its simulated next version and count
+    documents per (category, lang) — the report an incremental
+    pipeline reads to size its delta work."""
+    docs = _docs(spark, sf_dir)
+    diff = snapshot_diff(docs, simulated_next_snapshot(docs))
+    return diff.groupBy("category", "lang").agg(
+        F.count(F.lit(1)).alias("doc_ct")
+    )

@@ -3003,6 +3003,71 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_probe(spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID)
 
 
+@register(
+    "ann_ivfpq_filtered_topk",
+    survey="J5(ext),P7(ext)",
+    oracle=f"""
+WITH {_IVF_CELLS_SQL}
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
+, qn AS (SELECT ne AS qne FROM nemb WHERE vec_id = {QUERY_VEC_ID})
+, {_IVFPQ_RES_QUERY_SQL}
+, qlbl AS (SELECT label AS ql FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID})
+, adcs AS (
+    SELECT a.vec_id, sum(r.d2m) AS adc
+    FROM iassigned a JOIN qcent qc ON qc.cid = a.cid
+    JOIN embeddings le ON le.vec_id = a.vec_id
+    JOIN qlbl ON le.label = qlbl.ql
+    JOIN rcodes k ON k.vec_id = a.vec_id
+    JOIN rlut r ON r.cell = a.cid AND r.s = k.s AND r.cid = k.cid
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    GROUP BY a.vec_id
+), cand AS (SELECT vec_id FROM adcs ORDER BY adc, vec_id LIMIT {PQ_RERANK})
+SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {TOP_K}
+""",
+)
+def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search over a payload-carrying IVF-PQ layout:
+    the corpus's label column is built INTO the codes rows
+    (ivfpq_build payload_cols), so the probe's 'same label as the
+    query' predicate pushes into the SAME cell-pruned codes-only scan
+    — zero extra corpus IO and the full rerank budget spent on
+    matching rows, where ann_filtered_topk's brute form scans every
+    matching embedding. The filter applies BEFORE the candidate cut
+    (pre-filtering): a post-filtered cut could return fewer than k
+    even when k matches exist in the probed cells. The IVF parent is
+    shared with the canonical layout — payloads never affect
+    training."""
+    emb = _emb(spark, sf_dir)
+    idx = ivfpq_payload_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        payload_cols=("label",),
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    ql = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("label")
+        .head()["label"]
+    )
+    return ivfpq_probe(
+        spark,
+        idx,
+        q,
+        emb,
+        exclude_vec_id=QUERY_VEC_ID,
+        payload_eq={"label": ql},
+    )
+
+
 # --- persisted PQ index (build once / probe many) -----------------------
 # Layout: codebooks/ (PQ_M*PQ_K rows: s, cid, rank, csv), codes/
 # (vec_id + PQ_M one-byte dense RANKS — not raw cids, which are seed
@@ -3489,6 +3554,20 @@ def ivfpq_index_dir(sf_dir: str) -> str:
     )
 
 
+def ivfpq_payload_index_dir(sf_dir: str) -> str:
+    """The label-payload twin of the canonical cache: payload columns
+    are part of the layout (they live in the codes files), so they are
+    part of the cache key — the no-payload canonical layout and this
+    one coexist, each complete for its own probes. The IVF parent is
+    shared (training is payload-blind)."""
+    return _index_cache_dir(
+        "ivfpq",
+        sf_dir,
+        f"k=auto|lloyd={IVF_LLOYD_ITERS}|m={PQ_M}"
+        f"|sub={PQ_SUBDIM}|pk={PQ_K}|pay=label|v={IVFPQ_INDEX_FORMAT}",
+    )
+
+
 def _ivfpq_parent_dirs(
     index_dir: str, ivf_dir: str | None, pq_dir: str | None
 ) -> tuple[str, str]:
@@ -3697,13 +3776,16 @@ def _ivfpq_write_residual(
     emb: DataFrame,
     ivf_dir: str,
     n_centroids: int | None = None,
+    payload_cols: tuple[str, ...] = (),
 ):
     """The residual-encoded (enc_v=2, classical IVF-PQ) materialization
     closure: the IVF parent supplies cells and centroids; residuals
     x̂ − ĉ(cell) are trained and encoded INLINE (no PQ parent — raw-
     vector codebooks cannot encode residuals), with the same
     deterministic seed + one-Lloyd-pass + dense-rank contract as
-    pq_build so the DuckDB oracle replays it exactly."""
+    pq_build so the DuckDB oracle replays it exactly.
+    ``payload_cols`` are carried into the codes rows (see
+    ivfpq_build)."""
     import os
 
     from pyspark.sql import Window
@@ -3761,7 +3843,10 @@ def _ivfpq_write_residual(
         ).write.parquet(os.path.join(staging, "codebooks"))
         cb = spark.read.parquet(os.path.join(staging, "codebooks"))
         encoded = _pq_encode(rnd, cb, PQ_M, PQ_SUBDIM, PQ_K)
-        encoded.join(cells, "vec_id").write.partitionBy("cid").parquet(
+        rows = encoded.join(cells, "vec_id")
+        if payload_cols:
+            rows = rows.join(emb.select("vec_id", *payload_cols), "vec_id")
+        rows.write.partitionBy("cid").parquet(
             os.path.join(staging, "codes")
         )
         out = spark.read.parquet(os.path.join(staging, "codes"))
@@ -3796,6 +3881,7 @@ def _ivfpq_write(
     ivf_dir: str,
     pq_dir: str,
     n_centroids: int | None = None,
+    payload_cols: tuple[str, ...] = (),
 ):
     """The IVF-PQ materialization closure shared by build and rebuild:
     ensure both parent indexes exist (no-op when already complete),
@@ -3891,7 +3977,10 @@ def _ivfpq_write(
                 " the corpus; rebuild the parents over it"
                 " (ivf_rebuild/pq_rebuild) or pass fresh parent dirs"
             )
-        codes.join(cells, "vec_id").write.partitionBy("cid").parquet(
+        rows = codes.join(cells, "vec_id")
+        if payload_cols:
+            rows = rows.join(emb.select("vec_id", *payload_cols), "vec_id")
+        rows.write.partitionBy("cid").parquet(
             os.path.join(staging, "codes")
         )
         out = spark.read.parquet(os.path.join(staging, "codes"))
@@ -3923,6 +4012,48 @@ def _ivfpq_write(
     return write
 
 
+# Columns a payload may NOT shadow: the codes layout's own structure.
+_IVFPQ_RESERVED_COLS = ("vec_id", "codes", "cid", "embedding")
+
+
+def _ivfpq_payload_cols(
+    spark: SparkSession, index_dir: str
+) -> tuple[str, ...]:
+    """The payload columns persisted in a layout's codes files — the
+    schema is SELF-DESCRIBING (a parquet-footer read, no data):
+    anything beyond (vec_id, codes) and the cid partition column was
+    attached at build time as payload. No meta field needed, so pre-
+    payload layouts read back as () unchanged."""
+    import os
+
+    sch = spark.read.parquet(os.path.join(index_dir, "codes")).schema
+    return tuple(
+        f.name for f in sch if f.name not in ("vec_id", "codes", "cid")
+    )
+
+
+def _check_payload_cols(
+    emb: DataFrame, payload_cols: tuple[str, ...], caller: str
+) -> None:
+    """Refuse payload requests the layout cannot honor: reserved names
+    (they'd shadow the codes structure) and columns the corpus frame
+    does not carry (the join would fail later, deep in a write job)."""
+    bad = [c for c in payload_cols if c in _IVFPQ_RESERVED_COLS]
+    if bad:
+        raise ValueError(
+            f"{caller}: payload columns {bad} shadow the codes layout's"
+            f" own columns {list(_IVFPQ_RESERVED_COLS)} — rename them"
+            " in the corpus frame first"
+        )
+    missing = [c for c in payload_cols if c not in emb.columns]
+    if missing:
+        raise ValueError(
+            f"{caller}: payload columns {missing} are not in the corpus"
+            f" frame (has {emb.columns}) — select or rename them before"
+            " the build"
+        )
+
+
 def ivfpq_build(
     emb: DataFrame,
     index_dir: str,
@@ -3930,6 +4061,7 @@ def ivfpq_build(
     pq_dir: str | None = None,
     n_centroids: int | None = None,
     encoding: str = "residual",
+    payload_cols: tuple[str, ...] = (),
 ) -> str:
     """Materialize the composed IVF-PQ index (staged + atomic rename;
     an existing complete index is reused, debris rebuilt). Parent IVF
@@ -3945,9 +4077,21 @@ def ivfpq_build(
     IVFPQ_ENC_RESIDUAL) or 'raw' (the v2 composed-parents layout). An
     EXISTING index built with the other encoding is refused, never
     silently reused as if it matched — upgrade it in place with
-    ``ivfpq_rebuild(..., encoding='residual')``."""
+    ``ivfpq_rebuild(..., encoding='residual')``.
+
+    ``payload_cols``: filterable metadata columns carried INTO the
+    codes rows (e.g. a language or source tag), so a filtered probe
+    pushes its predicate into the SAME pruned codes scan — zero extra
+    corpus IO, where a post-hoc label join would re-scan the corpus's
+    metadata column and shuffle it against every probe. Payload types
+    should be metadata-sized (ints/short strings); the layout stays
+    self-describing (schema, not meta). An existing layout whose
+    payload set differs from the request is refused like an encoding
+    mismatch — a reused no-payload cache would silently lose
+    filterability."""
     from ..indexutil import read_index_meta, staged_index_build
 
+    _check_payload_cols(emb, payload_cols, "ivfpq_build")
     if encoding not in _IVFPQ_ENC_BY_NAME:
         raise ValueError(
             f"ivfpq_build: unknown encoding {encoding!r} — one of"
@@ -3979,11 +4123,22 @@ def ivfpq_build(
             " the wrong quantization; upgrade in place with"
             f" ivfpq_rebuild(..., encoding={encoding!r}) instead"
         )
+    if existing is not None:
+        have_pay = _ivfpq_payload_cols(emb.sparkSession, index_dir)
+        if set(have_pay) != set(payload_cols):
+            raise ValueError(
+                f"ivfpq_build: {index_dir!r} already holds a layout"
+                f" with payload columns {list(have_pay)} but"
+                f" {list(payload_cols)} was requested — a silent reuse"
+                " would drop the difference from every filtered probe;"
+                " rebuild it in place (ivfpq_rebuild re-attaches the"
+                " persisted payload set) or pass a fresh index_dir"
+            )
     ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
     writer = (
-        _ivfpq_write_residual(emb, ivf_dir, n_centroids)
+        _ivfpq_write_residual(emb, ivf_dir, n_centroids, payload_cols)
         if want == IVFPQ_ENC_RESIDUAL
-        else _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids)
+        else _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids, payload_cols)
     )
     return staged_index_build(index_dir, IVFPQ_SUBDIRS, writer)
 
@@ -4012,6 +4167,31 @@ def _ivfpq_probe_cids(
     return _nearest_cell_ids(cent, q, nprobe)
 
 
+def _check_payload_filter(
+    spark: SparkSession,
+    index_dir: str,
+    payload_eq: dict | None,
+    caller: str,
+) -> dict:
+    """Normalize and validate a filtered probe's equality predicate:
+    every filter column must be a PERSISTED payload of the layout —
+    filtering on an absent column would silently match nothing (parquet
+    reads a missing column as NULL). Refused by name with the rebuild
+    remedy."""
+    if not payload_eq:
+        return {}
+    have = _ivfpq_payload_cols(spark, index_dir)
+    missing = [c for c in payload_eq if c not in have]
+    if missing:
+        raise ValueError(
+            f"{caller}: filter columns {missing} are not payloads of"
+            f" this layout (has {list(have) or 'none'}) — rebuild the"
+            " index with ivfpq_build(..., payload_cols=(...)) to carry"
+            " them into the codes rows"
+        )
+    return dict(payload_eq)
+
+
 def ivfpq_adc_candidates(
     spark: SparkSession,
     index_dir: str,
@@ -4019,6 +4199,7 @@ def ivfpq_adc_candidates(
     exclude_vec_id: int | None = None,
     rerank: int = PQ_RERANK,
     nprobe: int = IVF_NPROBE,
+    payload_eq: dict | None = None,
 ) -> DataFrame:
     """The pruned ADC half of the IVF-PQ probe: ONE scan of the codes
     layout restricted to the query's nprobe cells by a literal
@@ -4027,7 +4208,13 @@ def ivfpq_adc_candidates(
     ``rerank`` best (adc, vec_id) rows. No float column exists in the
     codes layout, so the scan CANNOT read one — the probe IO per
     candidate row is vec_id + pq_m bytes. Geometry comes from the
-    persisted meta, not module constants."""
+    persisted meta, not module constants.
+
+    ``payload_eq`` (filtered search): {column: value} equality
+    predicates over the layout's PAYLOAD columns, applied INSIDE the
+    same pruned scan (pushed to the parquet reader) BEFORE the rerank
+    cut — so the full candidate budget goes to rows that satisfy the
+    filter, instead of post-filtering a cut that may hold none."""
     import os
 
     meta = _ivfpq_meta(index_dir)
@@ -4035,11 +4222,16 @@ def ivfpq_adc_candidates(
     _require_one_query_row(
         q, caller="ivfpq_probe", want_dim=m * subdim
     )
+    pay = _check_payload_filter(
+        spark, index_dir, payload_eq, "ivfpq_probe"
+    )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     cids = _ivfpq_probe_cids(spark, index_dir, q, nprobe)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
     )
+    for c, v in pay.items():
+        codes = codes.filter(F.col(c) == F.lit(v))
     if exclude_vec_id is not None:
         codes = codes.filter(F.col("vec_id") != exclude_vec_id)
     if _ivfpq_enc(meta) == IVFPQ_ENC_RESIDUAL:
@@ -4084,10 +4276,14 @@ def ivfpq_probe(
     k: int = TOP_K,
     rerank: int = PQ_RERANK,
     nprobe: int = IVF_NPROBE,
+    payload_eq: dict | None = None,
 ) -> DataFrame:
     """Probe the persisted composed layout: cell-pruned codes-only ADC
     (ivfpq_adc_candidates) then the shared validated exact rerank —
-    identical corpus-consistency guarantees as pq_probe."""
+    identical corpus-consistency guarantees as pq_probe.
+    ``payload_eq`` restricts candidates to payload-matching rows inside
+    the pruned scan (filtered search — see ivfpq_adc_candidates); the
+    exact rerank then only ever fetches matching ids."""
     cand = ivfpq_adc_candidates(
         spark,
         index_dir,
@@ -4095,6 +4291,7 @@ def ivfpq_probe(
         exclude_vec_id=exclude_vec_id,
         rerank=rerank,
         nprobe=nprobe,
+        payload_eq=payload_eq,
     )
     return _pq_validated_rerank(
         spark, cand, emb, q, k, caller="ivfpq_probe"
@@ -4118,19 +4315,36 @@ def ivfpq_append(
     screen ALREADY encoded is not encoded twice. Must cover exactly
     the ids of ``emb``'s deduped rows and come from THIS layout's
     encode — anything else would write codes that disagree with the
-    geometry."""
+    geometry.
+
+    A payload-carrying layout (ivfpq_build payload_cols) requires the
+    arrival frame to carry the SAME payload columns — appended rows
+    without them would read back NULL and silently vanish from every
+    filtered probe. Refused by name; payload TYPES are the caller's
+    contract (parquet appends do not reconcile type drift)."""
     meta = _ivfpq_meta(index_dir)
     _refuse_null_ids(
         emb, "ivfpq_append", want_dim=meta["pq_m"] * meta["pq_subdim"]
     )
     import os
 
+    pays = _ivfpq_payload_cols(spark, index_dir)
     codes_path = os.path.join(index_dir, "codes")
     existing = spark.read.parquet(codes_path).select("vec_id")
     if pre_encoded is not None:
+        src = pre_encoded
+        if pays:
+            missing = [c for c in pays if c not in src.columns]
+            if missing:
+                # the screen encodes (vec_id, codes, cid) only —
+                # re-attach payloads from the arrival frame by id
+                src = src.join(
+                    _payload_projection(emb, missing, "ivfpq_append"),
+                    "vec_id",
+                )
         fresh = (
-            pre_encoded.join(existing, "vec_id", "left_anti")
-            .select("vec_id", "codes", "cid")
+            src.join(existing, "vec_id", "left_anti")
+            .select("vec_id", "codes", "cid", *pays)
             .localCheckpoint(eager=True)
         )
         n = fresh.count()
@@ -4170,13 +4384,34 @@ def ivfpq_append(
         meta["pq_subdim"],
         meta["pq_k"],
     )
-    fresh = encoded.join(cells, "vec_id").localCheckpoint(
+    fresh = encoded.join(cells, "vec_id")
+    if pays:
+        fresh = fresh.join(
+            _payload_projection(fresh_in, pays, "ivfpq_append"), "vec_id"
+        )
+    fresh = fresh.localCheckpoint(
         eager=True
     )  # count and write see the same rows
     n = fresh.count()
     if n:
         fresh.write.mode("append").partitionBy("cid").parquet(codes_path)
     return n
+
+
+def _payload_projection(
+    emb: DataFrame, cols: list[str] | tuple[str, ...], caller: str
+) -> DataFrame:
+    """(vec_id, *cols) of an arrival frame, refusing by name when the
+    frame lacks a payload column the layout persists."""
+    missing = [c for c in cols if c not in emb.columns]
+    if missing:
+        raise ValueError(
+            f"{caller}: this layout carries payload columns"
+            f" {list(cols)} but the arrival frame lacks {missing}"
+            f" (has {emb.columns}) — appended rows without them would"
+            " read back NULL and silently vanish from filtered probes"
+        )
+    return emb.select("vec_id", *cols)
 
 
 def ivfpq_drift(
@@ -4268,13 +4503,17 @@ def ivfpq_rebuild(
 
     ``encoding=None`` PRESERVES the layout's persisted encoding (the
     migrate-never-invalidate contract); pass 'residual' to upgrade a
-    raw v2 layout in place (or 'raw' to downgrade)."""
+    raw v2 layout in place (or 'raw' to downgrade). The persisted
+    PAYLOAD column set is preserved the same way — re-attached from
+    ``emb``, which must therefore carry those columns."""
     from ..indexutil import rebuild_index, recover_index
 
     # heal the two-rename crash window BEFORE reading the layout (the
     # encoding preservation below reads meta/ and parents/) — the
     # ivf_rebuild recover-first contract applied to the composed form
     recover_index(index_dir, IVFPQ_SUBDIRS)
+    payload_cols = _ivfpq_payload_cols(spark, index_dir)
+    _check_payload_cols(emb, payload_cols, "ivfpq_rebuild")
     if encoding is None:
         names = {v: k for k, v in _IVFPQ_ENC_BY_NAME.items()}
         encoding = names[_ivfpq_enc(_ivfpq_meta(index_dir))]
@@ -4300,13 +4539,13 @@ def ivfpq_rebuild(
         return rebuild_index(
             index_dir,
             IVFPQ_SUBDIRS,
-            _ivfpq_write_residual(emb, ivf_dir, n_centroids),
+            _ivfpq_write_residual(emb, ivf_dir, n_centroids, payload_cols),
         )
     pq_rebuild(spark, pq_dir, emb)
     return rebuild_index(
         index_dir,
         IVFPQ_SUBDIRS,
-        _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids),
+        _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids, payload_cols),
     )
 
 
@@ -4568,6 +4807,7 @@ def ivfpq_batch_candidates(
     rerank: int = PQ_RERANK,
     nprobe: int = IVF_NPROBE,
     exclude_self: bool = True,
+    payload_eq: dict | None = None,
 ) -> DataFrame:
     """The pruned ADC half of the batch probe: per-query probe cells
     come from ranking the centroids per qid (the ivf_probe_batch
@@ -4575,7 +4815,9 @@ def ivfpq_batch_candidates(
     ONE codes scan prunes to the UNION of probed cells with a literal
     filter, the broadcast pair join restores per-query cell scoping,
     the broadcast lookup-table join scores, a per-qid window cuts.
-    Cell ranking shares _probe_cell_pairs with ivf_probe_batch."""
+    Cell ranking shares _probe_cell_pairs with ivf_probe_batch.
+    ``payload_eq`` filters the one scan like the single-query form
+    (one predicate shared by the whole batch)."""
     import os
 
     meta = _ivfpq_meta(index_dir)
@@ -4583,12 +4825,17 @@ def ivfpq_batch_candidates(
     _require_query_batch(
         queries, caller="ivfpq_probe_batch", want_dim=m * subdim
     )
+    pay = _check_payload_filter(
+        spark, index_dir, payload_eq, "ivfpq_probe_batch"
+    )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
     )
+    for c, v in pay.items():
+        codes = codes.filter(F.col(c) == F.lit(v))
     if _ivfpq_enc(meta) == IVFPQ_ENC_RESIDUAL:
         # one broadcast (qid, cid, table) row per PROBE PAIR: joining
         # on cid both restores per-query cell scoping AND delivers each
@@ -4621,12 +4868,14 @@ def ivfpq_probe_batch(
     rerank: int = PQ_RERANK,
     nprobe: int = IVF_NPROBE,
     exclude_self: bool = True,
+    payload_eq: dict | None = None,
 ) -> DataFrame:
     """Top-k for MANY query vectors against the persisted IVF-PQ index
     in ONE pruned codes scan (ivfpq_batch_candidates), then one fetch
-    validates and reranks."""
+    validates and reranks. ``payload_eq`` filters the scan (filtered
+    search, shared by the whole batch)."""
     cand = ivfpq_batch_candidates(
-        spark, index_dir, queries, rerank, nprobe, exclude_self
+        spark, index_dir, queries, rerank, nprobe, exclude_self, payload_eq
     )
     return _pq_validated_rerank_batch(
         spark, cand, emb, queries, k, caller="ivfpq_probe_batch"

@@ -606,3 +606,60 @@ def test_duplicated_span_planted_fixture(spark):
     assert got[3] == (24 - SPAN_K + 1, 0, 0)
     # span length in tokens = max_run + k - 1 = the 20-word block
     assert 13 + SPAN_K - 1 == 20
+
+
+def test_snapshot_diff_categories_and_skinny_join(spark):
+    """snapshot_diff end to end on the deterministic fixture: (a) the
+    per-category counts reconcile exactly against the bucket
+    definition (removed = bucket<10 docs, changed = bucket [10,20),
+    added = bucket [20,25) clones, unchanged = the rest); (b) an
+    'added' row takes its lang from the NEXT side (the base side is
+    NULL there — a coalesce bug would emit NULL langs); (c) the diff
+    plan joins SKINNY fingerprint projections — no Exchange in the
+    plan carries the text column, so 100 TB of document bodies never
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.textops import (
+        SNAP_ADD_HI,
+        SNAP_CHG_HI,
+        SNAP_DEL_HI,
+        _docs,
+        simulated_next_snapshot,
+        snapshot_diff,
+        split_bucket,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = _docs(spark, SF_DIR)
+    b = split_bucket("doc_id")
+    want = {
+        "removed": docs.filter(b < SNAP_DEL_HI).count(),
+        "changed": docs.filter(
+            (b >= SNAP_DEL_HI) & (b < SNAP_CHG_HI)
+        ).count(),
+        "added": docs.filter(
+            (b >= SNAP_CHG_HI) & (b < SNAP_ADD_HI)
+        ).count(),
+    }
+    want["unchanged"] = docs.count() - want["removed"] - want["changed"]
+    diff = snapshot_diff(docs, simulated_next_snapshot(docs))
+    got = {
+        r["category"]: r["ct"]
+        for r in diff.groupBy("category")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .collect()
+    }
+    assert got == want
+    assert (
+        diff.filter(
+            (F.col("category") == "added") & F.col("lang").isNull()
+        ).count()
+        == 0
+    )
+    # (c) no shuffle moves document text
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    for chunk in plan.split("Exchange")[1:]:
+        header = chunk.splitlines()[0]
+        assert "text" not in header, header

@@ -2223,3 +2223,166 @@ def test_sdc_clusters_group_planted_copies_codes_only(spark, tmp_path):
         .count()
     )
     assert sizes >= 1
+
+
+def test_ivfpq_payload_lifecycle_and_filtered_probe(spark, tmp_path):
+    """Payload-carrying layouts end to end: (a) a filtered probe's
+    label predicate is PUSHED into the same cell-pruned codes-only
+    scan (PushedFilters EqualTo, literal cid PartitionFilter, no
+    embedding column read) and every result row carries the query's
+    label; (b) filtering on a no-payload layout, building over a
+    corpus missing the payload column, and reusing a layout under a
+    DIFFERENT payload set are each refused by name; (c) appends carry
+    the payload (and refuse arrivals without it) so appended rows stay
+    visible to filtered probes; (d) rebuild preserves the persisted
+    payload set without being asked."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        _ivfpq_payload_cols,
+        ivfpq_adc_candidates,
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_probe,
+        ivfpq_rebuild,
+    )
+
+    from .conftest import SF_DIR
+    from .plan_utils import (
+        assert_codes_scans_no_embedding,
+        formatted_plan,
+        pruned_cids,
+    )
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "pay")
+    ivfpq_build(emb, idx, payload_cols=("label",))
+    assert _ivfpq_payload_cols(spark, idx) == ("label",)
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding", "label")
+        .head()
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = ivfpq_adc_candidates(
+        spark,
+        idx,
+        q,
+        exclude_vec_id=QUERY_VEC_ID,
+        payload_eq={"label": qrow["label"]},
+    )
+    plan = formatted_plan(cand)
+    assert pruned_cids(plan)  # literal cid PartitionFilter survives
+    assert "EqualTo(label," in plan  # payload predicate reaches parquet
+    assert_codes_scans_no_embedding(plan)
+    top = ivfpq_probe(
+        spark,
+        idx,
+        q,
+        emb,
+        exclude_vec_id=QUERY_VEC_ID,
+        payload_eq={"label": qrow["label"]},
+    )
+    got = top.join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).collect()
+    assert got and all(r["label"] == qrow["label"] for r in got)
+    # (b) refusals by name
+    plain = str(tmp_path / "plain")
+    ivfpq_build(emb, plain)
+    with _pytest.raises(ValueError, match="not payloads of this layout"):
+        ivfpq_adc_candidates(
+            spark, plain, q, payload_eq={"label": qrow["label"]}
+        )
+    with _pytest.raises(ValueError, match="payload columns .* are not in"):
+        ivfpq_build(
+            emb.select("vec_id", "embedding"),
+            str(tmp_path / "x"),
+            payload_cols=("label",),
+        )
+    with _pytest.raises(ValueError, match="payload columns"):
+        ivfpq_build(emb, idx, payload_cols=())  # reuse under other set
+    # (c) appends: payload carried; arrival without it refused
+    arrivals = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 800_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    with _pytest.raises(ValueError, match="arrival frame lacks"):
+        ivfpq_append(spark, idx, arrivals.drop("label"))
+    n = ivfpq_append(spark, idx, arrivals)
+    assert n == arrivals.count()
+    appended = (
+        spark.read.parquet(f"{idx}/codes")
+        .filter(F.col("vec_id") >= 800_000_000)
+        .select("label")
+        .collect()
+    )
+    assert appended and all(r["label"] is not None for r in appended)
+    # (d) rebuild preserves the payload set unprompted
+    corpus2 = emb.unionByName(arrivals)
+    ivfpq_rebuild(spark, idx, corpus2)
+    assert _ivfpq_payload_cols(spark, idx) == ("label",)
+
+
+def test_ivfpq_payload_pre_encoded_append_and_filtered_batch(spark, tmp_path):
+    """The two remaining payload surfaces: (a) the screened streaming
+    append path — ``pre_encoded`` rows carry no payload (the screen
+    encodes (vec_id, cid, codes) only), so ivfpq_append re-attaches
+    the layout's payload columns from the arrival frame by id, and
+    refuses an arrival frame that lacks them; (b) the batch probe
+    accepts the same ``payload_eq`` predicate and every (qid, result)
+    row satisfies it."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        _ivfpq_encode_cells,
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_probe_batch,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "payb")
+    ivfpq_build(emb, idx, payload_cols=("label",))
+    arrivals = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 800_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    encoded = _ivfpq_encode_cells(spark, idx, arrivals)
+    with _pytest.raises(ValueError, match="arrival frame lacks"):
+        ivfpq_append(
+            spark, idx, arrivals.drop("label"), pre_encoded=encoded
+        )
+    n = ivfpq_append(spark, idx, arrivals, pre_encoded=encoded)
+    assert n == arrivals.count()
+    appended = (
+        spark.read.parquet(f"{idx}/codes")
+        .filter(F.col("vec_id") >= 800_000_000)
+        .select("label")
+        .collect()
+    )
+    assert appended and all(r["label"] is not None for r in appended)
+    # (b) filtered batch probe
+    queries = emb.filter(F.col("vec_id").isin(3, 11)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    lbl = emb.filter(F.col("vec_id") == 3).head()["label"]
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(
+        arrivals
+    )  # the rerank frame must cover the appended ids too
+    out = ivfpq_probe_batch(
+        spark, idx, queries, corpus, payload_eq={"label": lbl}
+    )
+    rows = out.join(corpus.select("vec_id", "label"), "vec_id").collect()
+    assert rows and all(r["label"] == lbl for r in rows)
