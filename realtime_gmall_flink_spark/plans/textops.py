@@ -3308,20 +3308,28 @@ def snapshot_diff(
     (key, lang, fingerprint) projections BEFORE the full-outer join —
     the only shuffle moves fingerprints, and at 100 TB the join is
     key-partitioned like any incremental merge."""
+    # side-presence rides dedicated marker columns, NEVER a data
+    # column: md5(NULL text) is NULL, so keying presence on the
+    # fingerprint would misreport a both-sides NULL-text doc as
+    # 'added' and a NULL<->text edit as added/removed
     b = base.select(
         F.col(key),
         F.col("lang").alias("__bl"),
         F.md5("text").alias("__bf"),
+        F.lit(1).alias("__b1"),
     )
     n = nxt.select(
         F.col(key),
         F.col("lang").alias("__nl"),
         F.md5("text").alias("__nf"),
+        F.lit(1).alias("__n1"),
     )
     cat = (
-        F.when(F.col("__bf").isNull(), F.lit("added"))
-        .when(F.col("__nf").isNull(), F.lit("removed"))
-        .when(F.col("__bf") != F.col("__nf"), F.lit("changed"))
+        F.when(F.col("__b1").isNull(), F.lit("added"))
+        .when(F.col("__n1").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("__bf").eqNullSafe(F.col("__nf")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
     )
     return b.join(n, key, "full_outer").select(
@@ -3346,13 +3354,13 @@ WITH d AS (
     UNION ALL
     SELECT doc_id + {SNAP_ADD_OFFSET}, lang, text FROM d
     WHERE bucket >= {SNAP_CHG_HI} AND bucket < {SNAP_ADD_HI}
-), bf AS (SELECT doc_id, lang, md5(text) AS fp FROM d),
-nf AS (SELECT doc_id, lang, md5(text) AS fp FROM nx),
+), bf AS (SELECT doc_id, lang, md5(text) AS fp, 1 AS pres FROM d),
+nf AS (SELECT doc_id, lang, md5(text) AS fp, 1 AS pres FROM nx),
 j AS (
     SELECT COALESCE(nf.lang, bf.lang) AS lang,
-           CASE WHEN bf.fp IS NULL THEN 'added'
-                WHEN nf.fp IS NULL THEN 'removed'
-                WHEN bf.fp <> nf.fp THEN 'changed'
+           CASE WHEN bf.pres IS NULL THEN 'added'
+                WHEN nf.pres IS NULL THEN 'removed'
+                WHEN bf.fp IS DISTINCT FROM nf.fp THEN 'changed'
                 ELSE 'unchanged' END AS category
     FROM bf FULL OUTER JOIN nf USING (doc_id)
 )

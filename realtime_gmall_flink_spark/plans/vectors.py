@@ -4020,16 +4020,39 @@ def _ivfpq_payload_cols(
     spark: SparkSession, index_dir: str
 ) -> tuple[str, ...]:
     """The payload columns persisted in a layout's codes files — the
-    schema is SELF-DESCRIBING (a parquet-footer read, no data):
-    anything beyond (vec_id, codes) and the cid partition column was
-    attached at build time as payload. No meta field needed, so pre-
-    payload layouts read back as () unchanged."""
+    schema is SELF-DESCRIBING: anything beyond (vec_id, codes) and the
+    cid partition column was attached at build time as payload. No
+    meta field needed, so pre-payload layouts read back as ()
+    unchanged. Read DRIVER-SIDE from ONE part file's parquet footer
+    (the read_index_meta pattern) — the payload SET is a build
+    parameter appends preserve, so any one footer carries it; a Spark
+    read here would partition-discover the whole codes tree on every
+    cache-hit build, append, and filtered probe. A missing/empty codes
+    tree reads back as () — the callers that need a complete layout
+    (probe/append via _ivfpq_meta) refuse it by name themselves, and
+    the build-time reuse check treats debris as 'no persisted set'
+    exactly like staged_index_build treats it as rebuildable."""
+    part = _codes_first_part(index_dir)
+    if part is None:
+        return ()
+    import pyarrow.parquet as pq
+
+    names = pq.read_schema(part).names
+    return tuple(n for n in names if n not in ("vec_id", "codes", "cid"))
+
+
+def _codes_first_part(index_dir: str) -> str | None:
+    """One parquet part file of the layout's codes tree (deterministic
+    pick), or None when the tree is missing/empty — the 'is there a
+    readable codes layout at all' signal build-time checks key on."""
     import os
 
-    sch = spark.read.parquet(os.path.join(index_dir, "codes")).schema
-    return tuple(
-        f.name for f in sch if f.name not in ("vec_id", "codes", "cid")
-    )
+    root = os.path.join(index_dir, "codes")
+    for dirpath, _dirs, files in os.walk(root):
+        cand = sorted(f for f in files if f.endswith(".parquet"))
+        if cand:
+            return os.path.join(dirpath, cand[0])
+    return None
 
 
 def _check_payload_cols(
@@ -4123,7 +4146,11 @@ def ivfpq_build(
             " the wrong quantization; upgrade in place with"
             f" ivfpq_rebuild(..., encoding={encoding!r}) instead"
         )
-    if existing is not None:
+    # compare payload sets only against a layout with a READABLE codes
+    # tree: meta-without-codes is debris staged_index_build rebuilds,
+    # and refusing a payload request against debris's empty set would
+    # block exactly the rebuild that heals it
+    if existing is not None and _codes_first_part(index_dir) is not None:
         have_pay = _ivfpq_payload_cols(emb.sparkSession, index_dir)
         if set(have_pay) != set(payload_cols):
             raise ValueError(
@@ -4188,6 +4215,15 @@ def _check_payload_filter(
             f" this layout (has {list(have) or 'none'}) — rebuild the"
             " index with ivfpq_build(..., payload_cols=(...)) to carry"
             " them into the codes rows"
+        )
+    nulls = [c for c, v in payload_eq.items() if v is None]
+    if nulls:
+        raise ValueError(
+            f"{caller}: filter values for {nulls} are None — an"
+            " equality predicate against NULL matches NOTHING (SQL"
+            " three-valued logic), which is the silent-empty-result"
+            " failure this check exists to refuse; filter NULL"
+            " payloads with an explicit isNull scan instead"
         )
     return dict(payload_eq)
 
@@ -4337,9 +4373,15 @@ def ivfpq_append(
             missing = [c for c in pays if c not in src.columns]
             if missing:
                 # the screen encodes (vec_id, codes, cid) only —
-                # re-attach payloads from the arrival frame by id
+                # re-attach payloads from the arrival frame by id,
+                # DEDUPED first: pre_encoded holds one row per id but
+                # the arrival frame may repeat ids (the main path's
+                # tolerated shape), and a fanned-out join would append
+                # duplicate codes rows for one encoded vector
                 src = src.join(
-                    _payload_projection(emb, missing, "ivfpq_append"),
+                    _payload_projection(
+                        emb, missing, "ivfpq_append"
+                    ).dropDuplicates(["vec_id"]),
                     "vec_id",
                 )
         fresh = (
@@ -5279,7 +5321,10 @@ def near_dup_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _refuse_oversized_cells(
-    spark: SparkSession, codes_path: str, max_cell_pairs: int
+    spark: SparkSession,
+    codes_path: str,
+    max_cell_pairs: int,
+    caller: str = "sdc_pair_mine",
 ) -> None:
     """Refuse cells whose within-cell pair volume c*(c-1)/2 exceeds
     the bound, naming the worst offenders, the total corpus size, and
@@ -5307,7 +5352,7 @@ def _refuse_oversized_cells(
             f"cid={cid}: {c} rows = {p} pairs" for p, c, cid in over[:5]
         )
         raise ValueError(
-            f"sdc_pair_mine: {len(over)} of {len(counts)} cells exceed"
+            f"{caller}: {len(over)} of {len(counts)} cells exceed"
             f" max_cell_pairs={max_cell_pairs} ({worst}) — the index is"
             f" undersized for pair mining at its current {n} vectors."
             " Rebuild with ivfpq_rebuild(..., n_centroids="
@@ -5336,7 +5381,9 @@ def sdc_pair_mine(
     undersized index would be fine at test scale and a 10,000x blowup
     at 100x the corpus. Remedy: ``ivfpq_rebuild(...,
     n_centroids=sdc_nlist_for(n))``, which sizes cells to the bound."""
-    return _sdc_scored_pairs(spark, index_dir, max_cell_pairs).orderBy(
+    return _sdc_scored_pairs(
+        spark, index_dir, max_cell_pairs, "sdc_pair_mine"
+    ).orderBy(
         F.col("sdc_micro").asc(),
         F.col("a_id").asc(),
         F.col("b_id").asc(),
@@ -5344,19 +5391,23 @@ def sdc_pair_mine(
 
 
 def _sdc_scored_pairs(
-    spark: SparkSession, index_dir: str, max_cell_pairs: int
+    spark: SparkSession,
+    index_dir: str,
+    max_cell_pairs: int,
+    caller: str,
 ) -> DataFrame:
     """(cell, a_id, b_id, sdc_micro) for every within-cell pair of a
     persisted IVF-PQ layout — the shared scored pair space of the
     top-k miner and the threshold-bounded dup-pair form. Codes-only:
     one broadcast codeword table, m O(1) lookups per pair, and the
-    oversized-cell refusal runs BEFORE any mining job."""
+    oversized-cell refusal runs BEFORE any mining job, attributed to
+    ``caller`` (the public entry point, not this shared internal)."""
     import os
 
     meta = _ivfpq_meta(index_dir)
     m = meta["pq_m"]
     _refuse_oversized_cells(
-        spark, os.path.join(index_dir, "codes"), max_cell_pairs
+        spark, os.path.join(index_dir, "codes"), max_cell_pairs, caller
     )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     sdm_row = _sdc_codeword_row(cb)
@@ -5390,9 +5441,9 @@ def sdc_dup_pairs(
     refusal; the output is threshold-bounded instead of count-bounded,
     so at a fixed threshold the edge volume grows with the number of
     genuine near-duplicates, not with the corpus."""
-    return _sdc_scored_pairs(spark, index_dir, max_cell_pairs).filter(
-        F.col("sdc_micro") <= threshold
-    )
+    return _sdc_scored_pairs(
+        spark, index_dir, max_cell_pairs, "sdc_dup_pairs"
+    ).filter(F.col("sdc_micro") <= threshold)
 
 
 # Cluster-forming SDC threshold, calibrated on the fixture like

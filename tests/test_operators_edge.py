@@ -663,3 +663,29 @@ def test_snapshot_diff_categories_and_skinny_join(spark):
     for chunk in plan.split("Exchange")[1:]:
         header = chunk.splitlines()[0]
         assert "text" not in header, header
+
+
+def test_snapshot_diff_null_text_categories(spark):
+    """Side-presence must not key on a data column: md5(NULL) is NULL,
+    so a fingerprint-based presence check would call a both-sides
+    NULL-text doc 'added' and a NULL<->text edit 'added'/'removed'.
+    The marker-column form classifies all four NULL shapes right."""
+    from realtime_gmall_flink_spark.plans.textops import snapshot_diff
+
+    schema = "doc_id long, lang string, text string"
+    base = spark.createDataFrame(
+        [(1, "en", None), (2, "en", None), (3, "en", "x")], schema
+    )
+    nxt = spark.createDataFrame(
+        [(1, "en", None), (2, "en", "y"), (4, "de", None)], schema
+    )
+    got = {
+        r["doc_id"]: r["category"]
+        for r in snapshot_diff(base, nxt).collect()
+    }
+    assert got == {
+        1: "unchanged",  # NULL on both sides = same content
+        2: "changed",  # NULL -> 'y'
+        3: "removed",  # base only, even with NULL text
+        4: "added",  # next only, even with NULL text
+    }

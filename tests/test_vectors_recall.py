@@ -2386,3 +2386,29 @@ def test_ivfpq_payload_pre_encoded_append_and_filtered_batch(spark, tmp_path):
     )
     rows = out.join(corpus.select("vec_id", "label"), "vec_id").collect()
     assert rows and all(r["label"] == lbl for r in rows)
+
+
+def test_payload_filter_none_value_refused(spark, tmp_path):
+    """payload_eq={'label': None} compiles to col == NULL — false for
+    every row under three-valued logic — so it is refused by name
+    instead of returning a silently empty top-k."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        ivfpq_adc_candidates,
+        ivfpq_build,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "pnone")
+    ivfpq_build(emb, idx, payload_cols=("label",))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    with _pytest.raises(ValueError, match="are None"):
+        ivfpq_adc_candidates(spark, idx, q, payload_eq={"label": None})
