@@ -361,3 +361,183 @@ def migrate_premeta_default(
             )
         return False  # a real meta exists; resolve_index_meta adjudicates
     return write_index_meta_atomic(spark, index_dir, {field: default})
+
+
+# --- small-file compaction for append-heavy layouts -----------------------
+# Every idempotent append (ivf_append, lsh_append, pq/sq8/ivfpq appends)
+# writes one parquet file set per batch: a streaming ingest of thousands
+# of micro-batches leaves thousands of tiny files per partition dir, and
+# at 100 TB the pruned probe's cost flips from bytes-read to
+# file-listing + footer-open overhead. Compaction rewrites each
+# oversized UNIT (a 'col=val' partition dir, or a whole flat subdir like
+# the PQ codes) to ~target_bytes files with an ATOMIC per-unit swap:
+#   stage:  write compacted parts to <root>/.compact-stage-<run>/<unit>
+#   verify: pyarrow footer row counts stage == live (no Spark job)
+#   swap:   rename(live -> <root>/.compact-tomb-<run>/<unit>),
+#           rename(stage -> live), remove the tombed unit
+# Dot-prefixed dirs are invisible to Spark's file listing, so neither
+# staging nor tombs ever appear in a concurrent read — but the swap
+# itself needs the layout's usual STOPPED-WRITER maintenance window
+# (a reader spanning the two renames could list a unit twice or not at
+# all). Any crash is healed by recover_compaction: ROLL BACK to the
+# tombed original (compaction is pure optimization — the uncompacted
+# files are always the safe state), sweep stage/tomb debris.
+
+_COMPACT_STAGE_PREFIX = ".compact-stage-"
+_COMPACT_TOMB_PREFIX = ".compact-tomb-"
+
+
+def _unit_parts(d: str) -> list[str]:
+    try:
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    except OSError:
+        return []
+
+
+def _footer_rows(files: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def recover_compaction(root: str) -> bool:
+    """Heal a crashed compaction swap under ``root``: a tombed unit
+    whose live dir is MISSING is rolled back (restored); one whose
+    live dir exists was already swapped and is just swept; stage roots
+    are always debris (pre-swap work, safely rebuilt next run).
+    Returns True if any unit was rolled back."""
+    if not os.path.isdir(root):
+        return False
+    rolled = False
+    for e in sorted(os.listdir(root)):
+        p = os.path.join(root, e)
+        if e.startswith(_COMPACT_TOMB_PREFIX) and os.path.isdir(p):
+            for unit in sorted(os.listdir(p)):
+                live = os.path.join(root, unit)
+                if not os.path.isdir(live):
+                    os.rename(os.path.join(p, unit), live)
+                    rolled = True
+            shutil.rmtree(p, ignore_errors=True)
+        elif e.startswith(_COMPACT_STAGE_PREFIX):
+            shutil.rmtree(p, ignore_errors=True)
+    return rolled
+
+
+def compact_layout(
+    spark,
+    layout_dir: str,
+    max_files: int = 8,
+    target_bytes: int = 64 << 20,
+) -> dict:
+    """Compact every oversized unit of ``layout_dir`` (see module
+    comment): partition dirs when the layout is partitioned, else the
+    layout dir itself as one flat unit (staged/tombed under its
+    PARENT, so the swap stays a single dir rename). Only units holding
+    more than ``max_files`` parquet parts rewrite; each rewrites to
+    ceil(bytes / target_bytes) files. Returns a report dict; healing
+    runs first, so calling this after a crash is always safe."""
+    report = {
+        "units_total": 0,
+        "units_compacted": 0,
+        "files_before": 0,
+        "files_after": 0,
+        "rolled_back": False,
+    }
+    if not os.path.isdir(layout_dir):
+        return report
+    parts_here = _unit_parts(layout_dir)
+    subunits = sorted(
+        e
+        for e in os.listdir(layout_dir)
+        if "=" in e
+        and not e.startswith((".", "_"))
+        and os.path.isdir(os.path.join(layout_dir, e))
+    )
+    if subunits:
+        root, units = layout_dir, subunits
+    elif parts_here:
+        root, units = (
+            os.path.dirname(os.path.abspath(layout_dir)),
+            [os.path.basename(os.path.abspath(layout_dir))],
+        )
+    else:
+        return report
+    report["rolled_back"] = recover_compaction(root)
+    run = _run_id()
+    stage_root = os.path.join(root, f"{_COMPACT_STAGE_PREFIX}{run}")
+    tomb_root = os.path.join(root, f"{_COMPACT_TOMB_PREFIX}{run}")
+    try:
+        for unit in units:
+            live = os.path.join(root, unit)
+            files = _unit_parts(live)
+            report["units_total"] += 1
+            report["files_before"] += len(files)
+            if len(files) <= max_files:
+                report["files_after"] += len(files)
+                continue
+            total = sum(os.path.getsize(f) for f in files)
+            n_out = max(1, -(-total // target_bytes))
+            stage_unit = os.path.join(stage_root, unit)
+            spark.read.parquet(live).coalesce(n_out).write.parquet(
+                stage_unit
+            )
+            staged = _unit_parts(stage_unit)
+            if _footer_rows(staged) != _footer_rows(files):
+                # refuse the swap: a row-count disagreement means a
+                # writer snuck into the maintenance window — the
+                # uncompacted unit stays live, staging is debris
+                raise RuntimeError(
+                    f"compact_layout: staged unit {unit!r} holds"
+                    f" {_footer_rows(staged)} rows but the live unit"
+                    f" holds {_footer_rows(files)} — a writer appended"
+                    " during the stopped-writer window; rerun"
+                    " compaction inside a real maintenance window"
+                )
+            os.makedirs(tomb_root, exist_ok=True)
+            os.rename(live, os.path.join(tomb_root, unit))
+            os.rename(stage_unit, live)
+            shutil.rmtree(
+                os.path.join(tomb_root, unit), ignore_errors=True
+            )
+            report["units_compacted"] += 1
+            report["files_after"] += len(_unit_parts(live))
+    finally:
+        # success: stage is empty debris and every swapped unit's tomb
+        # was removed inline, so this is a sweep. An in-process
+        # exception (including one raised BETWEEN the two renames):
+        # recover rolls any live-missing unit back from its tomb and
+        # sweeps the rest — same healing a hard crash gets on the next
+        # call, applied immediately
+        recover_compaction(root)
+    return report
+
+
+def layout_fragmentation(layout_dir: str) -> dict:
+    """File-count fragmentation of a layout, metadata-only (listdir —
+    no parquet opened): per-unit parquet file counts plus the max, the
+    drift-report cue for compact_layout. A flat layout reports itself
+    as one unit named '.'."""
+    if not os.path.isdir(layout_dir):
+        return {"units": 0, "files": 0, "max_unit_files": 0}
+    counts = {}
+    subunits = [
+        e
+        for e in os.listdir(layout_dir)
+        if "=" in e
+        and not e.startswith((".", "_"))
+        and os.path.isdir(os.path.join(layout_dir, e))
+    ]
+    if subunits:
+        for u in subunits:
+            counts[u] = len(_unit_parts(os.path.join(layout_dir, u)))
+    else:
+        counts["."] = len(_unit_parts(layout_dir))
+    return {
+        "units": len(counts),
+        "files": sum(counts.values()),
+        "max_unit_files": max(counts.values(), default=0),
+    }

@@ -4461,6 +4461,7 @@ def ivfpq_drift(
     index_dir: str,
     growth_warn: float = 0.5,
     skew_warn: float = 2.0,
+    frag_warn: int = 64,
 ) -> dict:
     """How stale are the frozen quantizers? Appends encode against
     build-time codebooks and assign against build-time centroids, so
@@ -4471,8 +4472,11 @@ def ivfpq_drift(
     (ignoring immaterial cells, < 1% of the build) also recommends a
     rebuild, catching an append flood that lands lopsided in one cell
     while total growth still looks tame. Both reads are parquet-footer
-    row counts (no code data)."""
+    row counts (no code data). ``frag_warn`` caps tolerated parquet
+    files per cell before the report recommends ivfpq_compact."""
     import os
+
+    from ..indexutil import layout_fragmentation
 
     total_build = _ivfpq_meta(index_dir)["n_vecs"]
     build = {
@@ -4492,6 +4496,11 @@ def ivfpq_drift(
     appended = total_now - total_build
     growth = _growth_fraction(total_build, appended)
     max_ratio = _cell_skew_ratio(build, now, total_build, total_now)
+    # fragmentation is a listdir (no parquet opened) and its remedy is
+    # ivfpq_compact, NOT a rebuild — a separate recommendation key so
+    # an operator never retrains quantizers to fix a small-files
+    # problem
+    frag = layout_fragmentation(os.path.join(index_dir, "codes"))
     return {
         "total_build": total_build,
         "total_now": total_now,
@@ -4500,6 +4509,8 @@ def ivfpq_drift(
         "max_cell_ratio": max_ratio,
         "rebuild_recommended": growth > growth_warn
         or max_ratio > skew_warn,
+        "max_unit_files": frag["max_unit_files"],
+        "compaction_recommended": frag["max_unit_files"] > frag_warn,
     }
 
 
@@ -5798,3 +5809,63 @@ def incremental_sdc_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     return sdc_score_new(spark, idx, arrivals)
+
+
+# --- index small-file compaction ------------------------------------------
+# Idempotent appends write one parquet file set per batch; a streaming
+# ingest of thousands of micro-batches turns a cell's pruned probe scan
+# from bytes-bound into file-listing-bound. One wrapper per family
+# names the layout's append-heavy data subdir; the swap protocol,
+# verification, and crash recovery live in indexutil.compact_layout
+# (run inside the same stopped-writer maintenance window as
+# drift/rebuild — the per-unit swap is atomic against crashes, not
+# against concurrent readers of that unit).
+
+
+def ivfpq_compact(spark: SparkSession, index_dir: str, **kw) -> dict:
+    """Compact the cid-partitioned IVF-PQ codes (payload columns ride
+    along untouched — the rewrite is a read+coalesce of whole rows)."""
+    import os
+
+    from ..indexutil import compact_layout
+
+    return compact_layout(spark, os.path.join(index_dir, "codes"), **kw)
+
+
+def ivf_compact(spark: SparkSession, index_dir: str, **kw) -> dict:
+    """Compact the cid-partitioned IVF assignment."""
+    import os
+
+    from ..indexutil import compact_layout
+
+    return compact_layout(
+        spark, os.path.join(index_dir, "assignment"), **kw
+    )
+
+
+def lsh_compact(spark: SparkSession, index_dir: str, **kw) -> dict:
+    """Compact the bkt_hi-partitioned LSH buckets."""
+    import os
+
+    from ..indexutil import compact_layout
+
+    return compact_layout(spark, os.path.join(index_dir, "buckets"), **kw)
+
+
+def pq_compact(spark: SparkSession, index_dir: str, **kw) -> dict:
+    """Compact the flat PQ codes (staged/tombed under the index dir —
+    one whole-subdir swap)."""
+    import os
+
+    from ..indexutil import compact_layout
+
+    return compact_layout(spark, os.path.join(index_dir, "codes"), **kw)
+
+
+def sq8_compact(spark: SparkSession, index_dir: str, **kw) -> dict:
+    """Compact the flat SQ8 codes."""
+    import os
+
+    from ..indexutil import compact_layout
+
+    return compact_layout(spark, os.path.join(index_dir, "codes"), **kw)

@@ -699,3 +699,167 @@ def test_media_and_curation_batch_dirs_compact_with_reader_dedup(
     assert cstats
     assert spark.read.parquet(f"{cout}/scored_docs").count() == craw
     assert _rowset(CU.finalize_curation(spark, cout)) == funnel_before
+
+
+# --- index-layout compaction (indexutil.compact_layout) --------------------
+
+
+def _files_per_unit(root):
+    import os
+
+    out = {}
+    for e in sorted(os.listdir(root)):
+        p = os.path.join(root, e)
+        if os.path.isdir(p) and "=" in e:
+            out[e] = len(
+                [f for f in os.listdir(p) if f.endswith(".parquet")]
+            )
+    return out
+
+
+def test_index_compact_partitioned_preserves_probe_results(spark, tmp_path):
+    """ivfpq_compact over an append-heavy layout: many tiny appends
+    leave many files per cell; compaction shrinks each oversized cell
+    to one file, preserves row counts, keeps the payload column, and
+    the probe returns BIT-IDENTICAL results before and after (the
+    rewrite moves whole rows, never values)."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_compact,
+        ivfpq_probe,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "cpq")
+    ivfpq_build(emb, idx, payload_cols=("label",))
+    corpus = emb
+    for i in range(6):
+        arr = emb.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + (i + 1) * 10_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        ivfpq_append(spark, idx, arr)
+        corpus = corpus.unionByName(arr)
+    before_files = _files_per_unit(f"{idx}/codes")
+    assert max(before_files.values()) > 3  # appends really fragmented
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    before = ivfpq_probe(
+        spark, idx, q, corpus, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    # the drift report carries the fragmentation cue with the compact
+    # (not rebuild) remedy
+    from realtime_gmall_flink_spark.plans.vectors import ivfpq_drift
+
+    drift = ivfpq_drift(spark, idx, frag_warn=3)
+    assert drift["compaction_recommended"] is True
+    assert drift["max_unit_files"] > 3
+    rep = ivfpq_compact(spark, idx, max_files=3)
+    assert rep["units_compacted"] >= 1
+    assert rep["files_after"] < rep["files_before"]
+    after_files = _files_per_unit(f"{idx}/codes")
+    assert all(v <= 3 or before_files[k] <= 3 for k, v in after_files.items())
+    after = ivfpq_probe(
+        spark, idx, q, corpus, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    assert after == before
+    assert (
+        ivfpq_drift(spark, idx, frag_warn=3)["compaction_recommended"]
+        is False
+    )
+    # payload survived the rewrite
+    lbl = spark.read.parquet(f"{idx}/codes").select("label")
+    assert lbl.filter(lbl["label"].isNull()).count() == 0
+
+
+def test_index_compact_flat_layout_and_noop(spark, tmp_path):
+    """pq_compact (flat codes subdir): the whole-subdir swap compacts
+    an append-fragmented PQ layout without changing probe results; a
+    layout already under max_files is a no-op that touches nothing."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        pq_append,
+        pq_build,
+        pq_compact,
+        pq_probe,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "cp")
+    pq_build(emb, idx)
+    corpus = emb.select("vec_id", "embedding")
+    for i in range(5):
+        arr = emb.filter(F.col("vec_id") < 2).select(
+            (F.col("vec_id") + (i + 1) * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+        pq_append(spark, idx, arr)
+        corpus = corpus.unionByName(arr)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    before = pq_probe(
+        spark, idx, q, corpus, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    rep = pq_compact(spark, idx, max_files=2)
+    assert rep["units_compacted"] == 1
+    after = pq_probe(
+        spark, idx, q, corpus, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    assert after == before
+    noop = pq_compact(spark, idx, max_files=2)
+    assert noop["units_compacted"] == 0
+    assert noop["files_after"] == noop["files_before"]
+
+
+def test_index_compact_crash_rollback(spark, tmp_path):
+    """The crash window between the two swap renames: the live unit is
+    missing and its tomb holds the original — recover_compaction (run
+    implicitly by the next compact call) ROLLS BACK, and the layout
+    reads exactly its pre-crash rows."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.indexutil import recover_compaction
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        ivfpq_build,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "crash")
+    ivfpq_build(emb, idx)
+    codes = f"{idx}/codes"
+    rows_before = spark.read.parquet(codes).count()
+    unit = sorted(
+        e for e in os.listdir(codes) if e.startswith("cid=")
+    )[0]
+    # manufacture the mid-swap crash: live unit renamed to its tomb,
+    # stage debris left behind
+    tomb = os.path.join(codes, ".compact-tomb-test")
+    stage = os.path.join(codes, ".compact-stage-test")
+    os.makedirs(tomb)
+    os.makedirs(os.path.join(stage, unit))
+    os.rename(os.path.join(codes, unit), os.path.join(tomb, unit))
+    assert recover_compaction(codes) is True
+    assert os.path.isdir(os.path.join(codes, unit))
+    assert not os.path.isdir(tomb) and not os.path.isdir(stage)
+    assert spark.read.parquet(codes).count() == rows_before
