@@ -135,6 +135,17 @@ def recover_index(index_dir: str, subdirs: Sequence[str]) -> bool:
         if candidates:
             os.rename(candidates[-1], index_dir)
             rolled = True
+    # a crashed COMPACTION swap can leave a subdir (or its only
+    # partition unit) tombed — heal it here too, BEFORE validity is
+    # judged: staged_index_build rmtree's an invalid index, which
+    # would otherwise delete the tomb holding the only copy of the
+    # appended rows
+    if os.path.isdir(index_dir):
+        rolled = recover_compaction(index_dir) or rolled
+        for s in subdirs:
+            sub = os.path.join(index_dir, s)
+            if os.path.isdir(sub):
+                rolled = recover_compaction(sub) or rolled
     if os.path.isdir(index_dir) and _valid(index_dir):
         for prefix in (_REBUILD_PREFIX, _TOMB_PREFIX):
             for d in _siblings(index_dir, prefix):
@@ -439,7 +450,20 @@ def compact_layout(
     PARENT, so the swap stays a single dir rename). Only units holding
     more than ``max_files`` parquet parts rewrite; each rewrites to
     ceil(bytes / target_bytes) files. Returns a report dict; healing
-    runs first, so calling this after a crash is always safe."""
+    runs first (at both candidate roots, before any unit listing), so
+    calling this after a crash is always safe — and recover_index runs
+    the same healing, so build/rebuild/probe recovery paths heal a
+    crashed compaction too.
+
+    Like every index maintenance op here, this expects a STOPPED-WORLD
+    window for the layout: concurrent compaction runs on the same
+    layout are NOT supported (each run's recovery would sweep the
+    other's in-flight staging), same operator contract as
+    rebuild_index. This is deliberately separate machinery from
+    streaming/compaction.py: sink compaction must flip the
+    _spark_metadata transaction log a streaming reader resolves files
+    through, while index layouts have no log — readers list the
+    filesystem, so the unit of atomicity here is the dir rename."""
     report = {
         "units_total": 0,
         "units_compacted": 0,
@@ -447,6 +471,18 @@ def compact_layout(
         "files_after": 0,
         "rolled_back": False,
     }
+    # heal FIRST, at both candidate roots, BEFORE any early return or
+    # unit listing: a mid-swap crash can leave layout_dir itself
+    # missing (flat layout — its tomb lives in the PARENT) or its only
+    # unit missing (partitioned layout), and an early return on
+    # either state would strand the tomb as the only copy of the data.
+    # Recovering first also means rolled-back units are listed and
+    # compacted by THIS run, not silently skipped.
+    rolled = recover_compaction(
+        os.path.dirname(os.path.abspath(layout_dir))
+    )
+    rolled = recover_compaction(layout_dir) or rolled
+    report["rolled_back"] = rolled
     if not os.path.isdir(layout_dir):
         return report
     parts_here = _unit_parts(layout_dir)
@@ -466,7 +502,6 @@ def compact_layout(
         )
     else:
         return report
-    report["rolled_back"] = recover_compaction(root)
     run = _run_id()
     stage_root = os.path.join(root, f"{_COMPACT_STAGE_PREFIX}{run}")
     tomb_root = os.path.join(root, f"{_COMPACT_TOMB_PREFIX}{run}")
@@ -485,15 +520,16 @@ def compact_layout(
             spark.read.parquet(live).coalesce(n_out).write.parquet(
                 stage_unit
             )
-            staged = _unit_parts(stage_unit)
-            if _footer_rows(staged) != _footer_rows(files):
+            staged_rows = _footer_rows(_unit_parts(stage_unit))
+            live_rows = _footer_rows(files)
+            if staged_rows != live_rows:
                 # refuse the swap: a row-count disagreement means a
                 # writer snuck into the maintenance window — the
                 # uncompacted unit stays live, staging is debris
                 raise RuntimeError(
                     f"compact_layout: staged unit {unit!r} holds"
-                    f" {_footer_rows(staged)} rows but the live unit"
-                    f" holds {_footer_rows(files)} — a writer appended"
+                    f" {staged_rows} rows but the live unit"
+                    f" holds {live_rows} — a writer appended"
                     " during the stopped-writer window; rerun"
                     " compaction inside a real maintenance window"
                 )

@@ -1561,11 +1561,31 @@ def ivf_append(
     return n
 
 
+def _with_fragmentation(
+    report: dict, layout_dir: str, frag_warn: int
+) -> dict:
+    """Fold the small-files cue into a drift report: max parquet files
+    per unit of the layout's append-heavy subdir (listdir-cheap) and a
+    ``compaction_recommended`` flag whose remedy is the family's
+    *_compact wrapper — kept separate from ``rebuild_recommended``
+    because retraining quantizers does not fix fragmentation (and a
+    compaction does not fix drift)."""
+    from ..indexutil import layout_fragmentation
+
+    frag = layout_fragmentation(layout_dir)
+    report["max_unit_files"] = frag["max_unit_files"]
+    report["compaction_recommended"] = (
+        frag["max_unit_files"] > frag_warn
+    )
+    return report
+
+
 def ivf_drift(
     spark: SparkSession,
     index_dir: str,
     growth_warn: float = 0.5,
     skew_warn: float = 2.0,
+    frag_warn: int = 64,
 ) -> dict:
     """The operational half of append-many: compare the assignment's
     CURRENT per-cell counts against the build-time snapshot and say
@@ -1600,14 +1620,18 @@ def ivf_drift(
     total_now = sum(now.values())
     growth = _growth_fraction(total_build, total_now - total_build)
     max_ratio = _cell_skew_ratio(build, now, total_build, total_now)
-    return {
-        "total_build": total_build,
-        "total_now": total_now,
-        "growth": growth,
-        "max_cell_ratio": max_ratio,
-        "rebuild_recommended": growth > growth_warn
-        or max_ratio > skew_warn,
-    }
+    return _with_fragmentation(
+        {
+            "total_build": total_build,
+            "total_now": total_now,
+            "growth": growth,
+            "max_cell_ratio": max_ratio,
+            "rebuild_recommended": growth > growth_warn
+            or max_ratio > skew_warn,
+        },
+        os.path.join(index_dir, "assignment"),
+        frag_warn,
+    )
 
 
 def lsh_append(
@@ -1955,7 +1979,10 @@ def sq8_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
 
 
 def sq8_drift(
-    spark: SparkSession, index_dir: str, growth_warn: float = 0.5
+    spark: SparkSession,
+    index_dir: str,
+    growth_warn: float = 0.5,
+    frag_warn: int = 64,
 ) -> dict:
     """How stale are the frozen quantization ranges? Appends quantize
     against build-time min/max, so out-of-range growth clamps and
@@ -1975,13 +2002,17 @@ def sq8_drift(
     ).count()
     appended = total_now - total_build
     growth = _growth_fraction(total_build, appended)
-    return {
-        "total_build": total_build,
-        "total_now": total_now,
-        "appended": appended,
-        "growth": growth,
-        "rebuild_recommended": growth > growth_warn,
-    }
+    return _with_fragmentation(
+        {
+            "total_build": total_build,
+            "total_now": total_now,
+            "appended": appended,
+            "growth": growth,
+            "rebuild_recommended": growth > growth_warn,
+        },
+        os.path.join(index_dir, "codes"),
+        frag_warn,
+    )
 
 
 def _cell_skew_ratio(
@@ -3461,7 +3492,10 @@ def pq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
 
 
 def pq_drift(
-    spark: SparkSession, index_dir: str, growth_warn: float = 0.5
+    spark: SparkSession,
+    index_dir: str,
+    growth_warn: float = 0.5,
+    frag_warn: int = 64,
 ) -> dict:
     """How stale are the frozen codebooks? Appends encode against
     build-time centroids, so distribution drift degrades ADC fidelity
@@ -3475,13 +3509,17 @@ def pq_drift(
     ).count()
     appended = total_now - total_build
     growth = _growth_fraction(total_build, appended)
-    return {
-        "total_build": total_build,
-        "total_now": total_now,
-        "appended": appended,
-        "growth": growth,
-        "rebuild_recommended": growth > growth_warn,
-    }
+    return _with_fragmentation(
+        {
+            "total_build": total_build,
+            "total_now": total_now,
+            "appended": appended,
+            "growth": growth,
+            "rebuild_recommended": growth > growth_warn,
+        },
+        os.path.join(index_dir, "codes"),
+        frag_warn,
+    )
 
 
 def pq_rebuild(spark: SparkSession, index_dir: str, emb: DataFrame) -> str:
@@ -4476,8 +4514,6 @@ def ivfpq_drift(
     files per cell before the report recommends ivfpq_compact."""
     import os
 
-    from ..indexutil import layout_fragmentation
-
     total_build = _ivfpq_meta(index_dir)["n_vecs"]
     build = {
         r["cid"]: r["count"]
@@ -4496,22 +4532,19 @@ def ivfpq_drift(
     appended = total_now - total_build
     growth = _growth_fraction(total_build, appended)
     max_ratio = _cell_skew_ratio(build, now, total_build, total_now)
-    # fragmentation is a listdir (no parquet opened) and its remedy is
-    # ivfpq_compact, NOT a rebuild — a separate recommendation key so
-    # an operator never retrains quantizers to fix a small-files
-    # problem
-    frag = layout_fragmentation(os.path.join(index_dir, "codes"))
-    return {
-        "total_build": total_build,
-        "total_now": total_now,
-        "appended": appended,
-        "growth": growth,
-        "max_cell_ratio": max_ratio,
-        "rebuild_recommended": growth > growth_warn
-        or max_ratio > skew_warn,
-        "max_unit_files": frag["max_unit_files"],
-        "compaction_recommended": frag["max_unit_files"] > frag_warn,
-    }
+    return _with_fragmentation(
+        {
+            "total_build": total_build,
+            "total_now": total_now,
+            "appended": appended,
+            "growth": growth,
+            "max_cell_ratio": max_ratio,
+            "rebuild_recommended": growth > growth_warn
+            or max_ratio > skew_warn,
+        },
+        os.path.join(index_dir, "codes"),
+        frag_warn,
+    )
 
 
 def _ivfpq_persisted_parents(

@@ -863,3 +863,83 @@ def test_index_compact_crash_rollback(spark, tmp_path):
     assert os.path.isdir(os.path.join(codes, unit))
     assert not os.path.isdir(tomb) and not os.path.isdir(stage)
     assert spark.read.parquet(codes).count() == rows_before
+
+
+def test_index_compact_flat_crash_heals_via_compact_and_recover_index(
+    spark, tmp_path
+):
+    """The two previously-unhealed crash shapes: (a) a FLAT layout
+    (pq codes) crashed mid-swap — the codes subdir is gone and its
+    only copy sits tombed under the INDEX dir — must heal on the next
+    compact call (recovery now runs before the missing-dir early
+    return); (b) the same state must also heal through recover_index,
+    which staged builds and rebuilds run first — otherwise
+    staged_index_build would judge the index invalid and rmtree it,
+    tomb included."""
+    import os
+
+    from realtime_gmall_flink_spark.indexutil import recover_index
+    from realtime_gmall_flink_spark.plans.vectors import (
+        PQ_SUBDIRS,
+        _emb,
+        pq_build,
+        pq_compact,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+
+    def crash_mid_swap(idx):
+        codes = os.path.join(idx, "codes")
+        rows = spark.read.parquet(codes).count()
+        tomb = os.path.join(idx, ".compact-tomb-test")
+        os.makedirs(tomb)
+        os.rename(codes, os.path.join(tomb, "codes"))
+        return codes, rows
+
+    # (a) the next compact call heals before any early return
+    idx_a = str(tmp_path / "fa")
+    pq_build(emb, idx_a)
+    codes_a, rows_a = crash_mid_swap(idx_a)
+    rep = pq_compact(spark, idx_a, max_files=10_000)
+    assert rep["rolled_back"] is True
+    assert spark.read.parquet(codes_a).count() == rows_a
+    # (b) recover_index heals it too (the staged-build/rebuild path)
+    idx_b = str(tmp_path / "fb")
+    pq_build(emb, idx_b)
+    codes_b, rows_b = crash_mid_swap(idx_b)
+    assert recover_index(idx_b, PQ_SUBDIRS) is True
+    assert spark.read.parquet(codes_b).count() == rows_b
+
+
+def test_index_compact_only_unit_crash_heals(spark, tmp_path):
+    """A partitioned layout whose ONLY partition unit was mid-swap:
+    the codes dir exists but holds no 'cid=' unit and no parts — the
+    old early return skipped recovery and stranded the tomb. The next
+    compact call must roll it back and report it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        ivfpq_build,
+        ivfpq_compact,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "only")
+    # single-cell index: one centroid -> exactly one cid= unit
+    ivfpq_build(emb, idx, n_centroids=1)
+    codes = os.path.join(idx, "codes")
+    rows = spark.read.parquet(codes).count()
+    unit = [e for e in os.listdir(codes) if e.startswith("cid=")][0]
+    tomb = os.path.join(codes, ".compact-tomb-test")
+    os.makedirs(tomb)
+    os.rename(os.path.join(codes, unit), os.path.join(tomb, unit))
+    rep = ivfpq_compact(spark, idx, max_files=10_000)
+    assert rep["rolled_back"] is True
+    assert spark.read.parquet(codes).count() == rows
