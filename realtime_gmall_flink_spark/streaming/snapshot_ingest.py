@@ -1,0 +1,266 @@
+"""Corpus-version tracking on arrival — the streaming twin of
+plans.textops.snapshot_diff.
+
+A persisted FINGERPRINT INDEX holds the corpus's last-seen content
+hash per document (doc_id -> md5(text)), hash-bucket-partitioned on
+the key like streaming/jobs.upsert_sink's layout. Each micro-batch of
+(doc_id, lang, text) arrivals is classified added / changed /
+unchanged against the index, the classification lands in a per-batch
+overwrite side output (the log-fanout replay pattern), and the new
+fingerprints fold back into ONLY the buckets the batch touched.
+'removed' is not observable from an arrival stream (absence is not an
+event) — the batch-form snapshot_diff covers deletions.
+
+Replay safety is the interesting part: foreachBatch can REPLAY a batch
+after a crash, and by then the index already holds the batch's own
+fingerprints — a naive classify would report every replayed 'added'
+doc as 'unchanged' and break exactly-once outputs. Each index row
+therefore keeps a per-key batch watermark: (fp, last_batch, prev_fp,
+prev_pres). A classify of batch N compares a doc whose row says
+last_batch == N against its PREVIOUS state (prev_fp / prev_pres, the
+state before N first applied) instead of fp — so a replay reproduces
+the first attempt's categories bit-for-bit, and the re-apply writes
+the same rows it wrote before (idempotent by construction, not by
+hoping the batch never crashes).
+
+Scale: the classify join prunes the index read to the batch's touched
+buckets via a literal partition filter (bounded by num_buckets), the
+apply rewrites only those buckets through a staged dynamic partition
+overwrite (merge IO proportional to touched buckets, not corpus size),
+and every projection that moves is (key, 3 fingerprint-ish columns) —
+document bodies never shuffle, same argument as snapshot_diff.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FP_SUBDIRS = ("fingerprints", "meta")
+FP_BUCKETS = 16
+_BUCKET_COL = "fp_bucket"
+
+
+def _fp_bucket(num_buckets: int):
+    return F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+
+
+def _fp_rows(docs: DataFrame, num_buckets: int) -> DataFrame:
+    """The skinny fingerprint projection of a doc frame: key, lang,
+    md5-of-text, bucket. Text never leaves this select."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        _fp_bucket(num_buckets).alias(_BUCKET_COL),
+    )
+
+
+def fp_index_build(
+    docs: DataFrame, index_dir: str, num_buckets: int = FP_BUCKETS
+) -> str:
+    """Materialize the fingerprint index from a corpus snapshot
+    (staged + atomic rename; complete index reused, debris rebuilt).
+    Build-time rows carry last_batch = -1 and no previous state —
+    every later arrival classifies against them as the base version."""
+    from ..indexutil import staged_index_build, write_meta_into
+
+    spark = docs.sparkSession
+
+    def write(staging: str) -> None:
+        rows = _fp_rows(docs.dropDuplicates(["doc_id"]), num_buckets)
+        rows.select(
+            "doc_id",
+            "lang",
+            "fp",
+            F.lit(-1).cast("long").alias("last_batch"),
+            F.lit(None).cast("string").alias("prev_fp"),
+            F.lit(0).alias("prev_pres"),
+            _BUCKET_COL,
+        ).write.partitionBy(_BUCKET_COL).parquet(
+            os.path.join(staging, "fingerprints")
+        )
+        n = spark.read.parquet(
+            os.path.join(staging, "fingerprints")
+        ).count()
+        write_meta_into(
+            spark,
+            os.path.join(staging, "meta"),
+            {"n_docs": n, "num_buckets": num_buckets},
+        )
+    return staged_index_build(index_dir, FP_SUBDIRS, write)
+
+
+def _fp_meta(index_dir: str) -> dict:
+    from ..indexutil import read_index_meta
+
+    row = read_index_meta(index_dir)
+    if row is None:
+        raise ValueError(
+            f"not a valid fingerprint index: {index_dir!r} (no meta/)"
+            " — rerun fp_index_build"
+        )
+    return row
+
+
+def classify_new_docs(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+) -> DataFrame:
+    """(doc_id, lang, fp, category) for an arrival batch vs the index:
+    'added' (key never seen), 'changed' (fingerprint differs),
+    'unchanged'. The index read prunes to the batch's touched buckets
+    (a literal partition filter, bounded by num_buckets). Rows whose
+    watermark says THIS batch already applied are classified against
+    their pre-batch state, so a crash-replay reproduces the original
+    categories (module docstring)."""
+    nb = _fp_meta(index_dir)["num_buckets"]
+    rows = _fp_rows(
+        batch.dropDuplicates(["doc_id"]), nb
+    ).localCheckpoint(eager=True)
+    touched = [
+        r[0] for r in rows.select(_BUCKET_COL).distinct().collect()
+    ]
+    if not touched:
+        return rows.select(
+            "doc_id", "lang", "fp", F.lit("added").alias("category")
+        ).limit(0)
+    idx = (
+        spark.read.parquet(os.path.join(index_dir, "fingerprints"))
+        .filter(F.col(_BUCKET_COL).isin(touched))
+        .select(
+            "doc_id",
+            F.col("fp").alias("__cur"),
+            "last_batch",
+            "prev_fp",
+            "prev_pres",
+            F.lit(1).alias("__pres"),
+        )
+    )
+    j = rows.join(idx, "doc_id", "left")
+    replay = F.col("last_batch") == F.lit(batch_id)
+    # the comparison target: pre-batch state under replay, else current
+    old_pres = F.when(
+        F.col("__pres").isNull(), F.lit(0)
+    ).when(replay, F.col("prev_pres")).otherwise(F.lit(1))
+    old_fp = F.when(replay, F.col("prev_fp")).otherwise(F.col("__cur"))
+    cat = (
+        F.when(old_pres == 0, F.lit("added"))
+        .when(old_fp.eqNullSafe(F.col("fp")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("doc_id", "lang", "fp", cat.alias("category"))
+
+
+def fp_index_apply(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+) -> int:
+    """Fold a batch's fingerprints into the index, touched buckets
+    only (the upsert_sink merge shape): for each batch key, the row
+    becomes (fp=new, last_batch=batch_id, prev_* = the pre-batch
+    state). Re-applying the SAME batch_id keeps prev_* frozen at the
+    pre-batch state — idempotent under replay. Returns rows upserted.
+    Unchanged docs may be skipped by the caller (their row is already
+    correct); applying them anyway is harmless."""
+    nb = _fp_meta(index_dir)["num_buckets"]
+    rows = _fp_rows(
+        batch.dropDuplicates(["doc_id"]), nb
+    ).localCheckpoint(eager=True)
+    touched = [
+        r[0] for r in rows.select(_BUCKET_COL).distinct().collect()
+    ]
+    if not touched:
+        return 0
+    fp_path = os.path.join(index_dir, "fingerprints")
+    current = (
+        spark.read.parquet(fp_path)
+        .filter(F.col(_BUCKET_COL).isin(touched))
+    )
+    old = current.select(
+        "doc_id",
+        F.col("fp").alias("__cur"),
+        F.col("last_batch").alias("__lb"),
+        F.col("prev_fp").alias("__pf"),
+        F.col("prev_pres").alias("__pp"),
+    )
+    replay = F.col("__lb") == F.lit(batch_id)
+    merged_batch = rows.join(old, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "fp",
+        F.lit(batch_id).cast("long").alias("last_batch"),
+        # pre-batch state: on replay keep the frozen prev_*; first
+        # apply shifts the current fp down into prev_fp
+        F.when(replay, F.col("__pf")).otherwise(F.col("__cur")).alias(
+            "prev_fp"
+        ),
+        F.when(
+            F.col("__cur").isNull() & ~F.coalesce(replay, F.lit(False)),
+            F.lit(0),
+        )
+        .when(replay, F.col("__pp"))
+        .otherwise(F.lit(1))
+        .alias("prev_pres"),
+        _BUCKET_COL,
+    )
+    untouched_keys = current.join(
+        rows.select("doc_id"), "doc_id", "left_anti"
+    )
+    merged = untouched_keys.unionByName(merged_batch)
+    n = rows.count()
+    staging = f"{fp_path.rstrip('/')}.staging-{batch_id}"
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+        (
+            spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET_COL)
+            .parquet(fp_path)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n
+
+
+def run_snapshot_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    out_dir: str,
+    ckpt: str,
+):
+    """availableNow ingest over a parquet topic dir of (doc_id, lang,
+    text) rows: classify each micro-batch against the fingerprint
+    index (changes/batch=N side output, per-batch overwrite), then
+    fold its fingerprints in. Classify-before-apply plus the per-key
+    batch watermark makes the pair replay-safe end to end."""
+    from .sources import parquet_topic_ingest
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select(
+            "doc_id", "lang", "text"
+        ).localCheckpoint(eager=True)
+        classified = classify_new_docs(
+            spark, index_dir, batch, batch_id
+        ).localCheckpoint(eager=True)  # one classification, two users
+        classified.select("doc_id", "lang", "category").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "changes", f"batch={batch_id}"))
+        fp_index_apply(spark, index_dir, batch, batch_id)
+
+    return parquet_topic_ingest(spark, src_dir, ckpt, sink)
+
+
+def read_changes(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    from ..indexutil import read_batched
+
+    return read_batched(spark, out_dir, "changes")

@@ -1,0 +1,132 @@
+"""Streaming corpus-version tracking (streaming/snapshot_ingest.py):
+batch parity with plans.textops.snapshot_diff, sequential-wave
+classification through a restart, and crash-replay reproducibility via
+the per-key batch watermark."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+import realtime_gmall_flink_spark.streaming.snapshot_ingest as SI
+from realtime_gmall_flink_spark.plans.textops import (
+    _docs,
+    simulated_next_snapshot,
+    snapshot_diff,
+)
+
+from .conftest import SF_DIR
+
+
+def _cats(df):
+    return {r["doc_id"]: r["category"] for r in df.collect()}
+
+
+def test_snapshot_ingest_matches_batch_diff(spark, tmp_path):
+    """One arrival wave carrying the whole 'next' snapshot classifies
+    exactly like the batch diff (minus 'removed', unobservable from
+    arrivals), and the classify plan prunes the index read to the
+    batch's buckets."""
+    base = _docs(spark, SF_DIR)
+    nxt = simulated_next_snapshot(base).localCheckpoint(eager=True)
+    idx = SI.fp_index_build(base, str(tmp_path / "idx"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    nxt.select("doc_id", "lang", "text").write.parquet(src)
+    SI.run_snapshot_ingest(
+        spark, src, idx, out, str(tmp_path / "ckpt")
+    ).awaitTermination()
+    got = _cats(SI.read_changes(spark, out))
+    want = {
+        k: v
+        for k, v in _cats(snapshot_diff(base, nxt)).items()
+        if v != "removed"
+    }
+    assert got == want
+    # the classify plan prunes the index scan by bucket
+    plan_df = SI.classify_new_docs(spark, idx, nxt, batch_id=99)
+    plan = plan_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan and "fp_bucket" in plan
+
+
+def test_snapshot_ingest_sequential_waves_with_restart(spark, tmp_path):
+    """Wave 2 (a restarted query on the same checkpoint) classifies
+    against the index AS UPDATED by wave 1: a doc added in wave 1 and
+    re-sent identical in wave 2 is 'unchanged'; re-sent modified is
+    'changed'."""
+    base = _docs(spark, SF_DIR)
+    idx = SI.fp_index_build(base, str(tmp_path / "idx"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    wave1 = spark.createDataFrame(
+        [(900_001, "en", "alpha"), (900_002, "en", "beta")],
+        "doc_id long, lang string, text string",
+    )
+    wave1.write.mode("append").parquet(src)
+    SI.run_snapshot_ingest(spark, src, idx, out, ckpt).awaitTermination()
+    wave2 = spark.createDataFrame(
+        [(900_001, "en", "alpha"), (900_002, "en", "beta v2")],
+        "doc_id long, lang string, text string",
+    )
+    wave2.write.mode("append").parquet(src)
+    SI.run_snapshot_ingest(spark, src, idx, out, ckpt).awaitTermination()
+    got = _cats(SI.read_changes(spark, out))
+    # read_changes unions batches; wave2's categories win per doc in
+    # the later batch dir — assert on the per-batch outputs directly
+    b0 = _cats(spark.read.parquet(os.path.join(out, "changes/batch=0")))
+    b1 = _cats(spark.read.parquet(os.path.join(out, "changes/batch=1")))
+    assert b0 == {900_001: "added", 900_002: "added"}
+    assert b1 == {900_001: "unchanged", 900_002: "changed"}
+    assert set(got) == {900_001, 900_002}
+
+
+def test_snapshot_ingest_replay_reproduces_categories(spark, tmp_path):
+    """The crash-replay window: after a batch applied, re-running the
+    SAME batch_id must reproduce the original categories (not reclassify
+    its own writes as 'unchanged') and must leave the index
+    byte-identical (idempotent re-apply)."""
+    base = _docs(spark, SF_DIR)
+    idx = SI.fp_index_build(base, str(tmp_path / "idx"))
+    batch = spark.createDataFrame(
+        [
+            (900_001, "en", "brand new"),  # added
+            (0, "en", "edited text"),  # changed (doc 0 exists in base)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    first = _cats(SI.classify_new_docs(spark, idx, batch, batch_id=7))
+    assert first == {900_001: "added", 0: "changed"}
+    SI.fp_index_apply(spark, idx, batch, batch_id=7)
+
+    def index_rows():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{idx}/fingerprints")
+                .select(
+                    "doc_id",
+                    "fp",
+                    "last_batch",
+                    "prev_fp",
+                    "prev_pres",
+                )
+                .collect(),
+            )
+        )
+
+    state1 = index_rows()
+    # replay: same batch_id against the already-updated index
+    replayed = _cats(SI.classify_new_docs(spark, idx, batch, batch_id=7))
+    assert replayed == first
+    SI.fp_index_apply(spark, idx, batch, batch_id=7)
+    assert index_rows() == state1
+    # a LATER batch then sees the applied state: identical content is
+    # 'unchanged', and the watermark comparison no longer short-circuits
+    later = _cats(SI.classify_new_docs(spark, idx, batch, batch_id=8))
+    assert later == {900_001: "unchanged", 0: "unchanged"}
