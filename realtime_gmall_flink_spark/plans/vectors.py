@@ -777,9 +777,15 @@ def ivf_refresh_if_drifted(
     the drift report with a ``rebuilt`` flag added."""
     report = dict(ivf_drift(spark, index_dir, **drift_kwargs))
     report["rebuilt"] = False
+    report["compacted"] = False
     if report["rebuild_recommended"]:
         ivf_rebuild(spark, index_dir, emb, n_centroids, lloyd_iters)
         report["rebuilt"] = True
+    elif report["compaction_recommended"]:
+        ivf_compact(
+            spark, index_dir, max_files=drift_kwargs.get("frag_warn", 64)
+        )
+        report["compacted"] = True
     return report
 
 
@@ -2075,9 +2081,15 @@ def sq8_refresh_if_drifted(
     Returns the drift report with a ``rebuilt`` flag added."""
     report = dict(sq8_drift(spark, index_dir, **drift_kwargs))
     report["rebuilt"] = False
+    report["compacted"] = False
     if report["rebuild_recommended"]:
-        sq8_rebuild(spark, index_dir, emb)
+        sq8_rebuild(spark, index_dir, emb)  # subsumes any compaction
         report["rebuilt"] = True
+    elif report["compaction_recommended"]:
+        sq8_compact(
+            spark, index_dir, max_files=drift_kwargs.get("frag_warn", 64)
+        )
+        report["compacted"] = True
     return report
 
 
@@ -3543,9 +3555,15 @@ def pq_refresh_if_drifted(
     report with a ``rebuilt`` flag added."""
     report = dict(pq_drift(spark, index_dir, **drift_kwargs))
     report["rebuilt"] = False
+    report["compacted"] = False
     if report["rebuild_recommended"]:
-        pq_rebuild(spark, index_dir, emb)
+        pq_rebuild(spark, index_dir, emb)  # subsumes any compaction
         report["rebuilt"] = True
+    elif report["compaction_recommended"]:
+        pq_compact(
+            spark, index_dir, max_files=drift_kwargs.get("frag_warn", 64)
+        )
+        report["compacted"] = True
     return report
 
 
@@ -4652,13 +4670,20 @@ def ivfpq_refresh_if_drifted(
     to re-gear an index whose cells outgrew their build sizing."""
     report = dict(ivfpq_drift(spark, index_dir, **drift_kwargs))
     report["rebuilt"] = False
+    report["compacted"] = False
     if report["rebuild_recommended"]:
         # parent-dir defaulting (persisted parents/) happens inside
-        # ivfpq_rebuild
+        # ivfpq_rebuild. A rebuild rewrites the whole layout, so any
+        # pending compaction is subsumed — never compact first
         ivfpq_rebuild(
             spark, index_dir, emb, ivf_dir, pq_dir, n_centroids
         )
         report["rebuilt"] = True
+    elif report["compaction_recommended"]:
+        ivfpq_compact(
+            spark, index_dir, max_files=drift_kwargs.get("frag_warn", 64)
+        )
+        report["compacted"] = True
     return report
 
 

@@ -943,3 +943,41 @@ def test_index_compact_only_unit_crash_heals(spark, tmp_path):
     rep = ivfpq_compact(spark, idx, max_files=10_000)
     assert rep["rolled_back"] is True
     assert spark.read.parquet(codes).count() == rows
+
+
+def test_refresh_if_drifted_compacts_without_rebuilding(spark, tmp_path):
+    """The maintenance entry point routes each problem to its remedy:
+    a fragmented-but-not-drifted layout gets COMPACTED (no quantizer
+    retrain), and once compacted the next refresh is a full no-op."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _emb,
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_refresh_if_drifted,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "mnt")
+    ivfpq_build(emb, idx)
+    corpus = emb.select("vec_id", "embedding")
+    for i in range(5):
+        arr = emb.filter(F.col("vec_id") < 2).select(
+            (F.col("vec_id") + (i + 1) * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+        ivfpq_append(spark, idx, arr)
+        corpus = corpus.unionByName(arr)
+    # tiny appends: far under growth/skew thresholds, over frag_warn
+    rep = ivfpq_refresh_if_drifted(
+        spark, idx, corpus, frag_warn=3, growth_warn=0.9, skew_warn=50.0
+    )
+    assert rep["rebuilt"] is False and rep["compacted"] is True
+    rep2 = ivfpq_refresh_if_drifted(
+        spark, idx, corpus, frag_warn=3, growth_warn=0.9, skew_warn=50.0
+    )
+    assert rep2["compacted"] is False and rep2["rebuilt"] is False
+    assert rep2["max_unit_files"] <= 3
