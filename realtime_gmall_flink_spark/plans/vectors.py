@@ -42,6 +42,11 @@ TOP_K = 10
 ANN_BITS = 16
 ANN_PROBE_RADIUS = 2
 
+# Tolerated parquet files per layout unit before drift reports raise
+# compaction_recommended; refresh_if_drifted passes the SAME value as
+# the compact threshold so the remedy clears the cue that fired it.
+FRAG_WARN = 64
+
 _BUCKET16_SQL = " + ".join(
     f"(CASE WHEN embedding[{2 * i + 1}] > embedding[{2 * i + 2}]"
     f" THEN {1 << i} ELSE 0 END)"
@@ -783,7 +788,7 @@ def ivf_refresh_if_drifted(
         report["rebuilt"] = True
     elif report["compaction_recommended"]:
         ivf_compact(
-            spark, index_dir, max_files=drift_kwargs.get("frag_warn", 64)
+            spark, index_dir, max_files=drift_kwargs.get("frag_warn", FRAG_WARN)
         )
         report["compacted"] = True
     return report
@@ -1591,7 +1596,7 @@ def ivf_drift(
     index_dir: str,
     growth_warn: float = 0.5,
     skew_warn: float = 2.0,
-    frag_warn: int = 64,
+    frag_warn: int = FRAG_WARN,
 ) -> dict:
     """The operational half of append-many: compare the assignment's
     CURRENT per-cell counts against the build-time snapshot and say
@@ -1988,7 +1993,7 @@ def sq8_drift(
     spark: SparkSession,
     index_dir: str,
     growth_warn: float = 0.5,
-    frag_warn: int = 64,
+    frag_warn: int = FRAG_WARN,
 ) -> dict:
     """How stale are the frozen quantization ranges? Appends quantize
     against build-time min/max, so out-of-range growth clamps and
@@ -2087,7 +2092,7 @@ def sq8_refresh_if_drifted(
         report["rebuilt"] = True
     elif report["compaction_recommended"]:
         sq8_compact(
-            spark, index_dir, max_files=drift_kwargs.get("frag_warn", 64)
+            spark, index_dir, max_files=drift_kwargs.get("frag_warn", FRAG_WARN)
         )
         report["compacted"] = True
     return report
@@ -3507,7 +3512,7 @@ def pq_drift(
     spark: SparkSession,
     index_dir: str,
     growth_warn: float = 0.5,
-    frag_warn: int = 64,
+    frag_warn: int = FRAG_WARN,
 ) -> dict:
     """How stale are the frozen codebooks? Appends encode against
     build-time centroids, so distribution drift degrades ADC fidelity
@@ -3561,7 +3566,7 @@ def pq_refresh_if_drifted(
         report["rebuilt"] = True
     elif report["compaction_recommended"]:
         pq_compact(
-            spark, index_dir, max_files=drift_kwargs.get("frag_warn", 64)
+            spark, index_dir, max_files=drift_kwargs.get("frag_warn", FRAG_WARN)
         )
         report["compacted"] = True
     return report
@@ -4517,7 +4522,7 @@ def ivfpq_drift(
     index_dir: str,
     growth_warn: float = 0.5,
     skew_warn: float = 2.0,
-    frag_warn: int = 64,
+    frag_warn: int = FRAG_WARN,
 ) -> dict:
     """How stale are the frozen quantizers? Appends encode against
     build-time codebooks and assign against build-time centroids, so
@@ -4681,7 +4686,7 @@ def ivfpq_refresh_if_drifted(
         report["rebuilt"] = True
     elif report["compaction_recommended"]:
         ivfpq_compact(
-            spark, index_dir, max_files=drift_kwargs.get("frag_warn", 64)
+            spark, index_dir, max_files=drift_kwargs.get("frag_warn", FRAG_WARN)
         )
         report["compacted"] = True
     return report

@@ -124,6 +124,14 @@ def _has_parquet(path: str) -> bool:
     )
 
 
+def hash_bucket(keys: list[str], num_buckets: int) -> Column:
+    """THE key-hash bucket expression for hash-bucket-partitioned
+    layouts (upsert_sink's target, snapshot_ingest's fingerprint
+    index): one definition so two layouts claiming the same bucketing
+    cannot silently diverge in hash or cast."""
+    return F.pmod(F.xxhash64(*keys), F.lit(num_buckets)).cast("int")
+
+
 def upsert_sink(
     target_dir: str,
     keys: list[str],
@@ -148,7 +156,7 @@ def upsert_sink(
     cannot overwrite partitions it is concurrently reading).
     """
 
-    bucket = F.pmod(F.xxhash64(*keys), F.lit(num_buckets)).cast("int")
+    bucket = hash_bucket(keys, num_buckets)
 
     def write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

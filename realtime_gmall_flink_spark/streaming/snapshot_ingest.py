@@ -44,19 +44,35 @@ FP_BUCKETS = 16
 _BUCKET_COL = "fp_bucket"
 
 
-def _fp_bucket(num_buckets: int):
-    return F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
-
-
 def _fp_rows(docs: DataFrame, num_buckets: int) -> DataFrame:
     """The skinny fingerprint projection of a doc frame: key, lang,
-    md5-of-text, bucket. Text never leaves this select."""
+    md5-of-text, bucket (the shared upsert hash_bucket — one bucketing
+    contract with the upsert_sink layout). Text never leaves this
+    select."""
+    from .jobs import hash_bucket
+
     return docs.select(
         "doc_id",
         "lang",
         F.md5("text").alias("fp"),
-        _fp_bucket(num_buckets).alias(_BUCKET_COL),
+        hash_bucket(["doc_id"], num_buckets).alias(_BUCKET_COL),
     )
+
+
+def _prepared_rows(
+    index_dir: str, batch: DataFrame, rows: DataFrame | None
+) -> DataFrame:
+    """The per-batch fingerprint frame classify and apply SHARE —
+    md5-over-text, dedup, and the checkpoint happen once per
+    micro-batch, and one deterministic duplicate pick feeds both (two
+    independent dropDuplicates could pair one copy's classification
+    with another copy's applied fingerprint)."""
+    if rows is not None:
+        return rows
+    nb = _fp_meta(index_dir)["num_buckets"]
+    return _fp_rows(
+        batch.dropDuplicates(["doc_id"]), nb
+    ).localCheckpoint(eager=True)
 
 
 def fp_index_build(
@@ -111,6 +127,7 @@ def classify_new_docs(
     index_dir: str,
     batch: DataFrame,
     batch_id: int,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, lang, fp, category) for an arrival batch vs the index:
     'added' (key never seen), 'changed' (fingerprint differs),
@@ -118,11 +135,11 @@ def classify_new_docs(
     (a literal partition filter, bounded by num_buckets). Rows whose
     watermark says THIS batch already applied are classified against
     their pre-batch state, so a crash-replay reproduces the original
-    categories (module docstring)."""
-    nb = _fp_meta(index_dir)["num_buckets"]
-    rows = _fp_rows(
-        batch.dropDuplicates(["doc_id"]), nb
-    ).localCheckpoint(eager=True)
+    categories (module docstring). ``batch_id`` is meaningful within
+    ONE checkpoint lineage — see run_snapshot_ingest. ``rows`` is the
+    internal share-the-fingerprints hook (the new_sh/pre_encoded
+    convention)."""
+    rows = _prepared_rows(index_dir, batch, rows)
     touched = [
         r[0] for r in rows.select(_BUCKET_COL).distinct().collect()
     ]
@@ -162,6 +179,7 @@ def fp_index_apply(
     index_dir: str,
     batch: DataFrame,
     batch_id: int,
+    rows: DataFrame | None = None,
 ) -> int:
     """Fold a batch's fingerprints into the index, touched buckets
     only (the upsert_sink merge shape): for each batch key, the row
@@ -169,11 +187,10 @@ def fp_index_apply(
     state). Re-applying the SAME batch_id keeps prev_* frozen at the
     pre-batch state — idempotent under replay. Returns rows upserted.
     Unchanged docs may be skipped by the caller (their row is already
-    correct); applying them anyway is harmless."""
-    nb = _fp_meta(index_dir)["num_buckets"]
-    rows = _fp_rows(
-        batch.dropDuplicates(["doc_id"]), nb
-    ).localCheckpoint(eager=True)
+    correct); applying them anyway is harmless. ``rows`` shares the
+    prepared fingerprints with classify_new_docs (one md5 pass, one
+    duplicate pick per micro-batch)."""
+    rows = _prepared_rows(index_dir, batch, rows)
     touched = [
         r[0] for r in rows.select(_BUCKET_COL).distinct().collect()
     ]
@@ -202,10 +219,11 @@ def fp_index_apply(
         F.when(replay, F.col("__pf")).otherwise(F.col("__cur")).alias(
             "prev_fp"
         ),
-        F.when(
-            F.col("__cur").isNull() & ~F.coalesce(replay, F.lit(False)),
-            F.lit(0),
-        )
+        # row presence keys on the WATERMARK column, never on the
+        # fingerprint: md5(NULL text) is NULL, so a present row with a
+        # NULL fp would read as absent and a replay would reclassify
+        # its doc 'added' (the snapshot_diff marker-column rule)
+        F.when(F.col("__lb").isNull(), F.lit(0))
         .when(replay, F.col("__pp"))
         .otherwise(F.lit(1))
         .alias("prev_pres"),
@@ -242,20 +260,49 @@ def run_snapshot_ingest(
     text) rows: classify each micro-batch against the fingerprint
     index (changes/batch=N side output, per-batch overwrite), then
     fold its fingerprints in. Classify-before-apply plus the per-key
-    batch watermark makes the pair replay-safe end to end."""
+    batch watermark makes the pair replay-safe end to end.
+
+    The watermark is the CHECKPOINT's batch id, so it is meaningful
+    within one checkpoint lineage only: re-pointing the ingest at a
+    FRESH checkpoint over an already-used index would restart ids at 0
+    and misread first-time batches as replays. Batch 0 therefore
+    REFUSES an index whose max watermark exceeds 0 (a used index can
+    only legitimately see batch 0 as a replay of batch 0) — the remedy
+    is rebuilding the fingerprint index from the current corpus (or a
+    fresh index_dir) alongside the fresh checkpoint."""
     from .sources import parquet_topic_ingest
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch = batch.select(
             "doc_id", "lang", "text"
         ).localCheckpoint(eager=True)
+        if batch_id == 0:
+            max_lb = (
+                spark.read.parquet(
+                    os.path.join(index_dir, "fingerprints")
+                )
+                .agg(F.max("last_batch").alias("m"))
+                .head()["m"]
+            )
+            if max_lb is not None and max_lb > 0:
+                raise ValueError(
+                    "run_snapshot_ingest: batch 0 on a fingerprint"
+                    f" index whose watermark is already {max_lb} —"
+                    " this is a FRESH checkpoint over a used index,"
+                    " and batch ids would collide with the previous"
+                    " lineage's; rebuild the index from the current"
+                    " corpus (fp_index_build) or use a fresh"
+                    " index_dir with the new checkpoint"
+                )
+        rows = _prepared_rows(index_dir, batch, None)
         classified = classify_new_docs(
-            spark, index_dir, batch, batch_id
-        ).localCheckpoint(eager=True)  # one classification, two users
+            spark, index_dir, batch, batch_id, rows=rows
+        )
         classified.select("doc_id", "lang", "category").write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "changes", f"batch={batch_id}"))
-        fp_index_apply(spark, index_dir, batch, batch_id)
+        # one md5 pass and ONE duplicate pick feed both stages
+        fp_index_apply(spark, index_dir, batch, batch_id, rows=rows)
 
     return parquet_topic_ingest(spark, src_dir, ckpt, sink)
 

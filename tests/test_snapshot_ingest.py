@@ -130,3 +130,66 @@ def test_snapshot_ingest_replay_reproduces_categories(spark, tmp_path):
     # 'unchanged', and the watermark comparison no longer short-circuits
     later = _cats(SI.classify_new_docs(spark, idx, batch, batch_id=8))
     assert later == {900_001: "unchanged", 0: "unchanged"}
+
+
+def test_replay_of_null_text_update_is_reproducible(spark, tmp_path):
+    """Row presence in the index must key on the watermark column, not
+    the fingerprint: an existing NULL-text doc (fp=NULL) updated by a
+    batch must replay as 'changed', never 'added' — the md5(NULL)
+    trap snapshot_diff documents, applied to the apply path."""
+    base = spark.createDataFrame(
+        [(1, "en", None), (2, "en", "kept")],
+        "doc_id long, lang string, text string",
+    )
+    idx = SI.fp_index_build(base, str(tmp_path / "idx"))
+    batch = spark.createDataFrame(
+        [(1, "en", "now has text")],
+        "doc_id long, lang string, text string",
+    )
+    first = _cats(SI.classify_new_docs(spark, idx, batch, batch_id=4))
+    assert first == {1: "changed"}
+    SI.fp_index_apply(spark, idx, batch, batch_id=4)
+    replayed = _cats(SI.classify_new_docs(spark, idx, batch, batch_id=4))
+    assert replayed == first  # presence survived the NULL fingerprint
+    # and the inverse edit (text -> NULL) stays 'changed' under replay
+    batch2 = spark.createDataFrame(
+        [(2, "en", None)], "doc_id long, lang string, text string"
+    )
+    assert _cats(SI.classify_new_docs(spark, idx, batch2, 5)) == {
+        2: "changed"
+    }
+    SI.fp_index_apply(spark, idx, batch2, 5)
+    assert _cats(SI.classify_new_docs(spark, idx, batch2, 5)) == {
+        2: "changed"
+    }
+
+
+def test_fresh_checkpoint_over_used_index_refused(spark, tmp_path):
+    """Batch ids are only meaningful within one checkpoint lineage:
+    a new checkpoint over an index whose watermark has advanced past 0
+    must be refused by name at batch 0, not silently misread as a
+    replay."""
+    import pytest as _pytest
+
+    base = _docs(spark, SF_DIR)
+    idx = SI.fp_index_build(base, str(tmp_path / "idx"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    w = spark.createDataFrame(
+        [(900_001, "en", "a")], "doc_id long, lang string, text string"
+    )
+    w.write.mode("append").parquet(src)
+    SI.run_snapshot_ingest(
+        spark, src, idx, out, str(tmp_path / "ckpt1")
+    ).awaitTermination()
+    spark.createDataFrame(
+        [(900_002, "en", "b")], "doc_id long, lang string, text string"
+    ).write.mode("append").parquet(src)
+    SI.run_snapshot_ingest(
+        spark, src, idx, out, str(tmp_path / "ckpt1")
+    ).awaitTermination()  # watermark now 1
+    q = SI.run_snapshot_ingest(
+        spark, src, idx, str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    )
+    with _pytest.raises(Exception, match="FRESH checkpoint"):
+        q.awaitTermination()
