@@ -3054,6 +3054,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivfpq_filtered_topk",
     survey="J5(ext),P7(ext)",
+    headline=True,  # the filtered-vector-search flagship: predicate
+    # pushed into the pruned codes-only scan, not post-filtered
     oracle=f"""
 WITH {_IVF_CELLS_SQL}
 , {_PQ_NE_SQL}

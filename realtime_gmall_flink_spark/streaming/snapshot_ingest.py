@@ -265,35 +265,24 @@ def run_snapshot_ingest(
     The watermark is the CHECKPOINT's batch id, so it is meaningful
     within one checkpoint lineage only: re-pointing the ingest at a
     FRESH checkpoint over an already-used index would restart ids at 0
-    and misread first-time batches as replays. Batch 0 therefore
-    REFUSES an index whose max watermark exceeds 0 (a used index can
-    only legitimately see batch 0 as a replay of batch 0) — the remedy
-    is rebuilding the fingerprint index from the current corpus (or a
-    fresh index_dir) alongside the fresh checkpoint."""
+    and misread first-time batches as replays. The index therefore
+    records its LINEAGE (a hash of the checkpoint path) on first
+    contact, and every subsequent batch refuses a mismatch by name —
+    this catches the fresh-checkpoint case even at watermark 0, where
+    a max-watermark guard is blind (a legit same-lineage replay of
+    batch 0 is indistinguishable by watermark alone). Residual risk,
+    documented: deleting and recreating the SAME checkpoint path
+    defeats the marker — operator error of the stopped-world class.
+    The remedy on refusal is rebuilding the fingerprint index from the
+    current corpus (fp_index_build) or a fresh index_dir."""
     from .sources import parquet_topic_ingest
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.select(
-            "doc_id", "lang", "text"
-        ).localCheckpoint(eager=True)
-        if batch_id == 0:
-            max_lb = (
-                spark.read.parquet(
-                    os.path.join(index_dir, "fingerprints")
-                )
-                .agg(F.max("last_batch").alias("m"))
-                .head()["m"]
-            )
-            if max_lb is not None and max_lb > 0:
-                raise ValueError(
-                    "run_snapshot_ingest: batch 0 on a fingerprint"
-                    f" index whose watermark is already {max_lb} —"
-                    " this is a FRESH checkpoint over a used index,"
-                    " and batch ids would collide with the previous"
-                    " lineage's; rebuild the index from the current"
-                    " corpus (fp_index_build) or use a fresh"
-                    " index_dir with the new checkpoint"
-                )
+        _check_lineage(index_dir, ckpt)
+        batch = batch.select("doc_id", "lang", "text")
+        # the skinny fingerprint frame is the ONLY thing checkpointed:
+        # document bodies are read once (inside the md5 projection) and
+        # never materialized per batch
         rows = _prepared_rows(index_dir, batch, None)
         classified = classify_new_docs(
             spark, index_dir, batch, batch_id, rows=rows
@@ -305,6 +294,38 @@ def run_snapshot_ingest(
         fp_index_apply(spark, index_dir, batch, batch_id, rows=rows)
 
     return parquet_topic_ingest(spark, src_dir, ckpt, sink)
+
+
+def _check_lineage(index_dir: str, ckpt: str) -> None:
+    """Bind the index to ONE checkpoint lineage: first contact writes
+    a marker (md5 of the checkpoint's absolute path — idempotent under
+    replay: same lineage rewrites the same bytes), later contact from
+    a DIFFERENT checkpoint is refused by name before any batch id can
+    be misread as a replay."""
+    import hashlib
+
+    marker = os.path.join(index_dir, "lineage.txt")
+    mine = hashlib.md5(
+        os.path.abspath(ckpt).encode("utf-8")
+    ).hexdigest()
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            have = f.read().strip()
+        if have != mine:
+            raise ValueError(
+                "run_snapshot_ingest: this fingerprint index is bound"
+                f" to a different checkpoint lineage ({have[:12]}…,"
+                f" yours {mine[:12]}…) — batch ids from a fresh"
+                " checkpoint would collide with the recorded"
+                " lineage's watermarks; rebuild the index from the"
+                " current corpus (fp_index_build) or use a fresh"
+                " index_dir with the new checkpoint"
+            )
+        return
+    tmp = f"{marker}.tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(mine)
+    os.replace(tmp, marker)
 
 
 def read_changes(spark: SparkSession, out_dir: str) -> DataFrame | None:

@@ -140,7 +140,10 @@ def _backfill_build_stats(spark: SparkSession, index_dir: str) -> bool:
 
 
 def shingle_index_drift(
-    spark: SparkSession, index_dir: str, growth_warn: float = 0.5
+    spark: SparkSession,
+    index_dir: str,
+    growth_warn: float = 0.5,
+    frag_warn: int | None = None,
 ) -> dict:
     """The text twin of ivf_drift: how stale is the frozen ``dfreq/``
     snapshot? ``dfreq`` covers exactly the docs present at build (its
@@ -179,13 +182,57 @@ def shingle_index_drift(
     growth = (
         appended_docs / total_build if total_build else float("inf")
     )
+    # fragmentation cue over the append-heavy subdirs (listdir-only;
+    # the vectors-family drift convention): remedy is
+    # shingle_index_compact, never a rebuild
+    from ..indexutil import layout_fragmentation
+    from ..plans.vectors import FRAG_WARN
+
+    frag_warn = FRAG_WARN if frag_warn is None else frag_warn
+    max_files = max(
+        layout_fragmentation(os.path.join(index_dir, s))[
+            "max_unit_files"
+        ]
+        for s in ("shingles", "sizes")
+    )
     return {
         "total_build": total_build,
         "total_now": total_now,
         "appended_docs": appended_docs,
         "growth": growth,
         "rebuild_recommended": growth > growth_warn,
+        "max_unit_files": max_files,
+        "compaction_recommended": max_files > frag_warn,
     }
+
+
+def shingle_index_compact(
+    spark: SparkSession, index_dir: str, **kw
+) -> dict:
+    """Compact the shingle index's two flat append subdirs (one atomic
+    whole-subdir swap each — indexutil.compact_layout). Per-hash
+    idempotent appends write one file set per call, so a long ingest
+    fragments both trees."""
+    from ..indexutil import compact_layout
+
+    out = {}
+    for s in ("shingles", "sizes"):
+        rep = compact_layout(spark, os.path.join(index_dir, s), **kw)
+        for k, v in rep.items():
+            out[k] = (out.get(k, 0) + v) if k != "rolled_back" else (
+                out.get(k, False) or v
+            )
+    return out
+
+
+def gram_index_compact(
+    spark: SparkSession, index_dir: str, **kw
+) -> dict:
+    """Compact the gram index's flat occurrence tree (the duplicated-
+    span corpus) the same way."""
+    from ..indexutil import compact_layout
+
+    return compact_layout(spark, os.path.join(index_dir, "grams"), **kw)
 
 
 def shingle_index_rebuild(

@@ -165,10 +165,12 @@ def test_replay_of_null_text_update_is_reproducible(spark, tmp_path):
 
 
 def test_fresh_checkpoint_over_used_index_refused(spark, tmp_path):
-    """Batch ids are only meaningful within one checkpoint lineage:
-    a new checkpoint over an index whose watermark has advanced past 0
-    must be refused by name at batch 0, not silently misread as a
-    replay."""
+    """Batch ids are only meaningful within one checkpoint lineage.
+    The index binds to its first checkpoint via a lineage marker, so a
+    DIFFERENT checkpoint is refused by name even when the watermark is
+    still 0 — the case a max-watermark guard is blind to (one prior
+    batch is indistinguishable from a legit batch-0 replay). The
+    original lineage keeps working after the refusal."""
     import pytest as _pytest
 
     base = _docs(spark, SF_DIR)
@@ -181,15 +183,18 @@ def test_fresh_checkpoint_over_used_index_refused(spark, tmp_path):
     w.write.mode("append").parquet(src)
     SI.run_snapshot_ingest(
         spark, src, idx, out, str(tmp_path / "ckpt1")
-    ).awaitTermination()
+    ).awaitTermination()  # watermark 0 — exactly the blind spot
+    q = SI.run_snapshot_ingest(
+        spark, src, idx, str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    )
+    with _pytest.raises(Exception, match="different checkpoint lineage"):
+        q.awaitTermination()
+    # the bound lineage continues unharmed
     spark.createDataFrame(
         [(900_002, "en", "b")], "doc_id long, lang string, text string"
     ).write.mode("append").parquet(src)
     SI.run_snapshot_ingest(
         spark, src, idx, out, str(tmp_path / "ckpt1")
-    ).awaitTermination()  # watermark now 1
-    q = SI.run_snapshot_ingest(
-        spark, src, idx, str(tmp_path / "out2"), str(tmp_path / "ckpt2")
-    )
-    with _pytest.raises(Exception, match="FRESH checkpoint"):
-        q.awaitTermination()
+    ).awaitTermination()
+    b1 = _cats(spark.read.parquet(os.path.join(out, "changes/batch=1")))
+    assert b1 == {900_002: "added"}

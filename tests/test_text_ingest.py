@@ -587,3 +587,41 @@ def test_gram_index_k_is_persisted_and_validated(spark, tmp_path):
     # too — never "was built with k=8" for a value nobody recorded
     with _pytest.raises(ValueError, match="assumed 8"):
         TI.score_new_docs_spans(spark, idx, copy, k=4)
+
+
+def test_shingle_index_fragmentation_cue_and_compaction(spark, tmp_path):
+    """The text indexes carry the same fragmentation cue as the vector
+    families: per-hash-idempotent appends fragment the flat shingles/
+    sizes trees, shingle_index_drift reports it with compaction (not
+    rebuild) as the remedy, and shingle_index_compact clears it while
+    preserving scoring results exactly."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = TI.shingle_index_build(docs, str(tmp_path / "idx"))
+
+    def copies(ids, off):
+        return docs.filter(F.col("doc_id").isin(ids)).select(
+            (F.col("doc_id") + off).alias("doc_id"), "text"
+        )
+
+    for i in range(5):
+        TI.append_docs_to_index(spark, idx, copies([i], 800000))
+    drift = TI.shingle_index_drift(spark, idx, frag_warn=3)
+    assert drift["compaction_recommended"] is True
+    assert drift["rebuild_recommended"] is False  # tiny growth
+    before = sorted(
+        (r["new_doc"], r["dup_of"], r["jaccard"])
+        for r in TI.score_new_docs(
+            spark, idx, copies([0, 1], 900000)
+        ).collect()
+    )
+    rep = TI.shingle_index_compact(spark, idx, max_files=3)
+    assert rep["units_compacted"] >= 1
+    after_drift = TI.shingle_index_drift(spark, idx, frag_warn=3)
+    assert after_drift["compaction_recommended"] is False
+    after = sorted(
+        (r["new_doc"], r["dup_of"], r["jaccard"])
+        for r in TI.score_new_docs(
+            spark, idx, copies([0, 1], 900000)
+        ).collect()
+    )
+    assert after == before
