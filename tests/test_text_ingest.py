@@ -304,6 +304,8 @@ def test_shingle_index_drift_counts_appended_docs(spark, tmp_path):
         "appended_docs": 0,
         "growth": 0.0,
         "rebuild_recommended": False,
+        "max_unit_files": 1,
+        "compaction_recommended": False,
     }
     wave = _docs_df(spark, [(100 + i, f"new{i} words{i} here{i} too{i}")
                             for i in range(3)])
