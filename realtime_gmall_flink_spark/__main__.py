@@ -352,9 +352,17 @@ def _index_cmd(spark, args) -> int:
         src = need_src()
         report = dict(shingle_index_drift(spark, idx))
         report["rebuilt"] = False
+        report["compacted"] = False
         if report["rebuild_recommended"]:
             shingle_index_rebuild(src, idx)
             report["rebuilt"] = True
+        elif report["compaction_recommended"]:
+            # same routing as the vector-family refresh entry points:
+            # fragmentation gets a rewrite, never a dfreq retrain
+            from .streaming.text_ingest import shingle_index_compact
+
+            shingle_index_compact(spark, idx)
+            report["compacted"] = True
     print(json.dumps(report))
     return 0
 

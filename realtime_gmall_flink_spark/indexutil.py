@@ -552,6 +552,12 @@ def compact_layout(
     return report
 
 
+# Tolerated parquet files per layout unit before drift reports raise
+# compaction_recommended; refresh entry points pass the SAME value as
+# the compact threshold so the remedy clears the cue that fired it.
+FRAG_WARN = 64
+
+
 def layout_fragmentation(layout_dir: str) -> dict:
     """File-count fragmentation of a layout, metadata-only (listdir —
     no parquet opened): per-unit parquet file counts plus the max, the

@@ -42,10 +42,9 @@ TOP_K = 10
 ANN_BITS = 16
 ANN_PROBE_RADIUS = 2
 
-# Tolerated parquet files per layout unit before drift reports raise
-# compaction_recommended; refresh_if_drifted passes the SAME value as
-# the compact threshold so the remedy clears the cue that fired it.
-FRAG_WARN = 64
+# FRAG_WARN lives in indexutil next to layout_fragmentation; imported
+# here because the drift signatures default to it.
+from ..indexutil import FRAG_WARN  # noqa: E402
 
 _BUCKET16_SQL = " + ".join(
     f"(CASE WHEN embedding[{2 * i + 1}] > embedding[{2 * i + 2}]"

@@ -64,25 +64,34 @@ def _prepared_rows(
 ) -> DataFrame:
     """The per-batch fingerprint frame classify and apply SHARE —
     md5-over-text, dedup, and the checkpoint happen once per
-    micro-batch, and one deterministic duplicate pick feeds both (two
-    independent dropDuplicates could pair one copy's classification
-    with another copy's applied fingerprint)."""
+    micro-batch. The duplicate pick is CONTENT-DETERMINISTIC (max
+    fingerprint per key, NULLs last, lang as tiebreak), not
+    dropDuplicates' arbitrary first-row: a crash-replayed batch re-runs
+    this from the same files and must land on the SAME copy, or the
+    watermark replay path would compare against a different
+    fingerprint than the first attempt applied."""
     if rows is not None:
         return rows
     nb = _fp_meta(index_dir)["num_buckets"]
-    return _fp_rows(
-        batch.dropDuplicates(["doc_id"]), nb
-    ).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("fp").desc_nulls_last(), F.col("lang").asc_nulls_last()
+    )
+    return (
+        _fp_rows(batch, nb)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
 
 
-def fp_index_build(
-    docs: DataFrame, index_dir: str, num_buckets: int = FP_BUCKETS
-) -> str:
-    """Materialize the fingerprint index from a corpus snapshot
-    (staged + atomic rename; complete index reused, debris rebuilt).
-    Build-time rows carry last_batch = -1 and no previous state —
-    every later arrival classifies against them as the base version."""
-    from ..indexutil import staged_index_build, write_meta_into
+def _fp_write(docs: DataFrame, num_buckets: int):
+    """The shared build/rebuild materialization closure: base-version
+    rows (last_batch = -1, no previous state) partitioned by bucket,
+    plus the meta row."""
+    from ..indexutil import write_meta_into
 
     spark = docs.sparkSession
 
@@ -107,7 +116,31 @@ def fp_index_build(
             os.path.join(staging, "meta"),
             {"n_docs": n, "num_buckets": num_buckets},
         )
-    return staged_index_build(index_dir, FP_SUBDIRS, write)
+
+    return write
+
+
+def fp_index_build(
+    docs: DataFrame, index_dir: str, num_buckets: int = FP_BUCKETS
+) -> str:
+    """Materialize the fingerprint index from a corpus snapshot
+    (staged + atomic rename; complete index reused, debris rebuilt).
+    Build-time rows carry last_batch = -1 and no previous state —
+    every later arrival classifies against them as the base version."""
+    from ..indexutil import staged_index_build
+
+    return staged_index_build(
+        index_dir, FP_SUBDIRS, _fp_write(docs, num_buckets)
+    )
+
+
+def _touched_buckets(rows: DataFrame) -> list:
+    """The batch's touched-bucket list (bounded by num_buckets) — ONE
+    driver collect per micro-batch, shared by classify and apply via
+    their ``touched`` parameter."""
+    return [
+        r[0] for r in rows.select(_BUCKET_COL).distinct().collect()
+    ]
 
 
 def _fp_meta(index_dir: str) -> dict:
@@ -128,6 +161,7 @@ def classify_new_docs(
     batch: DataFrame,
     batch_id: int,
     rows: DataFrame | None = None,
+    touched: list | None = None,
 ) -> DataFrame:
     """(doc_id, lang, fp, category) for an arrival batch vs the index:
     'added' (key never seen), 'changed' (fingerprint differs),
@@ -138,11 +172,9 @@ def classify_new_docs(
     categories (module docstring). ``batch_id`` is meaningful within
     ONE checkpoint lineage — see run_snapshot_ingest. ``rows`` is the
     internal share-the-fingerprints hook (the new_sh/pre_encoded
-    convention)."""
+    convention); ``touched`` shares its bucket list the same way."""
     rows = _prepared_rows(index_dir, batch, rows)
-    touched = [
-        r[0] for r in rows.select(_BUCKET_COL).distinct().collect()
-    ]
+    touched = _touched_buckets(rows) if touched is None else touched
     if not touched:
         return rows.select(
             "doc_id", "lang", "fp", F.lit("added").alias("category")
@@ -180,6 +212,7 @@ def fp_index_apply(
     batch: DataFrame,
     batch_id: int,
     rows: DataFrame | None = None,
+    touched: list | None = None,
 ) -> int:
     """Fold a batch's fingerprints into the index, touched buckets
     only (the upsert_sink merge shape): for each batch key, the row
@@ -189,11 +222,9 @@ def fp_index_apply(
     Unchanged docs may be skipped by the caller (their row is already
     correct); applying them anyway is harmless. ``rows`` shares the
     prepared fingerprints with classify_new_docs (one md5 pass, one
-    duplicate pick per micro-batch)."""
+    duplicate pick per micro-batch); ``touched`` its bucket list."""
     rows = _prepared_rows(index_dir, batch, rows)
-    touched = [
-        r[0] for r in rows.select(_BUCKET_COL).distinct().collect()
-    ]
+    touched = _touched_buckets(rows) if touched is None else touched
     if not touched:
         return 0
     fp_path = os.path.join(index_dir, "fingerprints")
@@ -273,8 +304,9 @@ def run_snapshot_ingest(
     batch 0 is indistinguishable by watermark alone). Residual risk,
     documented: deleting and recreating the SAME checkpoint path
     defeats the marker — operator error of the stopped-world class.
-    The remedy on refusal is rebuilding the fingerprint index from the
-    current corpus (fp_index_build) or a fresh index_dir."""
+    The remedy on refusal is fp_index_rebuild over the current corpus
+    (rebuilds AND clears the binding — plain fp_index_build is a no-op
+    on a complete index) or a fresh index_dir."""
     from .sources import parquet_topic_ingest
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -284,29 +316,35 @@ def run_snapshot_ingest(
         # document bodies are read once (inside the md5 projection) and
         # never materialized per batch
         rows = _prepared_rows(index_dir, batch, None)
+        touched = _touched_buckets(rows)
         classified = classify_new_docs(
-            spark, index_dir, batch, batch_id, rows=rows
+            spark, index_dir, batch, batch_id, rows=rows, touched=touched
         )
         classified.select("doc_id", "lang", "category").write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "changes", f"batch={batch_id}"))
-        # one md5 pass and ONE duplicate pick feed both stages
-        fp_index_apply(spark, index_dir, batch, batch_id, rows=rows)
+        # one md5 pass, ONE duplicate pick, ONE bucket collect feed
+        # both stages
+        fp_index_apply(
+            spark, index_dir, batch, batch_id, rows=rows, touched=touched
+        )
 
     return parquet_topic_ingest(spark, src_dir, ckpt, sink)
 
 
 def _check_lineage(index_dir: str, ckpt: str) -> None:
     """Bind the index to ONE checkpoint lineage: first contact writes
-    a marker (md5 of the checkpoint's absolute path — idempotent under
-    replay: same lineage rewrites the same bytes), later contact from
-    a DIFFERENT checkpoint is refused by name before any batch id can
-    be misread as a replay."""
+    a marker (md5 of the checkpoint's NORMALIZED path — idempotent
+    under replay: same lineage rewrites the same bytes), later contact
+    from a DIFFERENT checkpoint is refused by name before any batch id
+    can be misread as a replay. The refusal's remedy is
+    fp_index_rebuild (rebinds) or a fresh index_dir — fp_index_build
+    on a complete index is a no-op and would NOT clear the binding."""
     import hashlib
 
     marker = os.path.join(index_dir, "lineage.txt")
     mine = hashlib.md5(
-        os.path.abspath(ckpt).encode("utf-8")
+        _normalized_ckpt(ckpt).encode("utf-8")
     ).hexdigest()
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as f:
@@ -317,15 +355,50 @@ def _check_lineage(index_dir: str, ckpt: str) -> None:
                 f" to a different checkpoint lineage ({have[:12]}…,"
                 f" yours {mine[:12]}…) — batch ids from a fresh"
                 " checkpoint would collide with the recorded"
-                " lineage's watermarks; rebuild the index from the"
-                " current corpus (fp_index_build) or use a fresh"
-                " index_dir with the new checkpoint"
+                " lineage's watermarks; rebuild AND rebind with"
+                " fp_index_rebuild(docs, index_dir) over the current"
+                " corpus (plain fp_index_build is a no-op on a"
+                " complete index), or use a fresh index_dir with the"
+                " new checkpoint"
             )
         return
     tmp = f"{marker}.tmp-{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(mine)
     os.replace(tmp, marker)
+
+
+def _normalized_ckpt(ckpt: str) -> str:
+    """One canonical spelling per checkpoint location: URI-style paths
+    (file:/x, hdfs://…) are taken verbatim (abspath would mangle them
+    into cwd-relative strings); filesystem paths resolve through
+    realpath so a different cwd or a symlinked spelling of the SAME
+    checkpoint is not refused as a foreign lineage."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", ckpt):
+        return ckpt
+    return os.path.realpath(ckpt)
+
+
+def fp_index_rebuild(
+    docs: DataFrame, index_dir: str, num_buckets: int = FP_BUCKETS
+) -> str:
+    """Rebuild the fingerprint index IN PLACE over ``docs`` (the
+    crash-safe two-rename swap) and CLEAR its checkpoint-lineage
+    binding — the remedy the lineage refusal names: the rebuilt index
+    reflects the current corpus, and the next ingest lineage to touch
+    it binds fresh. Stopped-world window like every rebuild."""
+    from ..indexutil import rebuild_index
+
+    out = rebuild_index(index_dir, FP_SUBDIRS, _fp_write(docs, num_buckets))
+    # the binding belongs to the OLD lineage; the swap replaced the
+    # index dir, but a marker could survive a legacy layout — remove
+    # explicitly so the next lineage binds fresh either way
+    marker = os.path.join(index_dir, "lineage.txt")
+    if os.path.exists(marker):
+        os.remove(marker)
+    return out
 
 
 def read_changes(spark: SparkSession, out_dir: str) -> DataFrame | None:

@@ -185,8 +185,7 @@ def shingle_index_drift(
     # fragmentation cue over the append-heavy subdirs (listdir-only;
     # the vectors-family drift convention): remedy is
     # shingle_index_compact, never a rebuild
-    from ..indexutil import layout_fragmentation
-    from ..plans.vectors import FRAG_WARN
+    from ..indexutil import FRAG_WARN, layout_fragmentation
 
     frag_warn = FRAG_WARN if frag_warn is None else frag_warn
     max_files = max(

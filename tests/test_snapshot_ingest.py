@@ -198,3 +198,64 @@ def test_fresh_checkpoint_over_used_index_refused(spark, tmp_path):
     ).awaitTermination()
     b1 = _cats(spark.read.parquet(os.path.join(out, "changes/batch=1")))
     assert b1 == {900_002: "added"}
+
+
+def test_fp_index_rebuild_rebinds_lineage(spark, tmp_path):
+    """The refusal's named remedy must actually work: fp_index_rebuild
+    rebuilds over the current corpus AND clears the lineage binding,
+    so the next (new) checkpoint binds fresh and ingests cleanly —
+    where plain fp_index_build on a complete index is a no-op reuse
+    that would leave the operator wedged."""
+    base = _docs(spark, SF_DIR)
+    idx = SI.fp_index_build(base, str(tmp_path / "idx"))
+    src = str(tmp_path / "arrivals")
+    spark.createDataFrame(
+        [(900_001, "en", "a")], "doc_id long, lang string, text string"
+    ).write.mode("append").parquet(src)
+    SI.run_snapshot_ingest(
+        spark, src, idx, str(tmp_path / "out1"), str(tmp_path / "ckpt1")
+    ).awaitTermination()
+    # plain rebuild-via-build is a no-op: binding survives, refusal
+    # repeats (the wedge the remedy exists to break)
+    SI.fp_index_build(base, idx)
+    q = SI.run_snapshot_ingest(
+        spark, src, idx, str(tmp_path / "outx"), str(tmp_path / "ckpt2")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="different checkpoint lineage"):
+        q.awaitTermination()
+    # the real remedy: rebuild + rebind, then the new lineage works
+    SI.fp_index_rebuild(base, idx)
+    SI.run_snapshot_ingest(
+        spark, src, idx, str(tmp_path / "out2"), str(tmp_path / "ckpt3")
+    ).awaitTermination()
+    got = _cats(SI.read_changes(spark, str(tmp_path / "out2")))
+    assert got == {900_001: "added"}  # rebuilt index = base version only
+
+
+def test_duplicate_doc_pick_is_content_deterministic(spark, tmp_path):
+    """A micro-batch carrying the same doc_id twice with DIFFERENT
+    texts must resolve to the same copy on every run — dropDuplicates'
+    arbitrary pick could disagree between a crashed attempt and its
+    replay. The pick is max-fingerprint (content-keyed, order-free)."""
+    base = spark.createDataFrame(
+        [(9, "en", "base")], "doc_id long, lang string, text string"
+    )
+    idx = SI.fp_index_build(base, str(tmp_path / "idx"))
+    from pyspark.sql import functions as F
+
+    dup = spark.createDataFrame(
+        [(9, "en", "v1"), (9, "en", "v2")],
+        "doc_id long, lang string, text string",
+    )
+    picks = set()
+    for _ in range(3):
+        rows = SI._prepared_rows(idx, dup.repartition(4), None)
+        picks.add(rows.head()["fp"])
+    assert len(picks) == 1  # same content chosen every time
+    want = max(
+        r["fp"]
+        for r in dup.select(F.md5("text").alias("fp")).collect()
+    )
+    assert picks == {want}
