@@ -32,6 +32,11 @@ from realtime_gmall_flink_spark.session import get_spark
 # is flagged on stderr; floors from a DIFFERENT box are advisory and
 # the mismatch is printed alongside any flag.
 REGRESSION_FACTOR = 1.5
+# steal_delta above this marks the run "advisory": true in the output
+# JSON — a host-steal storm window whose flags are environment, not
+# code (see README "Benchmarking" and the main() comment for the
+# session evidence behind ~2500)
+STEAL_ADVISORY_THRESHOLD = 2500
 
 
 def _load_floors() -> tuple[dict[str, float], str]:
@@ -172,6 +177,16 @@ def main() -> None:
         env["steal_delta"] = steal_end - env.pop("steal_start")
     else:
         env.pop("steal_start", None)
+    # self-adjudication: a run taken inside a host-steal storm is
+    # ADVISORY — its per-query flags describe the host, not the code.
+    # The threshold comes from the r11 session's evidence: zero-flag
+    # runs landed at steal_delta <= ~1500-2500 while storm windows read
+    # 9.7k-36k and flagged UNTOUCHED queries. Floors and the flag
+    # mechanism are unchanged; this field only labels the window.
+    advisory = (
+        env.get("steal_delta") is not None
+        and env["steal_delta"] > STEAL_ADVISORY_THRESHOLD
+    )
     try:
         env["load1_end"] = round(os.getloadavg()[0], 2)
     except OSError:
@@ -186,6 +201,7 @@ def main() -> None:
                 " cold/settle times on stderr)",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "advisory": advisory,
                 "env": env,
             }
         )
