@@ -9,7 +9,11 @@ unchanged against the index, the classification lands in a per-batch
 overwrite side output (the log-fanout replay pattern), and the new
 fingerprints fold back into ONLY the buckets the batch touched.
 'removed' is not observable from an arrival stream (absence is not an
-event) — the batch-form snapshot_diff covers deletions.
+event) — :func:`reconcile_removed` closes that loop: run it
+periodically (or at snapshot boundaries) against a current full
+snapshot and it emits the 'removed' rows and deletes them from the
+index; ingest + reconcile together reproduce the batch snapshot_diff
+exactly (pytest-pinned).
 
 Replay safety is the interesting part: foreachBatch can REPLAY a batch
 after a crash, and by then the index already holds the batch's own
@@ -173,6 +177,7 @@ def classify_new_docs(
     ONE checkpoint lineage — see run_snapshot_ingest. ``rows`` is the
     internal share-the-fingerprints hook (the new_sh/pre_encoded
     convention); ``touched`` shares its bucket list the same way."""
+    recover_fp_buckets(index_dir)  # a crashed swap must not read short
     rows = _prepared_rows(index_dir, batch, rows)
     touched = _touched_buckets(rows) if touched is None else touched
     if not touched:
@@ -223,6 +228,7 @@ def fp_index_apply(
     correct); applying them anyway is harmless. ``rows`` shares the
     prepared fingerprints with classify_new_docs (one md5 pass, one
     duplicate pick per micro-batch); ``touched`` its bucket list."""
+    recover_fp_buckets(index_dir)
     rows = _prepared_rows(index_dir, batch, rows)
     touched = _touched_buckets(rows) if touched is None else touched
     if not touched:
@@ -267,17 +273,133 @@ def fp_index_apply(
     n = rows.count()
     staging = f"{fp_path.rstrip('/')}.staging-{batch_id}"
     try:
-        merged.write.mode("overwrite").parquet(staging)
-        (
-            spark.read.parquet(staging)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(_BUCKET_COL)
-            .parquet(fp_path)
+        merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
+            staging
         )
+        # per-bucket rename swap, NOT dynamic partition overwrite: the
+        # overwrite's delete-then-rewrite window could lose a bucket's
+        # untouched keys on a hard crash (replay would reclassify those
+        # docs 'added'); the swap leaves each bucket old or new, never
+        # absent (recover_fp_buckets resolves the tombs)
+        _swap_buckets(fp_path, staging, touched)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return n
+
+
+_FP_TOMB = ".tomb-"
+
+
+def recover_fp_buckets(index_dir: str) -> int:
+    """Heal a crashed per-bucket swap (:func:`_swap_buckets`): a tomb
+    holds a bucket's ORIGINAL rows (the safe state). Restore it when
+    the live bucket dir is missing (the crash hit between the two
+    renames), sweep it when the live dir exists (the crash hit after
+    the new data landed). Dot-prefixed tombs are invisible to parquet
+    readers, so a crashed state never double-counts. Returns the
+    number of tombs restored."""
+    fp_path = os.path.join(index_dir, "fingerprints")
+    if not os.path.isdir(fp_path):
+        return 0
+    restored = 0
+    for name in sorted(os.listdir(fp_path)):
+        if not name.startswith(_FP_TOMB):
+            continue
+        # tomb name: .tomb-<hex>-<bucket dirname>
+        bucket_dirname = name.split("-", 2)[2]
+        live = os.path.join(fp_path, bucket_dirname)
+        tomb = os.path.join(fp_path, name)
+        if os.path.isdir(live):
+            shutil.rmtree(tomb, ignore_errors=True)
+        else:
+            os.rename(tomb, live)
+            restored += 1
+    return restored
+
+
+def _swap_buckets(fp_path: str, staging: str, touched: list) -> None:
+    """Commit a touched-bucket rewrite with per-bucket rename swaps
+    (the compact_layout protocol) instead of Spark's dynamic partition
+    overwrite, whose delete-then-rewrite window can LOSE a bucket's
+    untouched keys on a hard crash — a replay would then reclassify
+    those docs 'added', contradicting the module's idempotent-replay
+    guarantee. Each touched bucket: park the live dir as a
+    dot-prefixed tomb, rename the staged dir in (absent staged dir =
+    the bucket emptied — a reconcile delete), sweep the tomb. A crash
+    leaves every bucket either wholly old or wholly new, plus at most
+    one tomb :func:`recover_fp_buckets` resolves."""
+    import uuid
+
+    for b in touched:
+        dirname = f"{_BUCKET_COL}={b}"
+        live = os.path.join(fp_path, dirname)
+        staged = os.path.join(staging, dirname)
+        tomb = os.path.join(
+            fp_path, f"{_FP_TOMB}{uuid.uuid4().hex[:8]}-{dirname}"
+        )
+        had_live = os.path.isdir(live)
+        if had_live:
+            os.rename(live, tomb)
+        if os.path.isdir(staged):
+            os.rename(staged, live)
+        if had_live:
+            shutil.rmtree(tomb, ignore_errors=True)
+
+
+def reconcile_removed(
+    spark: SparkSession,
+    index_dir: str,
+    snapshot: DataFrame,
+    apply: bool = True,
+) -> DataFrame:
+    """The deletion leg an arrival stream cannot observe (absence is
+    not an event): compare the index's key set against a CURRENT full
+    snapshot and return (doc_id, lang, category='removed') for every
+    indexed key the snapshot no longer holds; with ``apply`` (the
+    default) those rows are also DELETED from the index, so later
+    re-adds classify 'added' again. classify_new_docs output plus this
+    reconcile together reproduce plans.textops.snapshot_diff exactly.
+
+    Scale: the detection is ONE left-anti join of skinny key
+    projections (the snapshot side is doc_id only — bodies never
+    load); the delete rewrites ONLY buckets that lost keys. The
+    removed frame is MATERIALIZED before the rewrite, so the returned
+    DataFrame stays correct after apply mutates the layout it was
+    derived from. Idempotent: a second reconcile over the same
+    snapshot removes nothing. Stopped-writer window, like every index
+    maintenance op (don't race the streaming sink)."""
+    recover_fp_buckets(index_dir)
+    _fp_meta(index_dir)  # refuse non-indexes by name
+    fp_path = os.path.join(index_dir, "fingerprints")
+    idx = spark.read.parquet(fp_path)
+    removed = (
+        idx.join(snapshot.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "lang", _BUCKET_COL)
+        .localCheckpoint(eager=True)
+    )
+    out = removed.select(
+        "doc_id", "lang", F.lit("removed").alias("category")
+    )
+    if not apply:
+        return out
+    touched = [
+        r[0] for r in removed.select(_BUCKET_COL).distinct().collect()
+    ]
+    if not touched:
+        return out
+    kept = (
+        idx.filter(F.col(_BUCKET_COL).isin(touched))
+        .join(removed.select("doc_id"), "doc_id", "left_anti")
+    )
+    staging = f"{fp_path.rstrip('/')}.reconcile-staging"
+    try:
+        kept.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
+            staging
+        )
+        _swap_buckets(fp_path, staging, touched)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return out
 
 
 def run_snapshot_ingest(

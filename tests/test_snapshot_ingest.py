@@ -259,3 +259,74 @@ def test_duplicate_doc_pick_is_content_deterministic(spark, tmp_path):
         for r in dup.select(F.md5("text").alias("fp")).collect()
     )
     assert picks == {want}
+
+
+def test_reconcile_removed_closes_the_deletion_loop(spark, tmp_path):
+    """Ingest + reconcile together reproduce the batch snapshot_diff
+    EXACTLY on a remove-heavy next snapshot (the stream observes
+    added/changed/unchanged; reconcile_removed supplies the deletions
+    absence can't signal), and the index afterwards holds exactly the
+    snapshot's keys, so a later re-add classifies 'added' again."""
+    base = _docs(spark, SF_DIR)
+    # remove-heavy: the simulated next snapshot, then ~2/3 of its docs
+    # dropped on top — deletions dominate every other category
+    nxt = (
+        simulated_next_snapshot(base)
+        .filter(F.col("doc_id") % 3 == 0)
+        .localCheckpoint(eager=True)
+    )
+    idx = SI.fp_index_build(base, str(tmp_path / "idx"))
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    nxt.select("doc_id", "lang", "text").write.parquet(src)
+    SI.run_snapshot_ingest(
+        spark, src, idx, out, str(tmp_path / "ckpt")
+    ).awaitTermination()
+    rec = SI.reconcile_removed(spark, idx, nxt)
+    got = _cats(SI.read_changes(spark, out))
+    got.update(_cats(rec))
+    want = _cats(snapshot_diff(base, nxt))
+    assert got == want
+    assert sum(v == "removed" for v in want.values()) > len(want) / 2
+    # idempotent: a second reconcile over the same snapshot is empty
+    assert SI.reconcile_removed(spark, idx, nxt).count() == 0
+    # the index's key set now IS the snapshot's
+    left = {
+        r[0]
+        for r in spark.read.parquet(
+            os.path.join(str(tmp_path / "idx"), "fingerprints")
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert left == {r[0] for r in nxt.select("doc_id").collect()}
+
+
+def test_bucket_swap_crash_is_recoverable(spark, tmp_path):
+    """The per-bucket rename-swap commit: a crash between the two
+    renames leaves the bucket's ORIGINAL rows in a dot-prefixed tomb
+    (invisible to readers, so nothing double-counts) and
+    recover_fp_buckets — invoked by every classify/apply/reconcile —
+    restores it; a tomb next to a live bucket (crash after the new
+    data landed) is swept instead."""
+    base = _docs(spark, SF_DIR)
+    idx = SI.fp_index_build(base, str(tmp_path / "idx"))
+    fp = os.path.join(str(tmp_path / "idx"), "fingerprints")
+    n_before = spark.read.parquet(fp).count()
+    victim = sorted(
+        d for d in os.listdir(fp) if d.startswith("fp_bucket=")
+    )[0]
+    # crash shape 1: live dir gone, tomb holds the originals
+    os.rename(
+        os.path.join(fp, victim),
+        os.path.join(fp, f".tomb-deadbeef-{victim}"),
+    )
+    assert spark.read.parquet(fp).count() < n_before
+    assert SI.recover_fp_buckets(str(tmp_path / "idx")) == 1
+    assert spark.read.parquet(fp).count() == n_before
+    # crash shape 2: new data landed, stale tomb remains -> swept
+    tomb2 = os.path.join(fp, f".tomb-cafe0000-{victim}")
+    os.makedirs(tomb2)
+    assert SI.recover_fp_buckets(str(tmp_path / "idx")) == 0
+    assert not os.path.isdir(tomb2)
+    assert spark.read.parquet(fp).count() == n_before
