@@ -221,6 +221,66 @@ def write_meta_into(spark, target_dir: str, row: dict) -> None:
     ).coalesce(1).write.parquet(target_dir)
 
 
+_META_TOMB = ".meta-tomb-"
+_META_NEW = ".meta-new-"
+
+
+def recover_meta(index_dir: str) -> bool:
+    """Heal a crashed :func:`update_index_meta` swap. The tomb sibling
+    holds the ORIGINAL meta (the safe state, same convention as
+    compaction): restore it when the live meta is missing or wedged,
+    sweep it when a complete live meta exists (the crash happened
+    after the new row landed). ``.meta-new-`` staging is never the
+    safe state and is always swept. Returns True when a tomb was
+    restored into place."""
+    tombs = _siblings(index_dir, _META_TOMB)
+    for d in _siblings(index_dir, _META_NEW):
+        shutil.rmtree(d, ignore_errors=True)
+    if not tombs:
+        return False
+    meta = os.path.join(index_dir, "meta")
+    live_ok = os.path.isdir(meta) and bool(_meta_parts(meta))
+    if live_ok:
+        for t in tombs:
+            shutil.rmtree(t, ignore_errors=True)
+        return False
+    if os.path.isdir(meta):
+        shutil.rmtree(meta, ignore_errors=True)  # wedged mid-swap loser
+    os.rename(tombs[-1], meta)  # newest tomb = the interrupted swap's
+    for t in tombs[:-1]:
+        shutil.rmtree(t, ignore_errors=True)
+    return True
+
+
+def update_index_meta(spark, index_dir: str, updates: dict) -> dict:
+    """Merge ``updates`` into the index's one-row meta ATOMICALLY:
+    staged write of the merged row, then a two-rename swap that parks
+    the original meta in a ``.meta-tomb-`` sibling until the new row
+    is in place — a crash at any point leaves either the original or
+    the complete new meta recoverable (:func:`recover_meta`, which
+    both this function and the meta read path invoke). Stopped-world
+    like every other index maintenance op. Returns the merged row.
+    Used by post-build parameter refreshes (e.g. probe-width
+    recalibration) that must not invalidate the layout they update."""
+    recover_meta(index_dir)
+    row = read_index_meta(index_dir)
+    if row is None:
+        raise ValueError(
+            f"update_index_meta: {index_dir!r} has no meta/ to update"
+            " — backfill one first (write_index_meta_atomic) or rerun"
+            " the build"
+        )
+    merged = {**row, **updates}
+    staging = f"{index_dir}{_META_NEW}{uuid.uuid4().hex[:8]}"
+    write_meta_into(spark, staging, merged)
+    meta = os.path.join(index_dir, "meta")
+    tomb = f"{index_dir}{_META_TOMB}{uuid.uuid4().hex[:8]}"
+    os.rename(meta, tomb)
+    os.rename(staging, meta)
+    shutil.rmtree(tomb, ignore_errors=True)
+    return merged
+
+
 def write_index_meta_atomic(spark, index_dir: str, row: dict) -> bool:
     """Backfill ``<index>/meta`` with one row of build parameters,
     ATOMICALLY: the parquet job writes a staging sibling which is then
@@ -239,6 +299,10 @@ def write_index_meta_atomic(spark, index_dir: str, row: dict) -> bool:
     meta = os.path.join(index_dir, "meta")
     if not os.path.isdir(index_dir):
         return False
+    # a crashed update_index_meta swap may have parked the REAL meta in
+    # a tomb — restoring it must win over backfilling a fresh row that
+    # would silently drop the tombed row's refreshed parameters
+    recover_meta(index_dir)
     if os.path.isdir(meta) and not _meta_parts(meta):
         shutil.rmtree(meta, ignore_errors=True)  # heal a wedged meta
     if os.path.isdir(meta):
@@ -265,8 +329,15 @@ def read_index_meta(index_dir: str) -> dict | None:
     heals that state."""
     meta = os.path.join(index_dir, "meta")
     if not os.path.isdir(meta):
-        return None
+        # missing may mean a crashed update_index_meta swap parked the
+        # real meta in a tomb — cheap check (one parent listdir) taken
+        # only on this cold path, never when meta exists
+        if not recover_meta(index_dir):
+            return None
     parts = _meta_parts(meta)
+    if not parts:
+        if recover_meta(index_dir):  # wedged mid-swap loser + a tomb
+            parts = _meta_parts(meta)
     if not parts:
         raise ValueError(
             f"wedged meta at {meta!r} (no parquet part) — rerun the"
@@ -471,17 +542,33 @@ def compact_layout(
         "files_after": 0,
         "rolled_back": False,
     }
-    # heal FIRST, at both candidate roots, BEFORE any early return or
-    # unit listing: a mid-swap crash can leave layout_dir itself
-    # missing (flat layout — its tomb lives in the PARENT) or its only
-    # unit missing (partitioned layout), and an early return on
-    # either state would strand the tomb as the only copy of the data.
-    # Recovering first also means rolled-back units are listed and
-    # compacted by THIS run, not silently skipped.
-    rolled = recover_compaction(
-        os.path.dirname(os.path.abspath(layout_dir))
+    # heal FIRST, BEFORE any early return or unit listing: a mid-swap
+    # crash can leave layout_dir itself missing (flat layout — its
+    # tomb lives in the PARENT) or its only unit missing (partitioned
+    # layout), and an early return on either state would strand the
+    # tomb as the only copy of the data. Recovering first also means
+    # rolled-back units are listed and compacted by THIS run, not
+    # silently skipped. The PARENT heal is scoped to the flat-layout
+    # shapes that need it (dir missing, or dir holding no partition
+    # subunits): a partitioned layout never stages in the parent, and
+    # an unconditional parent sweep would destroy a SIBLING flat
+    # layout's in-flight staging under a shared index root. Two flat
+    # layouts under ONE parent still share a healing root — don't
+    # compact those concurrently (the stopped-world contract below).
+    rolled = recover_compaction(layout_dir)
+    flat_shaped = not os.path.isdir(layout_dir) or not any(
+        "=" in e
+        and not e.startswith((".", "_"))
+        and os.path.isdir(os.path.join(layout_dir, e))
+        for e in os.listdir(layout_dir)
     )
-    rolled = recover_compaction(layout_dir) or rolled
+    if flat_shaped:
+        rolled = (
+            recover_compaction(
+                os.path.dirname(os.path.abspath(layout_dir))
+            )
+            or rolled
+        )
     report["rolled_back"] = rolled
     if not os.path.isdir(layout_dir):
         return report

@@ -462,6 +462,271 @@ def sdc_nlist_for(
     return max(adaptive_nlist(n_vecs), need)
 
 
+IVF_RECALL_TARGET = 0.8
+IVF_CAL_QUERIES = 8
+
+
+def adaptive_nprobe(nlist: int) -> int:
+    """Scale-aware DEFAULT probe width: hold the probed FRACTION of
+    cells (ceil(nlist/4), floored at the documented ``IVF_NPROBE``)
+    instead of holding a constant cell COUNT. A constant nprobe
+    against adaptive (sqrt-n) nlist probes a vanishing fraction of the
+    corpus as it grows — at 100M vectors nlist≈5,000 and a fixed
+    4-cell probe covers 0.08% of cells, so the DEFAULT's recall decays
+    invisibly (every oracle replays the same cell cut at any recall).
+    1/4 is the sandbox-MEASURED fraction that holds the 0.8 recall@10
+    gate on unclustered data — the worst case for a coarse quantizer;
+    probe cost under this fallback is a constant fraction of the
+    corpus, which is the price of recall-safety without data
+    knowledge. Real embedding corpora cluster, so the build-time
+    calibrator (:func:`ivf_calibrate_nprobe`, persisted ``meta/
+    nprobe_default``) typically lands far lower and restores the
+    sublinear probe — precedence at probe time is explicit arg >
+    persisted calibrated default > this formula."""
+    import math
+
+    return max(IVF_NPROBE, math.ceil(nlist / 4))
+
+
+def _resolve_nprobe(
+    index_dir: str,
+    nprobe: int | None,
+    nlist_fn,
+    meta: dict | None = None,
+) -> int:
+    """The probe-width default contract shared by every IVF-family
+    probe: an explicit ``nprobe`` wins; else the layout's persisted
+    calibrated ``nprobe_default`` (ivf_calibrate_nprobe); else
+    :func:`adaptive_nprobe` of the persisted cell count (``nlist_fn``
+    is called only on this last path, so calibrated probes never pay
+    the count job). A wedged meta must not take the DEFAULT path down
+    with it — the fallback formula needs no meta at all."""
+    if nprobe is not None:
+        return nprobe
+    if meta is None:
+        from ..indexutil import read_index_meta
+
+        try:
+            meta = read_index_meta(index_dir)
+        except ValueError:
+            meta = None
+    if meta is not None and meta.get("nprobe_default"):
+        return int(meta["nprobe_default"])
+    return adaptive_nprobe(nlist_fn())
+
+
+def _nprobe_recall_hist(
+    assigned: DataFrame, cent: DataFrame, k: int, n_queries: int
+) -> dict[int, int]:
+    """Pooled recall@k as a function of probe width from ONE corpus
+    scan: each sampled query's exact top-k neighbors are tagged with
+    the RANK of their cell in that query's cell ordering (the
+    _nearest_cell_ids contract — rounded cos desc, cid asc), so
+    recall(nprobe) = fraction of neighbors with cell_rank <= nprobe.
+    No per-nprobe probes are needed because probes are EXACT inside
+    probed cells: a true neighbor in a probed cell always survives.
+    Returns {cell_rank: neighbor_count}; the denominator is the value
+    sum (the rank join is total — every neighbor's cell has a rank).
+    Queries are a deterministic salted-hash sample, decorrelated from
+    the centroid SEED order (which uses the unsalted vec_id hash)."""
+    from pyspark.sql import Window
+
+    qs = (
+        assigned.orderBy(
+            F.md5(
+                F.concat(F.lit("cal|"), F.col("vec_id").cast("string"))
+            ),
+            F.col("vec_id"),
+        )
+        .limit(n_queries)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    cell_w = Window.partitionBy("qid").orderBy(
+        F.col("__qc").desc(), F.col("cid").asc()
+    )
+    qcell = (
+        cent.crossJoin(broadcast(qs))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                cosine_similarity(F.col("ce"), F.col("qe")), 6
+            ).alias("__qc"),
+        )
+        .withColumn("cell_rank", F.row_number().over(cell_w))
+        .select("qid", "cid", "cell_rank")
+    )
+    nn_w = Window.partitionBy("qid").orderBy(
+        F.col("__cos").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        assigned.crossJoin(broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "cid",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 6
+            ).alias("__cos"),
+        )
+        .withColumn("__rk", F.row_number().over(nn_w))
+        .filter(F.col("__rk") <= k)
+    )
+    rows = (
+        topk.join(broadcast(qcell), ["qid", "cid"])
+        .groupBy("cell_rank")
+        .count()
+        .collect()  # bounded: <= nlist rows
+    )
+    return {int(r["cell_rank"]): int(r["count"]) for r in rows}
+
+
+def _nprobe_from_hist(
+    hist: dict[int, int], nlist: int, recall_target: float
+) -> tuple[int, float]:
+    """Smallest nprobe whose pooled recall meets the target (capped at
+    nlist, floored at IVF_NPROBE), plus the recall it achieves."""
+    denom = sum(hist.values())
+    if denom == 0:  # degenerate corpus (single row): nothing to rank
+        return min(adaptive_nprobe(nlist), max(nlist, 1)), 1.0
+    got, chosen = 0, nlist
+    for p in range(1, nlist + 1):
+        got += hist.get(p, 0)
+        if got / denom >= recall_target:
+            chosen = p
+            break
+    chosen = max(IVF_NPROBE, chosen)
+    achieved = (
+        sum(c for p, c in hist.items() if p <= chosen) / denom
+    )
+    return min(chosen, nlist) if nlist else chosen, achieved
+
+
+_NPROBE_CAL_KEYS = (
+    "nprobe_default",
+    "nprobe_cal_recall_pm",
+    "nprobe_cal_target_pm",
+    "nprobe_cal_k",
+    "nprobe_cal_queries",
+    "nprobe_cal_n",
+)
+
+
+def _parent_cal_keys(ivf_dir: str) -> dict:
+    """The IVF parent's persisted probe-width calibration, for copying
+    into a composed layout's meta at build time (the composed centroids
+    ARE the parent's, so the cell-cut recall curve is identical).
+    Empty for an uncalibrated or wedged parent — the composed default
+    then falls back to the fraction-holding formula."""
+    from ..indexutil import read_index_meta
+
+    try:
+        pmeta = read_index_meta(ivf_dir) or {}
+    except ValueError:
+        pmeta = {}
+    return {
+        k: int(pmeta[k])
+        for k in _NPROBE_CAL_KEYS
+        if pmeta.get(k) is not None
+    }
+
+
+def _nprobe_cal_meta(
+    nprobe: int,
+    achieved: float,
+    recall_target: float,
+    k: int,
+    n_queries: int,
+    n: int,
+) -> dict:
+    """The persisted calibration row fragment (meta is bigint-only, so
+    ratios ride as per-mille ints)."""
+    return {
+        "nprobe_default": int(nprobe),
+        "nprobe_cal_recall_pm": int(achieved * 1000),
+        "nprobe_cal_target_pm": int(recall_target * 1000),
+        "nprobe_cal_k": int(k),
+        "nprobe_cal_queries": int(n_queries),
+        "nprobe_cal_n": int(n),
+    }
+
+
+def ivf_calibrate_nprobe(
+    spark: SparkSession,
+    index_dir: str,
+    recall_target: float = IVF_RECALL_TARGET,
+    k: int = TOP_K,
+    n_queries: int = IVF_CAL_QUERIES,
+    persist: bool = True,
+) -> dict:
+    """Measure THIS layout's recall-vs-probe-width curve on a
+    deterministic sample and persist the smallest ``nprobe`` that
+    holds ``recall_target`` as the layout's DEFAULT probe width
+    (``meta/nprobe_default``, atomic merge — the :func:`pq_adc_calibrate`
+    pattern applied to the cell cut). The weak spot this closes: with
+    corpus-adaptive nlist, any CONSTANT probe width covers a shrinking
+    fraction of cells as the corpus grows, so default recall decays
+    silently; a calibrated width is measured against the actual data's
+    clustering instead. Re-run after growth (rebuilds re-run it
+    automatically when a target is persisted). ONE corpus scan
+    (:func:`_nprobe_recall_hist`); stopped-world for the meta swap,
+    like every index maintenance op."""
+    import os
+
+    assigned = spark.read.parquet(os.path.join(index_dir, "assignment"))
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    return _calibrate_nprobe_core(
+        spark, index_dir, assigned, cent,
+        recall_target, k, n_queries, persist,
+    )
+
+
+def _calibrate_nprobe_core(
+    spark: SparkSession,
+    index_dir: str,
+    assigned: DataFrame,
+    cent: DataFrame,
+    recall_target: float,
+    k: int,
+    n_queries: int,
+    persist: bool,
+) -> dict:
+    """Shared calibration body: measure, choose, persist into
+    ``index_dir``'s meta (which may belong to a COMPOSED layout whose
+    raw vectors live in its parent's ``assigned``)."""
+    nlist = cent.count()
+    hist = _nprobe_recall_hist(assigned, cent, k, n_queries)
+    nprobe, achieved = _nprobe_from_hist(hist, nlist, recall_target)
+    n = assigned.count()
+    report = {
+        "index_dir": index_dir,
+        "nlist": nlist,
+        "n_vecs": n,
+        "k": k,
+        "n_queries": n_queries,
+        "recall_target": recall_target,
+        "nprobe_default": nprobe,
+        "recall_at_default": round(achieved, 4),
+        "fallback_nprobe": adaptive_nprobe(nlist),
+        "persisted": False,
+    }
+    if persist:
+        from ..indexutil import update_index_meta
+
+        update_index_meta(
+            spark,
+            index_dir,
+            _nprobe_cal_meta(
+                nprobe, achieved, recall_target, k, n_queries, n
+            ),
+        )
+        report["persisted"] = True
+    return report
+
+
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB cosine between two list columns, same left-to-right double
     fold as :func:`cosine_similarity`."""
@@ -623,6 +888,7 @@ def ivf_build(
     index_dir: str,
     n_centroids: int | None = None,
     lloyd_iters: int = IVF_LLOYD_ITERS,
+    recall_target: float | None = None,
 ) -> str:
     """Materialize the IVF index: ``centroids/`` (k rows, Lloyd-refined)
     and ``assignment/`` partitioned by cid. Built into a staging dir and
@@ -638,14 +904,37 @@ def ivf_build(
     linearly and the SDC pair miner quadratically. The catalog's
     canonical caches use this default too: their DuckDB oracles derive
     the SAME k from count(*) (the ``ik`` CTE), so geometry and oracle
-    agree at every scale factor. Pass an explicit value to pin."""
-    from ..indexutil import staged_index_build
+    agree at every scale factor. Pass an explicit value to pin.
 
-    return staged_index_build(
+    ``recall_target`` (opt-in): calibrate the layout's DEFAULT probe
+    width to this recall@k on a deterministic sample and persist it
+    (:func:`ivf_calibrate_nprobe`) — one extra corpus scan at build.
+    Applied post-build via an atomic meta merge, so it also backfills
+    calibration onto an existing reused index that lacks one; a crash
+    between build and calibration leaves a valid layout whose default
+    probe falls back to :func:`adaptive_nprobe` until the build is
+    rerun. Without it, default probes hold the probed FRACTION of
+    cells rather than a measured recall."""
+    from ..indexutil import read_index_meta, staged_index_build
+
+    out = staged_index_build(
         index_dir,
         IVF_SUBDIRS,
         _ivf_write(emb, n_centroids, lloyd_iters),
     )
+    if recall_target is not None:
+        try:
+            meta = read_index_meta(out)
+        except ValueError:
+            meta = None
+        have_pm = int((meta or {}).get("nprobe_cal_target_pm") or 0)
+        if not (meta or {}).get("nprobe_default") or have_pm != int(
+            recall_target * 1000
+        ):
+            ivf_calibrate_nprobe(
+                emb.sparkSession, out, recall_target=recall_target
+            )
+    return out
 
 
 IVF_SUBDIRS = ("centroids", "assignment", "build_stats")
@@ -708,6 +997,7 @@ def ivf_rebuild(
     emb: DataFrame | None = None,
     n_centroids: int | None = None,
     lloyd_iters: int | None = None,
+    recall_target: float | None = None,
 ) -> str:
     """Rebuild the index IN PLACE (refreshed centroids, assignment, and
     drift baseline) with the crash-safe two-rename swap — the
@@ -727,6 +1017,17 @@ def ivf_rebuild(
     # window — heal FIRST, before any read of the layout below (the
     # geometry default and the self-sourced corpus both read it)
     recover_index(index_dir, IVF_SUBDIRS)
+    if recall_target is None:
+        # a CALIBRATED layout re-measures its default probe width at
+        # every rebuild (the persisted target is the parameter; the
+        # measured nprobe refreshes with the geometry) — read it
+        # BEFORE the swap replaces meta with the fresh build's row
+        try:
+            old = read_index_meta(index_dir)
+        except ValueError:
+            old = None
+        if old is not None and old.get("nprobe_cal_target_pm"):
+            recall_target = int(old["nprobe_cal_target_pm"]) / 1000
     if n_centroids is None or lloyd_iters is None:
         # persist-your-params: a rebuild KEEPS the layout's build
         # parameters — re-deriving the adaptive default here would
@@ -763,9 +1064,12 @@ def ivf_rebuild(
             .select("vec_id", "embedding")
             .localCheckpoint(eager=True)
         )
-    return rebuild_index(
+    out = rebuild_index(
         index_dir, IVF_SUBDIRS, _ivf_write(emb, n_centroids, lloyd_iters)
     )
+    if recall_target is not None:
+        ivf_calibrate_nprobe(spark, out, recall_target=recall_target)
+    return out
 
 
 def ivf_refresh_if_drifted(
@@ -822,17 +1126,19 @@ def ivf_probe_cells(
     index_dir: str,
     q: DataFrame,
     exclude_vec_id: int | None = None,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """The cell-restriction half of a persisted-IVF probe: the probed
     cells come from _nearest_cell_ids, so the assignment filter is a
     LITERAL ``cid IN`` predicate — the partition-pruning path: only
     nprobe of k cell partitions are listed and scanned. Returns the
     pruned assignment rows (vec_id, embedding, cid); ivf_probe reranks
-    them exactly."""
+    them exactly. ``nprobe=None`` = the layout's default width
+    (calibrated > fraction-holding — see :func:`_resolve_nprobe`)."""
     import os
 
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    nprobe = _resolve_nprobe(index_dir, nprobe, cent.count)
     cids = _nearest_cell_ids(cent, q, nprobe)
     assigned = spark.read.parquet(
         os.path.join(index_dir, "assignment")
@@ -848,7 +1154,7 @@ def ivf_probe(
     q: DataFrame,
     exclude_vec_id: int | None = None,
     k: int = TOP_K,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Probe a persisted index with a one-row query side ``q(qe)``:
     exact cosine over the partition-pruned cells (see
@@ -944,7 +1250,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("embedding").alias("qe"))
     )
-    return ivf_probe(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
+    # pinned: the oracle embeds LIMIT {IVF_NPROBE} — the catalog
+    # exercises the fixed width; real usage gets the adaptive default
+    return ivf_probe(
+        spark, idx, q, exclude_vec_id=QUERY_VEC_ID, nprobe=IVF_NPROBE
+    )
 
 
 def ivf_topk(
@@ -952,11 +1262,15 @@ def ivf_topk(
     query_vec_id: int = QUERY_VEC_ID,
     k: int = TOP_K,
     n_centroids: int = IVF_CENTROIDS,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     lloyd_iters: int = IVF_LLOYD_ITERS,
 ) -> DataFrame:
     """One-shot in-memory IVF (no persistence) — the test/ad-hoc path;
-    repeated queries should go through ivf_build + ivf_probe."""
+    repeated queries should go through ivf_build + ivf_probe.
+    ``nprobe=None`` holds the probed fraction of the REQUESTED cell
+    count (no layout to carry a calibrated width)."""
+    if nprobe is None:
+        nprobe = adaptive_nprobe(n_centroids)
     cent = ivf_refine(
         emb, ivf_centroids(emb, k=n_centroids), iters=lloyd_iters
     )
@@ -1035,7 +1349,7 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id").isin(list(IVF_BATCH_QIDS)))
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     )
-    return ivf_probe_batch(spark, idx, queries)
+    return ivf_probe_batch(spark, idx, queries, nprobe=IVF_NPROBE)
 
 
 def _probe_cell_pairs(
@@ -1074,7 +1388,7 @@ def ivf_probe_batch(
     index_dir: str,
     queries: DataFrame,
     k: int = TOP_K,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k for MANY query vectors in one pass over the persisted
@@ -1103,6 +1417,7 @@ def ivf_probe_batch(
     _require_query_batch(
         queries, caller="ivf_probe_batch", want_dim=head["d"]
     )
+    nprobe = _resolve_nprobe(index_dir, nprobe, cent.count)
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     assigned = spark.read.parquet(
         os.path.join(index_dir, "assignment")
@@ -3047,7 +3362,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    return ivfpq_probe(spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID)
+    return ivfpq_probe(
+        spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID, nprobe=IVF_NPROBE
+    )
 
 
 @register(
@@ -3102,18 +3419,25 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    ql = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("label")
-        .head()["label"]
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("label").head()
     )
+    if qrow is None:
+        # the probe's own one-row refusal, raised BEFORE an unhelpful
+        # NoneType subscript — same contract as _require_one_query_row
+        raise ValueError(
+            "ann_ivfpq_filtered_topk: query side has 0 rows (want"
+            f" exactly 1) — vec_id {QUERY_VEC_ID} is absent from the"
+            " corpus"
+        )
     return ivfpq_probe(
         spark,
         idx,
         q,
         emb,
         exclude_vec_id=QUERY_VEC_ID,
-        payload_eq={"label": ql},
+        nprobe=IVF_NPROBE,
+        payload_eq={"label": qrow["label"]},
     )
 
 
@@ -3839,6 +4163,7 @@ def _ivfpq_write_residual(
     ivf_dir: str,
     n_centroids: int | None = None,
     payload_cols: tuple[str, ...] = (),
+    recall_target: float | None = None,
 ):
     """The residual-encoded (enc_v=2, classical IVF-PQ) materialization
     closure: the IVF parent supplies cells and centroids; residuals
@@ -3858,7 +4183,10 @@ def _ivfpq_write_residual(
 
     def write(staging: str) -> None:
         _refuse_bad_pq_corpus(emb, "ivfpq build")
-        ivf_build(emb, ivf_dir, n_centroids=n_centroids)
+        ivf_build(
+            emb, ivf_dir, n_centroids=n_centroids,
+            recall_target=recall_target,
+        )
         cent = spark.read.parquet(os.path.join(ivf_dir, "centroids"))
         cent.coalesce(1).write.parquet(os.path.join(staging, "centroids"))
         cells = _ivfpq_cells_checked(spark, ivf_dir)
@@ -3926,6 +4254,9 @@ def _ivfpq_write_residual(
                 "pq_k": PQ_K,
                 "n_vecs": n,
                 "enc_v": IVFPQ_ENC_RESIDUAL,
+                # the parent's probe-width calibration rides along —
+                # composed probes resolve their default from THIS meta
+                **_parent_cal_keys(ivf_dir),
             },
         )
         # no PQ parent for a residual layout: pq_dir persists as ''
@@ -3944,6 +4275,7 @@ def _ivfpq_write(
     pq_dir: str,
     n_centroids: int | None = None,
     payload_cols: tuple[str, ...] = (),
+    recall_target: float | None = None,
 ):
     """The IVF-PQ materialization closure shared by build and rebuild:
     ensure both parent indexes exist (no-op when already complete),
@@ -3964,7 +4296,10 @@ def _ivfpq_write(
         # pq_build's refusal (NULLs/dups/width) then strands as a
         # "complete" index later builds silently reuse
         _refuse_bad_pq_corpus(emb, "ivfpq build")
-        ivf_build(emb, ivf_dir, n_centroids=n_centroids)
+        ivf_build(
+            emb, ivf_dir, n_centroids=n_centroids,
+            recall_target=recall_target,
+        )
         pq_build(emb, pq_dir)
         pm = _pq_meta(pq_dir)
         cent = spark.read.parquet(os.path.join(ivf_dir, "centroids"))
@@ -4060,6 +4395,7 @@ def _ivfpq_write(
                 "pq_k": pm["pq_k"],
                 "n_vecs": n,
                 "enc_v": IVFPQ_ENC_RAW,
+                **_parent_cal_keys(ivf_dir),
             },
         )
         # parent locations are build parameters too (persist-your-
@@ -4147,6 +4483,8 @@ def ivfpq_build(
     n_centroids: int | None = None,
     encoding: str = "residual",
     payload_cols: tuple[str, ...] = (),
+    recall_target: float | None = None,
+    mining: bool | int = False,
 ) -> str:
     """Materialize the composed IVF-PQ index (staged + atomic rename;
     an existing complete index is reused, debris rebuilt). Parent IVF
@@ -4173,10 +4511,34 @@ def ivfpq_build(
     self-describing (schema, not meta). An existing layout whose
     payload set differs from the request is refused like an encoding
     mismatch — a reused no-payload cache would silently lose
-    filterability."""
+    filterability.
+
+    ``mining=True``: this index exists to DEDUP, not just to probe —
+    default the IVF geometry to :func:`sdc_nlist_for` (cells sized so
+    sdc_pair_mine's per-cell pair volume stays within
+    SDC_MAX_CELL_PAIRS) instead of the ANN-oriented adaptive_nlist, so
+    a dedup user cannot under-size by default and hit the miner's
+    oversized-cell refusal on first use. Only shapes the parent when
+    it is built HERE (like ``n_centroids``, which an explicit value
+    still wins); a reused complete parent keeps its geometry — if that
+    parent is undersized, the refusal (and ivfpq_drift's
+    ``sdc_regear_recommended``) still name the remedy. Pass an int to
+    gear to an explicit per-cell pair bound instead of the module
+    default."""
     from ..indexutil import read_index_meta, staged_index_build
 
     _check_payload_cols(emb, payload_cols, "ivfpq_build")
+    if mining and n_centroids is None:
+        # mining=True gears to SDC_MAX_CELL_PAIRS; an int gears to
+        # that explicit per-cell pair bound (the tuning/test path).
+        # Geared with SDC_MINING_HEADROOM: sdc_nlist_for sizes cells
+        # to hit the bound EXACTLY at perfect balance, so real cell-
+        # size skew (sqrt(headroom)x tolerated) would trip the miner's
+        # refusal at its own bound without the margin
+        bound = SDC_MAX_CELL_PAIRS if mining is True else int(mining)
+        n_centroids = sdc_nlist_for(
+            emb.count(), max(1, bound // SDC_MINING_HEADROOM)
+        )
     if encoding not in _IVFPQ_ENC_BY_NAME:
         raise ValueError(
             f"ivfpq_build: unknown encoding {encoding!r} — one of"
@@ -4225,11 +4587,28 @@ def ivfpq_build(
             )
     ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
     writer = (
-        _ivfpq_write_residual(emb, ivf_dir, n_centroids, payload_cols)
+        _ivfpq_write_residual(
+            emb, ivf_dir, n_centroids, payload_cols, recall_target
+        )
         if want == IVFPQ_ENC_RESIDUAL
-        else _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids, payload_cols)
+        else _ivfpq_write(
+            emb, ivf_dir, pq_dir, n_centroids, payload_cols, recall_target
+        )
     )
-    return staged_index_build(index_dir, IVFPQ_SUBDIRS, writer)
+    out = staged_index_build(index_dir, IVFPQ_SUBDIRS, writer)
+    if recall_target is not None:
+        # a REUSED complete layout skipped the write closure — backfill
+        # calibration post-hoc (atomic meta merge), same contract as
+        # ivf_build on a reused parent
+        meta = read_index_meta(out) or {}
+        have_pm = int(meta.get("nprobe_cal_target_pm") or 0)
+        if not meta.get("nprobe_default") or have_pm != int(
+            recall_target * 1000
+        ):
+            ivfpq_calibrate_nprobe(
+                emb.sparkSession, out, recall_target=recall_target
+            )
+    return out
 
 
 def _ivfpq_meta(index_dir: str) -> dict:
@@ -4296,7 +4675,7 @@ def ivfpq_adc_candidates(
     q: DataFrame,
     exclude_vec_id: int | None = None,
     rerank: int = PQ_RERANK,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     payload_eq: dict | None = None,
 ) -> DataFrame:
     """The pruned ADC half of the IVF-PQ probe: ONE scan of the codes
@@ -4324,6 +4703,14 @@ def ivfpq_adc_candidates(
         spark, index_dir, payload_eq, "ivfpq_probe"
     )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    nprobe = _resolve_nprobe(
+        index_dir,
+        nprobe,
+        lambda: spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).count(),
+        meta=meta,
+    )
     cids = _ivfpq_probe_cids(spark, index_dir, q, nprobe)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
@@ -4373,7 +4760,7 @@ def ivfpq_probe(
     exclude_vec_id: int | None = None,
     k: int = TOP_K,
     rerank: int = PQ_RERANK,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     payload_eq: dict | None = None,
 ) -> DataFrame:
     """Probe the persisted composed layout: cell-pruned codes-only ADC
@@ -4524,6 +4911,7 @@ def ivfpq_drift(
     growth_warn: float = 0.5,
     skew_warn: float = 2.0,
     frag_warn: int = FRAG_WARN,
+    mining_warn_pairs: int | None = None,
 ) -> dict:
     """How stale are the frozen quantizers? Appends encode against
     build-time codebooks and assign against build-time centroids, so
@@ -4535,9 +4923,19 @@ def ivfpq_drift(
     rebuild, catching an append flood that lands lopsided in one cell
     while total growth still looks tame. Both reads are parquet-footer
     row counts (no code data). ``frag_warn`` caps tolerated parquet
-    files per cell before the report recommends ivfpq_compact."""
+    files per cell before the report recommends ivfpq_compact.
+
+    The report also carries the SDC pair-mining gear check
+    (``sdc_regear_recommended`` / ``sdc_nlist_suggestion``,
+    ``mining_warn_pairs`` defaulting to SDC_MAX_CELL_PAIRS): the same
+    per-cell footer counts sdc_pair_mine's eager refusal reads, so an
+    append-grown index surfaces 'your next mine will refuse — re-gear
+    with ivfpq_rebuild(n_centroids=sdc_nlist_suggestion)' from
+    monitoring instead of only from the refusal itself."""
     import os
 
+    if mining_warn_pairs is None:
+        mining_warn_pairs = SDC_MAX_CELL_PAIRS
     total_build = _ivfpq_meta(index_dir)["n_vecs"]
     build = {
         r["cid"]: r["count"]
@@ -4556,6 +4954,9 @@ def ivfpq_drift(
     appended = total_now - total_build
     growth = _growth_fraction(total_build, appended)
     max_ratio = _cell_skew_ratio(build, now, total_build, total_now)
+    max_cell_pairs = max(
+        (c * (c - 1) // 2 for c in now.values()), default=0
+    )
     return _with_fragmentation(
         {
             "total_build": total_build,
@@ -4565,6 +4966,12 @@ def ivfpq_drift(
             "max_cell_ratio": max_ratio,
             "rebuild_recommended": growth > growth_warn
             or max_ratio > skew_warn,
+            "max_cell_pairs": max_cell_pairs,
+            "sdc_regear_recommended": max_cell_pairs
+            > mining_warn_pairs,
+            "sdc_nlist_suggestion": sdc_nlist_for(
+                total_now, mining_warn_pairs
+            ),
         },
         os.path.join(index_dir, "codes"),
         frag_warn,
@@ -4656,6 +5063,46 @@ def ivfpq_rebuild(
         index_dir,
         IVFPQ_SUBDIRS,
         _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids, payload_cols),
+    )
+
+
+def ivfpq_calibrate_nprobe(
+    spark: SparkSession,
+    index_dir: str,
+    recall_target: float = IVF_RECALL_TARGET,
+    k: int = TOP_K,
+    n_queries: int = IVF_CAL_QUERIES,
+    persist: bool = True,
+) -> dict:
+    """Probe-width calibration for the COMPOSED layout. Its centroids
+    are byte-copies of the IVF parent's, so the cell-cut recall curve
+    is the parent's — but the codes rows carry no raw vectors, so the
+    measurement runs over the parent's persisted assignment and the
+    result persists into THIS layout's meta. The measured curve is the
+    cell-cut CEILING: the ADC stage inside probed cells is lossless at
+    the graded rerank budget (the recall tests pin set-equality with
+    exact-within-cells), so the ceiling is the right calibration
+    target for the composed probe too. Builds copy the parent's
+    calibration automatically (:func:`_parent_cal_keys`); this is the
+    post-hoc form for layouts built before calibration existed."""
+    import os
+
+    _ivfpq_meta(index_dir)  # refuse non-indexes by name
+    parents = _ivfpq_persisted_parents(spark, index_dir)
+    ivf_dir = parents[0] if parents else None
+    if ivf_dir is None:
+        raise ValueError(
+            f"ivfpq_calibrate_nprobe: {index_dir!r} records no live"
+            " IVF parent (pre-v2 layout, or the parent moved) — the"
+            " raw vectors needed to measure recall live there; rebuild"
+            " the composed layout (ivfpq_rebuild) to restore a parent,"
+            " then calibrate"
+        )
+    assigned = spark.read.parquet(os.path.join(ivf_dir, "assignment"))
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    return _calibrate_nprobe_core(
+        spark, index_dir, assigned, cent,
+        recall_target, k, n_queries, persist,
     )
 
 
@@ -4922,7 +5369,7 @@ def ivfpq_batch_candidates(
     index_dir: str,
     queries: DataFrame,
     rerank: int = PQ_RERANK,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     exclude_self: bool = True,
     payload_eq: dict | None = None,
 ) -> DataFrame:
@@ -4947,6 +5394,7 @@ def ivfpq_batch_candidates(
     )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    nprobe = _resolve_nprobe(index_dir, nprobe, cent.count, meta=meta)
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
@@ -4983,7 +5431,7 @@ def ivfpq_probe_batch(
     emb: DataFrame,
     k: int = TOP_K,
     rerank: int = PQ_RERANK,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     exclude_self: bool = True,
     payload_eq: dict | None = None,
 ) -> DataFrame:
@@ -5131,7 +5579,9 @@ def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(
         F.col("vec_id").isin(list(IVF_BATCH_QIDS))
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    return ivfpq_probe_batch(spark, idx, queries, emb)
+    return ivfpq_probe_batch(
+        spark, idx, queries, emb, nprobe=IVF_NPROBE
+    )
 
 
 # ADC near-dup screening: the codes-only form of "is this arrival a
@@ -5340,6 +5790,10 @@ SDC_TOP_PAIRS = 10
 # sdc_nlist_for(n) geometry, which keeps cells ~constant-size and the
 # TOTAL pair volume ~linear in the corpus.
 SDC_MAX_CELL_PAIRS = 8_000_000
+# ivfpq_build(mining=...) gears cells to bound/headroom at expected
+# balance, tolerating sqrt(headroom)x cell-size skew before the
+# miner's eager refusal would fire at its own bound
+SDC_MINING_HEADROOM = 4
 
 
 @register(

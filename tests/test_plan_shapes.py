@@ -1177,11 +1177,11 @@ def test_scale8_ivfpq_probe_stays_pruned_codes_scan(spark, tmp_path):
 
     cand = ivfpq_adc_candidates(spark, idx, q, exclude_vec_id=QUERY_VEC_ID)
     plan = formatted_plan(cand)
-    assert len(pruned_cids(plan)) == IVF_NPROBE
-    assert_codes_scans_no_embedding(plan)
-    assert "TakeOrdered" in cand._jdf.queryExecution().executedPlan().toString()
-    # pruned-bytes ratio: the probed cells really are a minority of the
-    # 8x layout's cell partitions
+    # the DEFAULT width on this uncalibrated 8x layout is the
+    # fraction-holding adaptive_nprobe of its adaptive cell count —
+    # wider than the sandbox constant, still a strict minority scan
+    from realtime_gmall_flink_spark.plans.vectors import adaptive_nprobe
+
     import os
 
     n_cells = sum(
@@ -1189,8 +1189,22 @@ def test_scale8_ivfpq_probe_stays_pruned_codes_scan(spark, tmp_path):
         for d in os.listdir(os.path.join(idx, "codes"))
         if d.startswith("cid=")
     )
-    assert n_cells > IVF_NPROBE
+    width = adaptive_nprobe(
+        spark.read.parquet(os.path.join(idx, "centroids")).count()
+    )
+    assert width >= IVF_NPROBE
+    assert len(pruned_cids(plan)) == width
+    assert_codes_scans_no_embedding(plan)
+    assert "TakeOrdered" in cand._jdf.queryExecution().executedPlan().toString()
+    # pruned-bytes ratio: the probed cells really are a minority of the
+    # 8x layout's cell partitions
+    assert n_cells > width
     assert len(cand.collect()) > 0
+    # an EXPLICIT width still wins over every default
+    pinned = ivfpq_adc_candidates(
+        spark, idx, q, exclude_vec_id=QUERY_VEC_ID, nprobe=IVF_NPROBE
+    )
+    assert len(pruned_cids(formatted_plan(pinned))) == IVF_NPROBE
 
 
 @pytest.mark.scale
