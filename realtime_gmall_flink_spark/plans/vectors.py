@@ -1989,6 +1989,53 @@ def lsh_append(
     return n
 
 
+def lsh_drift(
+    spark: SparkSession, index_dir: str, frag_warn: int = FRAG_WARN
+) -> dict:
+    """The LSH family's maintenance report. Unlike the trained
+    families there is no quantizer to go stale — the sign hyperplanes
+    are deterministic from the persisted bit width, so appends bucket
+    exactly like the build and ``rebuild_recommended`` is always False
+    by construction. What DOES degrade on an append-heavy layout is
+    file count: every lsh_append lands one file per touched bkt_hi
+    partition, so long streaming ingests fragment the probe's pruned
+    scan — this report carries the same ``max_unit_files`` /
+    ``compaction_recommended`` cue as every other family (remedy:
+    lsh_compact), closing the monitoring gap where lsh_compact had to
+    be scheduled blind."""
+    import os
+
+    buckets = os.path.join(index_dir, "buckets")
+    if not os.path.isdir(buckets):
+        raise ValueError(f"not a valid LSH index: {index_dir!r}")
+    return _with_fragmentation(
+        {
+            "bits": _lsh_index_bits(index_dir, None),
+            "rebuild_recommended": False,
+        },
+        buckets,
+        frag_warn,
+    )
+
+
+def lsh_refresh_if_fragmented(
+    spark: SparkSession, index_dir: str, **drift_kwargs
+) -> dict:
+    """Check the LSH report and compact when recommended — the
+    refresh_if_drifted analog for the one family whose only
+    maintenance action is compaction."""
+    report = dict(lsh_drift(spark, index_dir, **drift_kwargs))
+    report["compacted"] = False
+    if report["compaction_recommended"]:
+        lsh_compact(
+            spark,
+            index_dir,
+            max_files=drift_kwargs.get("frag_warn", FRAG_WARN),
+        )
+        report["compacted"] = True
+    return report
+
+
 # ---------------------------------------------------------------------------
 # Int8 scalar-quantized ANN (SQ8) — the memory-bound brute-force shape.
 # The corpus is quantized per-dimension to 256 levels between the
@@ -4485,6 +4532,7 @@ def ivfpq_build(
     payload_cols: tuple[str, ...] = (),
     recall_target: float | None = None,
     mining: bool | int = False,
+    sdc_calibrate: bool = True,
 ) -> str:
     """Materialize the composed IVF-PQ index (staged + atomic rename;
     an existing complete index is reused, debris rebuilt). Parent IVF
@@ -4608,6 +4656,16 @@ def ivfpq_build(
             ivfpq_calibrate_nprobe(
                 emb.sparkSession, out, recall_target=recall_target
             )
+    if sdc_calibrate and existing is None:
+        # FRESH builds only: measure this corpus's within-cell SDC
+        # background and persist the calibrated duplicate threshold
+        # (ivfpq_calibrate_sdc). A reused complete layout is left
+        # untouched — mutating a shared cache's screening behavior on
+        # reuse would make results depend on who built it last;
+        # backfill one deliberately with ivfpq_calibrate_sdc.
+        meta = read_index_meta(out) or {}
+        if not meta.get("sdc_threshold_micro"):
+            ivfpq_calibrate_sdc(emb.sparkSession, out)
     return out
 
 
@@ -5050,20 +5108,40 @@ def ivfpq_rebuild(
             ivf_dir = ivf_dir or persisted[0]
             pq_dir = pq_dir or persisted[1]
     ivf_dir, pq_dir = _ivfpq_parent_dirs(index_dir, ivf_dir, pq_dir)
+    # persist-your-params for the SDC calibration: sample/margin are
+    # the parameters and survive the rebuild; the measured threshold
+    # refreshes against the rebuilt codes (read BEFORE the swap
+    # replaces meta with the fresh build's row)
+    try:
+        old = _ivfpq_meta(index_dir)
+    except ValueError:
+        old = {}
+    sdc_cal = (
+        {
+            "sample": int(old["sdc_cal_sample"]),
+            "margin": int(old["sdc_cal_margin"]),
+        }
+        if old.get("sdc_threshold_micro")
+        else None
+    )
     ivf_rebuild(spark, ivf_dir, emb, n_centroids=n_centroids)
     if _IVFPQ_ENC_BY_NAME[encoding] == IVFPQ_ENC_RESIDUAL:
         # no PQ parent: residual codebooks retrain inside the write
-        return rebuild_index(
+        out = rebuild_index(
             index_dir,
             IVFPQ_SUBDIRS,
             _ivfpq_write_residual(emb, ivf_dir, n_centroids, payload_cols),
         )
-    pq_rebuild(spark, pq_dir, emb)
-    return rebuild_index(
-        index_dir,
-        IVFPQ_SUBDIRS,
-        _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids, payload_cols),
-    )
+    else:
+        pq_rebuild(spark, pq_dir, emb)
+        out = rebuild_index(
+            index_dir,
+            IVFPQ_SUBDIRS,
+            _ivfpq_write(emb, ivf_dir, pq_dir, n_centroids, payload_cols),
+        )
+    if sdc_cal is not None:
+        ivfpq_calibrate_sdc(spark, out, **sdc_cal)
+    return out
 
 
 def ivfpq_calibrate_nprobe(
@@ -5960,7 +6038,7 @@ def _sdc_scored_pairs(
 def sdc_dup_pairs(
     spark: SparkSession,
     index_dir: str,
-    threshold: int,
+    threshold: int | None = None,
     max_cell_pairs: int = SDC_MAX_CELL_PAIRS,
 ) -> DataFrame:
     """Every within-cell pair whose symmetric codes distance is at or
@@ -5969,7 +6047,12 @@ def sdc_dup_pairs(
     the closest pairs". Same codes-only scan and oversized-cell
     refusal; the output is threshold-bounded instead of count-bounded,
     so at a fixed threshold the edge volume grows with the number of
-    genuine near-duplicates, not with the corpus."""
+    genuine near-duplicates, not with the corpus. ``threshold=None`` =
+    the layout's calibrated default (_resolve_sdc_threshold), falling
+    back to the fixture constant SDC_CLUSTER_MICRO."""
+    threshold = _resolve_sdc_threshold(
+        index_dir, threshold, SDC_CLUSTER_MICRO
+    )
     return _sdc_scored_pairs(
         spark, index_dir, max_cell_pairs, "sdc_dup_pairs"
     ).filter(F.col("sdc_micro") <= threshold)
@@ -6125,14 +6208,147 @@ def _sdc_pair_sum(m: int) -> "F.Column":
 # sdc_pair_mine's top pair — and novel far vectors screen clean at
 # this bound). Geometry-dependent like PQ_DUP_ADC_MICRO;
 # exact-verify survivors when certainty is needed.
+#
+# This constant is the UNCALIBRATED FALLBACK only: fresh ivfpq builds
+# measure their own corpus's within-cell background and persist a
+# calibrated threshold in meta (ivfpq_calibrate_sdc), which every
+# default-threshold screen/dup-pair call prefers — a different
+# embedding distribution (tighter cones, other dims) would silently
+# misclassify under any fixed constant. Catalog entries pin the
+# constant because their oracles embed it.
 SDC_DUP_MICRO = 400_000
+
+SDC_CAL_SAMPLE = 32
+SDC_CAL_MARGIN = 2
+
+
+def ivfpq_calibrate_sdc(
+    spark: SparkSession,
+    index_dir: str,
+    sample: int = SDC_CAL_SAMPLE,
+    margin: int = SDC_CAL_MARGIN,
+    persist: bool = True,
+) -> dict:
+    """Measure THIS layout's within-cell SDC background on a
+    deterministic sample and persist background/``margin`` as the
+    layout's default duplicate threshold (``meta/sdc_threshold_micro``
+    — the pq_adc_calibrate pattern in SDC space). Rationale: a
+    byte-identical duplicate scores exactly 0 and near-duplicates
+    score at the quantization-residual scale, so the threshold's only
+    job is to sit safely BELOW the closest genuinely-distinct pair;
+    that distance is distribution-dependent (a cone-concentrated
+    corpus compresses it by orders of magnitude), which is why the
+    fixture constants cannot travel. The sampled minimum OVERESTIMATES
+    the true corpus minimum, hence the safety ``margin``. Cost is
+    bounded at any geometry: sample rows x their own cells, codes-only
+    (never a float read). Zero-distance pairs (byte-dups already in
+    the index) are excluded from the background — they are the signal,
+    not the noise. Degenerate corpora (every sampled row alone in its
+    cell) return ``measurable=False`` and persist nothing."""
+    import os
+
+    meta = _ivfpq_meta(index_dir)
+    m = meta["pq_m"]
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    ids = [
+        r["vec_id"]
+        for r in codes.select("vec_id")
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("sdccal|"), F.col("vec_id").cast("string"))
+            ),
+            F.col("vec_id"),
+        )
+        .limit(sample)
+        .collect()
+    ]
+    report = {
+        "index_dir": index_dir,
+        "sample": len(ids),
+        "margin": margin,
+        "measurable": False,
+        "background_micro": None,
+        "threshold_micro": None,
+        "persisted": False,
+    }
+    if not ids:
+        return report
+    cells = [
+        r[0]
+        for r in codes.filter(F.col("vec_id").isin(ids))
+        .select("cid")
+        .distinct()
+        .collect()
+    ]
+    a = codes.filter(F.col("vec_id").isin(ids)).select(
+        F.col("cid").alias("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("codes").alias("__ca"),
+    )
+    b = codes.filter(F.col("cid").isin(cells)).select(
+        F.col("cid").alias("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("codes").alias("__cb"),
+    )
+    row = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .crossJoin(broadcast(_sdc_codeword_row(cb)))
+        .select(_sdc_pair_sum(m).alias("s"))
+        .filter(F.col("s") > 0)
+        .agg(F.min("s").alias("bg"))
+        .head()
+    )
+    if row is None or row["bg"] is None:
+        return report
+    bg = int(row["bg"])
+    report.update(
+        measurable=True,
+        background_micro=bg,
+        threshold_micro=max(1, bg // margin),
+    )
+    if persist:
+        from ..indexutil import update_index_meta
+
+        update_index_meta(
+            spark,
+            index_dir,
+            {
+                "sdc_background_micro": bg,
+                "sdc_threshold_micro": report["threshold_micro"],
+                "sdc_cal_sample": len(ids),
+                "sdc_cal_margin": margin,
+            },
+        )
+        report["persisted"] = True
+    return report
+
+
+def _resolve_sdc_threshold(
+    index_dir: str, value: int | None, fallback: int
+) -> int:
+    """The SDC duplicate-threshold default contract (the nprobe
+    resolver's shape): explicit value > the layout's persisted
+    calibrated threshold > the fixture-calibrated module constant."""
+    if value is not None:
+        return value
+    from ..indexutil import read_index_meta
+
+    try:
+        meta = read_index_meta(index_dir)
+    except ValueError:
+        meta = None
+    if meta is not None and meta.get("sdc_threshold_micro"):
+        return int(meta["sdc_threshold_micro"])
+    return fallback
 
 
 def sdc_score_new(
     spark: SparkSession,
     index_dir: str,
     arrivals: DataFrame,
-    max_sdc: int = SDC_DUP_MICRO,
+    max_sdc: int | None = None,
     max_cell_pairs: int = SDC_MAX_CELL_PAIRS,
 ) -> DataFrame:
     """The INCREMENTAL form of SDC pair mining — the screen a
@@ -6168,7 +6384,11 @@ def sdc_score_new(
     ingest's near_dups side output is the exact-cosine twin)."""
     encoded = _ivfpq_encode_cells(spark, index_dir, arrivals)
     return _sdc_score_encoded(
-        spark, index_dir, encoded, max_sdc, max_cell_pairs
+        spark,
+        index_dir,
+        encoded,
+        _resolve_sdc_threshold(index_dir, max_sdc, SDC_DUP_MICRO),
+        max_cell_pairs,
     )
 
 
@@ -6326,7 +6546,9 @@ def incremental_sdc_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrivals = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
-    return sdc_score_new(spark, idx, arrivals)
+    # pinned: the oracle embeds the SDC_DUP_MICRO literal — real
+    # usage gets the layout's calibrated default
+    return sdc_score_new(spark, idx, arrivals, max_sdc=SDC_DUP_MICRO)
 
 
 # --- index small-file compaction ------------------------------------------

@@ -375,6 +375,7 @@ def append_scored_to_ivfpq(
         SDC_DUP_MICRO,
         SDC_MAX_CELL_PAIRS,
         _ivfpq_encode_cells,
+        _resolve_sdc_threshold,
         _sdc_score_encoded,
         ivfpq_append,
     )
@@ -409,7 +410,8 @@ def append_scored_to_ivfpq(
             spark,
             ivfpq_dir,
             encoded,
-            SDC_DUP_MICRO if max_sdc is None else max_sdc,
+            # explicit > the layout's calibrated threshold > constant
+            _resolve_sdc_threshold(ivfpq_dir, max_sdc, SDC_DUP_MICRO),
             SDC_MAX_CELL_PAIRS,
         )
         .select(F.col("new_vec").alias("vec_id"))

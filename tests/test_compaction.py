@@ -981,3 +981,52 @@ def test_refresh_if_drifted_compacts_without_rebuilding(spark, tmp_path):
     )
     assert rep2["compacted"] is False and rep2["rebuilt"] is False
     assert rep2["max_unit_files"] <= 3
+
+
+def test_lsh_drift_carries_fragmentation_cue(spark, tmp_path):
+    """LSH was the one append-capable family without a fragmentation
+    cue: appends land one file per touched bkt_hi partition, so a long
+    ingest fragments the probe's pruned scan with nothing flagging it.
+    lsh_drift now carries max_unit_files/compaction_recommended (and
+    never recommends a rebuild — sign hyperplanes cannot go stale),
+    and lsh_refresh_if_fragmented routes the remedy."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ANN_BITS,
+        _emb,
+        lsh_append,
+        lsh_build,
+        lsh_drift,
+        lsh_refresh_if_fragmented,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "lshfrag")
+    lsh_build(emb, idx)
+    for i in range(6):
+        lsh_append(
+            spark,
+            idx,
+            emb.filter(F.col("vec_id") < 4).select(
+                (F.col("vec_id") + (i + 1) * 10_000_000).alias("vec_id"),
+                "embedding",
+            ),
+        )
+    drift = lsh_drift(spark, idx, frag_warn=3)
+    assert drift["bits"] == ANN_BITS
+    assert drift["rebuild_recommended"] is False
+    assert drift["compaction_recommended"] is True
+    assert drift["max_unit_files"] > 3
+    n_before = spark.read.parquet(f"{idx}/buckets").count()
+    rep = lsh_refresh_if_fragmented(spark, idx, frag_warn=3)
+    assert rep["compacted"] is True
+    assert spark.read.parquet(f"{idx}/buckets").count() == n_before
+    assert (
+        lsh_drift(spark, idx, frag_warn=3)["compaction_recommended"]
+        is False
+    )
+    with pytest.raises(ValueError, match="not a valid LSH index"):
+        lsh_drift(spark, str(tmp_path / "nope"))

@@ -335,3 +335,61 @@ def test_mining_build_auto_gears_and_drift_carries_regear(
     assert d2["sdc_nlist_suggestion"] == sdc_nlist_for(
         d2["total_now"], bound
     )
+
+
+def test_sdc_threshold_calibrates_to_the_distribution(spark, tmp_path):
+    """VERDICT r11 item 7: the SDC duplicate threshold is
+    calibration-derived, not a fixture constant. On a cone-concentrated
+    corpus (every embedding shifted +4 per dim, then unit-normalized by
+    the PQ chain) all pairwise distances COMPRESS by orders of
+    magnitude: the fixture constant SDC_DUP_MICRO misclassifies plain
+    neighbors as duplicates, while the build-time calibrated default
+    (within-cell background / margin, persisted in meta) still screens
+    a novel vector clean and catches a byte-identical copy."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        SDC_DUP_MICRO,
+        ivfpq_calibrate_sdc,
+        sdc_score_new,
+    )
+
+    emb = (
+        _emb(spark, SF_DIR)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x + F.lit(4.0)).alias(
+                "embedding"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    idx = ivfpq_build(
+        emb, str(tmp_path / "cone"), ivf_dir=str(tmp_path / "cone-ivf")
+    )
+    meta = read_index_meta(idx)
+    assert meta.get("sdc_threshold_micro"), "fresh build must calibrate"
+    assert meta["sdc_threshold_micro"] < SDC_DUP_MICRO / 10  # compressed
+    assert meta["sdc_background_micro"] >= 2 * meta["sdc_threshold_micro"]
+    # a novel cone vector (row 7 nudged on three dims): genuinely
+    # distinct content, but CLOSER than the fixture constant
+    novel = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(990_001).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.when(i < 3, F.lit(0.8)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    assert sdc_score_new(spark, idx, novel).count() == 0  # calibrated
+    assert (
+        sdc_score_new(spark, idx, novel, max_sdc=SDC_DUP_MICRO).count()
+        > 0
+    )  # the constant misclassifies on this distribution
+    # a byte-identical copy still screens as a duplicate (SDC 0)
+    copy = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(990_002).alias("vec_id"), "embedding"
+    )
+    assert sdc_score_new(spark, idx, copy).count() == 1
+    # post-hoc recalibration is reproducible and reports its numbers
+    rep = ivfpq_calibrate_sdc(spark, idx, persist=False)
+    assert rep["measurable"]
+    assert rep["threshold_micro"] == meta["sdc_threshold_micro"]
