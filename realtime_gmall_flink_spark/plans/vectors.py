@@ -654,6 +654,27 @@ def _nprobe_cal_meta(
     }
 
 
+def _backfill_nprobe_cal(
+    spark: SparkSession, index_dir: str, recall_target: float, calibrator
+) -> None:
+    """The reuse-path calibration backfill shared by ivf_build and
+    ivfpq_build: a complete layout that skipped the write closure is
+    calibrated post-hoc (atomic meta merge) when it lacks a calibrated
+    width OR was calibrated to a DIFFERENT target — the one staleness
+    rule, maintained once for both families."""
+    from ..indexutil import read_index_meta
+
+    try:
+        meta = read_index_meta(index_dir) or {}
+    except ValueError:
+        meta = {}
+    have_pm = int(meta.get("nprobe_cal_target_pm") or 0)
+    if not meta.get("nprobe_default") or have_pm != int(
+        recall_target * 1000
+    ):
+        calibrator(spark, index_dir, recall_target=recall_target)
+
+
 def ivf_calibrate_nprobe(
     spark: SparkSession,
     index_dir: str,
@@ -923,17 +944,9 @@ def ivf_build(
         _ivf_write(emb, n_centroids, lloyd_iters),
     )
     if recall_target is not None:
-        try:
-            meta = read_index_meta(out)
-        except ValueError:
-            meta = None
-        have_pm = int((meta or {}).get("nprobe_cal_target_pm") or 0)
-        if not (meta or {}).get("nprobe_default") or have_pm != int(
-            recall_target * 1000
-        ):
-            ivf_calibrate_nprobe(
-                emb.sparkSession, out, recall_target=recall_target
-            )
+        _backfill_nprobe_cal(
+            emb.sparkSession, out, recall_target, ivf_calibrate_nprobe
+        )
     return out
 
 
@@ -4643,26 +4656,35 @@ def ivfpq_build(
             emb, ivf_dir, pq_dir, n_centroids, payload_cols, recall_target
         )
     )
+    # freshness for the SDC-calibration gate below: a missing meta OR
+    # a meta-without-codes debris state both mean the write closure
+    # rebuilds the layout from scratch (the payload check above uses
+    # the same debris test)
+    fresh = existing is None or _codes_first_part(index_dir) is None
     out = staged_index_build(index_dir, IVFPQ_SUBDIRS, writer)
     if recall_target is not None:
         # a REUSED complete layout skipped the write closure — backfill
         # calibration post-hoc (atomic meta merge), same contract as
-        # ivf_build on a reused parent
-        meta = read_index_meta(out) or {}
-        have_pm = int(meta.get("nprobe_cal_target_pm") or 0)
-        if not meta.get("nprobe_default") or have_pm != int(
-            recall_target * 1000
-        ):
-            ivfpq_calibrate_nprobe(
-                emb.sparkSession, out, recall_target=recall_target
+        # ivf_build on a reused parent. Skipped (layout stays valid,
+        # default falls back to adaptive_nprobe) when the persisted
+        # parent is gone — a relocated tree — because the calibrator
+        # needs the parent's raw vectors; calibrate after a rebuild.
+        parents = _ivfpq_persisted_parents(emb.sparkSession, out)
+        if parents is not None and parents[0] is not None:
+            _backfill_nprobe_cal(
+                emb.sparkSession,
+                out,
+                recall_target,
+                ivfpq_calibrate_nprobe,
             )
-    if sdc_calibrate and existing is None:
-        # FRESH builds only: measure this corpus's within-cell SDC
-        # background and persist the calibrated duplicate threshold
-        # (ivfpq_calibrate_sdc). A reused complete layout is left
-        # untouched — mutating a shared cache's screening behavior on
-        # reuse would make results depend on who built it last;
-        # backfill one deliberately with ivfpq_calibrate_sdc.
+    if sdc_calibrate and fresh:
+        # FRESH builds (including debris rebuilds) only: measure this
+        # corpus's within-cell SDC background and persist the
+        # calibrated duplicate threshold (ivfpq_calibrate_sdc). A
+        # reused complete layout is left untouched — mutating a shared
+        # cache's screening behavior on reuse would make results
+        # depend on who built it last; backfill one deliberately with
+        # ivfpq_calibrate_sdc.
         meta = read_index_meta(out) or {}
         if not meta.get("sdc_threshold_micro"):
             ivfpq_calibrate_sdc(emb.sparkSession, out)
@@ -5027,8 +5049,12 @@ def ivfpq_drift(
             "max_cell_pairs": max_cell_pairs,
             "sdc_regear_recommended": max_cell_pairs
             > mining_warn_pairs,
+            # the remedy gears like ivfpq_build(mining=...): with skew
+            # headroom, not to the bound exactly — a suggestion sized
+            # at the bound would re-trip the refusal under real skew
             "sdc_nlist_suggestion": sdc_nlist_for(
-                total_now, mining_warn_pairs
+                total_now,
+                max(1, mining_warn_pairs // SDC_MINING_HEADROOM),
             ),
         },
         os.path.join(index_dir, "codes"),
@@ -5124,6 +5150,12 @@ def ivfpq_rebuild(
         if old.get("sdc_threshold_micro")
         else None
     )
+    # the COMPOSED layout's own probe-width target survives too: the
+    # rebuilt meta only copies the PARENT's calibration, which may be
+    # absent (post-hoc-calibrated composed layout over an uncalibrated
+    # parent) or pinned to a different target — either would silently
+    # revert default probes to the fraction fallback
+    old_nprobe_pm = int(old.get("nprobe_cal_target_pm") or 0)
     ivf_rebuild(spark, ivf_dir, emb, n_centroids=n_centroids)
     if _IVFPQ_ENC_BY_NAME[encoding] == IVFPQ_ENC_RESIDUAL:
         # no PQ parent: residual codebooks retrain inside the write
@@ -5141,6 +5173,12 @@ def ivfpq_rebuild(
         )
     if sdc_cal is not None:
         ivfpq_calibrate_sdc(spark, out, **sdc_cal)
+    if old_nprobe_pm:
+        new_meta = _ivfpq_meta(out)
+        if int(new_meta.get("nprobe_cal_target_pm") or 0) != old_nprobe_pm:
+            ivfpq_calibrate_nprobe(
+                spark, out, recall_target=old_nprobe_pm / 1000
+            )
     return out
 
 

@@ -387,6 +387,21 @@ def reconcile_removed(
     ]
     if not touched:
         return out
+    # refuse a FULL clear by name: a snapshot sharing no keys with the
+    # index is almost certainly the wrong dataset (or an empty read),
+    # and applying it would delete every bucket — leaving a
+    # fingerprints dir with no parquet parts that breaks every later
+    # read. Full corpus replacement is a rebuild, not a reconcile.
+    n_removed = removed.count()
+    n_index = idx.count()
+    if n_removed >= n_index:
+        raise ValueError(
+            "reconcile_removed: the snapshot shares no keys with the"
+            f" index ({n_removed} of {n_index} indexed docs would be"
+            " removed) — refusing to clear the whole index; if the"
+            " corpus really was fully replaced, rebuild it over the"
+            " new snapshot (fp_index_rebuild) instead"
+        )
     kept = (
         idx.filter(F.col(_BUCKET_COL).isin(touched))
         .join(removed.select("doc_id"), "doc_id", "left_anti")

@@ -332,9 +332,12 @@ def test_mining_build_auto_gears_and_drift_carries_regear(
     d2 = ivfpq_drift(spark, ann, mining_warn_pairs=bound)
     assert d2["sdc_regear_recommended"] is True
     assert d2["max_cell_pairs"] > bound
+    # the suggestion gears like the build convenience: WITH skew
+    # headroom, so following the remedy doesn't re-trip the refusal
     assert d2["sdc_nlist_suggestion"] == sdc_nlist_for(
-        d2["total_now"], bound
+        d2["total_now"], bound // SDC_MINING_HEADROOM
     )
+    assert d2["sdc_nlist_suggestion"] == nlist  # remedy = mining gear
 
 
 def test_sdc_threshold_calibrates_to_the_distribution(spark, tmp_path):
@@ -393,3 +396,53 @@ def test_sdc_threshold_calibrates_to_the_distribution(spark, tmp_path):
     rep = ivfpq_calibrate_sdc(spark, idx, persist=False)
     assert rep["measurable"]
     assert rep["threshold_micro"] == meta["sdc_threshold_micro"]
+
+
+def test_ivfpq_rebuild_preserves_own_calibrations(spark, tmp_path):
+    """A composed layout calibrated post-hoc (possibly over an
+    UNCALIBRATED parent, or to a different target than the parent's)
+    must not lose its probe-width target on rebuild — the rebuilt meta
+    only copies the parent's keys, so the rebuild re-measures under
+    the composed layout's own persisted target afterwards. The SDC
+    threshold re-measures under its persisted sample/margin the same
+    way."""
+    from realtime_gmall_flink_spark.plans.vectors import ivfpq_rebuild
+
+    emb = _emb(spark, SF_DIR)
+    idx = ivfpq_build(
+        emb,
+        str(tmp_path / "own"),
+        ivf_dir=str(tmp_path / "own-ivf"),
+    )
+    ivfpq_calibrate_nprobe(spark, idx, recall_target=0.9)
+    before = read_index_meta(idx)
+    assert before["nprobe_cal_target_pm"] == 900
+    assert before.get("sdc_threshold_micro")  # fresh build calibrated
+    ivfpq_rebuild(spark, idx, emb)
+    after = read_index_meta(idx)
+    assert after["nprobe_cal_target_pm"] == 900  # target survived
+    assert after.get("nprobe_default")
+    assert after.get("sdc_threshold_micro")
+
+
+def test_ivfpq_debris_rebuild_still_calibrates_sdc(spark, tmp_path):
+    """A meta-without-codes debris state rebuilds the layout from
+    scratch inside ivfpq_build — the 'fresh build must calibrate'
+    contract covers that path too (the gate keys on the debris test,
+    not just on a missing meta)."""
+    import shutil
+
+    emb = _emb(spark, SF_DIR)
+    idx = ivfpq_build(
+        emb,
+        str(tmp_path / "debris"),
+        ivf_dir=str(tmp_path / "debris-ivf"),
+    )
+    assert read_index_meta(idx).get("sdc_threshold_micro")
+    shutil.rmtree(f"{idx}/codes")  # meta survives: the debris shape
+    idx2 = ivfpq_build(
+        emb,
+        str(tmp_path / "debris"),
+        ivf_dir=str(tmp_path / "debris-ivf"),
+    )
+    assert read_index_meta(idx2).get("sdc_threshold_micro")

@@ -330,3 +330,31 @@ def test_bucket_swap_crash_is_recoverable(spark, tmp_path):
     assert SI.recover_fp_buckets(str(tmp_path / "idx")) == 0
     assert not os.path.isdir(tomb2)
     assert spark.read.parquet(fp).count() == n_before
+
+
+def test_reconcile_refuses_full_clear(spark, tmp_path):
+    """A snapshot sharing no keys with the index (wrong dataset, empty
+    read) must not silently delete every bucket — a fingerprints dir
+    with no parquet parts breaks all later reads. Full replacement is
+    a rebuild, not a reconcile."""
+    import pytest
+
+    base = _docs(spark, SF_DIR)
+    idx = SI.fp_index_build(base, str(tmp_path / "idx"))
+    disjoint = base.select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "lang", "text"
+    )
+    n = spark.read.parquet(
+        os.path.join(str(tmp_path / "idx"), "fingerprints")
+    ).count()
+    with pytest.raises(ValueError, match="refusing to clear"):
+        SI.reconcile_removed(spark, idx, disjoint)
+    with pytest.raises(ValueError, match="refusing to clear"):
+        SI.reconcile_removed(spark, idx, base.limit(0))
+    # the refusal really protected the layout
+    assert (
+        spark.read.parquet(
+            os.path.join(str(tmp_path / "idx"), "fingerprints")
+        ).count()
+        == n
+    )
