@@ -198,6 +198,9 @@ ROTATION_POOL: tuple[str, ...] = (
     "near_dup_sdc_clusters",
     "ann_ivfpq_filtered_topk",
     "snapshot_diff_stats",
+    # r12 additions
+    "ivf_recall_curve",
+    "snapshot_reconcile_stats",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

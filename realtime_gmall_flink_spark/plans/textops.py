@@ -3339,10 +3339,10 @@ def snapshot_diff(
     )
 
 
-@register(
-    "snapshot_diff_stats",
-    survey="J2(ext),P9(ext)",
-    oracle=f"""
+# ONE oracle for both snapshot-delta entries: the batch diff and the
+# incremental (fingerprint-index classify + reconcile) form must agree
+# row-for-row — that equivalence IS snapshot_reconcile_stats' claim.
+_SNAPSHOT_DIFF_STATS_SQL = f"""
 WITH d AS (
     SELECT doc_id, lang, text, {_BUCKET100_SQL} AS bucket
     FROM documents
@@ -3366,7 +3366,13 @@ j AS (
 )
 SELECT category, lang, count(*) AS doc_ct
 FROM j GROUP BY category, lang
-""",
+"""
+
+
+@register(
+    "snapshot_diff_stats",
+    survey="J2(ext),P9(ext)",
+    oracle=_SNAPSHOT_DIFF_STATS_SQL,
 )
 def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff the corpus against its simulated next version and count
@@ -3376,4 +3382,49 @@ def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = snapshot_diff(docs, simulated_next_snapshot(docs))
     return diff.groupBy("category", "lang").agg(
         F.count(F.lit(1)).alias("doc_ct")
+    )
+
+
+@register(
+    "snapshot_reconcile_stats",
+    survey="J2(ext),P9(ext)",
+    oracle=_SNAPSHOT_DIFF_STATS_SQL,
+)
+def snapshot_reconcile_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INCREMENTAL machinery reproducing the batch diff, as a
+    graded query: classify the simulated next snapshot against a
+    fingerprint index built from the base corpus (the streaming
+    ingest's added/changed/unchanged leg), add reconcile_removed's
+    deletion leg (apply=False — the shared per-SF cache stays
+    immutable), and count per (category, lang). Hash-equal to
+    snapshot_diff_stats BY ORACLE: the two entries share one SQL, so
+    the driver itself verifies that ingest + reconcile lose nothing
+    against a two-snapshot diff. Scale shape: the classify prunes the
+    index read to touched buckets, the reconcile is one skinny
+    left-anti key join — bodies never shuffle in either leg."""
+    from ..streaming.snapshot_ingest import (
+        classify_new_docs,
+        fp_index_build,
+        reconcile_removed,
+    )
+    from .vectors import _index_cache_dir
+
+    docs = _docs(spark, sf_dir)
+    nxt = simulated_next_snapshot(docs)
+    idx = _index_cache_dir(
+        "fpidx", sf_dir, "b=16|v=1", src_name="documents.parquet"
+    )
+    fp_index_build(docs.select("doc_id", "lang", "text"), idx)
+    classified = classify_new_docs(
+        spark, idx, nxt.select("doc_id", "lang", "text"), batch_id=0
+    ).select("doc_id", "lang", "category")
+    removed = reconcile_removed(
+        spark, idx, nxt.select("doc_id"), apply=False
+    )
+    return (
+        classified.unionByName(removed)
+        .groupBy("category", "lang")
+        .agg(F.count(F.lit(1)).alias("doc_ct"))
     )

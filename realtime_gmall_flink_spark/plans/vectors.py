@@ -515,9 +515,9 @@ def _resolve_nprobe(
     return adaptive_nprobe(nlist_fn())
 
 
-def _nprobe_recall_hist(
+def _nprobe_recall_curve_df(
     assigned: DataFrame, cent: DataFrame, k: int, n_queries: int
-) -> dict[int, int]:
+) -> DataFrame:
     """Pooled recall@k as a function of probe width from ONE corpus
     scan: each sampled query's exact top-k neighbors are tagged with
     the RANK of their cell in that query's cell ordering (the
@@ -525,8 +525,9 @@ def _nprobe_recall_hist(
     recall(nprobe) = fraction of neighbors with cell_rank <= nprobe.
     No per-nprobe probes are needed because probes are EXACT inside
     probed cells: a true neighbor in a probed cell always survives.
-    Returns {cell_rank: neighbor_count}; the denominator is the value
-    sum (the rank join is total — every neighbor's cell has a rank).
+    Returns (cell_rank, neighbor_ct) rows; the recall denominator is
+    the value sum (the rank join is total — every neighbor's cell has
+    a rank).
     Queries are a deterministic salted-hash sample, decorrelated from
     the centroid SEED order (which uses the unsalted vec_id hash)."""
     from pyspark.sql import Window
@@ -575,13 +576,20 @@ def _nprobe_recall_hist(
         .withColumn("__rk", F.row_number().over(nn_w))
         .filter(F.col("__rk") <= k)
     )
-    rows = (
+    return (
         topk.join(broadcast(qcell), ["qid", "cid"])
-        .groupBy("cell_rank")
-        .count()
-        .collect()  # bounded: <= nlist rows
+        .groupBy(F.col("cell_rank").cast("long").alias("cell_rank"))
+        .agg(F.count(F.lit(1)).alias("neighbor_ct"))
     )
-    return {int(r["cell_rank"]): int(r["count"]) for r in rows}
+
+
+def _nprobe_recall_hist(
+    assigned: DataFrame, cent: DataFrame, k: int, n_queries: int
+) -> dict[int, int]:
+    """The curve collected driver-side (bounded: <= nlist rows) — the
+    form the width chooser consumes."""
+    rows = _nprobe_recall_curve_df(assigned, cent, k, n_queries).collect()
+    return {int(r["cell_rank"]): int(r["neighbor_ct"]) for r in rows}
 
 
 def _nprobe_from_hist(
@@ -1363,6 +1371,60 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     )
     return ivf_probe_batch(spark, idx, queries, nprobe=IVF_NPROBE)
+
+
+@register(
+    "ivf_recall_curve",
+    survey="J5(ext),J6(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}, cq AS (
+    SELECT vec_id AS qid, embedding AS qe FROM (
+        SELECT vec_id, embedding, row_number() OVER (
+            ORDER BY md5('cal|' || CAST(vec_id AS VARCHAR)), vec_id
+        ) AS crn
+        FROM iassigned)
+    WHERE crn <= {IVF_CAL_QUERIES}
+), cqcell AS (
+    SELECT q.qid, c.cid, row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY round({_cos_sql('c.ce', 'q.qe')}, 6) DESC, c.cid
+    ) AS cell_rank
+    FROM icent c CROSS JOIN cq q
+), ctopk AS (
+    SELECT qid, vec_id, cid FROM (
+        SELECT q.qid, a.vec_id, a.cid, row_number() OVER (
+            PARTITION BY q.qid
+            ORDER BY round({_cos_sql('a.embedding', 'q.qe')}, 6) DESC,
+                     a.vec_id
+        ) AS rk
+        FROM iassigned a CROSS JOIN cq q
+        WHERE a.vec_id <> q.qid)
+    WHERE rk <= {TOP_K}
+)
+SELECT c.cell_rank, count(*) AS neighbor_ct
+FROM ctopk t JOIN cqcell c ON c.qid = t.qid AND c.cid = t.cid
+GROUP BY c.cell_rank
+""",
+)
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe-width calibrator's MEASUREMENT as a graded query
+    (r12's weak-mark closure, made driver-verifiable): for a
+    deterministic salted sample of queries, each exact top-k
+    neighbor's cell is tagged with its rank in that query's cell
+    ordering, so cumulative counts over cell_rank ARE the
+    recall-vs-nprobe curve ivf_calibrate_nprobe persists from — one
+    corpus scan, no per-width probes. The DuckDB oracle replays the
+    sampling, the cell ranking, and the exact top-k from the shared
+    assignment chain, hash-checking the calibration itself."""
+    import os
+
+    idx = ivf_index_dir(sf_dir)
+    ivf_build(_emb(spark, sf_dir), idx)
+    assigned = spark.read.parquet(os.path.join(idx, "assignment"))
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    return _nprobe_recall_curve_df(
+        assigned, cent, TOP_K, IVF_CAL_QUERIES
+    )
 
 
 def _probe_cell_pairs(
