@@ -3405,6 +3405,7 @@ def snapshot_reconcile_stats(
     index read to touched buckets, the reconcile is one skinny
     left-anti key join — bodies never shuffle in either leg."""
     from ..streaming.snapshot_ingest import (
+        FP_BUCKETS,
         classify_new_docs,
         fp_index_build,
         reconcile_removed,
@@ -3414,7 +3415,7 @@ def snapshot_reconcile_stats(
     docs = _docs(spark, sf_dir)
     nxt = simulated_next_snapshot(docs)
     idx = _index_cache_dir(
-        "fpidx", sf_dir, "b=16|v=1", src_name="documents.parquet"
+        "fpidx", sf_dir, f"b={FP_BUCKETS}|v=1", src_name="documents.parquet"
     )
     fp_index_build(docs.select("doc_id", "lang", "text"), idx)
     classified = classify_new_docs(

@@ -4718,11 +4718,14 @@ def ivfpq_build(
             emb, ivf_dir, pq_dir, n_centroids, payload_cols, recall_target
         )
     )
-    # freshness for the SDC-calibration gate below: a missing meta OR
-    # a meta-without-codes debris state both mean the write closure
-    # rebuilds the layout from scratch (the payload check above uses
-    # the same debris test)
-    fresh = existing is None or _codes_first_part(index_dir) is None
+    # freshness for the SDC-calibration gate below: use the SAME
+    # predicate staged_index_build reuses on (_valid_index over all
+    # subdirs), so "fresh" is true exactly when the write closure will
+    # rebuild — a divergent test would skip calibrating a real rebuild
+    # (missing parents/ or build_stats/) or mutate a reused cache
+    from ..indexutil import _valid_index
+
+    fresh = not _valid_index(index_dir, IVFPQ_SUBDIRS)
     out = staged_index_build(index_dir, IVFPQ_SUBDIRS, writer)
     if recall_target is not None:
         # a REUSED complete layout skipped the write closure — backfill
@@ -4738,6 +4741,17 @@ def ivfpq_build(
                 out,
                 recall_target,
                 ivfpq_calibrate_nprobe,
+            )
+        else:
+            import warnings
+
+            warnings.warn(
+                f"ivfpq_build: {out!r} has no live IVF parent, so the"
+                f" requested recall_target={recall_target} could not be"
+                " calibrated — default probes fall back to"
+                " adaptive_nprobe; rebuild the composed layout"
+                " (ivfpq_rebuild) to restore a parent, then calibrate",
+                stacklevel=2,
             )
     if sdc_calibrate and fresh:
         # FRESH builds (including debris rebuilds) only: measure this
