@@ -201,6 +201,7 @@ ROTATION_POOL: tuple[str, ...] = (
     # r12 additions
     "ivf_recall_curve",
     "snapshot_reconcile_stats",
+    "ann_ivfpq_filtered_in_topk",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

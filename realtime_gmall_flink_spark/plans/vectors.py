@@ -3563,6 +3563,69 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the IN-list filtered entry's deterministic label set: the two
+# smallest labels of the synthetic corpus — a category-set filter, the
+# other half of filtered search next to ann_ivfpq_filtered_topk's
+# single-value equality
+FILTER_IN_LABELS = (0, 1)
+
+
+@register(
+    "ann_ivfpq_filtered_in_topk",
+    survey="J5(ext),P7(ext)",
+    oracle=f"""
+WITH {_IVF_CELLS_SQL}
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
+, qn AS (SELECT ne AS qne FROM nemb WHERE vec_id = {QUERY_VEC_ID})
+, {_IVFPQ_RES_QUERY_SQL}
+, adcs AS (
+    SELECT a.vec_id, sum(r.d2m) AS adc
+    FROM iassigned a JOIN qcent qc ON qc.cid = a.cid
+    JOIN embeddings le ON le.vec_id = a.vec_id
+    JOIN rcodes k ON k.vec_id = a.vec_id
+    JOIN rlut r ON r.cell = a.cid AND r.s = k.s AND r.cid = k.cid
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+      AND le.label IN {FILTER_IN_LABELS}
+    GROUP BY a.vec_id
+), cand AS (SELECT vec_id FROM adcs ORDER BY adc, vec_id LIMIT {PQ_RERANK})
+SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {TOP_K}
+""",
+)
+def ann_ivfpq_filtered_in_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IN-LIST filtered vector search — the category-set predicate a
+    filtered store needs next to single-value equality: ``payload_eq``
+    values that are collections compile to an ``In`` filter pushed
+    into the SAME cell-pruned codes-only scan (plan-asserted), before
+    the candidate cut. Shares ann_ivfpq_filtered_topk's payload
+    layout, so the cache is built once for both filtered entries."""
+    emb = _emb(spark, sf_dir)
+    idx = ivfpq_payload_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        payload_cols=("label",),
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    return ivfpq_probe(
+        spark,
+        idx,
+        q,
+        emb,
+        exclude_vec_id=QUERY_VEC_ID,
+        nprobe=IVF_NPROBE,
+        payload_eq={"label": list(FILTER_IN_LABELS)},
+    )
+
+
 # --- persisted PQ index (build once / probe many) -----------------------
 # Layout: codebooks/ (PQ_M*PQ_K rows: s, cid, rank, csv), codes/
 # (vec_id + PQ_M one-byte dense RANKS — not raw cids, which are seed
@@ -4797,11 +4860,14 @@ def _check_payload_filter(
     payload_eq: dict | None,
     caller: str,
 ) -> dict:
-    """Normalize and validate a filtered probe's equality predicate:
-    every filter column must be a PERSISTED payload of the layout —
-    filtering on an absent column would silently match nothing (parquet
-    reads a missing column as NULL). Refused by name with the rebuild
-    remedy."""
+    """Normalize and validate a filtered probe's predicate map: a
+    scalar value is an equality, a list/tuple/set is an IN-list (both
+    push to the parquet reader as EqualTo/In). Every filter column
+    must be a PERSISTED payload of the layout — filtering on an
+    absent column would silently match nothing (parquet reads a
+    missing column as NULL). Refused by name with the rebuild remedy;
+    None values and empty IN-lists are refused as the
+    silent-empty-result failures they would be."""
     if not payload_eq:
         return {}
     have = _ivfpq_payload_cols(spark, index_dir)
@@ -4813,16 +4879,42 @@ def _check_payload_filter(
             " index with ivfpq_build(..., payload_cols=(...)) to carry"
             " them into the codes rows"
         )
-    nulls = [c for c, v in payload_eq.items() if v is None]
+    def _is_many(v):
+        return isinstance(v, (list, tuple, set, frozenset))
+
+    nulls = [
+        c
+        for c, v in payload_eq.items()
+        if (v is None)
+        or (_is_many(v) and any(m is None for m in v))
+    ]
     if nulls:
         raise ValueError(
-            f"{caller}: filter values for {nulls} are None — an"
-            " equality predicate against NULL matches NOTHING (SQL"
+            f"{caller}: filter values for {nulls} are (or contain)"
+            " None — a predicate against NULL matches NOTHING (SQL"
             " three-valued logic), which is the silent-empty-result"
             " failure this check exists to refuse; filter NULL"
             " payloads with an explicit isNull scan instead"
         )
-    return dict(payload_eq)
+    empties = [c for c, v in payload_eq.items() if _is_many(v) and not v]
+    if empties:
+        raise ValueError(
+            f"{caller}: filter IN-lists for {empties} are EMPTY —"
+            " that matches nothing by construction; pass the values"
+            " to keep, or drop the filter"
+        )
+    return {
+        c: (sorted(v) if isinstance(v, (set, frozenset)) else v)
+        for c, v in payload_eq.items()
+    }
+
+
+def _payload_predicate(col: str, v) -> "F.Column":
+    """One filter column's predicate: IN for a collection value (the
+    parquet reader gets an In filter), equality otherwise."""
+    if isinstance(v, (list, tuple)):
+        return F.col(col).isin(list(v))
+    return F.col(col) == F.lit(v)
 
 
 def ivfpq_adc_candidates(
@@ -4872,7 +4964,7 @@ def ivfpq_adc_candidates(
         F.col("cid").isin(cids)
     )
     for c, v in pay.items():
-        codes = codes.filter(F.col(c) == F.lit(v))
+        codes = codes.filter(_payload_predicate(c, v))
     if exclude_vec_id is not None:
         codes = codes.filter(F.col("vec_id") != exclude_vec_id)
     if _ivfpq_enc(meta) == IVFPQ_ENC_RESIDUAL:
@@ -5592,7 +5684,7 @@ def ivfpq_batch_candidates(
         F.col("cid").isin(cids)
     )
     for c, v in pay.items():
-        codes = codes.filter(F.col(c) == F.lit(v))
+        codes = codes.filter(_payload_predicate(c, v))
     if _ivfpq_enc(meta) == IVFPQ_ENC_RESIDUAL:
         # one broadcast (qid, cid, table) row per PROBE PAIR: joining
         # on cid both restores per-query cell scoping AND delivers each

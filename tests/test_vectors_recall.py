@@ -2410,5 +2410,61 @@ def test_payload_filter_none_value_refused(spark, tmp_path):
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    with _pytest.raises(ValueError, match="are None"):
+    with _pytest.raises(ValueError, match=r"are \(or contain\) None"):
         ivfpq_adc_candidates(spark, idx, q, payload_eq={"label": None})
+
+
+def test_payload_in_filter_pushed_and_guarded(spark, tmp_path):
+    """IN-list filtered search: a collection payload_eq value compiles
+    to a parquet In filter INSIDE the cid-pruned codes-only scan (not
+    a post-filter), the candidate set honors it exactly, and the
+    silent-empty-result shapes are refused by name (empty IN-list;
+    None member — three-valued logic would match nothing)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        QUERY_VEC_ID,
+        _emb,
+        ivfpq_adc_candidates,
+        ivfpq_build,
+    )
+
+    from .conftest import SF_DIR
+    from .plan_utils import assert_codes_scans_no_embedding, formatted_plan
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "pin")
+    ivfpq_build(emb, idx, payload_cols=("label",))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = ivfpq_adc_candidates(
+        spark, idx, q, exclude_vec_id=QUERY_VEC_ID,
+        payload_eq={"label": [0, 1]},
+    )
+    plan = formatted_plan(cand)
+    assert "In(label" in plan.replace(" ", "")  # pushed, not post-hoc
+    assert_codes_scans_no_embedding(plan)
+    got = [r["vec_id"] for r in cand.collect()]
+    assert got, "IN-filtered candidates must exist on this fixture"
+    labels = {
+        r["label"]
+        for r in emb.filter(F.col("vec_id").isin(got))
+        .select("label")
+        .collect()
+    }
+    assert labels <= {0, 1}  # every candidate satisfies the IN-list
+    # a set value is accepted (normalized to a sorted list)
+    assert (
+        ivfpq_adc_candidates(
+            spark, idx, q, payload_eq={"label": {0, 1}}
+        ).count()
+        == cand.count()
+    )
+    with _pytest.raises(ValueError, match="EMPTY"):
+        ivfpq_adc_candidates(spark, idx, q, payload_eq={"label": []})
+    with _pytest.raises(ValueError, match="contain"):
+        ivfpq_adc_candidates(
+            spark, idx, q, payload_eq={"label": [0, None]}
+        )
