@@ -202,6 +202,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "ivf_recall_curve",
     "snapshot_reconcile_stats",
     "ann_ivfpq_filtered_in_topk",
+    "ann_ivfpq_batch_filtered_topk",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -5656,6 +5656,7 @@ def ivfpq_batch_candidates(
     nprobe: int | None = None,
     exclude_self: bool = True,
     payload_eq: dict | None = None,
+    payload_match_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The pruned ADC half of the batch probe: per-query probe cells
     come from ranking the centroids per qid (the ivf_probe_batch
@@ -5665,7 +5666,14 @@ def ivfpq_batch_candidates(
     the broadcast lookup-table join scores, a per-qid window cuts.
     Cell ranking shares _probe_cell_pairs with ivf_probe_batch.
     ``payload_eq`` filters the one scan like the single-query form
-    (one predicate shared by the whole batch)."""
+    (one predicate shared by the whole batch). ``payload_match_cols``
+    is the PER-QUERY filter a batch API needs (each query restricted
+    to rows matching ITS OWN values — e.g. dedup-within-source): the
+    queries frame must carry those payload columns; the UNION of the
+    batch's values is PUSHED into the scan as an In filter (bounded
+    collect, <= nq values per column), then a per-pair equality
+    restores exact per-query scoping before the candidate cut. NULL
+    query values are refused by name (they would match nothing)."""
     import os
 
     meta = _ivfpq_meta(index_dir)
@@ -5676,6 +5684,23 @@ def ivfpq_batch_candidates(
     pay = _check_payload_filter(
         spark, index_dir, payload_eq, "ivfpq_probe_batch"
     )
+    match = tuple(payload_match_cols or ())
+    if match:
+        have = _ivfpq_payload_cols(spark, index_dir)
+        bad = [c for c in match if c not in have]
+        if bad:
+            raise ValueError(
+                f"ivfpq_probe_batch: match columns {bad} are not"
+                f" payloads of this layout (has {list(have) or 'none'})"
+                " — rebuild with ivfpq_build(..., payload_cols=(...))"
+            )
+        missing_q = [c for c in match if c not in queries.columns]
+        if missing_q:
+            raise ValueError(
+                f"ivfpq_probe_batch: payload_match_cols {missing_q}"
+                " are absent from the QUERIES frame — each query must"
+                " carry its own filter values"
+            )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     nprobe = _resolve_nprobe(index_dir, nprobe, cent.count, meta=meta)
@@ -5685,13 +5710,43 @@ def ivfpq_batch_candidates(
     )
     for c, v in pay.items():
         codes = codes.filter(_payload_predicate(c, v))
+    qpay = None
+    if match:
+        qpay = queries.select(
+            "qid", *[F.col(c).alias(f"__q_{c}") for c in match]
+        )
+        for c in match:
+            vals = sorted(
+                {r[0] for r in queries.select(c).distinct().collect()},
+                key=lambda v: (v is None, v),
+            )  # bounded: <= nq distinct values
+            if any(v is None for v in vals):
+                raise ValueError(
+                    f"ivfpq_probe_batch: some queries carry NULL in"
+                    f" match column {c!r} — an equality against NULL"
+                    " matches NOTHING; drop those queries or fill the"
+                    " value"
+                )
+            # the union of the batch's values prunes the ONE scan
+            # (pushed In filter); per-pair equality below restores
+            # exact per-query scoping
+            codes = codes.filter(F.col(c).isin(vals))
+
+    def _scope_to_query(scored):
+        if qpay is None:
+            return scored
+        scoped = scored.join(broadcast(qpay), "qid")
+        for c in match:
+            scoped = scoped.filter(F.col(c) == F.col(f"__q_{c}"))
+        return scoped
+
     if _ivfpq_enc(meta) == IVFPQ_ENC_RESIDUAL:
         # one broadcast (qid, cid, table) row per PROBE PAIR: joining
         # on cid both restores per-query cell scoping AND delivers each
         # query's residual table for that cell — the pairs and lut
         # joins of the raw path fused into one
         lutp = _ivfpq_res_lut_pairs(cb, cent, pairs_df, queries, subdim)
-        scored = codes.join(broadcast(lutp), "cid")
+        scored = _scope_to_query(codes.join(broadcast(lutp), "cid"))
         if exclude_self:
             scored = scored.filter(F.col("vec_id") != F.col("qid"))
         scored = scored.select(
@@ -5699,8 +5754,8 @@ def ivfpq_batch_candidates(
         )
         return _pq_batch_candidate_cut(scored, rerank)
     luts = _pq_lut_rows(cb, queries, subdim)
-    scored = codes.join(broadcast(pairs_df), "cid").join(
-        broadcast(luts), "qid"
+    scored = _scope_to_query(
+        codes.join(broadcast(pairs_df), "cid").join(broadcast(luts), "qid")
     )
     if exclude_self:
         scored = scored.filter(F.col("vec_id") != F.col("qid"))
@@ -5718,13 +5773,23 @@ def ivfpq_probe_batch(
     nprobe: int | None = None,
     exclude_self: bool = True,
     payload_eq: dict | None = None,
+    payload_match_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Top-k for MANY query vectors against the persisted IVF-PQ index
     in ONE pruned codes scan (ivfpq_batch_candidates), then one fetch
     validates and reranks. ``payload_eq`` filters the scan (filtered
-    search, shared by the whole batch)."""
+    search, shared by the whole batch); ``payload_match_cols``
+    restricts each query to rows matching ITS OWN payload values
+    (per-query filtered search — see ivfpq_batch_candidates)."""
     cand = ivfpq_batch_candidates(
-        spark, index_dir, queries, rerank, nprobe, exclude_self, payload_eq
+        spark,
+        index_dir,
+        queries,
+        rerank,
+        nprobe,
+        exclude_self,
+        payload_eq,
+        payload_match_cols,
     )
     return _pq_validated_rerank_batch(
         spark, cand, emb, queries, k, caller="ivfpq_probe_batch"
@@ -5865,6 +5930,92 @@ def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     return ivfpq_probe_batch(
         spark, idx, queries, emb, nprobe=IVF_NPROBE
+    )
+
+
+@register(
+    "ann_ivfpq_batch_filtered_topk",
+    survey="J5(ext),P7(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
+, q AS (
+    SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    WHERE vec_id IN {IVF_BATCH_QIDS}
+), bqn AS (
+    SELECT vec_id AS qid, ne AS qne FROM nemb
+    WHERE vec_id IN {IVF_BATCH_QIDS}
+), iqcent AS (
+    SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round({_cos_sql('c.ce', 'q.qe')}, 6) DESC,
+                            c.cid
+               ) AS rn
+        FROM icent c CROSS JOIN q)
+    WHERE rn <= {IVF_NPROBE}
+), bqres AS (
+    SELECT bq.qid, iq.cid AS cell,
+           list_transform(generate_series(1, 64),
+                          i -> bq.qne[i] - c.cen[i]) AS qrne
+    FROM iqcent iq JOIN icentn c ON c.cid = iq.cid
+    JOIN bqn bq ON bq.qid = iq.qid
+), bqrsub AS (
+    SELECT qid, cell, gs.s, {_pq_slice_sql('qrne')} AS qsv
+    FROM bqres CROSS JOIN generate_series(1, {PQ_M}) gs(s)
+), rlut AS (
+    SELECT b.qid, b.cell, rc.s, rc.cid,
+           CAST(round({_l2_sql('csv', 'qsv')} * 1000000) AS BIGINT) AS d2m
+    FROM rcent rc JOIN bqrsub b USING (s)
+), cells AS (
+    SELECT iq.qid, a.vec_id, a.cid AS cell
+    FROM iassigned a JOIN iqcent iq USING (cid)
+    JOIN embeddings le ON le.vec_id = a.vec_id
+    JOIN embeddings ql ON ql.vec_id = iq.qid AND le.label = ql.label
+    WHERE a.vec_id <> iq.qid
+), adcs AS (
+    SELECT cl.qid, cl.vec_id, sum(r.d2m) AS adc
+    FROM cells cl JOIN rcodes k ON k.vec_id = cl.vec_id
+    JOIN rlut r ON r.qid = cl.qid AND r.cell = cl.cell
+               AND r.s = k.s AND r.cid = k.cid
+    GROUP BY cl.qid, cl.vec_id
+), {_PQ_BATCH_RERANK_SQL}
+""",
+)
+def ann_ivfpq_batch_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-QUERY filtered batch search — the real batch-ANN API shape
+    (each query restricted to rows matching ITS OWN category, e.g.
+    dedup-within-source): the queries frame carries its label column,
+    the union of the batch's labels prunes the ONE codes scan as a
+    pushed In filter, and a broadcast per-pair equality restores exact
+    per-query scoping before the candidate cut. Shares the payload
+    layout with the single-query filtered entries."""
+    emb = _emb(spark, sf_dir)
+    idx = ivfpq_payload_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        payload_cols=("label",),
+    )
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_BATCH_QIDS))
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        "label",
+    )
+    return ivfpq_probe_batch(
+        spark,
+        idx,
+        queries,
+        emb,
+        nprobe=IVF_NPROBE,
+        payload_match_cols=("label",),
     )
 
 

@@ -2468,3 +2468,90 @@ def test_payload_in_filter_pushed_and_guarded(spark, tmp_path):
         ivfpq_adc_candidates(
             spark, idx, q, payload_eq={"label": [0, None]}
         )
+
+
+def test_payload_match_cols_per_query_scoping(spark, tmp_path):
+    """Per-query filtered batch search: each query's results equal its
+    own single filtered probe (N probes, one scan), the union of the
+    batch's labels is PUSHED into the scan as an In filter, and the
+    refusal surface names absent match columns, queries missing them,
+    and NULL query values."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_BATCH_QIDS,
+        _emb,
+        ivfpq_batch_candidates,
+        ivfpq_build,
+        ivfpq_probe,
+        ivfpq_probe_batch,
+    )
+
+    from .conftest import SF_DIR
+    from .plan_utils import formatted_plan
+
+    emb = _emb(spark, SF_DIR)
+    idx = str(tmp_path / "pmatch")
+    ivfpq_build(emb, idx, payload_cols=("label",))
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_BATCH_QIDS))
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        "label",
+    )
+    batch = ivfpq_probe_batch(
+        spark, idx, queries, emb, payload_match_cols=("label",)
+    )
+    rows = batch.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["cos_sim"]))
+    for qrow in queries.collect():
+        qid, lbl = qrow["qid"], qrow["label"]
+        q = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qe")
+        )
+        single = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivfpq_probe(
+                spark, idx, q, emb,
+                exclude_vec_id=qid,
+                payload_eq={"label": lbl},
+            ).collect()
+        ]
+        assert got.get(qid, []) == single, qid
+    # the union-of-labels In filter reaches the scan
+    plan = formatted_plan(
+        ivfpq_batch_candidates(
+            spark, idx, queries, payload_match_cols=("label",)
+        )
+    )
+    assert "In(label" in plan.replace(" ", "")
+    # refusals by name
+    with _pytest.raises(ValueError, match="not payloads"):
+        ivfpq_probe_batch(
+            spark, idx, queries, emb, payload_match_cols=("nope",)
+        )
+    with _pytest.raises(ValueError, match="absent from the QUERIES"):
+        ivfpq_probe_batch(
+            spark,
+            idx,
+            queries.drop("label"),
+            emb,
+            payload_match_cols=("label",),
+        )
+    with _pytest.raises(ValueError, match="NULL in match column"):
+        ivfpq_probe_batch(
+            spark,
+            idx,
+            queries.withColumn(
+                "label",
+                F.when(F.col("qid") == 0, F.lit(None)).otherwise(
+                    F.col("label")
+                ),
+            ),
+            emb,
+            payload_match_cols=("label",),
+        )
