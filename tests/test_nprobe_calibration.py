@@ -446,3 +446,58 @@ def test_ivfpq_debris_rebuild_still_calibrates_sdc(spark, tmp_path):
         ivf_dir=str(tmp_path / "debris-ivf"),
     )
     assert read_index_meta(idx2).get("sdc_threshold_micro")
+
+
+def test_default_rerank_holds_ceiling_at_8x(spark, tmp_path):
+    """The rerank-budget twin of the nprobe weak mark: a constant
+    64-candidate ADC cut was sized against ~125-row probed pools and
+    MEASURED lossy at 8x (2699-row skewed pool: 7/10 of the cell-cut
+    ceiling). The DEFAULT budget is now pool-proportional
+    (ADC_RERANK_FRACTION of the actually-probed rows, floored at
+    PQ_RERANK so sandbox-scale probes stay byte-identical to the
+    pinned oracles): default probes at 8x must equal the cell-cut
+    ceiling exactly, while the old constant measurably does not."""
+    from pyspark.sql.functions import broadcast
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        PQ_RERANK,
+        cosine_similarity,
+        ivf_probe_cells,
+        ivfpq_probe,
+    )
+
+    emb8 = _emb8(spark)
+    ivf_dir = str(tmp_path / "v")
+    idx = ivfpq_build(emb8, str(tmp_path / "i"), ivf_dir=ivf_dir)
+    lossy_at_fixed = 0
+    for qid in (0, 10_000_001, 70_000_002):
+        q = emb8.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qe")
+        )
+        cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+        ceiling = {
+            r["vec_id"]
+            for r in ivf_probe_cells(spark, ivf_dir, q, exclude_vec_id=qid)
+            .crossJoin(broadcast(q))
+            .select("vec_id", F.round(cos, 6).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("vec_id").asc())
+            .limit(TOP_K)
+            .collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in ivfpq_probe(
+                spark, idx, q, emb8, exclude_vec_id=qid
+            ).collect()
+        }
+        assert got == ceiling, (qid, len(got & ceiling))
+        fixed = {
+            r["vec_id"]
+            for r in ivfpq_probe(
+                spark, idx, q, emb8, exclude_vec_id=qid, rerank=PQ_RERANK
+            ).collect()
+        }
+        lossy_at_fixed += len(ceiling - fixed)
+    # the counterfactual: the constant budget really loses neighbors
+    # at this scale (else the fixture stopped exercising the fix)
+    assert lossy_at_fixed > 0
