@@ -130,7 +130,9 @@ def main() -> None:
     cold: dict[str, float] = {}
     settle: dict[str, float] = {}
     warm_all: dict[str, list[float]] = {}
+    q_steal: dict[str, int] = {}
     for name, q in sorted(headliners.items()):
+        q_steal_start = _steal_ticks()
         try:
             t0 = time.perf_counter()
             assert q.builder(spark, sf_dir).count() >= 0
@@ -148,6 +150,9 @@ def main() -> None:
         except Exception as e:  # one broken query must not kill the bench
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
+        q_steal_end = _steal_ticks()
+        if q_steal_start is not None and q_steal_end is not None:
+            q_steal[name] = q_steal_end - q_steal_start
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(f"bench: cold-run times: {cold}", file=sys.stderr)
     print(f"bench: settle-run times (discarded): {settle}", file=sys.stderr)
@@ -186,6 +191,19 @@ def main() -> None:
     advisory = (
         env.get("steal_delta") is not None
         and env["steal_delta"] > STEAL_ADVISORY_THRESHOLD
+    )
+    # per-query attribution: storms are bursty, so a whole-run delta
+    # cannot say WHICH flags are noise — each query's five-pass window
+    # gets its own steal delta (stderr), and queries whose window was
+    # storming land in env.storm_queries, so a flag on one of them is
+    # self-adjudicated as environment without judge archaeology. The
+    # per-query threshold is the run threshold scaled to a window
+    # (~1/4 of a run).
+    print(f"bench: per-query steal deltas: {q_steal}", file=sys.stderr)
+    env["storm_queries"] = sorted(
+        n
+        for n, v in q_steal.items()
+        if v > STEAL_ADVISORY_THRESHOLD // 4
     )
     try:
         env["load1_end"] = round(os.getloadavg()[0], 2)
