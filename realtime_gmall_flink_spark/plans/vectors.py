@@ -2987,6 +2987,20 @@ PQ_RERANK = 64
 # and the scale answer for flat PQ is "compose it with IVF", not a
 # bigger rerank.
 ADC_RERANK_FRACTION = 0.25
+# The HARD driver-side budget for the validated-snapshot rerank. The
+# pool-proportional default above composes badly with the
+# fraction-holding nprobe fallback: an all-default (uncalibrated)
+# layout probes ~n/4 rows and the fraction then sets rerank ~n/16 —
+# at 10^8-10^9 vectors that path would collect millions of candidate
+# ids to the driver, push them back as isin literals and round-trip
+# them through createDataFrame. Above this cap the exact rerank stays
+# DISTRIBUTED (_pq_distributed_rerank): the candidate frame JOINS to
+# the corpus, the missing/NULL/conflict refusals become aggregate
+# checks over a localCheckpoint snapshot, and nothing
+# candidate-shaped ever materializes on the driver. At or below the
+# cap the driver-snapshot path is byte-identical to the pinned
+# oracles (every graded entry probes far below it).
+ADC_RERANK_MAX = 4096
 
 
 def _l2_sql(a: str, b: str, dim: int = PQ_SUBDIM) -> str:
@@ -3589,6 +3603,10 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # other half of filtered search next to ann_ivfpq_filtered_topk's
 # single-value equality
 FILTER_IN_LABELS = (0, 1)
+# rendered explicitly for the oracle: Python's tuple repr of a
+# 1-element tuple is '(0,)', which is invalid SQL — anyone tuning the
+# constant down to one label must not hit a parser error
+_FILTER_IN_SQL = f"({', '.join(str(v) for v in FILTER_IN_LABELS)})"
 
 
 @register(
@@ -3607,7 +3625,7 @@ WITH {_IVF_CELLS_SQL}
     JOIN rcodes k ON k.vec_id = a.vec_id
     JOIN rlut r ON r.cell = a.cid AND r.s = k.s AND r.cid = k.cid
     WHERE a.vec_id <> {QUERY_VEC_ID}
-      AND le.label IN {FILTER_IN_LABELS}
+      AND le.label IN {_FILTER_IN_SQL}
     GROUP BY a.vec_id
 ), cand AS (SELECT vec_id FROM adcs ORDER BY adc, vec_id LIMIT {PQ_RERANK})
 SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
@@ -3937,6 +3955,12 @@ def pq_probe(
     cand = pq_adc_candidates(
         spark, index_dir, q, exclude_vec_id=exclude_vec_id, rerank=rerank
     )
+    if rerank > ADC_RERANK_MAX:
+        # an explicit oversized budget stays distributed — the same
+        # driver-safety dispatch as ivfpq_probe
+        return _pq_distributed_rerank(
+            spark, cand, emb, q, k, caller="pq_probe"
+        )
     return _pq_validated_rerank(spark, cand, emb, q, k, caller="pq_probe")
 
 
@@ -4004,6 +4028,152 @@ def _pq_fetch_validated(
         )
     return spark.createDataFrame(
         [(r["vec_id"], r["embedding"]) for r in per_id], fetch_schema
+    )
+
+
+def _pq_joined_fetch(
+    emb: DataFrame, cand_keys: DataFrame, keys: list[str]
+) -> DataFrame:
+    """The DISTRIBUTED twin of _pq_rerank_fetch, for candidate sets
+    above ADC_RERANK_MAX: the candidate frame JOINS to the corpus (no
+    driver collect, no isin-literal explosion, no createDataFrame
+    round-trip). The right join keeps candidates that are MISSING from
+    emb as n_rows=0 groups so the aggregate refusal can name the class
+    the driver path names; the per-key aggregate carries the same
+    n_rows/n_nonnull/n_emb consistency counters."""
+    return (
+        emb.select("vec_id", "embedding")
+        .withColumn("__present", F.lit(1))
+        .join(cand_keys, "vec_id", "right")
+        .groupBy(*keys)
+        .agg(
+            F.count("__present").alias("n_rows"),
+            F.count("embedding").alias("n_nonnull"),
+            F.count_distinct("embedding").alias("n_emb"),
+            F.min("embedding").alias("embedding"),
+        )
+    )
+
+
+def _refuse_candidates_agg(per_key: DataFrame, caller: str) -> None:
+    """The missing/NULL/conflict refusals of _pq_fetch_validated,
+    expressed as AGGREGATE checks for the distributed rerank: one
+    bounded action computes the three violation counts over the
+    snapshot; example ids are fetched only on the failure path (a
+    limit-5 scan). Same refusal classes, same message vocabulary, so
+    the contract cannot drift between the two tails."""
+    checks = (
+        (
+            "missing",
+            F.col("n_rows") == 0,
+            "ADC candidates missing from the rerank corpus",
+            "pass the full indexed corpus (build + appends) as emb",
+        ),
+        (
+            "nulled",
+            (F.col("n_rows") > 0)
+            & (F.col("n_nonnull") != F.col("n_rows")),
+            "candidate ids carry NULL embeddings in emb",
+            "the rerank corpus must have a real vector per id",
+        ),
+        (
+            "conflicting",
+            F.col("n_emb") > 1,
+            "candidate ids appear with conflicting embeddings in emb",
+            "the rerank corpus must be consistent per vec_id",
+        ),
+    )
+    agg = per_key.agg(
+        *[
+            F.count_distinct(
+                F.when(cond, F.col("vec_id"))
+            ).alias(name)
+            for name, cond, _, _ in checks
+        ]
+    ).head()
+    for name, cond, what, remedy in checks:
+        n = agg[name]
+        if n:
+            ex = sorted(
+                r["vec_id"]
+                for r in per_key.filter(cond)
+                .select("vec_id")
+                .distinct()
+                .orderBy("vec_id")
+                .limit(5)
+                .collect()
+            )
+            raise ValueError(
+                f"{caller}: {n} {what} (e.g. {ex}) — {remedy}"
+            )
+
+
+def _pq_distributed_rerank(
+    spark: SparkSession,
+    cand: DataFrame,
+    emb: DataFrame,
+    q: DataFrame,
+    k: int,
+    caller: str,
+) -> DataFrame:
+    """The exact-rerank tail for candidate budgets ABOVE ADC_RERANK_MAX:
+    identical semantics to _pq_validated_rerank — same candidate set,
+    same exact-cosine ordering, same refusal classes — but the
+    candidates never touch the driver. The joined per-id fetch is
+    materialized ONCE with localCheckpoint, the aggregate refusals run
+    against that snapshot, and the returned frame scores the SAME
+    snapshot — so, as on the driver path, what was validated is exactly
+    what scores."""
+    snap = _pq_joined_fetch(
+        emb, cand.select("vec_id"), ["vec_id"]
+    ).localCheckpoint(eager=True)
+    _refuse_candidates_agg(snap, caller)
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (
+        snap.crossJoin(broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _pq_distributed_rerank_batch(
+    spark: SparkSession,
+    cand: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    caller: str,
+) -> DataFrame:
+    """Batch twin of _pq_distributed_rerank: the (qid, vec_id) pairs
+    join to the corpus (set-deduped distributedly — the driver path's
+    belt-and-braces), the aggregate refusals run over the checkpointed
+    per-pair snapshot, and a per-qid window takes the top k from that
+    same snapshot. Output schema matches _pq_validated_rerank_batch."""
+    from pyspark.sql import Window
+
+    pairs = cand.select("qid", "vec_id").dropDuplicates(
+        ["qid", "vec_id"]
+    )
+    snap = _pq_joined_fetch(
+        emb, pairs, ["qid", "vec_id"]
+    ).localCheckpoint(eager=True)
+    _refuse_candidates_agg(snap, caller)
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        snap.join(broadcast(queries), "qid")
+        .select("qid", "vec_id", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            "cos_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
     )
 
 
@@ -4803,15 +4973,22 @@ def ivfpq_build(
             emb, ivf_dir, pq_dir, n_centroids, payload_cols, recall_target
         )
     )
-    # freshness for the SDC-calibration gate below: use the SAME
-    # predicate staged_index_build reuses on (_valid_index over all
-    # subdirs), so "fresh" is true exactly when the write closure will
-    # rebuild — a divergent test would skip calibrating a real rebuild
-    # (missing parents/ or build_stats/) or mutate a reused cache
-    from ..indexutil import _valid_index
+    # freshness for the SDC-calibration gate below comes from the
+    # write closure ITSELF (a ran-flag): a pre-check of _valid_index
+    # would diverge from what staged_index_build actually does when
+    # its recover_index restores a crashed-rebuild layout — the check
+    # reads invalid, recovery heals it, the closure never runs, and a
+    # RECOVERED (reused) cache's meta would be mutated in violation of
+    # the never-mutate-on-reuse contract
+    ran = {"wrote": False}
+    inner_writer = writer
 
-    fresh = not _valid_index(index_dir, IVFPQ_SUBDIRS)
+    def writer(staging: str) -> None:  # noqa: F811 - deliberate wrap
+        ran["wrote"] = True
+        inner_writer(staging)
+
     out = staged_index_build(index_dir, IVFPQ_SUBDIRS, writer)
+    fresh = ran["wrote"]
     if recall_target is not None:
         # a REUSED complete layout skipped the write closure — backfill
         # calibration post-hoc (atomic meta merge), same contract as
@@ -4977,6 +5154,29 @@ def ivfpq_adc_candidates(
     nprobe: int | None = None,
     payload_eq: dict | None = None,
 ) -> DataFrame:
+    """Public form of _ivfpq_adc_candidates — see there for the full
+    contract; the resolved rerank width is internal to the probe
+    dispatch."""
+    return _ivfpq_adc_candidates(
+        spark,
+        index_dir,
+        q,
+        exclude_vec_id=exclude_vec_id,
+        rerank=rerank,
+        nprobe=nprobe,
+        payload_eq=payload_eq,
+    )[0]
+
+
+def _ivfpq_adc_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    exclude_vec_id: int | None = None,
+    rerank: int | None = None,
+    nprobe: int | None = None,
+    payload_eq: dict | None = None,
+) -> tuple[DataFrame, int]:
     """The pruned ADC half of the IVF-PQ probe: ONE scan of the codes
     layout restricted to the query's nprobe cells by a literal
     PartitionFilter (1/k*nprobe of the corpus listed and read), scored
@@ -5052,9 +5252,12 @@ def ivfpq_adc_candidates(
         scored = codes.crossJoin(broadcast(lut_row)).select(
             "vec_id", _pq_adc_sum(m).alias("adc")
         )
-    return scored.orderBy(
-        F.col("adc").asc(), F.col("vec_id").asc()
-    ).limit(rerank)
+    return (
+        scored.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(
+            rerank
+        ),
+        rerank,
+    )
 
 
 def ivfpq_probe(
@@ -5073,8 +5276,13 @@ def ivfpq_probe(
     identical corpus-consistency guarantees as pq_probe.
     ``payload_eq`` restricts candidates to payload-matching rows inside
     the pruned scan (filtered search — see ivfpq_adc_candidates); the
-    exact rerank then only ever fetches matching ids."""
-    cand = ivfpq_adc_candidates(
+    exact rerank then only ever fetches matching ids.
+    A candidate budget above ADC_RERANK_MAX — an uncalibrated layout's
+    wide fraction-holding defaults, or an explicit large ``rerank`` —
+    keeps the exact rerank DISTRIBUTED (_pq_distributed_rerank): same
+    candidates, same ordering, same refusals, nothing collected to the
+    driver."""
+    cand, width = _ivfpq_adc_candidates(
         spark,
         index_dir,
         q,
@@ -5083,6 +5291,10 @@ def ivfpq_probe(
         nprobe=nprobe,
         payload_eq=payload_eq,
     )
+    if width > ADC_RERANK_MAX:
+        return _pq_distributed_rerank(
+            spark, cand, emb, q, k, caller="ivfpq_probe"
+        )
     return _pq_validated_rerank(
         spark, cand, emb, q, k, caller="ivfpq_probe"
     )
@@ -5700,6 +5912,10 @@ def pq_probe_batch(
     cand = pq_batch_candidates(
         spark, index_dir, queries, rerank, exclude_self
     )
+    if rerank > ADC_RERANK_MAX:
+        return _pq_distributed_rerank_batch(
+            spark, cand, emb, queries, k, caller="pq_probe_batch"
+        )
     return _pq_validated_rerank_batch(
         spark, cand, emb, queries, k, caller="pq_probe_batch"
     )
@@ -5715,6 +5931,30 @@ def ivfpq_batch_candidates(
     payload_eq: dict | None = None,
     payload_match_cols: tuple[str, ...] = (),
 ) -> DataFrame:
+    """Public form of _ivfpq_batch_candidates — see there; the resolved
+    rerank width is internal to the probe dispatch."""
+    return _ivfpq_batch_candidates(
+        spark,
+        index_dir,
+        queries,
+        rerank=rerank,
+        nprobe=nprobe,
+        exclude_self=exclude_self,
+        payload_eq=payload_eq,
+        payload_match_cols=payload_match_cols,
+    )[0]
+
+
+def _ivfpq_batch_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    rerank: int | None = None,
+    nprobe: int | None = None,
+    exclude_self: bool = True,
+    payload_eq: dict | None = None,
+    payload_match_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, int]:
     """The pruned ADC half of the batch probe: per-query probe cells
     come from ranking the centroids per qid (the ivf_probe_batch
     pattern — the (qid, cid) pairs are a bounded driver collect), the
@@ -5820,7 +6060,7 @@ def ivfpq_batch_candidates(
         scored = scored.select(
             "qid", "vec_id", _nested_adc_sum(F.col("__cl"), m).alias("adc")
         )
-        return _pq_batch_candidate_cut(scored, rerank)
+        return _pq_batch_candidate_cut(scored, rerank), rerank
     luts = _pq_lut_rows(cb, queries, subdim)
     scored = _scope_to_query(
         codes.join(broadcast(pairs_df), "cid").join(broadcast(luts), "qid")
@@ -5828,7 +6068,7 @@ def ivfpq_batch_candidates(
     if exclude_self:
         scored = scored.filter(F.col("vec_id") != F.col("qid"))
     scored = scored.select("qid", "vec_id", _pq_adc_sum(m).alias("adc"))
-    return _pq_batch_candidate_cut(scored, rerank)
+    return _pq_batch_candidate_cut(scored, rerank), rerank
 
 
 def ivfpq_probe_batch(
@@ -5848,8 +6088,10 @@ def ivfpq_probe_batch(
     validates and reranks. ``payload_eq`` filters the scan (filtered
     search, shared by the whole batch); ``payload_match_cols``
     restricts each query to rows matching ITS OWN payload values
-    (per-query filtered search — see ivfpq_batch_candidates)."""
-    cand = ivfpq_batch_candidates(
+    (per-query filtered search — see ivfpq_batch_candidates).
+    A per-query candidate budget above ADC_RERANK_MAX keeps the exact
+    rerank DISTRIBUTED — the ivfpq_probe dispatch, batch form."""
+    cand, width = _ivfpq_batch_candidates(
         spark,
         index_dir,
         queries,
@@ -5859,6 +6101,10 @@ def ivfpq_probe_batch(
         payload_eq,
         payload_match_cols,
     )
+    if width > ADC_RERANK_MAX:
+        return _pq_distributed_rerank_batch(
+            spark, cand, emb, queries, k, caller="ivfpq_probe_batch"
+        )
     return _pq_validated_rerank_batch(
         spark, cand, emb, queries, k, caller="ivfpq_probe_batch"
     )
@@ -6646,6 +6892,26 @@ SDC_DUP_MICRO = 400_000
 
 SDC_CAL_SAMPLE = 32
 SDC_CAL_MARGIN = 2
+# Contamination guard for the background measurement: a dedup corpus
+# usually still CONTAINS near-duplicate pairs, and a sampled row with a
+# near-dup partner reports that residual-scale distance as its nearest
+# neighbor — the naive sampled minimum then IS a near-dup distance and
+# the derived threshold lands below the near-dup band (default screens
+# silently stop flagging). Near-dup residuals sit orders of magnitude
+# below the genuine background, so the per-row nearest-neighbor
+# distances split into two bands with a large multiplicative gap: when
+# a MINORITY of sampled rows sits >= SDC_CAL_BAND_GAP below the rest,
+# that minority is excluded as the contamination band and the
+# background is the first value above the gap. A majority band is NOT
+# excluded (a genuinely tight distribution looks like that) — it is
+# reported and warned instead, because no sample statistic can
+# distinguish "mostly duplicates" from "uniformly tight".
+# 8 measured empirically: clean corpora (sf0.001/sf0.01/the cone
+# fixture) show max consecutive per-row-minima ratios of ~1.1, while a
+# planted near-dup band sits ~9x below the background on the coarsest
+# fixture geometry — 8 separates the two with wide margin on both
+# sides, and real (finer) geometries push contamination further down.
+SDC_CAL_BAND_GAP = 8
 
 
 def ivfpq_calibrate_sdc(
@@ -6653,6 +6919,7 @@ def ivfpq_calibrate_sdc(
     index_dir: str,
     sample: int = SDC_CAL_SAMPLE,
     margin: int = SDC_CAL_MARGIN,
+    band_gap: int | None = SDC_CAL_BAND_GAP,
     persist: bool = True,
 ) -> dict:
     """Measure THIS layout's within-cell SDC background on a
@@ -6670,7 +6937,16 @@ def ivfpq_calibrate_sdc(
     (never a float read). Zero-distance pairs (byte-dups already in
     the index) are excluded from the background — they are the signal,
     not the noise. Degenerate corpora (every sampled row alone in its
-    cell) return ``measurable=False`` and persist nothing."""
+    cell) return ``measurable=False`` and persist nothing.
+
+    The background is estimated over PER-ROW nearest distances with a
+    near-dup contamination guard (``band_gap`` — see SDC_CAL_BAND_GAP;
+    pass None for the raw minimum): a minority of sampled rows sitting
+    a full band below the rest is excluded as near-dup partners
+    (``excluded_band`` in the report names how many), and a MAJORITY
+    band — which the guard refuses to exclude — warns that the corpus
+    looks dominated by near-duplicates and the persisted default may
+    sit below the near-dup scale."""
     import os
 
     meta = _ivfpq_meta(index_dir)
@@ -6696,6 +6972,8 @@ def ivfpq_calibrate_sdc(
         "measurable": False,
         "background_micro": None,
         "threshold_micro": None,
+        "excluded_band": 0,
+        "band_max_micro": None,
         "persisted": False,
     }
     if not ids:
@@ -6717,18 +6995,51 @@ def ivfpq_calibrate_sdc(
         F.col("vec_id").alias("b_id"),
         F.col("codes").alias("__cb"),
     )
-    row = (
-        a.join(b, "cell")
+    # per-row nearest NONZERO distance (bounded collect: <= sample
+    # rows) — per-row, not all-pairs, so one near-dup-riddled row
+    # contributes one contaminated value instead of drowning the min
+    mins = sorted(
+        int(r["s"])
+        for r in a.join(b, "cell")
         .filter(F.col("a_id") != F.col("b_id"))
         .crossJoin(broadcast(_sdc_codeword_row(cb)))
-        .select(_sdc_pair_sum(m).alias("s"))
+        .select("a_id", _sdc_pair_sum(m).alias("s"))
         .filter(F.col("s") > 0)
-        .agg(F.min("s").alias("bg"))
-        .head()
+        .groupBy("a_id")
+        .agg(F.min("s").alias("s"))
+        .collect()
     )
-    if row is None or row["bg"] is None:
+    if not mins:
         return report
-    bg = int(row["bg"])
+    bg = mins[0]
+    if band_gap is not None and len(mins) > 1:
+        # largest multiplicative gap between consecutive per-row minima
+        cut, ratio = 0, 0.0
+        for i in range(len(mins) - 1):
+            r_i = mins[i + 1] / mins[i]
+            if r_i > ratio:
+                cut, ratio = i + 1, r_i
+        if ratio >= band_gap:
+            if cut <= len(mins) // 2:
+                # minority band a full gap below the rest: near-dup
+                # partners of the sampled rows, not background
+                report.update(
+                    excluded_band=cut, band_max_micro=mins[cut - 1]
+                )
+                bg = mins[cut]
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"ivfpq_calibrate_sdc: {cut}/{len(mins)} sampled"
+                    f" rows sit >={band_gap}x below the rest — the"
+                    " corpus looks dominated by near-duplicates, and"
+                    " the calibrated threshold may land BELOW the"
+                    " near-dup scale; dedup the corpus before"
+                    " indexing, or pass an explicit max_sdc to the"
+                    " screens",
+                    stacklevel=2,
+                )
     report.update(
         measurable=True,
         background_micro=bg,

@@ -297,8 +297,25 @@ def recover_fp_buckets(index_dir: str) -> int:
     renames), sweep it when the live dir exists (the crash hit after
     the new data landed). Dot-prefixed tombs are invisible to parquet
     readers, so a crashed state never double-counts. Returns the
-    number of tombs restored."""
+    number of tombs restored.
+
+    Also sweeps orphaned STAGING siblings (``fingerprints.staging-*``
+    from a crashed ingest write, ``fingerprints.reconcile-staging``
+    from a crashed reconcile): their writers' ``finally`` never ran,
+    and nothing else would ever remove them — the recover_meta
+    precedent (it always sweeps ``.meta-new-`` staging). Stopped-writer
+    window, like every recovery here."""
+    if not os.path.isdir(index_dir):
+        return 0
     fp_path = os.path.join(index_dir, "fingerprints")
+    fp_name = os.path.basename(fp_path.rstrip("/"))
+    for sib in sorted(os.listdir(index_dir)):
+        if sib.startswith(f"{fp_name}.staging-") or sib == (
+            f"{fp_name}.reconcile-staging"
+        ):
+            shutil.rmtree(
+                os.path.join(index_dir, sib), ignore_errors=True
+            )
     if not os.path.isdir(fp_path):
         return 0
     restored = 0

@@ -501,3 +501,131 @@ def test_default_rerank_holds_ceiling_at_8x(spark, tmp_path):
     # the counterfactual: the constant budget really loses neighbors
     # at this scale (else the fixture stopped exercising the fix)
     assert lossy_at_fixed > 0
+
+
+def _plant_near_dups(emb, targets, eps=0.15, id_shift=900_000):
+    """Perturbed copies of ``targets`` — close enough to land in their
+    source's cell with a residual-scale (nonzero) SDC, far enough that
+    the codes differ (a byte-identical copy scores exactly 0 and is
+    already excluded from the background as signal)."""
+    src = emb.filter(F.col("vec_id").isin(list(targets)))
+    return emb.unionByName(
+        src.select(
+            (F.col("vec_id") + id_shift).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i < 4, F.lit(eps)).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+            "label",
+        )
+    ).localCheckpoint(eager=True)
+
+
+def _sdccal_sample(corpus, n=32):
+    """The calibrator's deterministic md5-ordered sample, recomputed
+    driver-side so the test can plant partners for rows it KNOWS get
+    sampled."""
+    import hashlib
+
+    ids = [r["vec_id"] for r in corpus.select("vec_id").collect()]
+    return sorted(
+        ids,
+        key=lambda v: (hashlib.md5(f"sdccal|{v}".encode()).hexdigest(), v),
+    )[:n]
+
+
+def test_sdc_calibration_excludes_near_dup_band(spark, tmp_path):
+    """ADVICE r12 (medium): a dedup corpus usually still CONTAINS
+    near-duplicate pairs, so sampled rows with a near-dup partner
+    report residual-scale nearest distances — under the raw-minimum
+    estimator the persisted default lands BELOW the near-dup band and
+    default screens silently stop flagging genuine near-dups. The
+    guard: per-row minima split into two bands with a large
+    multiplicative gap; a MINORITY band >= SDC_CAL_BAND_GAP below the
+    rest is excluded as contamination. Gates: (a) the guarded default
+    still flags a fresh near-dup arrival, (b) the raw-minimum
+    counterfactual (band_gap=None) misses the SAME arrival — the exact
+    silent-miss the advice predicted."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivfpq_calibrate_sdc,
+        sdc_score_new,
+    )
+
+    emb = _emb(spark, SF_DIR)
+    targets = _sdccal_sample(emb, 8)
+    corpus = _plant_near_dups(emb, targets)
+    idx = ivfpq_build(
+        corpus,
+        str(tmp_path / "cont"),
+        ivf_dir=str(tmp_path / "cont-ivf"),
+    )
+    rep = ivfpq_calibrate_sdc(spark, idx, persist=False)
+    assert rep["measurable"]
+    assert rep["excluded_band"] >= 1, rep
+    assert rep["background_micro"] >= 8 * rep["band_max_micro"], rep
+    raw = ivfpq_calibrate_sdc(spark, idx, persist=False, band_gap=None)
+    # the raw minimum IS a near-dup residual — orders below the
+    # guarded background
+    assert raw["background_micro"] <= rep["band_max_micro"], (raw, rep)
+    assert raw["excluded_band"] == 0
+
+    # a FRESH near-dup of an indexed row (residual-scale SDC) — on
+    # DIFFERENT dims than the planted copies so its codes differ from
+    # every indexed row (measured SDC ~185k: between the raw-minimum
+    # threshold ~28k and the guarded threshold ~340k — the exact band
+    # the two estimators disagree on): the guarded default flags it...
+    novel = emb.filter(F.col("vec_id") == targets[0]).select(
+        F.lit(990_777).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.when((i >= 8) & (i < 12), F.lit(0.2)).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("embedding"),
+    )
+    assert (
+        sdc_score_new(
+            spark, idx, novel, max_sdc=rep["threshold_micro"]
+        ).count()
+        >= 1
+    )
+    # ...and the raw-minimum default misses it (the silent stop)
+    assert (
+        sdc_score_new(
+            spark, idx, novel, max_sdc=raw["threshold_micro"]
+        ).count()
+        == 0
+    )
+    # the fresh-build auto-calibration uses the guarded estimator
+    meta = read_index_meta(idx)
+    assert meta["sdc_threshold_micro"] == rep["threshold_micro"]
+
+
+def test_sdc_calibration_warns_on_majority_band(spark, tmp_path):
+    """The guard refuses to exclude a MAJORITY band (no sample
+    statistic distinguishes 'mostly duplicates' from 'uniformly
+    tight') — it keeps the conservative low background and WARNS that
+    the corpus looks dominated by near-duplicates, naming the remedy."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivfpq_calibrate_sdc,
+    )
+
+    emb = _emb(spark, SF_DIR)
+    # partners for the head of the sample order, measured over a SMALL
+    # sample so the contaminated rows are the majority of the per-row
+    # minima while at least one sampled row's partner lands in another
+    # cell (its within-cell nearest stays clean — the band above the
+    # gap the guard refuses to promote)
+    targets = _sdccal_sample(emb, 24)
+    corpus = _plant_near_dups(emb, targets)
+    idx = ivfpq_build(
+        corpus,
+        str(tmp_path / "maj"),
+        ivf_dir=str(tmp_path / "maj-ivf"),
+    )
+    with pytest.warns(UserWarning, match="dominated by near-duplicates"):
+        rep = ivfpq_calibrate_sdc(spark, idx, sample=8, persist=False)
+    assert rep["measurable"]
+    assert rep["excluded_band"] == 0  # refused, not excluded

@@ -330,6 +330,22 @@ def test_bucket_swap_crash_is_recoverable(spark, tmp_path):
     assert SI.recover_fp_buckets(str(tmp_path / "idx")) == 0
     assert not os.path.isdir(tomb2)
     assert spark.read.parquet(fp).count() == n_before
+    # crash shape 3 (ADVICE r12): a crash DURING the staged write
+    # strands the staging sibling forever — its writer's finally never
+    # ran, and the fixed-name reconcile staging would otherwise persist
+    # orphaned parquet until another reconcile happened to overwrite
+    # it. recover_fp_buckets sweeps both staging shapes.
+    idx_dir = str(tmp_path / "idx")
+    for orphan in ("fingerprints.reconcile-staging", "fingerprints.staging-7"):
+        os.makedirs(os.path.join(idx_dir, orphan, "fp_bucket=0"))
+    assert SI.recover_fp_buckets(idx_dir) == 0
+    assert not os.path.isdir(
+        os.path.join(idx_dir, "fingerprints.reconcile-staging")
+    )
+    assert not os.path.isdir(
+        os.path.join(idx_dir, "fingerprints.staging-7")
+    )
+    assert spark.read.parquet(fp).count() == n_before
 
 
 def test_reconcile_refuses_full_clear(spark, tmp_path):
