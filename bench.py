@@ -200,6 +200,10 @@ def main() -> None:
     # per-query threshold is the run threshold scaled to a window
     # (~1/4 of a run).
     print(f"bench: per-query steal deltas: {q_steal}", file=sys.stderr)
+    # ...and in the parsed JSON itself (queries_steal), so driver
+    # artifacts carry the adjudication evidence structurally instead of
+    # via stderr-tail scraping
+    env["queries_steal"] = q_steal
     env["storm_queries"] = sorted(
         n
         for n, v in q_steal.items()

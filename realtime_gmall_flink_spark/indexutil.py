@@ -225,31 +225,65 @@ _META_TOMB = ".meta-tomb-"
 _META_NEW = ".meta-new-"
 
 
+# --- the ONE tomb protocol -------------------------------------------------
+# Three maintenance surfaces commit a staged unit the same way (park the
+# live unit in a tomb, rename the staged unit in, sweep the tomb) and
+# heal a crash the same way (the tomb holds the ORIGINAL unit — the safe
+# state — restored iff the live unit is missing/invalid). They differ
+# ONLY in tomb placement: parent-level siblings (meta swaps), a grouped
+# per-run tomb root (compaction), reader-invisible in-layout dot-dirs
+# (fingerprint buckets). These two functions are that protocol; the
+# three surfaces pass paths.
+
+
+def commit_unit_swap(live: str, staged: str | None, tomb: str) -> None:
+    """Commit one staged unit: park ``live`` at ``tomb`` (if present),
+    rename ``staged`` into place (if given and present — a bucket that
+    emptied has no staged dir), sweep the tomb. A crash at any point
+    leaves the unit wholly old (tomb) or wholly new (live), never
+    absent AND untombed — :func:`resolve_tombed_unit` heals both."""
+    had_live = os.path.isdir(live)
+    if had_live:
+        os.rename(live, tomb)
+    if staged is not None and os.path.isdir(staged):
+        os.rename(staged, live)
+    if had_live:
+        shutil.rmtree(tomb, ignore_errors=True)
+
+
+def resolve_tombed_unit(tomb: str, live: str, live_ok=None) -> bool:
+    """Heal one tombed unit: the tomb holds the ORIGINAL (safe) state.
+    Restore it when the live unit is missing or fails ``live_ok``
+    (sweeping a wedged live first), sweep it when a good live exists
+    (the crash hit after the new unit landed). True iff restored."""
+    ok = live_ok(live) if live_ok is not None else os.path.isdir(live)
+    if ok:
+        shutil.rmtree(tomb, ignore_errors=True)
+        return False
+    if os.path.isdir(live):
+        shutil.rmtree(live, ignore_errors=True)
+    os.rename(tomb, live)
+    return True
+
+
 def recover_meta(index_dir: str) -> bool:
-    """Heal a crashed :func:`update_index_meta` swap. The tomb sibling
-    holds the ORIGINAL meta (the safe state, same convention as
-    compaction): restore it when the live meta is missing or wedged,
-    sweep it when a complete live meta exists (the crash happened
-    after the new row landed). ``.meta-new-`` staging is never the
-    safe state and is always swept. Returns True when a tomb was
-    restored into place."""
+    """Heal a crashed :func:`update_index_meta` swap (the tomb protocol
+    with parent-level placement): only the NEWEST tomb can be the
+    interrupted swap's original — older ones are completed-swap debris,
+    swept before resolution so they can never be restored over it.
+    ``.meta-new-`` staging is never the safe state and always swept."""
     tombs = _siblings(index_dir, _META_TOMB)
     for d in _siblings(index_dir, _META_NEW):
         shutil.rmtree(d, ignore_errors=True)
     if not tombs:
         return False
-    meta = os.path.join(index_dir, "meta")
-    live_ok = os.path.isdir(meta) and bool(_meta_parts(meta))
-    if live_ok:
-        for t in tombs:
-            shutil.rmtree(t, ignore_errors=True)
-        return False
-    if os.path.isdir(meta):
-        shutil.rmtree(meta, ignore_errors=True)  # wedged mid-swap loser
-    os.rename(tombs[-1], meta)  # newest tomb = the interrupted swap's
     for t in tombs[:-1]:
         shutil.rmtree(t, ignore_errors=True)
-    return True
+    return resolve_tombed_unit(
+        tombs[-1],
+        os.path.join(index_dir, "meta"),
+        live_ok=lambda d: os.path.isdir(d) and bool(_meta_parts(d)),
+    )
 
 
 def update_index_meta(spark, index_dir: str, updates: dict) -> dict:
@@ -273,11 +307,11 @@ def update_index_meta(spark, index_dir: str, updates: dict) -> dict:
     merged = {**row, **updates}
     staging = f"{index_dir}{_META_NEW}{uuid.uuid4().hex[:8]}"
     write_meta_into(spark, staging, merged)
-    meta = os.path.join(index_dir, "meta")
-    tomb = f"{index_dir}{_META_TOMB}{uuid.uuid4().hex[:8]}"
-    os.rename(meta, tomb)
-    os.rename(staging, meta)
-    shutil.rmtree(tomb, ignore_errors=True)
+    commit_unit_swap(
+        os.path.join(index_dir, "meta"),
+        staging,
+        f"{index_dir}{_META_TOMB}{uuid.uuid4().hex[:8]}",
+    )
     return merged
 
 
@@ -487,11 +521,11 @@ def _footer_rows(files: list[str]) -> int:
 
 
 def recover_compaction(root: str) -> bool:
-    """Heal a crashed compaction swap under ``root``: a tombed unit
-    whose live dir is MISSING is rolled back (restored); one whose
-    live dir exists was already swapped and is just swept; stage roots
-    are always debris (pre-swap work, safely rebuilt next run).
-    Returns True if any unit was rolled back."""
+    """Heal a crashed compaction swap under ``root`` (the tomb
+    protocol with a grouped per-run tomb root): each tombed unit
+    resolves via :func:`resolve_tombed_unit`; stage roots are always
+    debris (pre-swap work, safely rebuilt next run). Returns True if
+    any unit was rolled back."""
     if not os.path.isdir(root):
         return False
     rolled = False
@@ -499,10 +533,12 @@ def recover_compaction(root: str) -> bool:
         p = os.path.join(root, e)
         if e.startswith(_COMPACT_TOMB_PREFIX) and os.path.isdir(p):
             for unit in sorted(os.listdir(p)):
-                live = os.path.join(root, unit)
-                if not os.path.isdir(live):
-                    os.rename(os.path.join(p, unit), live)
-                    rolled = True
+                rolled = (
+                    resolve_tombed_unit(
+                        os.path.join(p, unit), os.path.join(root, unit)
+                    )
+                    or rolled
+                )
             shutil.rmtree(p, ignore_errors=True)
         elif e.startswith(_COMPACT_STAGE_PREFIX):
             shutil.rmtree(p, ignore_errors=True)
@@ -621,10 +657,8 @@ def compact_layout(
                     " compaction inside a real maintenance window"
                 )
             os.makedirs(tomb_root, exist_ok=True)
-            os.rename(live, os.path.join(tomb_root, unit))
-            os.rename(stage_unit, live)
-            shutil.rmtree(
-                os.path.join(tomb_root, unit), ignore_errors=True
+            commit_unit_swap(
+                live, stage_unit, os.path.join(tomb_root, unit)
             )
             report["units_compacted"] += 1
             report["files_after"] += len(_unit_parts(live))

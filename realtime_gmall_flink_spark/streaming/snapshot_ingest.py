@@ -318,19 +318,18 @@ def recover_fp_buckets(index_dir: str) -> int:
             )
     if not os.path.isdir(fp_path):
         return 0
+    from ..indexutil import resolve_tombed_unit
+
     restored = 0
     for name in sorted(os.listdir(fp_path)):
         if not name.startswith(_FP_TOMB):
             continue
         # tomb name: .tomb-<hex>-<bucket dirname>
         bucket_dirname = name.split("-", 2)[2]
-        live = os.path.join(fp_path, bucket_dirname)
-        tomb = os.path.join(fp_path, name)
-        if os.path.isdir(live):
-            shutil.rmtree(tomb, ignore_errors=True)
-        else:
-            os.rename(tomb, live)
-            restored += 1
+        restored += resolve_tombed_unit(
+            os.path.join(fp_path, name),
+            os.path.join(fp_path, bucket_dirname),
+        )
     return restored
 
 
@@ -340,27 +339,24 @@ def _swap_buckets(fp_path: str, staging: str, touched: list) -> None:
     overwrite, whose delete-then-rewrite window can LOSE a bucket's
     untouched keys on a hard crash — a replay would then reclassify
     those docs 'added', contradicting the module's idempotent-replay
-    guarantee. Each touched bucket: park the live dir as a
-    dot-prefixed tomb, rename the staged dir in (absent staged dir =
-    the bucket emptied — a reconcile delete), sweep the tomb. A crash
-    leaves every bucket either wholly old or wholly new, plus at most
-    one tomb :func:`recover_fp_buckets` resolves."""
+    guarantee. Each touched bucket commits via the shared tomb
+    protocol (indexutil.commit_unit_swap — reader-invisible in-layout
+    placement; an absent staged dir = the bucket emptied, a reconcile
+    delete). A crash leaves every bucket either wholly old or wholly
+    new, plus at most one tomb :func:`recover_fp_buckets` resolves."""
     import uuid
+
+    from ..indexutil import commit_unit_swap
 
     for b in touched:
         dirname = f"{_BUCKET_COL}={b}"
-        live = os.path.join(fp_path, dirname)
-        staged = os.path.join(staging, dirname)
-        tomb = os.path.join(
-            fp_path, f"{_FP_TOMB}{uuid.uuid4().hex[:8]}-{dirname}"
+        commit_unit_swap(
+            os.path.join(fp_path, dirname),
+            os.path.join(staging, dirname),
+            os.path.join(
+                fp_path, f"{_FP_TOMB}{uuid.uuid4().hex[:8]}-{dirname}"
+            ),
         )
-        had_live = os.path.isdir(live)
-        if had_live:
-            os.rename(live, tomb)
-        if os.path.isdir(staged):
-            os.rename(staged, live)
-        if had_live:
-            shutil.rmtree(tomb, ignore_errors=True)
 
 
 def reconcile_removed(
