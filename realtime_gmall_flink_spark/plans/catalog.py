@@ -203,6 +203,8 @@ ROTATION_POOL: tuple[str, ...] = (
     "snapshot_reconcile_stats",
     "ann_ivfpq_filtered_in_topk",
     "ann_ivfpq_batch_filtered_topk",
+    # r13 additions
+    "ann_knn_graph",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

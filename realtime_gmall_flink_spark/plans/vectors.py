@@ -1373,6 +1373,108 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_batch(spark, idx, queries, nprobe=IVF_NPROBE)
 
 
+# ---------------------------------------------------------------------------
+# Approximate kNN GRAPH — every corpus vector's top-k exact-cosine
+# neighbors WITHIN ITS OWN IVF CELL, from the persisted layout. The
+# primitive behind semantic clustering, diversity sampling, and
+# graph-based dedup that pair lists don't directly give: a bounded
+# per-vector neighbor list, not a thresholded edge set (sdc_dup_pairs)
+# or a global closest-pairs cut (sdc_pair_mine). Scale contract is the
+# SDC miner's: the within-cell pair space is quadratic in cell size,
+# so oversized cells are refused EAGERLY by name from footer counts
+# (metadata-only) with the sdc_nlist_for re-gear remedy — graph volume
+# stays ~linear when the layout is mining-geared. One shuffle for the
+# cid self-join, one for the per-vector window over the bounded pair
+# set; no driver materialization at any size.
+KNN_GRAPH_K = 3
+
+
+def ivf_knn_graph(
+    spark: SparkSession,
+    index_dir: str,
+    k: int = KNN_GRAPH_K,
+    max_cell_pairs: int | None = None,
+) -> DataFrame:
+    """(vec_id, nb_id, cos_sim, rk) — each indexed vector's ``k``
+    nearest same-cell neighbors by exact cosine (6-dp rounded,
+    nb_id tie-break: the shared determinism contract). A vector alone
+    in its cell is absent from the output (no neighbors), not an
+    error. Neighbors are cell-scoped by design: cross-cell near
+    neighbors are the probe entries' job — the graph is the bulk
+    corpus-wide structure, and one cell is exactly what a rebuild
+    re-shards."""
+    import os
+
+    from pyspark.sql import Window
+
+    if max_cell_pairs is None:
+        # defined later in the module (the SDC mining section owns it)
+        max_cell_pairs = SDC_MAX_CELL_PAIRS
+    _refuse_oversized_cells(
+        spark,
+        os.path.join(index_dir, "assignment"),
+        max_cell_pairs,
+        "ivf_knn_graph",
+    )
+    a = spark.read.parquet(os.path.join(index_dir, "assignment"))
+    left = a.select(
+        "cid", "vec_id", F.col("embedding").alias("__ea")
+    )
+    right = a.select(
+        "cid",
+        F.col("vec_id").alias("nb_id"),
+        F.col("embedding").alias("__eb"),
+    )
+    cos = F.round(
+        cosine_similarity(F.col("__ea"), F.col("__eb")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nb_id").asc()
+    )
+    return (
+        left.join(right, "cid")
+        .filter(F.col("vec_id") != F.col("nb_id"))
+        .select("vec_id", "nb_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "vec_id",
+            "nb_id",
+            "cos_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@register(
+    "ann_knn_graph",
+    survey="J5(ext),A6(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+, prs AS (
+    SELECT a.vec_id, b.vec_id AS nb_id,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM iassigned a JOIN iassigned b USING (cid)
+    WHERE a.vec_id <> b.vec_id
+), ranked AS (
+    SELECT vec_id, nb_id, cos_sim,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos_sim DESC, nb_id
+           ) AS rk
+    FROM prs
+)
+SELECT vec_id, nb_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {KNN_GRAPH_K}
+""",
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide approximate kNN graph from the shared persisted
+    IVF layout (one build amortized across every IVF entry)."""
+    idx = ivf_index_dir(sf_dir)
+    ivf_build(_emb(spark, sf_dir), idx)
+    return ivf_knn_graph(spark, idx)
+
+
 @register(
     "ivf_recall_curve",
     survey="J5(ext),J6(ext)",

@@ -1302,3 +1302,58 @@ def test_scale8_sdc_geometry_keeps_pair_volume_linear(spark, tmp_path):
     # the fixed-geometry counterfactual really is quadratic-order
     vq, _ = pair_volume(emb8, "sdcq", sdc_nlist_for(n1, bound))
     assert vq >= 40 * v1, (v1, vq)
+
+
+@pytest.mark.scale
+def test_scale8_knn_graph_volume_linear_no_cartesian(spark, tmp_path):
+    """The kNN graph at 8x: no CartesianProduct (the pair space is the
+    cid equi-join), output bounded at k rows per vector regardless of
+    corpus growth, and the within-cell pair volume the job walks stays
+    ~linear when the layout is mining-geared (sdc_nlist_for) — the
+    oversized-cell refusal guards the ANN-geared worst case."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        KNN_GRAPH_K,
+        _emb,
+        ivf_build,
+        ivf_knn_graph,
+        sdc_nlist_for,
+    )
+
+    base = _emb(spark, SF_DIR).localCheckpoint(eager=True)
+    emb8 = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: x + F.lit(float(i)) * 0.001 * (j + 1),
+                ).alias("embedding"),
+            )
+            for i in range(8)
+        ],
+    ).localCheckpoint(eager=True)
+    n8 = emb8.count()
+    idx = ivf_build(
+        emb8,
+        str(tmp_path / "knn8"),
+        n_centroids=sdc_nlist_for(n8, 450),
+    )
+    g = ivf_knn_graph(spark, idx)
+    plan = _plan(g)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = g.count()
+    assert 0 < rows <= KNN_GRAPH_K * n8
+    # per-vector bound holds exactly (k per vector with enough mates)
+    over = (
+        g.groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > KNN_GRAPH_K)
+        .count()
+    )
+    assert over == 0

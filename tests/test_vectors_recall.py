@@ -2555,3 +2555,70 @@ def test_payload_match_cols_per_query_scoping(spark, tmp_path):
             emb,
             payload_match_cols=("label",),
         )
+
+
+def test_ivf_knn_graph_contract(spark, tmp_path):
+    """The kNN graph entry: per-vector neighbor lists are cell-scoped,
+    rk is dense 1..min(k, cell_size-1) with the shared (cos desc,
+    nb_id asc) tie-break, singleton-cell vectors are absent (not an
+    error), and the oversized-cell refusal fires eagerly by name with
+    the sdc_nlist_for remedy before any graph job runs."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import realtime_gmall_flink_spark.plans.vectors as V
+
+    from .conftest import SF_DIR
+
+    emb = V._emb(spark, SF_DIR)
+    idx = V.ivf_build(emb, str(tmp_path / "knn-ivf"))
+    g = V.ivf_knn_graph(spark, idx).collect()
+    assert len(g) > 0
+    per_vec: dict = {}
+    for r in g:
+        per_vec.setdefault(r["vec_id"], []).append(r)
+    asg = {
+        r["vec_id"]: r["cid"]
+        for r in spark.read.parquet(f"{idx}/assignment")
+        .select("vec_id", "cid")
+        .collect()
+    }
+    cell_sizes: dict = {}
+    for cid in asg.values():
+        cell_sizes[cid] = cell_sizes.get(cid, 0) + 1
+    for vid, rows in per_vec.items():
+        rows.sort(key=lambda r: r["rk"])
+        want = min(V.KNN_GRAPH_K, cell_sizes[asg[vid]] - 1)
+        assert [r["rk"] for r in rows] == list(range(1, want + 1))
+        # neighbors really are same-cell, ordered by (cos desc, nb_id)
+        for r in rows:
+            assert asg[r["nb_id"]] == asg[vid]
+        keys = [(-r["cos_sim"], r["nb_id"]) for r in rows]
+        assert keys == sorted(keys)
+    # every vector with a same-cell companion is present; singletons
+    # are absent by contract
+    with_company = {v for v, c in asg.items() if cell_sizes[c] > 1}
+    assert set(per_vec) == with_company
+    # neighbor lists are exact within the cell: the rank-1 neighbor is
+    # the true cosine argmax among same-cell vectors (spot-check the
+    # first three graph vectors)
+    embs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    for vid in sorted(per_vec)[:3]:
+        mates = [u for u in with_company if u != vid and asg[u] == asg[vid]]
+        best = max(
+            mates, key=lambda u: (round(cos(embs[vid], embs[u]), 6), -u)
+        )
+        assert per_vec[vid][0]["nb_id"] == best
+    # eager refusal names the offending volume and the re-gear remedy
+    with _pytest.raises(ValueError, match="sdc_nlist_for"):
+        V.ivf_knn_graph(spark, idx, max_cell_pairs=1)
