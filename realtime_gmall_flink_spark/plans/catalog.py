@@ -205,6 +205,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "ann_ivfpq_batch_filtered_topk",
     # r13 additions
     "ann_knn_graph",
+    "ann_sdc_knn_graph",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -6840,6 +6840,114 @@ def sdc_dup_pairs(
     ).filter(F.col("sdc_micro") <= threshold)
 
 
+def ivfpq_knn_graph(
+    spark: SparkSession,
+    index_dir: str,
+    k: int = KNN_GRAPH_K,
+    max_cell_pairs: int | None = None,
+) -> DataFrame:
+    """(vec_id, nb_id, sdc_micro, rk) — the codes-only twin of
+    :func:`ivf_knn_graph`: each vector's ``k`` nearest same-cell
+    neighbors ranked by symmetric codes distance (SDC) over the
+    persisted IVF-PQ layout. At 100 TB this is the graph shape that
+    works: the pair stage reads pq_m BYTES per vector (never a float),
+    the codeword table folds into one broadcast map row, and the same
+    oversized-cell refusal + sdc_nlist_for re-gear remedy bound the
+    quadratic pair space. SDC ranks approximately (both sides
+    quantized); callers needing exact cosines on the k survivors
+    rerank the bounded lists — k*n rows, a linear point-fetch, not a
+    pair space. Mirrored edges come from ONE scored scan (explode of
+    the two orientations), not a second pass."""
+    from pyspark.sql import Window
+
+    if max_cell_pairs is None:
+        max_cell_pairs = SDC_MAX_CELL_PAIRS
+    pairs = _sdc_scored_pairs(
+        spark, index_dir, max_cell_pairs, "ivfpq_knn_graph"
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("vec_id"),
+                    F.col("b_id").alias("nb_id"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("vec_id"),
+                    F.col("a_id").alias("nb_id"),
+                ),
+            )
+        ).alias("e"),
+        "sdc_micro",
+    ).select("e.vec_id", "e.nb_id", "sdc_micro")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sdc_micro").asc(), F.col("nb_id").asc()
+    )
+    return (
+        directed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "vec_id",
+            "nb_id",
+            "sdc_micro",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@register(
+    "ann_sdc_knn_graph",
+    survey="J5(ext),A6(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
+, cl AS (SELECT vec_id, cid AS cell FROM iassigned)
+, cpair AS (
+    SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+    FROM cl a JOIN cl b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), sdm AS (
+    SELECT a.s, a.cid AS ca, b.cid AS cb,
+           CAST(round({_l2_sql('a.csv', 'b.csv')} * 1000000)
+                AS BIGINT) AS d2m
+    FROM rcent a JOIN rcent b USING (s)
+), prs AS (
+    SELECT p.a_id, p.b_id, sum(m.d2m) AS sdc
+    FROM cpair p
+    JOIN rcodes ka ON ka.vec_id = p.a_id
+    JOIN rcodes kb ON kb.vec_id = p.b_id AND kb.s = ka.s
+    JOIN sdm m ON m.s = ka.s AND m.ca = ka.cid AND m.cb = kb.cid
+    GROUP BY 1, 2
+), dirp AS (
+    SELECT a_id AS vec_id, b_id AS nb_id, sdc FROM prs
+    UNION ALL
+    SELECT b_id AS vec_id, a_id AS nb_id, sdc FROM prs
+), ranked AS (
+    SELECT vec_id, nb_id, CAST(sdc AS BIGINT) AS sdc_micro,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY sdc, nb_id
+           ) AS rk
+    FROM dirp
+)
+SELECT vec_id, nb_id, sdc_micro, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {KNN_GRAPH_K}
+""",
+)
+def ann_sdc_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codes-only kNN graph from the shared persisted IVF-PQ
+    layout (the 100 TB form of ann_knn_graph: 16 bytes per vector in
+    the pair stage instead of the float corpus)."""
+    emb = _emb(spark, sf_dir)
+    idx = ivfpq_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        pq_dir=pq_index_dir(sf_dir),
+    )
+    return ivfpq_knn_graph(spark, idx)
+
+
 # Cluster-forming SDC threshold, calibrated on the fixture like
 # SDC_DUP_MICRO (the quantized-distance scale is geometry-dependent —
 # codes-vs-codes distances COMPRESS, so a cosine threshold cannot be
