@@ -1418,24 +1418,45 @@ def ivf_knn_graph(
     )
     a = spark.read.parquet(os.path.join(index_dir, "assignment"))
     left = a.select(
-        "cid", "vec_id", F.col("embedding").alias("__ea")
+        "cid", F.col("vec_id").alias("__a"), F.col("embedding").alias("__ea")
     )
     right = a.select(
         "cid",
-        F.col("vec_id").alias("nb_id"),
+        F.col("vec_id").alias("__b"),
         F.col("embedding").alias("__eb"),
     )
     cos = F.round(
         cosine_similarity(F.col("__ea"), F.col("__eb")), 6
     )
+    # score each UNORDERED pair once (the 64-dim fold dominates the
+    # quadratic stage — the ordered self-join would run it twice per
+    # pair), then explode the two orientations before the window: the
+    # ivfpq_knn_graph shape applied to the exact-cosine twin
+    scored = (
+        left.join(right, "cid")
+        .filter(F.col("__a") < F.col("__b"))
+        .select("__a", "__b", cos.alias("cos_sim"))
+    )
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__a").alias("vec_id"),
+                    F.col("__b").alias("nb_id"),
+                ),
+                F.struct(
+                    F.col("__b").alias("vec_id"),
+                    F.col("__a").alias("nb_id"),
+                ),
+            )
+        ).alias("e"),
+        "cos_sim",
+    ).select("e.vec_id", "e.nb_id", "cos_sim")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("nb_id").asc()
     )
     return (
-        left.join(right, "cid")
-        .filter(F.col("vec_id") != F.col("nb_id"))
-        .select("vec_id", "nb_id", cos.alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w))
+        directed.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(
             "vec_id",
@@ -6740,11 +6761,17 @@ def _refuse_oversized_cells(
         worst = ", ".join(
             f"cid={cid}: {c} rows = {p} pairs" for p, c, cid in over[:5]
         )
+        # the remedy must name the MAINTENANCE FUNCTION of the layout
+        # the caller actually operates on: the plain-IVF graph rebuilds
+        # with ivf_rebuild; every SDC surface owns an IVF-PQ layout
+        rebuild = (
+            "ivf_rebuild" if caller == "ivf_knn_graph" else "ivfpq_rebuild"
+        )
         raise ValueError(
             f"{caller}: {len(over)} of {len(counts)} cells exceed"
             f" max_cell_pairs={max_cell_pairs} ({worst}) — the index is"
             f" undersized for pair mining at its current {n} vectors."
-            " Rebuild with ivfpq_rebuild(..., n_centroids="
+            f" Rebuild with {rebuild}(..., n_centroids="
             f"sdc_nlist_for(n)) (= {sdc_nlist_for(n, max_cell_pairs)}"
             " cells here) so per-cell pair volume stays bounded"
         )
@@ -7132,6 +7159,37 @@ SDC_CAL_MARGIN = 2
 SDC_CAL_BAND_GAP = 8
 
 
+def _sdc_background_from_minima(
+    mins: list[int], band_gap: int | None
+) -> tuple[int, int, int]:
+    """Resolve the background from SORTED per-row nearest distances:
+    ``(background, excluded_cut, majority_warn_count)``. Every
+    band-sized consecutive gap is a candidate boundary — NOT just the
+    single largest gap, which an upper-tail outlier (a sampled row
+    whose only cellmate is distant) or spread INSIDE the contamination
+    band would hijack, redirecting the cut away from the
+    contamination/background boundary. The LARGEST minority cut wins
+    (the whole contamination band excludes even when intra-band gaps
+    also clear band_gap); gaps only past the halfway point mean the
+    low band is a MAJORITY — unresolvable from a sample, so the
+    conservative raw minimum stays and the caller warns."""
+    bg = mins[0]
+    if band_gap is None or len(mins) < 2:
+        return bg, 0, 0
+    cuts = [
+        i + 1
+        for i in range(len(mins) - 1)
+        if mins[i + 1] / mins[i] >= band_gap
+    ]
+    minority = [c for c in cuts if c <= len(mins) // 2]
+    if minority:
+        cut = max(minority)
+        return mins[cut], cut, 0
+    if cuts:
+        return bg, 0, min(cuts)
+    return bg, 0, 0
+
+
 def ivfpq_calibrate_sdc(
     spark: SparkSession,
     index_dir: str,
@@ -7229,35 +7287,22 @@ def ivfpq_calibrate_sdc(
     )
     if not mins:
         return report
-    bg = mins[0]
-    if band_gap is not None and len(mins) > 1:
-        # largest multiplicative gap between consecutive per-row minima
-        cut, ratio = 0, 0.0
-        for i in range(len(mins) - 1):
-            r_i = mins[i + 1] / mins[i]
-            if r_i > ratio:
-                cut, ratio = i + 1, r_i
-        if ratio >= band_gap:
-            if cut <= len(mins) // 2:
-                # minority band a full gap below the rest: near-dup
-                # partners of the sampled rows, not background
-                report.update(
-                    excluded_band=cut, band_max_micro=mins[cut - 1]
-                )
-                bg = mins[cut]
-            else:
-                import warnings
+    bg, cut, majority_at = _sdc_background_from_minima(mins, band_gap)
+    if cut:
+        report.update(excluded_band=cut, band_max_micro=mins[cut - 1])
+    if majority_at:
+        import warnings
 
-                warnings.warn(
-                    f"ivfpq_calibrate_sdc: {cut}/{len(mins)} sampled"
-                    f" rows sit >={band_gap}x below the rest — the"
-                    " corpus looks dominated by near-duplicates, and"
-                    " the calibrated threshold may land BELOW the"
-                    " near-dup scale; dedup the corpus before"
-                    " indexing, or pass an explicit max_sdc to the"
-                    " screens",
-                    stacklevel=2,
-                )
+        warnings.warn(
+            f"ivfpq_calibrate_sdc: {majority_at}/{len(mins)} sampled"
+            f" rows sit >={band_gap}x below the rest — the"
+            " corpus looks dominated by near-duplicates, and"
+            " the calibrated threshold may land BELOW the"
+            " near-dup scale; dedup the corpus before"
+            " indexing, or pass an explicit max_sdc to the"
+            " screens",
+            stacklevel=2,
+        )
     report.update(
         measurable=True,
         background_micro=bg,

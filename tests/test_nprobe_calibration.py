@@ -629,3 +629,37 @@ def test_sdc_calibration_warns_on_majority_band(spark, tmp_path):
         rep = ivfpq_calibrate_sdc(spark, idx, sample=8, persist=False)
     assert rep["measurable"]
     assert rep["excluded_band"] == 0  # refused, not excluded
+
+
+def test_sdc_band_resolution_resists_gap_hijack():
+    """Pure-logic pins for the band resolver (the code-review finding:
+    keying on the single LARGEST gap lets an upper-tail outlier or
+    intra-band spread redirect the cut away from the contamination
+    boundary)."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        _sdc_background_from_minima as resolve,
+    )
+
+    # upper-tail outlier (9M from a sparse cell) must NOT hijack: the
+    # contamination boundary at cut=2 still excludes, no false warning
+    mins = [28_000, 30_000] + list(range(250_000, 301_000, 10_000)) + [
+        9_000_000
+    ]
+    bg, cut, warn = resolve(mins, 8)
+    assert (bg, cut, warn) == (250_000, 2, 0)
+    # intra-band gap: the LARGEST minority cut takes the whole band,
+    # not just its bottom value
+    mins = [1_000, 30_000, 250_000, 260_000, 270_000, 280_000]
+    bg, cut, warn = resolve(mins, 8)
+    assert (bg, cut, warn) == (250_000, 2, 0)
+    # clean corpus: no band-sized gap, raw minimum, silent
+    assert resolve([600_000, 650_000, 700_000], 8) == (600_000, 0, 0)
+    # majority low band: unresolvable — raw minimum kept, warn names
+    # the band size
+    mins = [10_000, 11_000, 12_000, 13_000, 14_000, 500_000]
+    bg, cut, warn = resolve(mins, 8)
+    assert (bg, cut, warn) == (10_000, 0, 5)
+    # band_gap=None: the raw-minimum estimator, always silent
+    assert resolve([1_000, 500_000], None) == (1_000, 0, 0)
+    # degenerate single row
+    assert resolve([42], 8) == (42, 0, 0)
