@@ -206,6 +206,7 @@ ROTATION_POOL: tuple[str, ...] = (
     # r13 additions
     "ann_knn_graph",
     "ann_sdc_knn_graph",
+    "incremental_knn_lists",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

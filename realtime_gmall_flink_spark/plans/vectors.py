@@ -7440,6 +7440,23 @@ def _sdc_score_encoded(
     """The scoring half of sdc_score_new over an ALREADY-encoded batch
     (the _ivfpq_encode_cells output) — see sdc_score_new for the
     contract."""
+    return _sdc_scored_new_pairs(
+        spark, index_dir, encoded, max_cell_pairs, "sdc_score_new"
+    ).filter(F.col("sdc_micro") <= max_sdc)
+
+
+def _sdc_scored_new_pairs(
+    spark: SparkSession,
+    index_dir: str,
+    encoded: DataFrame,
+    max_cell_pairs: int,
+    caller: str,
+) -> DataFrame:
+    """(new_vec, dup_of, sdc_micro) for every (new x indexed) pair in
+    the batch's touched cells — the unfiltered scored pair space
+    shared by the threshold screen (sdc_score_new) and the per-arrival
+    neighbor lists (sdc_knn_new). Touched-cell pruning, one broadcast
+    codeword table, and the incremental-product refusal live here."""
     import os
 
     meta = _ivfpq_meta(index_dir)
@@ -7470,7 +7487,7 @@ def _sdc_score_encoded(
     if over:
         worst = ", ".join(f"cid={cid}: {p} pairs" for p, cid in over[:5])
         raise ValueError(
-            f"sdc_score_new: {len(over)} touched cells exceed"
+            f"{caller}: {len(over)} touched cells exceed"
             f" max_cell_pairs={max_cell_pairs} ({worst}) — the index"
             " is undersized for incremental mining; rebuild with"
             " ivfpq_rebuild(..., n_centroids=sdc_nlist_for(n)) or"
@@ -7489,10 +7506,47 @@ def _sdc_score_encoded(
     pairs = a.join(b, "cell").filter(
         F.col("new_vec") != F.col("dup_of")
     )
+    return pairs.crossJoin(broadcast(_sdc_codeword_row(cb))).select(
+        "new_vec", "dup_of", _sdc_pair_sum(m).alias("sdc_micro")
+    )
+
+
+def sdc_knn_new(
+    spark: SparkSession,
+    index_dir: str,
+    arrivals: DataFrame,
+    k: int = KNN_GRAPH_K,
+    max_cell_pairs: int | None = None,
+) -> DataFrame:
+    """(new_vec, nb_id, sdc_micro, rk) — per-arrival neighbor LISTS
+    against the persisted IVF-PQ layout: the incremental form of
+    :func:`ivfpq_knn_graph`, completing the graph lifecycle (bulk
+    build-time graph + arrival-time lists) the way sdc_score_new
+    completes pair mining. One encode of the batch, one touched-cell
+    pruned codes scan (never a float), a per-arrival WindowGroupLimit
+    cut. An arrival whose cells hold no indexed vectors is absent
+    from the output, not an error — same contract as the bulk graph's
+    singleton cells."""
+    from pyspark.sql import Window
+
+    if max_cell_pairs is None:
+        max_cell_pairs = SDC_MAX_CELL_PAIRS
+    encoded = _ivfpq_encode_cells(spark, index_dir, arrivals)
+    scored = _sdc_scored_new_pairs(
+        spark, index_dir, encoded, max_cell_pairs, "sdc_knn_new"
+    )
+    w = Window.partitionBy("new_vec").orderBy(
+        F.col("sdc_micro").asc(), F.col("dup_of").asc()
+    )
     return (
-        pairs.crossJoin(broadcast(_sdc_codeword_row(cb)))
-        .select("new_vec", "dup_of", _sdc_pair_sum(m).alias("sdc_micro"))
-        .filter(F.col("sdc_micro") <= max_sdc)
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "new_vec",
+            F.col("dup_of").alias("nb_id"),
+            "sdc_micro",
+            F.col("rk").cast("int").alias("rk"),
+        )
     )
 
 
@@ -7549,6 +7603,63 @@ def incremental_sdc_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned: the oracle embeds the SDC_DUP_MICRO literal — real
     # usage gets the layout's calibrated default
     return sdc_score_new(spark, idx, arrivals, max_sdc=SDC_DUP_MICRO)
+
+
+@register(
+    "incremental_knn_lists",
+    survey="J5(ext),A6(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
+, arr AS (
+    SELECT vec_id AS src, vec_id + 1000000 AS new_vec
+    FROM embeddings WHERE vec_id < 10
+), cl AS (SELECT vec_id, cid AS cell FROM iassigned)
+, sdm AS (
+    SELECT a.s, a.cid AS ca, b.cid AS cb,
+           CAST(round({_l2_sql('a.csv', 'b.csv')} * 1000000)
+                AS BIGINT) AS d2m
+    FROM rcent a JOIN rcent b USING (s)
+), prs AS (
+    SELECT ar.new_vec, cb.vec_id AS nb_id, sum(m.d2m) AS sdc
+    FROM arr ar
+    JOIN cl ca ON ca.vec_id = ar.src
+    JOIN cl cb ON cb.cell = ca.cell
+    JOIN rcodes ka ON ka.vec_id = ar.src
+    JOIN rcodes kb ON kb.vec_id = cb.vec_id AND kb.s = ka.s
+    JOIN sdm m ON m.s = ka.s AND m.ca = ka.cid AND m.cb = kb.cid
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT new_vec, nb_id, CAST(sdc AS BIGINT) AS sdc_micro,
+           row_number() OVER (
+               PARTITION BY new_vec ORDER BY sdc, nb_id
+           ) AS rk
+    FROM prs
+)
+SELECT new_vec, nb_id, sdc_micro, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {KNN_GRAPH_K}
+""",
+)
+def incremental_knn_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arrival neighbor lists as a graded entry: ten exact copies
+    of corpus vectors arrive under fresh ids and get their top-k
+    same-cell neighbor lists from the persisted composed layout
+    (sdc_knn_new) — each copy's rank-1 neighbor is its source at SDC
+    exactly 0. The incremental twin of ann_sdc_knn_graph, replayed in
+    the oracle from the source rows' persisted cells/codes."""
+    emb = _emb(spark, sf_dir)
+    idx = ivfpq_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        pq_dir=pq_index_dir(sf_dir),
+    )
+    arrivals = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return sdc_knn_new(spark, idx, arrivals)
 
 
 # --- index small-file compaction ------------------------------------------

@@ -2684,3 +2684,43 @@ def test_ivfpq_knn_graph_codes_only_and_recall(spark, tmp_path):
     assert set(sdc_top1) == exact_vecs
     with _pytest.raises(ValueError, match="sdc_nlist_for"):
         V.ivfpq_knn_graph(spark, idx, max_cell_pairs=1)
+
+
+def test_sdc_knn_new_contract(spark, tmp_path):
+    """The incremental neighbor lists: exact-copy arrivals rank their
+    source first at SDC 0; an arrival landing in a cell with no
+    indexed vectors is absent (not an error); rk is dense per arrival;
+    the incremental-product refusal names the batch-split remedy."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import realtime_gmall_flink_spark.plans.vectors as V
+
+    from .conftest import SF_DIR
+
+    emb = V._emb(spark, SF_DIR)
+    idx = V.ivfpq_build(
+        emb,
+        str(tmp_path / "iknn"),
+        ivf_dir=str(tmp_path / "iknn-ivf"),
+        pq_dir=str(tmp_path / "iknn-pq"),
+    )
+    arrivals = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    rows = V.sdc_knn_new(spark, idx, arrivals).collect()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["new_vec"], []).append(r)
+    assert set(per) == {i + 1_000_000 for i in range(5)}
+    for nv, rs in per.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= V.KNN_GRAPH_K
+        # the copy's source leads its list at distance exactly 0
+        assert rs[0]["nb_id"] == nv - 1_000_000
+        assert rs[0]["sdc_micro"] == 0
+        keys = [(r["sdc_micro"], r["nb_id"]) for r in rs]
+        assert keys == sorted(keys)
+    with _pytest.raises(ValueError, match="split the arrival batch"):
+        V.sdc_knn_new(spark, idx, arrivals, max_cell_pairs=1)
