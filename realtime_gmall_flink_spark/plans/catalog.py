@@ -207,6 +207,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "ann_knn_graph",
     "ann_sdc_knn_graph",
     "incremental_knn_lists",
+    "knn_redundancy_stats",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -1496,6 +1496,73 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_graph(spark, idx)
 
 
+# Redundancy audit over the graph: per-vector mean neighbor cosine in
+# integer MICROS (sum of 6-dp-rounded cosines quantized to 1e-6, floor-
+# divided by the list length — all-integer, so both engines band
+# identically), histogrammed into 0.1-wide bands. The corpus-level
+# "how much embedding-space redundancy is in this dataset" report a
+# curation pass reads before choosing dedup thresholds — band counts
+# are the output, so the result is band-sized at any corpus size.
+@register(
+    "knn_redundancy_stats",
+    survey="A7(ext),P10(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+, prs AS (
+    SELECT a.vec_id, b.vec_id AS nb_id,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM iassigned a JOIN iassigned b USING (cid)
+    WHERE a.vec_id <> b.vec_id
+), ranked AS (
+    SELECT vec_id, cos_sim,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos_sim DESC, nb_id
+           ) AS rk
+    FROM prs
+), red AS (
+    SELECT vec_id,
+           CAST(floor(
+               sum(CAST(round(cos_sim * 1000000) AS BIGINT))
+               / CAST(count(*) AS DOUBLE)
+           ) AS BIGINT) AS red_micro
+    FROM ranked WHERE rk <= {KNN_GRAPH_K}
+    GROUP BY vec_id
+)
+SELECT CAST(floor(red_micro / 100000.0) AS INTEGER) AS band,
+       count(*) AS n_vecs,
+       round(avg(red_micro) / 1000000, 6) AS mean_redundancy
+FROM red GROUP BY band
+""",
+)
+def knn_redundancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-vector redundancy (mean cosine of each
+    vector's kNN list) in 0.1 bands — reads the same persisted IVF
+    layout and graph stage as ann_knn_graph."""
+    idx = ivf_index_dir(sf_dir)
+    ivf_build(_emb(spark, sf_dir), idx)
+    g = ivf_knn_graph(spark, idx)
+    red = g.groupBy("vec_id").agg(
+        F.floor(
+            F.sum(
+                F.round(F.col("cos_sim") * 1000000).cast("long")
+            )
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("red_micro")
+    )
+    return red.groupBy(
+        F.floor(F.col("red_micro") / F.lit(100000.0))
+        .cast("int")
+        .alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("red_micro") / 1000000, 6).alias(
+            "mean_redundancy"
+        ),
+    )
+
+
 @register(
     "ivf_recall_curve",
     survey="J5(ext),J6(ext)",
