@@ -1389,6 +1389,54 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_K = 3
 
 
+def _mirror_pairs(
+    scored: DataFrame, a: str, b: str, score: str
+) -> DataFrame:
+    """Both directed orientations of an unordered scored pair frame,
+    from ONE pass (explode, not a second scan): (vec_id, nb_id,
+    score). Shared by every graph form so mirroring cannot drift."""
+    return scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(a).alias("vec_id"), F.col(b).alias("nb_id")
+                ),
+                F.struct(
+                    F.col(b).alias("vec_id"), F.col(a).alias("nb_id")
+                ),
+            )
+        ).alias("e"),
+        score,
+    ).select("e.vec_id", "e.nb_id", score)
+
+
+def _knn_topk_cut(
+    directed: DataFrame,
+    part: str,
+    score: str,
+    ascending: bool,
+    k: int,
+) -> DataFrame:
+    """The ONE per-vertex top-k cut of every graph form: row_number
+    over (score, nb_id) — compiles to WindowGroupLimit on both sides
+    of the exchange — rk kept as int. Tie-break is always nb_id asc;
+    ``ascending`` says whether a smaller score is nearer (SDC) or a
+    larger one is (cosine)."""
+    from pyspark.sql import Window
+
+    order = (
+        F.col(score).asc() if ascending else F.col(score).desc()
+    )
+    w = Window.partitionBy(part).orderBy(order, F.col("nb_id").asc())
+    return (
+        directed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            part, "nb_id", score, F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
 def ivf_knn_graph(
     spark: SparkSession,
     index_dir: str,
@@ -1404,8 +1452,6 @@ def ivf_knn_graph(
     corpus-wide structure, and one cell is exactly what a rebuild
     re-shards."""
     import os
-
-    from pyspark.sql import Window
 
     if max_cell_pairs is None:
         # defined later in the module (the SDC mining section owns it)
@@ -1437,33 +1483,9 @@ def ivf_knn_graph(
         .filter(F.col("__a") < F.col("__b"))
         .select("__a", "__b", cos.alias("cos_sim"))
     )
-    directed = scored.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("__a").alias("vec_id"),
-                    F.col("__b").alias("nb_id"),
-                ),
-                F.struct(
-                    F.col("__b").alias("vec_id"),
-                    F.col("__a").alias("nb_id"),
-                ),
-            )
-        ).alias("e"),
-        "cos_sim",
-    ).select("e.vec_id", "e.nb_id", "cos_sim")
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("nb_id").asc()
-    )
-    return (
-        directed.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "vec_id",
-            "nb_id",
-            "cos_sim",
-            F.col("rk").cast("int").alias("rk"),
-        )
+    directed = _mirror_pairs(scored, "__a", "__b", "cos_sim")
+    return _knn_topk_cut(
+        directed, "vec_id", "cos_sim", ascending=False, k=k
     )
 
 
@@ -1497,9 +1519,13 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Redundancy audit over the graph: per-vector mean neighbor cosine in
-# integer MICROS (sum of 6-dp-rounded cosines quantized to 1e-6, floor-
-# divided by the list length — all-integer, so both engines band
-# identically), histogrammed into 0.1-wide bands. The corpus-level
+# integer MICROS — the sum of 6-dp-rounded cosines quantizes to an
+# EXACT bigint, and both engines then MIRROR the same
+# floor(bigint / double(count)) op (the division itself is floating
+# point, not integer: simplifying either side to true integer
+# division would diverge on negative sums — SQL int-div truncates
+# toward zero where floor rounds down), histogrammed into 0.1-wide
+# bands. The corpus-level
 # "how much embedding-space redundancy is in this dataset" report a
 # curation pass reads before choosing dedup thresholds — band counts
 # are the output, so the result is band-sized at any corpus size.
@@ -6952,40 +6978,14 @@ def ivfpq_knn_graph(
     rerank the bounded lists — k*n rows, a linear point-fetch, not a
     pair space. Mirrored edges come from ONE scored scan (explode of
     the two orientations), not a second pass."""
-    from pyspark.sql import Window
-
     if max_cell_pairs is None:
         max_cell_pairs = SDC_MAX_CELL_PAIRS
     pairs = _sdc_scored_pairs(
         spark, index_dir, max_cell_pairs, "ivfpq_knn_graph"
     )
-    directed = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("a_id").alias("vec_id"),
-                    F.col("b_id").alias("nb_id"),
-                ),
-                F.struct(
-                    F.col("b_id").alias("vec_id"),
-                    F.col("a_id").alias("nb_id"),
-                ),
-            )
-        ).alias("e"),
-        "sdc_micro",
-    ).select("e.vec_id", "e.nb_id", "sdc_micro")
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sdc_micro").asc(), F.col("nb_id").asc()
-    )
-    return (
-        directed.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "vec_id",
-            "nb_id",
-            "sdc_micro",
-            F.col("rk").cast("int").alias("rk"),
-        )
+    directed = _mirror_pairs(pairs, "a_id", "b_id", "sdc_micro")
+    return _knn_topk_cut(
+        directed, "vec_id", "sdc_micro", ascending=True, k=k
     )
 
 
@@ -7360,16 +7360,35 @@ def ivfpq_calibrate_sdc(
     if majority_at:
         import warnings
 
-        warnings.warn(
-            f"ivfpq_calibrate_sdc: {majority_at}/{len(mins)} sampled"
-            f" rows sit >={band_gap}x below the rest — the"
-            " corpus looks dominated by near-duplicates, and"
-            " the calibrated threshold may land BELOW the"
-            " near-dup scale; dedup the corpus before"
-            " indexing, or pass an explicit max_sdc to the"
-            " screens",
-            stacklevel=2,
-        )
+        if majority_at == len(mins) - 1:
+            # ONE value above the gap is ambiguous evidence: it is
+            # either the only clean background estimate (a genuinely
+            # near-dup-dominated corpus) or a sparse-cell outlier over
+            # a clean tight one — no sample statistic distinguishes
+            # them, but a LARGER sample does; say so rather than
+            # asserting domination
+            warnings.warn(
+                f"ivfpq_calibrate_sdc: {majority_at}/{len(mins)}"
+                f" sampled rows sit >={band_gap}x below the single"
+                " highest — EITHER the corpus is dominated by"
+                " near-duplicates (then the persisted threshold sits"
+                " below the near-dup scale) OR the high value is a"
+                " sparse-cell outlier over a clean corpus;"
+                " recalibrate with a larger sample"
+                " (ivfpq_calibrate_sdc(sample=...)) to disambiguate",
+                stacklevel=2,
+            )
+        else:
+            warnings.warn(
+                f"ivfpq_calibrate_sdc: {majority_at}/{len(mins)}"
+                f" sampled rows sit >={band_gap}x below the rest —"
+                " the corpus looks dominated by near-duplicates, and"
+                " the calibrated threshold may land BELOW the"
+                " near-dup scale; dedup the corpus before"
+                " indexing, or pass an explicit max_sdc to the"
+                " screens",
+                stacklevel=2,
+            )
     report.update(
         measurable=True,
         background_micro=bg,
@@ -7594,26 +7613,14 @@ def sdc_knn_new(
     cut. An arrival whose cells hold no indexed vectors is absent
     from the output, not an error — same contract as the bulk graph's
     singleton cells."""
-    from pyspark.sql import Window
-
     if max_cell_pairs is None:
         max_cell_pairs = SDC_MAX_CELL_PAIRS
     encoded = _ivfpq_encode_cells(spark, index_dir, arrivals)
     scored = _sdc_scored_new_pairs(
         spark, index_dir, encoded, max_cell_pairs, "sdc_knn_new"
-    )
-    w = Window.partitionBy("new_vec").orderBy(
-        F.col("sdc_micro").asc(), F.col("dup_of").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "new_vec",
-            F.col("dup_of").alias("nb_id"),
-            "sdc_micro",
-            F.col("rk").cast("int").alias("rk"),
-        )
+    ).select("new_vec", F.col("dup_of").alias("nb_id"), "sdc_micro")
+    return _knn_topk_cut(
+        scored, "new_vec", "sdc_micro", ascending=True, k=k
     )
 
 
