@@ -6992,6 +6992,9 @@ def ivfpq_knn_graph(
 @register(
     "ann_sdc_knn_graph",
     survey="J5(ext),A6(ext)",
+    headline=True,  # the round's new workload class: corpus-wide
+    # neighbor-list construction from codes only (bounded quadratic
+    # self-join + per-vertex WindowGroupLimit cut)
     oracle=f"""
 WITH {_IVF_ASSIGN_SQL}
 , {_PQ_NE_SQL}
