@@ -208,6 +208,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "ann_sdc_knn_graph",
     "incremental_knn_lists",
     "knn_redundancy_stats",
+    "ann_knn_graph_reranked",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

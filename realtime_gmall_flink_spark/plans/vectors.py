@@ -7045,6 +7045,144 @@ def ann_sdc_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_knn_graph(spark, idx)
 
 
+# Exact refinement widens the SDC candidate list before the final cut:
+# quantization reorders a tight cell's interior, so the exact top-k
+# hides inside a somewhat wider approximate list. 8 measured on the
+# fixture: SDC top-8 contains enough of the exact top-3 to make the
+# reranked graph agree with the exact graph far above the raw SDC
+# head (see test_ivfpq_knn_graph_exact_refinement).
+KNN_RERANK_CAND = 8
+
+
+def ivfpq_knn_graph_exact(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    k: int = KNN_GRAPH_K,
+    candidates: int = KNN_RERANK_CAND,
+    max_cell_pairs: int | None = None,
+) -> DataFrame:
+    """The documented rerank of the codes-only graph, shipped: take
+    each vector's SDC top-``candidates`` list (ivfpq_knn_graph — still
+    pq_m bytes per vector in the pair stage), re-score ONLY those
+    bounded lists with exact cosine against the raw corpus, and cut to
+    the final ``k``. At 100 TB the exact work is two equi-joins over
+    <= candidates*n rows — LINEAR in the corpus, never the quadratic
+    pair space — and the result is exact within each vector's
+    candidate pool. Distributed end to end: nothing candidate-shaped
+    reaches the driver (the ADC_RERANK_MAX lesson applied from the
+    start). Candidate ids missing from ``emb`` are refused by name
+    via one aggregate check — an incomplete rerank corpus must never
+    silently shrink a neighbor list."""
+    cand = ivfpq_knn_graph(
+        spark,
+        index_dir,
+        k=candidates,
+        max_cell_pairs=max_cell_pairs,
+    ).select("vec_id", "nb_id")
+    e = emb.select("vec_id", "embedding")
+    joined = (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("__l"),
+                F.col("embedding").alias("__ea"),
+            ),
+            F.col("vec_id") == F.col("__l"),
+            "left",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("__r"),
+                F.col("embedding").alias("__eb"),
+            ),
+            F.col("nb_id") == F.col("__r"),
+            "left",
+        )
+        .select("vec_id", "nb_id", "__ea", "__eb")
+        .localCheckpoint(eager=True)  # validated == scored
+    )
+    miss = joined.agg(
+        F.count(F.when(F.col("__ea").isNull(), 1)).alias("ml"),
+        F.count(F.when(F.col("__eb").isNull(), 1)).alias("mr"),
+    ).head()
+    if miss["ml"] or miss["mr"]:
+        raise ValueError(
+            f"ivfpq_knn_graph_exact: {miss['ml'] + miss['mr']} graph"
+            " candidates are missing from the rerank corpus — pass"
+            " the full indexed corpus (build + appends) as emb"
+        )
+    cos = F.round(cosine_similarity(F.col("__ea"), F.col("__eb")), 6)
+    scored = joined.select("vec_id", "nb_id", cos.alias("cos_sim"))
+    return _knn_topk_cut(
+        scored, "vec_id", "cos_sim", ascending=False, k=k
+    )
+
+
+@register(
+    "ann_knn_graph_reranked",
+    survey="J5(ext),A6(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+, {_PQ_NE_SQL}
+, {_IVFPQ_RES_SQL}
+, cl AS (SELECT vec_id, cid AS cell FROM iassigned)
+, cpair AS (
+    SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+    FROM cl a JOIN cl b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), sdm AS (
+    SELECT a.s, a.cid AS ca, b.cid AS cb,
+           CAST(round({_l2_sql('a.csv', 'b.csv')} * 1000000)
+                AS BIGINT) AS d2m
+    FROM rcent a JOIN rcent b USING (s)
+), prs AS (
+    SELECT p.a_id, p.b_id, sum(m.d2m) AS sdc
+    FROM cpair p
+    JOIN rcodes ka ON ka.vec_id = p.a_id
+    JOIN rcodes kb ON kb.vec_id = p.b_id AND kb.s = ka.s
+    JOIN sdm m ON m.s = ka.s AND m.ca = ka.cid AND m.cb = kb.cid
+    GROUP BY 1, 2
+), dirp AS (
+    SELECT a_id AS vec_id, b_id AS nb_id, sdc FROM prs
+    UNION ALL
+    SELECT b_id AS vec_id, a_id AS nb_id, sdc FROM prs
+), cand AS (
+    SELECT vec_id, nb_id FROM (
+        SELECT vec_id, nb_id, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sdc, nb_id
+        ) AS crk
+        FROM dirp) WHERE crk <= {KNN_RERANK_CAND}
+), ranked AS (
+    SELECT c.vec_id, c.nb_id,
+           round({_cos_sql('ea.embedding', 'eb.embedding')}, 6)
+               AS cos_sim,
+           row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY round({_cos_sql('ea.embedding', 'eb.embedding')},
+                              6) DESC,
+                        c.nb_id
+           ) AS rk
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_id
+    JOIN embeddings eb ON eb.vec_id = c.nb_id
+)
+SELECT vec_id, nb_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {KNN_GRAPH_K}
+""",
+)
+def ann_knn_graph_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-refined graph from the shared persisted IVF-PQ
+    layout: SDC candidates, exact-cosine final order."""
+    emb = _emb(spark, sf_dir)
+    idx = ivfpq_index_dir(sf_dir)
+    ivfpq_build(
+        emb,
+        idx,
+        ivf_dir=ivf_index_dir(sf_dir),
+        pq_dir=pq_index_dir(sf_dir),
+    )
+    return ivfpq_knn_graph_exact(spark, idx, emb)
+
+
 # Cluster-forming SDC threshold, calibrated on the fixture like
 # SDC_DUP_MICRO (the quantized-distance scale is geometry-dependent —
 # codes-vs-codes distances COMPRESS, so a cosine threshold cannot be

@@ -2686,6 +2686,79 @@ def test_ivfpq_knn_graph_codes_only_and_recall(spark, tmp_path):
         V.ivfpq_knn_graph(spark, idx, max_cell_pairs=1)
 
 
+def test_ivfpq_knn_graph_exact_refinement(spark, tmp_path):
+    """The exact rerank of the codes-only graph recovers the rank
+    fidelity the raw SDC head gives up: (a) its rank-1 neighbor lands
+    in the exact-cosine graph's top-k for the large majority of
+    vectors, FAR above the raw SDC head's containment (measured 0.922
+    vs 0.38 on this fixture), because the exact top-k hides inside the
+    SDC top-KNN_RERANK_CAND even where quantization reorders the head;
+    (b) planted byte-twins rerank to rank 1 at cosine exactly 1.0; (c)
+    participants equal the exact graph's (rerank never drops a
+    vertex); (d) rk is dense and bounded; (e) a rerank corpus missing
+    candidate ids is refused by name — never a silently shorter
+    neighbor list."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import realtime_gmall_flink_spark.plans.vectors as V
+
+    from .conftest import SF_DIR
+
+    base = V._emb(spark, SF_DIR)
+    twins = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding", "label"
+    )
+    emb = base.unionByName(twins).localCheckpoint(eager=True)
+    ivf_dir = str(tmp_path / "rg-ivf")
+    idx = V.ivfpq_build(
+        emb,
+        str(tmp_path / "rg-ivfpq"),
+        ivf_dir=ivf_dir,
+        pq_dir=str(tmp_path / "rg-pq"),
+    )
+    exact_sets: dict = {}
+    for r in V.ivf_knn_graph(spark, ivf_dir).collect():
+        exact_sets.setdefault(r["vec_id"], set()).add(r["nb_id"])
+    sdc_top1 = {
+        r["vec_id"]: r["nb_id"]
+        for r in V.ivfpq_knn_graph(spark, idx).collect()
+        if r["rk"] == 1
+    }
+    rows = V.ivfpq_knn_graph_exact(spark, idx, emb).collect()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["vec_id"], []).append(r)
+    # (c) + (d)
+    assert set(per) == set(exact_sets)
+    for rs in per.values():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= V.KNN_GRAPH_K
+        keys = [(-r["cos_sim"], r["nb_id"]) for r in rs]
+        assert keys == sorted(keys)
+    # (b) twins lead each other's lists at exact cosine 1.0
+    for i in range(10):
+        assert per[i][0]["nb_id"] == i + 900_000
+        assert per[i][0]["cos_sim"] == 1.0
+        assert per[i + 900_000][0]["nb_id"] == i
+    # (a) containment, reranked vs raw SDC head
+    n = len(exact_sets)
+    rer_hit = sum(
+        1 for v, rs in per.items() if rs[0]["nb_id"] in exact_sets[v]
+    )
+    sdc_hit = sum(
+        1 for v, nb in sdc_top1.items() if nb in exact_sets[v]
+    )
+    assert rer_hit / n >= 0.85, (rer_hit, n)
+    assert rer_hit / n >= sdc_hit / n + 0.3, (rer_hit, sdc_hit, n)
+    # (e) an incomplete rerank corpus is refused by name
+    with _pytest.raises(ValueError, match="missing from the rerank"):
+        V.ivfpq_knn_graph_exact(
+            spark, idx, emb.filter(F.col("vec_id") < 100)
+        )
+
+
 def test_sdc_knn_new_contract(spark, tmp_path):
     """The incremental neighbor lists: exact-copy arrivals rank their
     source first at SDC 0; an arrival landing in a cell with no
