@@ -209,6 +209,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "incremental_knn_lists",
     "knn_redundancy_stats",
     "ann_knn_graph_reranked",
+    "ann_knn_graph_spill",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

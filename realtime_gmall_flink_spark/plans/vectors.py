@@ -1437,52 +1437,139 @@ def _knn_topk_cut(
     )
 
 
+def _ivf_spill_assign(
+    emb: DataFrame, cent: DataFrame, spill: int
+) -> DataFrame:
+    """(cell, vec_id) — each vector's ``spill`` nearest cells, in the
+    shuffle-free ivf_assign shape: the centroids collapse into one
+    broadcast array row, per-row array_sort picks the top cells
+    (cos desc, cid asc — the SAME struct ordering as ivf_assign, so
+    rank 1 always equals the persisted assignment), and explode emits
+    spill skinny rows per vector. NO Exchange anywhere — the n*nlist
+    score space never materializes off the row it belongs to."""
+    carr = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("__cents"))
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.round(
+                cosine_similarity(F.col("embedding"), c["ce"]), 6
+            ).alias("cc"),
+            (-c["cid"]).alias("neg_cid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    # ascending struct sort then reverse = cos desc, then neg_cid
+    # desc == cid asc: the deterministic ivf_assign tie-break
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, spill)
+    return (
+        emb.crossJoin(broadcast(carr))
+        .select("vec_id", F.explode(top).alias("__t"))
+        .select(F.col("__t.cid").alias("cell"), "vec_id")
+    )
+
+
 def ivf_knn_graph(
     spark: SparkSession,
     index_dir: str,
     k: int = KNN_GRAPH_K,
     max_cell_pairs: int | None = None,
+    spill: int = 1,
 ) -> DataFrame:
     """(vec_id, nb_id, cos_sim, rk) — each indexed vector's ``k``
     nearest same-cell neighbors by exact cosine (6-dp rounded,
     nb_id tie-break: the shared determinism contract). A vector alone
     in its cell is absent from the output (no neighbors), not an
-    error. Neighbors are cell-scoped by design: cross-cell near
-    neighbors are the probe entries' job — the graph is the bulk
-    corpus-wide structure, and one cell is exactly what a rebuild
-    re-shards."""
+    error. At the default ``spill=1`` neighbors are cell-scoped:
+    cross-cell near neighbors straddling a Voronoi boundary are
+    invisible — the classic IVF edge-loss. ``spill>=2`` is the
+    boundary repair: each vector joins the pair space through its
+    ``spill`` nearest cells (the multi-assignment remedy), so two
+    vectors pair whenever ANY of their spilled cells coincide. The
+    candidate set is a strict superset of the cell-scoped one — every
+    neighbor list's head can only improve — at ~spill^2x the pair
+    volume, refused through the same oversized-cell gate against the
+    SPILLED occupancy. The spilled membership is skinny (cell,
+    vec_id): pairs deduplicate before the embeddings re-join, so the
+    64-dim cosine fold still runs once per unordered pair."""
     import os
 
     if max_cell_pairs is None:
         # defined later in the module (the SDC mining section owns it)
         max_cell_pairs = SDC_MAX_CELL_PAIRS
-    _refuse_oversized_cells(
-        spark,
-        os.path.join(index_dir, "assignment"),
-        max_cell_pairs,
-        "ivf_knn_graph",
-    )
-    a = spark.read.parquet(os.path.join(index_dir, "assignment"))
-    left = a.select(
-        "cid", F.col("vec_id").alias("__a"), F.col("embedding").alias("__ea")
-    )
-    right = a.select(
-        "cid",
-        F.col("vec_id").alias("__b"),
-        F.col("embedding").alias("__eb"),
-    )
+    apath = os.path.join(index_dir, "assignment")
     cos = F.round(
         cosine_similarity(F.col("__ea"), F.col("__eb")), 6
     )
-    # score each UNORDERED pair once (the 64-dim fold dominates the
-    # quadratic stage — the ordered self-join would run it twice per
-    # pair), then explode the two orientations before the window: the
-    # ivfpq_knn_graph shape applied to the exact-cosine twin
-    scored = (
-        left.join(right, "cid")
-        .filter(F.col("__a") < F.col("__b"))
-        .select("__a", "__b", cos.alias("cos_sim"))
-    )
+    if spill <= 1:
+        _refuse_oversized_cells(
+            spark, apath, max_cell_pairs, "ivf_knn_graph"
+        )
+        a = spark.read.parquet(apath)
+        left = a.select(
+            "cid",
+            F.col("vec_id").alias("__a"),
+            F.col("embedding").alias("__ea"),
+        )
+        right = a.select(
+            "cid",
+            F.col("vec_id").alias("__b"),
+            F.col("embedding").alias("__eb"),
+        )
+        # score each UNORDERED pair once (the 64-dim fold dominates
+        # the quadratic stage — the ordered self-join would run it
+        # twice per pair), then explode the two orientations before
+        # the window: the ivfpq_knn_graph shape applied to the
+        # exact-cosine twin
+        scored = (
+            left.join(right, "cid")
+            .filter(F.col("__a") < F.col("__b"))
+            .select("__a", "__b", cos.alias("cos_sim"))
+        )
+    else:
+        cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+        e = spark.read.parquet(apath).select("vec_id", "embedding")
+        memb = _ivf_spill_assign(e, cent, spill)
+        # the refusal gates the SPILLED pair space (occupancy ~spill x
+        # the persisted footers), still bounded-collect by nlist, and
+        # still BEFORE any pair job runs
+        _refuse_oversized_counts(
+            {
+                r["cell"]: r["count"]
+                for r in memb.groupBy("cell").count().collect()
+            },
+            max_cell_pairs,
+            "ivf_knn_graph",
+        )
+        pairs = (
+            memb.select("cell", F.col("vec_id").alias("__a"))
+            .join(
+                memb.select("cell", F.col("vec_id").alias("__b")),
+                "cell",
+            )
+            .filter(F.col("__a") < F.col("__b"))
+            # a pair sharing BOTH spilled cells must score once, not
+            # twice: dedupe the skinny id pairs BEFORE the embedding
+            # re-join so the distinct hashes 16 bytes, not 2x64 floats
+            .select("__a", "__b")
+            .distinct()
+        )
+        scored = (
+            pairs.join(
+                e.select(
+                    F.col("vec_id").alias("__a"),
+                    F.col("embedding").alias("__ea"),
+                ),
+                "__a",
+            )
+            .join(
+                e.select(
+                    F.col("vec_id").alias("__b"),
+                    F.col("embedding").alias("__eb"),
+                ),
+                "__b",
+            )
+            .select("__a", "__b", cos.alias("cos_sim"))
+        )
     directed = _mirror_pairs(scored, "__a", "__b", "cos_sim")
     return _knn_topk_cut(
         directed, "vec_id", "cos_sim", ascending=False, k=k
@@ -1516,6 +1603,55 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_index_dir(sf_dir)
     ivf_build(_emb(spark, sf_dir), idx)
     return ivf_knn_graph(spark, idx)
+
+
+# How many nearest cells each vector spills into for the
+# boundary-repaired graph. 2 is the standard multi-assignment remedy:
+# the dominant edge-loss mode is a pair split across ONE Voronoi
+# boundary, which top-2 membership always rejoins; wider spill pays
+# ~spill^2x pair volume for the rapidly-vanishing multi-boundary tail.
+KNN_SPILL = 2
+
+
+@register(
+    "ann_knn_graph_spill",
+    survey="J5(ext),A6(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+, ispill AS (
+    SELECT vec_id, cid FROM iscored WHERE rn <= {KNN_SPILL}
+), spr AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM ispill a JOIN ispill b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+), prs AS (
+    SELECT p.a_id, p.b_id,
+           round({_cos_sql('ea.embedding', 'eb.embedding')}, 6)
+               AS cos_sim
+    FROM spr p
+    JOIN embeddings ea ON ea.vec_id = p.a_id
+    JOIN embeddings eb ON eb.vec_id = p.b_id
+), dirp AS (
+    SELECT a_id AS vec_id, b_id AS nb_id, cos_sim FROM prs
+    UNION ALL
+    SELECT b_id AS vec_id, a_id AS nb_id, cos_sim FROM prs
+), ranked AS (
+    SELECT vec_id, nb_id, cos_sim,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos_sim DESC, nb_id
+           ) AS rk
+    FROM dirp
+)
+SELECT vec_id, nb_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {KNN_GRAPH_K}
+""",
+)
+def ann_knn_graph_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boundary-repaired kNN graph: top-2 spilled cell membership
+    rejoins near-neighbor pairs split across a Voronoi boundary."""
+    idx = ivf_index_dir(sf_dir)
+    ivf_build(_emb(spark, sf_dir), idx)
+    return ivf_knn_graph(spark, idx, spill=KNN_SPILL)
 
 
 # Redundancy audit over the graph: per-vector mean neighbor cosine in
@@ -6823,24 +6959,14 @@ def near_dup_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdc_pair_mine(spark, idx)
 
 
-def _refuse_oversized_cells(
-    spark: SparkSession,
-    codes_path: str,
-    max_cell_pairs: int,
-    caller: str = "sdc_pair_mine",
+def _refuse_oversized_counts(
+    counts: dict, max_cell_pairs: int, caller: str
 ) -> None:
-    """Refuse cells whose within-cell pair volume c*(c-1)/2 exceeds
-    the bound, naming the worst offenders, the total corpus size, and
-    the sdc_nlist_for geometry that would fit. The count aggregates
-    over the PARTITION column only (parquet footer row counts — the
-    ivfpq_drift pattern), and the collect is bounded by nlist."""
-    counts = {
-        r["cid"]: r["count"]
-        for r in spark.read.parquet(codes_path)
-        .groupBy("cid")
-        .count()
-        .collect()
-    }
+    """The shared refusal body over an already-collected per-cell
+    occupancy map (bounded by nlist): refuse cells whose within-cell
+    pair volume c*(c-1)/2 exceeds the bound, naming the worst
+    offenders, the total corpus size, and the sdc_nlist_for geometry
+    that would fit."""
     over = sorted(
         (
             (c * (c - 1) // 2, c, cid)
@@ -6858,7 +6984,9 @@ def _refuse_oversized_cells(
         # the caller actually operates on: the plain-IVF graph rebuilds
         # with ivf_rebuild; every SDC surface owns an IVF-PQ layout
         rebuild = (
-            "ivf_rebuild" if caller == "ivf_knn_graph" else "ivfpq_rebuild"
+            "ivf_rebuild"
+            if caller.startswith("ivf_knn_graph")
+            else "ivfpq_rebuild"
         )
         raise ValueError(
             f"{caller}: {len(over)} of {len(counts)} cells exceed"
@@ -6868,6 +6996,26 @@ def _refuse_oversized_cells(
             f"sdc_nlist_for(n)) (= {sdc_nlist_for(n, max_cell_pairs)}"
             " cells here) so per-cell pair volume stays bounded"
         )
+
+
+def _refuse_oversized_cells(
+    spark: SparkSession,
+    codes_path: str,
+    max_cell_pairs: int,
+    caller: str = "sdc_pair_mine",
+) -> None:
+    """The persisted-layout form of the oversized-cell refusal: the
+    count aggregates over the PARTITION column only (parquet footer
+    row counts — the ivfpq_drift pattern), and the collect is bounded
+    by nlist."""
+    counts = {
+        r["cid"]: r["count"]
+        for r in spark.read.parquet(codes_path)
+        .groupBy("cid")
+        .count()
+        .collect()
+    }
+    _refuse_oversized_counts(counts, max_cell_pairs, caller)
 
 
 def sdc_pair_mine(
