@@ -1528,7 +1528,13 @@ def ivf_knn_graph(
     else:
         cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
         e = spark.read.parquet(apath).select("vec_id", "embedding")
-        memb = _ivf_spill_assign(e, cent, spill)
+        # checkpoint the skinny membership (spill rows of 16 bytes per
+        # vector): it feeds BOTH sides of the pair self-join and the
+        # refusal count below — without it each consumer re-scores the
+        # n*nlist centroid fold
+        memb = _ivf_spill_assign(e, cent, spill).localCheckpoint(
+            eager=True
+        )
         # the refusal gates the SPILLED pair space (occupancy ~spill x
         # the persisted footers), still bounded-collect by nlist, and
         # still BEFORE any pair job runs

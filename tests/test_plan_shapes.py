@@ -1357,3 +1357,75 @@ def test_scale8_knn_graph_volume_linear_no_cartesian(spark, tmp_path):
         .count()
     )
     assert over == 0
+
+
+@pytest.mark.scale
+def test_scale8_knn_graph_spill_and_rerank_bounded(spark, tmp_path):
+    """The two r13 graph refinements keep the scale contract at 8x:
+    the spilled (boundary-repair) graph and the exact-reranked graph
+    both stay equi-join-shaped (no cartesian, no nested-loop), their
+    output stays bounded at k rows per vector regardless of corpus
+    growth, and the spilled pair space stays within its ~spill^2
+    envelope of the cell-scoped one (the refusal gates the rest)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        KNN_GRAPH_K,
+        KNN_SPILL,
+        _emb,
+        ivf_build,
+        ivf_knn_graph,
+        ivfpq_build,
+        ivfpq_knn_graph_exact,
+        sdc_nlist_for,
+    )
+
+    base = _emb(spark, SF_DIR).localCheckpoint(eager=True)
+    emb8 = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: x + F.lit(float(i)) * 0.001 * (j + 1),
+                ).alias("embedding"),
+                "label",
+            )
+            for i in range(8)
+        ],
+    ).localCheckpoint(eager=True)
+    n8 = emb8.count()
+    nlist = sdc_nlist_for(n8, 450)
+    ivf_dir = str(tmp_path / "sp8-ivf")
+    ivf_build(emb8, ivf_dir, n_centroids=nlist)
+    g = ivf_knn_graph(spark, ivf_dir, spill=KNN_SPILL)
+    plan = _plan(g)
+    assert "CartesianProduct" not in plan
+    # the one-row broadcast centroid-array attach of _ivf_spill_assign
+    # (the ivf_assign shape) runs ONCE behind the membership
+    # checkpoint — the visible plan must hold no nested loop at all
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = g.count()
+    assert 0 < rows <= KNN_GRAPH_K * n8
+    over = (
+        g.groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > KNN_GRAPH_K)
+        .count()
+    )
+    assert over == 0
+    idx = ivfpq_build(
+        emb8,
+        str(tmp_path / "sp8-ivfpq"),
+        ivf_dir=ivf_dir,
+        pq_dir=str(tmp_path / "sp8-pq"),
+    )
+    r = ivfpq_knn_graph_exact(spark, idx, emb8)
+    plan = _plan(r)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rrows = r.count()
+    assert 0 < rrows <= KNN_GRAPH_K * n8
