@@ -7898,6 +7898,7 @@ def sdc_knn_new(
     arrivals: DataFrame,
     k: int = KNN_GRAPH_K,
     max_cell_pairs: int | None = None,
+    pre_encoded: DataFrame | None = None,
 ) -> DataFrame:
     """(new_vec, nb_id, sdc_micro, rk) — per-arrival neighbor LISTS
     against the persisted IVF-PQ layout: the incremental form of
@@ -7907,10 +7908,17 @@ def sdc_knn_new(
     pruned codes scan (never a float), a per-arrival WindowGroupLimit
     cut. An arrival whose cells hold no indexed vectors is absent
     from the output, not an error — same contract as the bulk graph's
-    singleton cells."""
+    singleton cells. ``pre_encoded`` skips the encode when the caller
+    already holds the batch's encoded rows (the ivfpq_append pattern —
+    one encode serves screen, lists, and append); it must cover
+    exactly the ``arrivals`` ids."""
     if max_cell_pairs is None:
         max_cell_pairs = SDC_MAX_CELL_PAIRS
-    encoded = _ivfpq_encode_cells(spark, index_dir, arrivals)
+    encoded = (
+        pre_encoded
+        if pre_encoded is not None
+        else _ivfpq_encode_cells(spark, index_dir, arrivals)
+    )
     scored = _sdc_scored_new_pairs(
         spark, index_dir, encoded, max_cell_pairs, "sdc_knn_new"
     ).select("new_vec", F.col("dup_of").alias("nb_id"), "sdc_micro")

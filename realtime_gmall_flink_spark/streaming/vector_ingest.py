@@ -265,6 +265,47 @@ def _record_decided(
     ids.select("vec_id").distinct().write.mode("append").parquet(path)
 
 
+def _append_knn_lists(
+    spark: SparkSession,
+    ivfpq_dir: str,
+    knn_out: str,
+    arrivals: DataFrame,
+    pre_encoded: DataFrame | None = None,
+) -> int:
+    """Persist per-arrival neighbor lists (plans/vectors.sdc_knn_new —
+    (new_vec, nb_id, sdc_micro, rk)) for arrivals not already
+    recorded, keeping the corpus graph incrementally current without
+    re-running the bulk pair stage. MUST run BEFORE the batch lands
+    in the index: lists score arrivals against INDEXED rows (the
+    sdc_knn_new contract), and the lists-then-append order is what
+    makes a crash between the two heal on replay — the arrival is
+    still fresh (absent from codes/), its lists anti-join away as
+    already written, and the append resumes; the reverse order would
+    strand an appended arrival with no lists forever. Returns rows
+    written."""
+    from ..plans.vectors import sdc_knn_new
+
+    todo, enc = arrivals, pre_encoded
+    if os.path.isdir(knn_out):
+        seen = (
+            spark.read.parquet(knn_out)
+            .select(F.col("new_vec").alias("vec_id"))
+            .distinct()
+        )
+        todo = arrivals.join(seen, "vec_id", "left_anti")
+        if enc is not None:
+            enc = enc.join(seen, "vec_id", "left_anti")
+    if todo.isEmpty():
+        return 0
+    lists = sdc_knn_new(
+        spark, ivfpq_dir, todo, pre_encoded=enc
+    ).localCheckpoint(eager=True)  # count and write see the same rows
+    n = lists.count()
+    if n:
+        lists.write.mode("append").parquet(knn_out)
+    return n
+
+
 def _fresh_unique_arrivals(
     spark: SparkSession,
     out_dir: str,
@@ -360,6 +401,7 @@ def append_scored_to_ivfpq(
     out_dir: str,
     screen: bool = True,
     max_sdc: int | None = None,
+    knn_out: str | None = None,
 ) -> int:
     """Fold the ingest's scored rows into the persisted composed IVF-PQ
     layout: each arrival is encoded against the frozen codebooks AND
@@ -370,7 +412,18 @@ def append_scored_to_ivfpq(
     table) and near-duplicates of indexed rows are NOT appended; pass
     ``screen=False`` for the raw append or ``max_sdc`` to override the
     threshold. Delegates to ivfpq_append (idempotent). Stopped-writer
-    window; returns rows appended (post-screen)."""
+    window; returns rows appended (post-screen).
+
+    ``knn_out``: also persist each APPENDED arrival's neighbor list
+    (sdc_knn_new against the pre-append index) to that directory —
+    the streaming leg of the kNN graph lifecycle, so the corpus graph
+    stays incrementally current without re-running the bulk pair
+    stage. Lists reuse the screen's ONE encode, are written BEFORE
+    the index append (crash between the two heals on replay — see
+    _append_knn_lists), and anti-join already-recorded ids so a
+    replayed history never duplicates a list. Screened-out
+    near-duplicates get no list: they never enter the corpus, and
+    their evidence lives in the near_dups side output already."""
     from ..plans.vectors import (
         SDC_DUP_MICRO,
         SDC_MAX_CELL_PAIRS,
@@ -381,13 +434,30 @@ def append_scored_to_ivfpq(
     )
 
     if not screen:
-        # raw path untouched: a fully-replayed run costs ivfpq_append's
-        # skinny-id anti-join, never an encode
-        return ivfpq_append(
-            spark,
-            ivfpq_dir,
-            read_scored(spark, out_dir).select("vec_id", "embedding"),
+        # raw path: a fully-replayed run costs ivfpq_append's
+        # skinny-id anti-join, never an encode — unless knn_out asks
+        # for lists, whose anti-join keeps the replay encode-free too
+        arrivals = read_scored(spark, out_dir).select(
+            "vec_id", "embedding"
         )
+        if knn_out is not None:
+            # lists are for arrivals the index does NOT hold yet: an
+            # id already indexed (knn_out enabled after history was
+            # appended) would find ITSELF at rank-1 SDC 0 — exclude
+            # via the same skinny-id anti-join the append runs
+            _append_knn_lists(
+                spark,
+                ivfpq_dir,
+                knn_out,
+                arrivals.join(
+                    spark.read.parquet(
+                        os.path.join(ivfpq_dir, "codes")
+                    ).select("vec_id"),
+                    "vec_id",
+                    "left_anti",
+                ),
+            )
+        return ivfpq_append(spark, ivfpq_dir, arrivals)
     # shared reduction: new ids only (keeps the SDC guard's batch-side
     # cell counts equal to actual arrivals — a replayed history cannot
     # inflate batch x indexed past the bound), exact copies collapsed
@@ -417,11 +487,24 @@ def append_scored_to_ivfpq(
         .select(F.col("new_vec").alias("vec_id"))
         .distinct()
     )
+    survivors = fresh.join(dups, "vec_id", "left_anti")
+    enc_survivors = encoded.join(dups, "vec_id", "left_anti")
+    if knn_out is not None:
+        # survivors' neighbor lists BEFORE they land in the index,
+        # reusing the screen's encode (see _append_knn_lists for the
+        # crash-ordering argument)
+        _append_knn_lists(
+            spark,
+            ivfpq_dir,
+            knn_out,
+            survivors,
+            pre_encoded=enc_survivors,
+        )
     n = ivfpq_append(
         spark,
         ivfpq_dir,
-        fresh.join(dups, "vec_id", "left_anti"),
-        pre_encoded=encoded.join(dups, "vec_id", "left_anti"),
+        survivors,
+        pre_encoded=enc_survivors,
     )
     _record_decided(spark, decided_dir, decided_ids)
     return n

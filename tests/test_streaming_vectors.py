@@ -561,3 +561,82 @@ def test_exact_copy_of_appended_row_never_reindexed(spark, tmp_path):
         assert {400400, 400401} <= got
     assert VI.append_scored_to_pq(spark, pq, out, max_adc=0) == 0
     assert VI.append_scored_to_ivfpq(spark, ivfpq, out, max_sdc=-1) == 0
+
+
+def test_append_knn_side_output_lifecycle(spark, tmp_path):
+    """The streaming leg of the kNN graph: append_scored_to_ivfpq
+    (knn_out=...) persists each APPENDED arrival's neighbor list,
+    computed against the PRE-append index — (a) lists equal a direct
+    sdc_knn_new over the same pre-append layout; (b) screened-out
+    near-duplicates get NO list (they never enter the corpus); (c) a
+    replayed run appends nothing new to knn_out (anti-join
+    idempotency); (d) the raw screen=False path writes lists too and
+    never self-matches an id the index already holds."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        ivfpq_build,
+        sdc_knn_new,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ivf = ivf_build(emb, str(tmp_path / "kivf"))
+    ivfpq = ivfpq_build(emb, str(tmp_path / "kivfpq"))
+
+    copies = _arrivals(spark, [0, 1, 2], 100000)
+    novel = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ckpt")
+    copies.unionByName(novel).write.mode("append").parquet(src)
+    VI.run_embedding_ingest(spark, src, ivf, out, ckpt).awaitTermination()
+
+    # expected lists: computed against the index BEFORE any append
+    expected = _rowset(sdc_knn_new(spark, ivfpq, novel))
+    knn_out = str(tmp_path / "knn_lists")
+    assert (
+        VI.append_scored_to_ivfpq(spark, ivfpq, out, knn_out=knn_out)
+        == novel.count()
+    )
+    written = spark.read.parquet(knn_out)
+    # (a) exact agreement with the direct incremental form
+    assert _rowset(written) == expected
+    # (b) screened copies have no list
+    assert (
+        written.filter(F.col("new_vec") < 200000).count() == 0
+    )
+    # (c) replay: no new lists, no new rows
+    assert (
+        VI.append_scored_to_ivfpq(spark, ivfpq, out, knn_out=knn_out)
+        == 0
+    )
+    assert _rowset(spark.read.parquet(knn_out)) == expected
+
+    # (d) raw path on a second batch: lists land for the new ids only,
+    # and ids already indexed are never self-matched
+    more = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)).select(
+        (F.col("vec_id") + 300000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    src2 = str(tmp_path / "arrivals2")
+    out2 = str(tmp_path / "ingest_out2")
+    more.write.mode("append").parquet(src2)
+    VI.run_embedding_ingest(
+        spark, src2, ivf, out2, str(tmp_path / "ckpt2")
+    ).awaitTermination()
+    expected2 = _rowset(sdc_knn_new(spark, ivfpq, more))
+    assert (
+        VI.append_scored_to_ivfpq(
+            spark, ivfpq, out2, screen=False, knn_out=knn_out
+        )
+        == more.count()
+    )
+    got = spark.read.parquet(knn_out)
+    assert _rowset(got.filter(F.col("new_vec") >= 300000)) == expected2
+    # no self-matches anywhere (an arrival never lists itself)
+    assert got.filter(F.col("new_vec") == F.col("nb_id")).count() == 0
+    # earlier lists untouched
+    assert _rowset(got.filter(F.col("new_vec") < 300000)) == expected
