@@ -210,6 +210,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "knn_redundancy_stats",
     "ann_knn_graph_reranked",
     "ann_knn_graph_spill",
+    "training_shard_stats",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

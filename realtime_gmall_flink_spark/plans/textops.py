@@ -757,6 +757,113 @@ def train_val_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-shard materialization — the pipeline's LAST step: the curated
+# corpus lands in a fixed number of output shards with a deterministic
+# pseudo-random training order INSIDE each shard. Both the shard id and
+# the order key are pure per-row functions of doc_id (md5 —
+# engine-portable, rerun/backfill-stable, the split_bucket contract):
+# no global sort, no sampling state, no driver materialization. The
+# only data movement is ONE repartition on the shard id; the
+# within-shard order is realized by sortWithinPartitions — a per-task
+# spillable sort, never a total order across the corpus — so the plan
+# is the same at 60k docs and 100 TB. The stats entry is the graded
+# view: per-shard doc/char/token budgets (balance == hash uniformity,
+# the property trainers provision by) plus the FIRST and LAST doc in
+# training order (arg-min/arg-max of the order hash — order evidence
+# the oracle replays, not just membership).
+N_TRAINING_SHARDS = 16
+
+_SHARD16_SQL = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+    f" AS INTEGER) % {N_TRAINING_SHARDS}"
+)
+
+
+def shard_id(
+    col: Column | str, n_shards: int = N_TRAINING_SHARDS
+) -> Column:
+    """Shard 0..n_shards-1 from md5 of the key's string form (the
+    split_bucket 16-bit prefix, mod the shard count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_shards
+    ).cast("int")
+
+
+def training_order(col: Column | str) -> Column:
+    """The deterministic within-shard training order: the full md5 of
+    the key — a pseudo-random permutation any engine reproduces from
+    the ids alone."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string"))
+
+
+@register(
+    "training_shard_stats",
+    survey="P9(ext),A4(ext)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, {_SHARD16_SQL} AS shard,
+           length(text) AS chars,
+           len({_WORDS_SQL}) AS toks,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       count(*) AS doc_ct,
+       CAST(sum(chars) AS BIGINT) AS char_sum,
+       CAST(sum(toks) AS BIGINT) AS ws_token_sum,
+       arg_min(doc_id, h) AS first_doc,
+       arg_max(doc_id, h) AS last_doc
+FROM d GROUP BY shard
+""",
+)
+def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            shard_id("doc_id").alias("shard"),
+            "doc_id",
+            F.length("text").alias("chars"),
+            token_count("text").alias("toks"),
+            training_order("doc_id").alias("__h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("chars").alias("char_sum"),
+            F.sum("toks").cast("long").alias("ws_token_sum"),
+            F.min_by("doc_id", F.col("__h")).alias("first_doc"),
+            F.max_by("doc_id", F.col("__h")).alias("last_doc"),
+        )
+    )
+
+
+def write_training_shards(
+    docs: DataFrame, out_dir: str, n_shards: int = N_TRAINING_SHARDS
+) -> None:
+    """Materialize the corpus into ``shard=N`` parquet directories with
+    rows in training order inside each shard — the layout a training
+    loader consumes directly (read shard dirs in any assignment, rows
+    already shuffled). One repartition on the shard id + a per-task
+    sortWithinPartitions; the order column is dropped before the write
+    (the order is recomputable from doc_id, so persisting it would be
+    32 bytes/row of derivable data)."""
+    (
+        docs.withColumn("shard", shard_id("doc_id", n_shards))
+        .withColumn("__ord", training_order("doc_id"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__ord")
+        .drop("__ord")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Test-set decontamination — for every eval-split document, how much of
 # its shingle set leaks from the train split. Shingles ride the same
 # codegen hash path as Jaccard; the train side collapses to its DISTINCT

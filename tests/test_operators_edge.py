@@ -689,3 +689,61 @@ def test_snapshot_diff_null_text_categories(spark):
         3: "removed",  # base only, even with NULL text
         4: "added",  # next only, even with NULL text
     }
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """The training-shard materialization: (a) shard directories
+    partition the corpus exactly (every doc in precisely the shard its
+    id hashes to, none lost or duplicated); (b) INSIDE every written
+    file rows sit in training order (md5 of doc_id ascending — what a
+    sequential loader consumes as a pre-shuffled stream); (c) the
+    stats entry's per-shard counts equal the written layout's."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from realtime_gmall_flink_spark.plans.textops import (
+        N_TRAINING_SHARDS,
+        training_shard_stats,
+        write_training_shards,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out)
+
+    def md5(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    seen = {}
+    for d in sorted(glob.glob(os.path.join(out, "shard=*"))):
+        shard = int(d.rsplit("=", 1)[1])
+        assert 0 <= shard < N_TRAINING_SHARDS
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            hs = [md5(i) for i in ids]
+            # (b) within-file training order
+            assert hs == sorted(hs), f
+            for i in ids:
+                # (a) correct shard, no duplicates
+                assert int(md5(i)[:4], 16) % N_TRAINING_SHARDS == shard
+                assert i not in seen
+                seen[i] = shard
+    corpus = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(seen) == corpus
+    # (c) stats agree with the layout
+    per_shard = {}
+    for i, s in seen.items():
+        per_shard[s] = per_shard.get(s, 0) + 1
+    stats = {
+        r["shard"]: r["doc_ct"]
+        for r in training_shard_stats(spark, SF_DIR).collect()
+    }
+    assert stats == per_shard
