@@ -697,20 +697,27 @@ def doc_token_counts_bpe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 5
 
-_BUCKET100_SQL = (
-    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
-    " AS INTEGER) % 100"
-)
+def _md5_bucket_sql(buckets: int) -> str:
+    """The ONE oracle-side md5-prefix hash bucket (16 bits mod
+    ``buckets``) — split and shard assignment share it so the two can
+    never drift bit-wise."""
+    return (
+        "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1,"
+        f" 4)) AS INTEGER) % {buckets}"
+    )
 
 
-def split_bucket(col: Column | str) -> Column:
-    """Hash bucket 0-99 from md5 of the key's string form (first 16 bits —
-    uniform, bit-identical across engines)."""
+_BUCKET100_SQL = _md5_bucket_sql(100)
+
+
+def split_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Hash bucket 0..buckets-1 from md5 of the key's string form
+    (first 16 bits — uniform, bit-identical across engines)."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
         .cast("long")
-        % 100
+        % buckets
     )
 
 
@@ -773,23 +780,15 @@ def train_val_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle replays, not just membership).
 N_TRAINING_SHARDS = 16
 
-_SHARD16_SQL = (
-    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
-    f" AS INTEGER) % {N_TRAINING_SHARDS}"
-)
+_SHARD16_SQL = _md5_bucket_sql(N_TRAINING_SHARDS)
 
 
 def shard_id(
     col: Column | str, n_shards: int = N_TRAINING_SHARDS
 ) -> Column:
-    """Shard 0..n_shards-1 from md5 of the key's string form (the
-    split_bucket 16-bit prefix, mod the shard count)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % n_shards
-    ).cast("int")
+    """Shard 0..n_shards-1 — split_bucket's hash at the shard
+    modulus (one definition of the md5-prefix contract)."""
+    return split_bucket(col, n_shards).cast("int")
 
 
 def training_order(col: Column | str) -> Column:

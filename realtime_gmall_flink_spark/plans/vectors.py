@@ -1537,7 +1537,9 @@ def ivf_knn_graph(
         )
         # the refusal gates the SPILLED pair space (occupancy ~spill x
         # the persisted footers), still bounded-collect by nlist, and
-        # still BEFORE any pair job runs
+        # still BEFORE any pair job runs; the corpus size in the
+        # message/remedy comes from the layout, not the multi-counted
+        # membership (a footer-metadata count)
         _refuse_oversized_counts(
             {
                 r["cell"]: r["count"]
@@ -1545,6 +1547,7 @@ def ivf_knn_graph(
             },
             max_cell_pairs,
             "ivf_knn_graph",
+            n_rows=e.count(),
         )
         pairs = (
             memb.select("cell", F.col("vec_id").alias("__a"))
@@ -6966,13 +6969,17 @@ def near_dup_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _refuse_oversized_counts(
-    counts: dict, max_cell_pairs: int, caller: str
+    counts: dict, max_cell_pairs: int, caller: str,
+    n_rows: int | None = None,
 ) -> None:
     """The shared refusal body over an already-collected per-cell
     occupancy map (bounded by nlist): refuse cells whose within-cell
     pair volume c*(c-1)/2 exceeds the bound, naming the worst
     offenders, the total corpus size, and the sdc_nlist_for geometry
-    that would fit."""
+    that would fit. ``n_rows`` overrides the corpus size when the
+    occupancy map multi-counts vectors (the spilled graph assigns
+    each vector to several cells — summing ITS map would inflate the
+    stated corpus and the suggested geometry by the spill factor)."""
     over = sorted(
         (
             (c * (c - 1) // 2, c, cid)
@@ -6982,7 +6989,7 @@ def _refuse_oversized_counts(
         reverse=True,
     )
     if over:
-        n = sum(counts.values())
+        n = sum(counts.values()) if n_rows is None else n_rows
         worst = ", ".join(
             f"cid={cid}: {c} rows = {p} pairs" for p, c, cid in over[:5]
         )
@@ -7235,6 +7242,22 @@ def ivfpq_knn_graph_exact(
         max_cell_pairs=max_cell_pairs,
     ).select("vec_id", "nb_id")
     e = emb.select("vec_id", "embedding")
+    # a duplicated rerank-corpus id would FAN OUT the two joins below:
+    # one neighbor occupying several ranks silently pushes true
+    # neighbors out of the final k — refuse it by name like the
+    # missing-id case (an at-least-once append history must be
+    # deduped to one row per indexed id before reranking)
+    idc = e.agg(
+        F.count("vec_id").alias("n"),
+        F.countDistinct("vec_id").alias("nd"),
+    ).head()
+    if idc["n"] != idc["nd"]:
+        raise ValueError(
+            f"ivfpq_knn_graph_exact: rerank corpus carries"
+            f" {idc['n'] - idc['nd']} duplicate vec_id rows —"
+            " deduplicate to one row per indexed id so joined"
+            " candidates cannot fan out across ranks"
+        )
     joined = (
         cand.join(
             e.select(

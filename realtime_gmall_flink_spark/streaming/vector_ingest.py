@@ -271,6 +271,7 @@ def _append_knn_lists(
     knn_out: str,
     arrivals: DataFrame,
     pre_encoded: DataFrame | None = None,
+    pre_scored: DataFrame | None = None,
 ) -> int:
     """Persist per-arrival neighbor lists (plans/vectors.sdc_knn_new —
     (new_vec, nb_id, sdc_micro, rk)) for arrivals not already
@@ -281,9 +282,12 @@ def _append_knn_lists(
     makes a crash between the two heal on replay — the arrival is
     still fresh (absent from codes/), its lists anti-join away as
     already written, and the append resumes; the reverse order would
-    strand an appended arrival with no lists forever. Returns rows
-    written."""
-    from ..plans.vectors import sdc_knn_new
+    strand an appended arrival with no lists forever. ``pre_scored``
+    hands over an already-computed unfiltered scored pair space
+    (the _sdc_scored_new_pairs output over a superset of
+    ``arrivals``) so the screen and the lists share one touched-cell
+    scan. Returns rows written."""
+    from ..plans.vectors import KNN_GRAPH_K, _knn_topk_cut, sdc_knn_new
 
     todo, enc = arrivals, pre_encoded
     if os.path.isdir(knn_out):
@@ -297,9 +301,28 @@ def _append_knn_lists(
             enc = enc.join(seen, "vec_id", "left_anti")
     if todo.isEmpty():
         return 0
-    lists = sdc_knn_new(
-        spark, ivfpq_dir, todo, pre_encoded=enc
-    ).localCheckpoint(eager=True)  # count and write see the same rows
+    if pre_scored is not None:
+        # the caller already holds the batch's unfiltered scored pair
+        # space (the screen computed it) — the lists are just its
+        # per-arrival top-k cut, restricted to the arrivals still
+        # owed a list; re-scoring it through sdc_knn_new would run
+        # the touched-cell codes scan twice per maintenance run
+        scored = pre_scored.join(
+            todo.select(F.col("vec_id").alias("new_vec")),
+            "new_vec",
+            "left_semi",
+        ).select(
+            "new_vec", F.col("dup_of").alias("nb_id"), "sdc_micro"
+        )
+        lists = _knn_topk_cut(
+            scored, "new_vec", "sdc_micro", ascending=True,
+            k=KNN_GRAPH_K,
+        )
+    else:
+        lists = sdc_knn_new(spark, ivfpq_dir, todo, pre_encoded=enc)
+    lists = lists.localCheckpoint(
+        eager=True
+    )  # count and write see the same rows
     n = lists.count()
     if n:
         lists.write.mode("append").parquet(knn_out)
@@ -430,34 +453,46 @@ def append_scored_to_ivfpq(
         _ivfpq_encode_cells,
         _resolve_sdc_threshold,
         _sdc_score_encoded,
+        _sdc_scored_new_pairs,
         ivfpq_append,
     )
 
     if not screen:
         # raw path: a fully-replayed run costs ivfpq_append's
-        # skinny-id anti-join, never an encode — unless knn_out asks
-        # for lists, whose anti-join keeps the replay encode-free too
+        # skinny-id anti-join, never an encode — with knn_out the
+        # lists' anti-join keeps the full replay encode-free too
         arrivals = read_scored(spark, out_dir).select(
             "vec_id", "embedding"
         )
-        if knn_out is not None:
-            # lists are for arrivals the index does NOT hold yet: an
-            # id already indexed (knn_out enabled after history was
-            # appended) would find ITSELF at rank-1 SDC 0 — exclude
-            # via the same skinny-id anti-join the append runs
-            _append_knn_lists(
-                spark,
-                ivfpq_dir,
-                knn_out,
-                arrivals.join(
-                    spark.read.parquet(
-                        os.path.join(ivfpq_dir, "codes")
-                    ).select("vec_id"),
-                    "vec_id",
-                    "left_anti",
-                ),
+        if knn_out is None:
+            return ivfpq_append(spark, ivfpq_dir, arrivals)
+        # lists are for arrivals the index does NOT hold yet: an id
+        # already indexed (knn_out enabled after history was appended)
+        # would find ITSELF at rank-1 SDC 0 — exclude via the same
+        # skinny-id anti-join the append runs, DEDUPED first (the
+        # at-least-once scored history may repeat an id; the encode's
+        # query-batch guard refuses duplicate qids by name)
+        fresh_new = (
+            arrivals.dropDuplicates(["vec_id"])
+            .join(
+                spark.read.parquet(
+                    os.path.join(ivfpq_dir, "codes")
+                ).select("vec_id"),
+                "vec_id",
+                "left_anti",
             )
-        return ivfpq_append(spark, ivfpq_dir, arrivals)
+            .localCheckpoint(eager=True)
+        )
+        if fresh_new.isEmpty():
+            return 0
+        # ONE encode serves lists and append, the screened-path shape
+        enc = _ivfpq_encode_cells(spark, ivfpq_dir, fresh_new)
+        _append_knn_lists(
+            spark, ivfpq_dir, knn_out, fresh_new, pre_encoded=enc
+        )
+        return ivfpq_append(
+            spark, ivfpq_dir, fresh_new, pre_encoded=enc
+        )
     # shared reduction: new ids only (keeps the SDC guard's batch-side
     # cell counts equal to actual arrivals — a replayed history cannot
     # inflate batch x indexed past the bound), exact copies collapsed
@@ -473,32 +508,39 @@ def append_scored_to_ivfpq(
         if not decided_ids.isEmpty():
             _record_decided(spark, decided_dir, decided_ids)
         return 0
-    # ONE encode serves both the SDC screen and the append below
+    # ONE encode serves the SDC screen, the lists, and the append
     encoded = _ivfpq_encode_cells(spark, ivfpq_dir, fresh)
-    dups = (
-        _sdc_score_encoded(
-            spark,
-            ivfpq_dir,
-            encoded,
-            # explicit > the layout's calibrated threshold > constant
-            _resolve_sdc_threshold(ivfpq_dir, max_sdc, SDC_DUP_MICRO),
-            SDC_MAX_CELL_PAIRS,
+    # explicit > the layout's calibrated threshold > constant
+    threshold = _resolve_sdc_threshold(ivfpq_dir, max_sdc, SDC_DUP_MICRO)
+    if knn_out is None:
+        scored = None
+        dup_pairs = _sdc_score_encoded(
+            spark, ivfpq_dir, encoded, threshold, SDC_MAX_CELL_PAIRS
         )
-        .select(F.col("new_vec").alias("vec_id"))
-        .distinct()
+    else:
+        # ONE pair-space scoring serves the screen AND the lists —
+        # sdc_knn_new here would walk the touched-cell codes scan a
+        # second time per maintenance run
+        scored = _sdc_scored_new_pairs(
+            spark, ivfpq_dir, encoded, SDC_MAX_CELL_PAIRS,
+            "sdc_score_new",
+        ).localCheckpoint(eager=True)
+        dup_pairs = scored.filter(F.col("sdc_micro") <= threshold)
+    dups = (
+        dup_pairs.select(F.col("new_vec").alias("vec_id")).distinct()
     )
     survivors = fresh.join(dups, "vec_id", "left_anti")
     enc_survivors = encoded.join(dups, "vec_id", "left_anti")
     if knn_out is not None:
         # survivors' neighbor lists BEFORE they land in the index,
-        # reusing the screen's encode (see _append_knn_lists for the
-        # crash-ordering argument)
+        # cut from the screen's scored pair space (see
+        # _append_knn_lists for the crash-ordering argument)
         _append_knn_lists(
             spark,
             ivfpq_dir,
             knn_out,
             survivors,
-            pre_encoded=enc_survivors,
+            pre_scored=scored,
         )
     n = ivfpq_append(
         spark,

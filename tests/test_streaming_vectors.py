@@ -616,7 +616,9 @@ def test_append_knn_side_output_lifecycle(spark, tmp_path):
     assert _rowset(spark.read.parquet(knn_out)) == expected
 
     # (d) raw path on a second batch: lists land for the new ids only,
-    # and ids already indexed are never self-matched
+    # ids already indexed are never self-matched, and a DUPLICATED id
+    # in the at-least-once scored history (written twice below) does
+    # not trip the encode's duplicate-qid guard
     more = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)).select(
         (F.col("vec_id") + 300000).alias("vec_id"),
         F.reverse("embedding").alias("embedding"),
@@ -624,6 +626,7 @@ def test_append_knn_side_output_lifecycle(spark, tmp_path):
     src2 = str(tmp_path / "arrivals2")
     out2 = str(tmp_path / "ingest_out2")
     more.write.mode("append").parquet(src2)
+    more.limit(1).write.mode("append").parquet(src2)
     VI.run_embedding_ingest(
         spark, src2, ivf, out2, str(tmp_path / "ckpt2")
     ).awaitTermination()

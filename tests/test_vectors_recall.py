@@ -2757,6 +2757,12 @@ def test_ivfpq_knn_graph_exact_refinement(spark, tmp_path):
         V.ivfpq_knn_graph_exact(
             spark, idx, emb.filter(F.col("vec_id") < 100)
         )
+    # (f) a DUPLICATED rerank corpus is refused too — a fanned-out
+    # join would let one neighbor occupy several ranks silently
+    with _pytest.raises(ValueError, match="duplicate vec_id"):
+        V.ivfpq_knn_graph_exact(
+            spark, idx, emb.unionByName(emb.limit(5))
+        )
 
 
 def test_ivf_knn_graph_spill_boundary_repair(spark, tmp_path):
@@ -2812,9 +2818,17 @@ def test_ivf_knn_graph_spill_boundary_repair(spark, tmp_path):
     persisted = {r["vec_id"]: r["cid"] for r in e.select("vec_id", "cid").collect()}
     for r in memb.collect():
         assert persisted[r["vec_id"]] == r["cell"]
-    # (d) refusal over the spilled occupancy, ivf_rebuild remedy
-    with _pytest.raises(ValueError, match="ivf_rebuild"):
+    # (d) refusal over the spilled occupancy, ivf_rebuild remedy; the
+    # stated corpus size is the TRUE row count, not the spill-times
+    # multi-counted membership sum
+    n_corpus = emb.count()
+    with _pytest.raises(
+        ValueError,
+        match=rf"ivf_rebuild.*|its current {n_corpus} vectors",
+    ) as ei:
         V.ivf_knn_graph(spark, idx, spill=2, max_cell_pairs=1)
+    assert f"its current {n_corpus} vectors" in str(ei.value)
+    assert "ivf_rebuild" in str(ei.value)
 
 
 def test_sdc_knn_new_contract(spark, tmp_path):
