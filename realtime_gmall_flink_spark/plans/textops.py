@@ -840,6 +840,23 @@ def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_shard_frame(
+    docs: DataFrame, n_shards: int = N_TRAINING_SHARDS
+) -> DataFrame:
+    """The staged shard layout as a frame: rows carry their shard id,
+    partitioned by it, ordered inside each task by the training-order
+    hash. EXACTLY one Exchange (the shard repartition) and one
+    task-local sort — never a global sort — which is what keeps the
+    write plan identical at 60k docs and 100 TB (plan-asserted)."""
+    return (
+        docs.withColumn("shard", shard_id("doc_id", n_shards))
+        .withColumn("__ord", training_order("doc_id"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__ord")
+        .drop("__ord")
+    )
+
+
 def write_training_shards(
     docs: DataFrame, out_dir: str, n_shards: int = N_TRAINING_SHARDS
 ) -> None:
@@ -847,15 +864,11 @@ def write_training_shards(
     rows in training order inside each shard — the layout a training
     loader consumes directly (read shard dirs in any assignment, rows
     already shuffled). One repartition on the shard id + a per-task
-    sortWithinPartitions; the order column is dropped before the write
-    (the order is recomputable from doc_id, so persisting it would be
-    32 bytes/row of derivable data)."""
+    sortWithinPartitions (training_shard_frame); the order column is
+    dropped before the write (the order is recomputable from doc_id,
+    so persisting it would be 32 bytes/row of derivable data)."""
     (
-        docs.withColumn("shard", shard_id("doc_id", n_shards))
-        .withColumn("__ord", training_order("doc_id"))
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "__ord")
-        .drop("__ord")
+        training_shard_frame(docs, n_shards)
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(out_dir)

@@ -1429,3 +1429,25 @@ def test_scale8_knn_graph_spill_and_rerank_bounded(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     rrows = r.count()
     assert 0 < rrows <= KNN_GRAPH_K * n8
+
+
+def test_training_shard_frame_one_exchange_local_sort(spark):
+    """The shard materialization plan: exactly ONE Exchange (the
+    shard-id repartition) and only task-local sorts — a global sort
+    here would serialize the corpus through one ordering at 100 TB."""
+    from realtime_gmall_flink_spark.plans.textops import (
+        training_shard_frame,
+    )
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    plan = _plan(training_shard_frame(docs))
+    assert plan.count("Exchange") == 1
+    # every Sort node is task-local (global=false); a global sort
+    # would appear as Sort [..], true, ..  plus a range Exchange
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", plan
