@@ -7360,6 +7360,158 @@ def ann_knn_graph_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_knn_graph_exact(spark, idx, emb)
 
 
+# ---------------------------------------------------------------------------
+# Persisted kNN graph layout — build-once / read-many for the graph
+# itself, mirroring every index family's lifecycle: curation consumers
+# (redundancy stats, prune decisions, diversity sampling) read the
+# graph repeatedly, and the quadratic-bounded pair stage should run
+# ONCE per corpus version, not once per consumer. lists/ holds the
+# codes-only graph rows (vec_id, nb_id, sdc_micro, rk); meta/ records
+# k and the source-corpus size at build. Arrival lists from
+# sdc_knn_new fold in idempotently (the streaming knn_out shape,
+# schema-aligned); the staleness report says when appends have
+# outgrown the frozen bulk — appended arrivals get lists, but
+# PRE-EXISTING vertices never learn of new neighbors without a
+# rebuild (the same freeze-and-cue stance as every quantizer).
+KNN_GRAPH_SUBDIRS = ("lists", "meta")
+
+
+def knn_graph_build(
+    spark: SparkSession,
+    ivfpq_dir: str,
+    graph_dir: str,
+    k: int = KNN_GRAPH_K,
+    max_cell_pairs: int | None = None,
+) -> str:
+    """Materialize the codes-only kNN graph (ivfpq_knn_graph) into a
+    persisted layout. Staged write + atomic rename (staged_index_build
+    — a crash can never leave a half-graph), valid existing layouts
+    reused. Returns graph_dir."""
+    import os
+
+    from ..indexutil import staged_index_build, write_meta_into
+
+    def write(staging: str) -> None:
+        g = ivfpq_knn_graph(
+            spark, ivfpq_dir, k=k, max_cell_pairs=max_cell_pairs
+        )
+        g.write.parquet(os.path.join(staging, "lists"))
+        n_src = (
+            spark.read.parquet(os.path.join(ivfpq_dir, "codes")).count()
+        )
+        write_meta_into(
+            spark,
+            os.path.join(staging, "meta"),
+            # all-bigint meta contract (write_meta_into)
+            {"graph_v": 1, "k": k, "n_source": n_src},
+        )
+
+    return staged_index_build(graph_dir, KNN_GRAPH_SUBDIRS, write)
+
+
+def read_knn_graph(spark: SparkSession, graph_dir: str) -> DataFrame:
+    """The persisted graph: (vec_id, nb_id, sdc_micro, rk) — bulk
+    vertices plus every appended arrival's list."""
+    import os
+
+    return spark.read.parquet(os.path.join(graph_dir, "lists"))
+
+
+def knn_graph_append_new(
+    spark: SparkSession,
+    ivfpq_dir: str,
+    graph_dir: str,
+    arrivals: DataFrame,
+    max_cell_pairs: int | None = None,
+) -> int:
+    """Fold per-arrival neighbor lists into the persisted graph:
+    sdc_knn_new against the CURRENT index under the graph's persisted
+    k, schema-aligned (new_vec -> vec_id), idempotent by vertex
+    anti-join. Call BEFORE the arrivals land in the index (the
+    streaming knn_out ordering) so an arrival never scores against
+    itself. Appended vertices get lists; existing vertices' lists
+    stay frozen — knn_graph_staleness carries the rebuild cue."""
+    import os
+
+    from ..indexutil import read_index_meta
+
+    meta = read_index_meta(graph_dir) or {}
+    k = int(meta.get("k", KNN_GRAPH_K))
+    lists_path = os.path.join(graph_dir, "lists")
+    seen = (
+        spark.read.parquet(lists_path)
+        .select(F.col("vec_id").alias("__seen"))
+        .distinct()
+    )
+    todo = arrivals.join(
+        seen, arrivals["vec_id"] == seen["__seen"], "left_anti"
+    )
+    if todo.isEmpty():
+        return 0
+    fresh = (
+        sdc_knn_new(
+            spark,
+            ivfpq_dir,
+            todo,
+            k=k,
+            max_cell_pairs=max_cell_pairs,
+        )
+        .select(
+            F.col("new_vec").alias("vec_id"),
+            "nb_id",
+            "sdc_micro",
+            "rk",
+        )
+        .localCheckpoint(eager=True)  # count and write see the same rows
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(lists_path)
+    return n
+
+
+def knn_graph_staleness(
+    spark: SparkSession,
+    ivfpq_dir: str,
+    graph_dir: str,
+    growth_warn: float = 0.5,
+) -> dict:
+    """How far has the corpus outgrown the frozen bulk graph? The
+    graph's edges freeze at build for its then-current vertices;
+    appended arrivals get one-sided lists and pre-existing vertices
+    never learn of them as neighbors, so edge quality decays with the
+    appended fraction exactly like a quantizer's codebook decays —
+    ``rebuild_recommended`` (knn_graph_build after an ivfpq_rebuild)
+    fires past ``growth_warn``. Metadata-cheap: two row counts and
+    the persisted meta."""
+    import os
+
+    from ..indexutil import read_index_meta
+
+    meta = read_index_meta(graph_dir) or {}
+    n_build = int(meta.get("n_source", 0))
+    n_now = spark.read.parquet(
+        os.path.join(ivfpq_dir, "codes")
+    ).count()
+    n_vertices = (
+        spark.read.parquet(os.path.join(graph_dir, "lists"))
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    appended = max(0, n_now - n_build)
+    growth = _growth_fraction(n_build, appended)
+    return {
+        "k": int(meta.get("k", KNN_GRAPH_K)),
+        "n_source_at_build": n_build,
+        "n_index_now": n_now,
+        "n_graph_vertices": n_vertices,
+        "appended": appended,
+        "growth": growth,
+        "rebuild_recommended": growth > growth_warn,
+    }
+
+
 # Cluster-forming SDC threshold, calibrated on the fixture like
 # SDC_DUP_MICRO (the quantized-distance scale is geometry-dependent —
 # codes-vs-codes distances COMPRESS, so a cosine threshold cannot be

@@ -2869,3 +2869,78 @@ def test_sdc_knn_new_contract(spark, tmp_path):
         assert keys == sorted(keys)
     with _pytest.raises(ValueError, match="split the arrival batch"):
         V.sdc_knn_new(spark, idx, arrivals, max_cell_pairs=1)
+
+
+def test_knn_graph_persisted_lifecycle(spark, tmp_path):
+    """The persisted graph layout: (a) build materializes exactly the
+    codes-only graph and a re-build call reuses the valid layout; (b)
+    arrival lists fold in schema-aligned under the persisted k, copies
+    rank their source first at SDC 0, and a replayed append writes
+    nothing; (c) the staleness report is metadata-cheap truth — zero
+    growth right after build, the appended fraction once the index
+    grows, and the rebuild cue past the warn threshold."""
+    from pyspark.sql import functions as F
+
+    import realtime_gmall_flink_spark.plans.vectors as V
+    from realtime_gmall_flink_spark.streaming import vector_ingest as VI
+
+    from .conftest import SF_DIR
+
+    emb = V._emb(spark, SF_DIR)
+    idx = V.ivfpq_build(
+        emb,
+        str(tmp_path / "pg-ivfpq"),
+        ivf_dir=str(tmp_path / "pg-ivf"),
+        pq_dir=str(tmp_path / "pg-pq"),
+    )
+    gdir = str(tmp_path / "pg-graph")
+    assert V.knn_graph_build(spark, idx, gdir) == gdir
+    direct = {
+        (r["vec_id"], r["rk"]): (r["nb_id"], r["sdc_micro"])
+        for r in V.ivfpq_knn_graph(spark, idx).collect()
+    }
+    stored = {
+        (r["vec_id"], r["rk"]): (r["nb_id"], r["sdc_micro"])
+        for r in V.read_knn_graph(spark, gdir).collect()
+    }
+    assert stored == direct
+    # (a) reuse: same dir back, lists untouched
+    assert V.knn_graph_build(spark, idx, gdir) == gdir
+    assert V.read_knn_graph(spark, gdir).count() == len(stored)
+
+    # (c) zero growth right after build
+    rep = V.knn_graph_staleness(spark, idx, gdir)
+    assert rep["appended"] == 0 and rep["growth"] == 0.0
+    assert not rep["rebuild_recommended"]
+    assert rep["n_graph_vertices"] == len(
+        {v for v, _ in stored}
+    )
+
+    # (b) arrival lists BEFORE the index append (the knn_out ordering)
+    arrivals = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+    )
+    n = V.knn_graph_append_new(spark, idx, gdir, arrivals)
+    assert n > 0
+    g2 = V.read_knn_graph(spark, gdir)
+    new_top1 = {
+        r["vec_id"]: (r["nb_id"], r["sdc_micro"])
+        for r in g2.filter(F.col("vec_id") >= 700000).collect()
+        if r["rk"] == 1
+    }
+    assert new_top1 == {
+        i + 700000: (i, 0) for i in range(5)
+    }  # copies lead with their source at SDC 0
+    # replayed append: nothing new
+    assert V.knn_graph_append_new(spark, idx, gdir, arrivals) == 0
+    assert V.read_knn_graph(spark, gdir).count() == g2.count()
+
+    # (c) growth after the index actually absorbs the arrivals
+    V.ivfpq_append(spark, idx, arrivals)
+    rep2 = V.knn_graph_staleness(spark, idx, gdir)
+    assert rep2["appended"] == 5
+    assert 0 < rep2["growth"] < 0.5
+    assert not rep2["rebuild_recommended"]
+    assert V.knn_graph_staleness(
+        spark, idx, gdir, growth_warn=0.001
+    )["rebuild_recommended"]
