@@ -7470,6 +7470,41 @@ def knn_graph_append_new(
     return n
 
 
+def fold_knn_lists_into_graph(
+    spark: SparkSession, knn_out: str, graph_dir: str
+) -> int:
+    """Fold a streaming knn side output (append_scored_to_ivfpq's
+    ``knn_out`` dir — arrival-centric (new_vec, nb_id, sdc_micro, rk)
+    rows) into the persisted graph layout: rename to the graph schema,
+    anti-join vertices the graph already holds, append. The division
+    of labor: the INGEST writes the side output inside its own
+    crash-ordering window (lists before index append); this
+    MAINTENANCE step makes those lists queryable with the bulk graph
+    — so the two stores never need to be written in one transaction.
+    Idempotent: replaying the fold appends nothing. Returns rows
+    folded."""
+    import os
+
+    side = spark.read.parquet(knn_out).select(
+        F.col("new_vec").alias("vec_id"), "nb_id", "sdc_micro", "rk"
+    )
+    lists_path = os.path.join(graph_dir, "lists")
+    seen = (
+        spark.read.parquet(lists_path)
+        .select(F.col("vec_id").alias("__seen"))
+        .distinct()
+    )
+    fresh = (
+        side.join(seen, side["vec_id"] == seen["__seen"], "left_anti")
+        .select("vec_id", "nb_id", "sdc_micro", "rk")
+        .localCheckpoint(eager=True)  # count and write see the same rows
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(lists_path)
+    return n
+
+
 def knn_graph_staleness(
     spark: SparkSession,
     ivfpq_dir: str,

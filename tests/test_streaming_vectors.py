@@ -643,3 +643,58 @@ def test_append_knn_side_output_lifecycle(spark, tmp_path):
     assert got.filter(F.col("new_vec") == F.col("nb_id")).count() == 0
     # earlier lists untouched
     assert _rowset(got.filter(F.col("new_vec") < 300000)) == expected
+
+
+def test_fold_knn_side_output_into_persisted_graph(spark, tmp_path):
+    """The streaming side output and the persisted graph compose: the
+    ingest writes arrival lists to knn_out inside its own crash
+    window; fold_knn_lists_into_graph makes them queryable with the
+    bulk graph (schema-aligned, vertex anti-join), and a replayed
+    fold appends nothing."""
+    from realtime_gmall_flink_spark.plans.vectors import (
+        fold_knn_lists_into_graph,
+        ivfpq_build,
+        knn_graph_build,
+        read_knn_graph,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ivf = ivf_build(emb, str(tmp_path / "fivf"))
+    ivfpq = ivfpq_build(emb, str(tmp_path / "fivfpq"))
+    gdir = str(tmp_path / "fgraph")
+    knn_graph_build(spark, ivfpq, gdir)
+    bulk_n = read_knn_graph(spark, gdir).count()
+
+    novel = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    src = str(tmp_path / "farrivals")
+    out = str(tmp_path / "fout")
+    novel.write.mode("append").parquet(src)
+    VI.run_embedding_ingest(
+        spark, src, ivf, out, str(tmp_path / "fckpt")
+    ).awaitTermination()
+    knn_out = str(tmp_path / "fknn")
+    appended = VI.append_scored_to_ivfpq(
+        spark, ivfpq, out, knn_out=knn_out
+    )
+    assert appended == novel.count()
+
+    n = fold_knn_lists_into_graph(spark, knn_out, gdir)
+    side_rows = spark.read.parquet(knn_out).count()
+    assert n == side_rows > 0
+    g = read_knn_graph(spark, gdir)
+    assert g.count() == bulk_n + n
+    assert (
+        g.filter(F.col("vec_id") >= 500000)
+        .select("vec_id")
+        .distinct()
+        .count()
+        == novel.count()
+    )
+    # replayed fold: nothing new
+    assert fold_knn_lists_into_graph(spark, knn_out, gdir) == 0
+    assert read_knn_graph(spark, gdir).count() == bulk_n + n
