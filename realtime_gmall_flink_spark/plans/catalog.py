@@ -211,6 +211,7 @@ ROTATION_POOL: tuple[str, ...] = (
     "ann_knn_graph_reranked",
     "ann_knn_graph_spill",
     "training_shard_stats",
+    "knn_diversity_prune",
 )
 
 # Rows-only entries (oracle=None) never rotate INTO the hashed window:

@@ -1663,6 +1663,80 @@ def ann_knn_graph_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_graph(spark, idx, spill=KNN_SPILL)
 
 
+# Diversity prune over the graph — the graph's curation CONSUMER: a
+# deterministic keep-one-of-near-pairs rule (drop a vector iff some
+# top-k graph neighbor at cosine >= the threshold has a SMALLER id)
+# turns neighbor lists into a pruned corpus without clustering: purely
+# local, one pass over the k*n graph rows, and the smallest id of any
+# tight group always survives. Distinct from semantic_dedup_clusters
+# by design: cluster-collapse keeps one per CONNECTED COMPONENT
+# (transitive, aggressive); the graph prune keeps one per observed
+# near-PAIR (local, conservative — a chain A~B~C with A,C far apart
+# keeps A and C). The threshold is fixture-calibrated like the SDC
+# constants: 0.35 sits at the ~p80 of the graph's cosine mass, so the
+# prune is exercised (13% of fixture vectors drop), not degenerate.
+KNN_PRUNE_COS = 0.35
+
+
+@register(
+    "knn_diversity_prune",
+    survey="A6(ext),D1(ext)",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+, prs AS (
+    SELECT a.vec_id, b.vec_id AS nb_id,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM iassigned a JOIN iassigned b USING (cid)
+    WHERE a.vec_id <> b.vec_id
+), ranked AS (
+    SELECT vec_id, nb_id, cos_sim,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos_sim DESC, nb_id
+           ) AS rk
+    FROM prs
+), dropped AS (
+    SELECT DISTINCT vec_id FROM ranked
+    WHERE rk <= {KNN_GRAPH_K}
+      AND cos_sim >= {KNN_PRUNE_COS} AND nb_id < vec_id
+)
+SELECT e.label,
+       count(*) AS n_total,
+       CAST(count(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT)
+           AS n_kept,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+FROM embeddings e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+GROUP BY e.label
+""",
+)
+def knn_diversity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label kept/dropped counts under the keep-one-of-near-pairs
+    rule over the shared persisted IVF graph (one build amortized
+    across every IVF entry)."""
+    emb = _emb(spark, sf_dir)
+    idx = ivf_index_dir(sf_dir)
+    ivf_build(emb, idx)
+    g = ivf_knn_graph(spark, idx)
+    dropped = (
+        g.filter(
+            (F.col("cos_sim") >= KNN_PRUNE_COS)
+            & (F.col("nb_id") < F.col("vec_id"))
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("__d", F.lit(1))
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(dropped, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("__d").isNull(), 1)).alias("n_kept"),
+            F.count("__d").alias("n_dropped"),
+        )
+    )
+
+
 # Redundancy audit over the graph: per-vector mean neighbor cosine in
 # integer MICROS — the sum of 6-dp-rounded cosines quantizes to an
 # EXACT bigint, and both engines then MIRROR the same

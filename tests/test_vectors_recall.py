@@ -2944,3 +2944,45 @@ def test_knn_graph_persisted_lifecycle(spark, tmp_path):
     assert V.knn_graph_staleness(
         spark, idx, gdir, growth_warn=0.001
     )["rebuild_recommended"]
+
+
+def test_knn_diversity_prune_invariants(spark):
+    """The keep-one-of-near-pairs prune: (a) counts partition every
+    label (kept + dropped == total) and the prune is exercised at the
+    fixture threshold (some drops, never all); (b) the smallest id of
+    any near-pair always survives — a dropped vector must have a
+    SMALLER kept-or-dropped neighbor at >= the threshold, and no
+    vector is dropped because of a larger one; (c) the rule is local:
+    every dropped vector has a concrete graph witness."""
+    from pyspark.sql import functions as F
+
+    import realtime_gmall_flink_spark.plans.vectors as V
+
+    from .conftest import SF_DIR
+
+    stats = V.knn_diversity_prune(spark, SF_DIR).collect()
+    assert all(
+        r["n_kept"] + r["n_dropped"] == r["n_total"] for r in stats
+    )
+    total_dropped = sum(r["n_dropped"] for r in stats)
+    total = sum(r["n_total"] for r in stats)
+    assert 0 < total_dropped < total
+
+    idx = V.ivf_index_dir(SF_DIR)
+    g = V.ivf_knn_graph(spark, idx).collect()
+    tight = {}
+    for r in g:
+        if r["cos_sim"] >= V.KNN_PRUNE_COS:
+            tight.setdefault(r["vec_id"], set()).add(r["nb_id"])
+    dropped = {
+        v for v, nbs in tight.items() if any(nb < v for nb in nbs)
+    }
+    assert len(dropped) == total_dropped
+    # (b)+(c): every dropped vector has a smaller tight witness, and
+    # the smallest member of any tight group is never dropped
+    for v in dropped:
+        assert any(nb < v for nb in tight[v])
+    smallest_of_groups = {
+        v for v, nbs in tight.items() if all(nb > v for nb in nbs)
+    }
+    assert smallest_of_groups.isdisjoint(dropped)
