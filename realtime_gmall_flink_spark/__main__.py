@@ -12,6 +12,9 @@ artifacts (indexes, topic dirs).
     python -m realtime_gmall_flink_spark pipeline [--sf-dir DIR]
         [--streaming --src DROPDIR --out D [--checkpoint D]]
     python -m realtime_gmall_flink_spark compact --dir D [--max-files N]
+    python -m realtime_gmall_flink_spark shards --src PARQUET --out D [--n N]
+    python -m realtime_gmall_flink_spark graph <build|staleness>
+        --ivfpq D --dir G
 """
 
 from __future__ import annotations
@@ -77,6 +80,26 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", default=None)
     sp.add_argument("--checkpoint", default=None)
 
+    sp = sub.add_parser(
+        "shards",
+        help="materialize training shards (deterministic in-shard"
+        " training order) from a documents parquet",
+    )
+    sp.add_argument(
+        "--src", required=True, help="documents parquet (needs doc_id)"
+    )
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--n", type=int, default=None, dest="n_shards")
+
+    sp = sub.add_parser(
+        "graph",
+        help="persisted kNN graph over an IVF-PQ layout"
+        " (build-once/read-many; staleness = the rebuild cue)",
+    )
+    sp.add_argument("action", choices=("build", "staleness"))
+    sp.add_argument("--ivfpq", required=True, dest="ivfpq_dir")
+    sp.add_argument("--dir", required=True, dest="graph_dir")
+
     sp = sub.add_parser("warehouse", help="streaming ODS->DWD over file drops")
     sp.add_argument("--log-dir", required=True)
     sp.add_argument("--db-dir", required=True)
@@ -139,6 +162,55 @@ def main(argv: list[str] | None = None) -> int:
             df.explain("formatted")
         else:
             df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "shards":
+        from .plans.textops import (
+            N_TRAINING_SHARDS,
+            write_training_shards,
+        )
+
+        docs = spark.read.parquet(args.src)
+        if "doc_id" not in docs.columns:
+            print(
+                f"--src {args.src!r} has no doc_id column — the shard"
+                " id and training order hash it",
+                file=sys.stderr,
+            )
+            return 2
+        n = args.n_shards or N_TRAINING_SHARDS
+        write_training_shards(docs, args.out, n)
+        for r in (
+            spark.read.parquet(args.out)
+            .groupBy("shard")
+            .count()
+            .orderBy("shard")
+            .collect()
+        ):
+            print(f"shard={r['shard']}: {r['count']} docs")
+        return 0
+
+    if args.cmd == "graph":
+        import json as _json
+
+        from .plans.vectors import (
+            knn_graph_build,
+            knn_graph_staleness,
+            read_knn_graph,
+        )
+
+        if args.action == "build":
+            knn_graph_build(spark, args.ivfpq_dir, args.graph_dir)
+            n = read_knn_graph(spark, args.graph_dir).count()
+            print(f"graph at {args.graph_dir}: {n} edges")
+        else:
+            print(
+                _json.dumps(
+                    knn_graph_staleness(
+                        spark, args.ivfpq_dir, args.graph_dir
+                    )
+                )
+            )
         return 0
 
     if args.cmd == "pipeline":

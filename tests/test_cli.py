@@ -149,3 +149,41 @@ def test_pipeline_cli_streaming_prints_resumable_checkpoint(
         "batch"
     )
     assert got.select("doc_id").distinct().count() == 300
+
+
+def test_shards_and_graph_cli_smoke(spark, tmp_path, capsys):
+    """The r13 verbs: shards materializes the training layout and
+    prints per-shard counts; graph build/staleness drive the persisted
+    kNN graph lifecycle. Wiring smoke — semantics gated by the library
+    tests."""
+    import json
+
+    from realtime_gmall_flink_spark.plans.vectors import ivfpq_build
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    docs_src = str(tmp_path / "docs.parquet")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).write.parquet(docs_src)
+    out = str(tmp_path / "shards")
+    assert main(["shards", "--src", docs_src, "--out", out, "--n", "4"]) == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if "shard=" in ln
+    ]
+    assert len(lines) == 4
+
+    # doc_id-less source is a usage error, not a crash
+    bad = str(tmp_path / "bad.parquet")
+    spark.range(3).write.parquet(bad)
+    assert main(["shards", "--src", bad, "--out", out]) == 2
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ivfpq = ivfpq_build(emb, str(tmp_path / "cli-ivfpq"))
+    gdir = str(tmp_path / "cli-graph")
+    assert main(["graph", "build", "--ivfpq", ivfpq, "--dir", gdir]) == 0
+    assert "edges" in capsys.readouterr().out
+    assert main(["graph", "staleness", "--ivfpq", ivfpq, "--dir", gdir]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["appended"] == 0 and not rep["rebuild_recommended"]
