@@ -178,7 +178,14 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        n = args.n_shards or N_TRAINING_SHARDS
+        n = (
+            args.n_shards
+            if args.n_shards is not None
+            else N_TRAINING_SHARDS
+        )
+        if n < 1:
+            print(f"--n must be >= 1 (got {n})", file=sys.stderr)
+            return 2
         write_training_shards(docs, args.out, n)
         for r in (
             spark.read.parquet(args.out)

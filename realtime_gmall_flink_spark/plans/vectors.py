@@ -7450,20 +7450,17 @@ def ann_knn_graph_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_SUBDIRS = ("lists", "meta")
 
 
-def knn_graph_build(
+def _knn_graph_write_closure(
     spark: SparkSession,
     ivfpq_dir: str,
-    graph_dir: str,
-    k: int = KNN_GRAPH_K,
-    max_cell_pairs: int | None = None,
-) -> str:
-    """Materialize the codes-only kNN graph (ivfpq_knn_graph) into a
-    persisted layout. Staged write + atomic rename (staged_index_build
-    — a crash can never leave a half-graph), valid existing layouts
-    reused. Returns graph_dir."""
+    k: int,
+    max_cell_pairs: int | None,
+):
+    """The one writer both build and rebuild stage: lists/ from
+    ivfpq_knn_graph plus the all-bigint meta (write_meta_into)."""
     import os
 
-    from ..indexutil import staged_index_build, write_meta_into
+    from ..indexutil import write_meta_into
 
     def write(staging: str) -> None:
         g = ivfpq_knn_graph(
@@ -7476,11 +7473,72 @@ def knn_graph_build(
         write_meta_into(
             spark,
             os.path.join(staging, "meta"),
-            # all-bigint meta contract (write_meta_into)
             {"graph_v": 1, "k": k, "n_source": n_src},
         )
 
-    return staged_index_build(graph_dir, KNN_GRAPH_SUBDIRS, write)
+    return write
+
+
+def knn_graph_build(
+    spark: SparkSession,
+    ivfpq_dir: str,
+    graph_dir: str,
+    k: int = KNN_GRAPH_K,
+    max_cell_pairs: int | None = None,
+) -> str:
+    """Materialize the codes-only kNN graph (ivfpq_knn_graph) into a
+    persisted layout. Staged write + atomic rename (staged_index_build
+    — a crash can never leave a half-graph), valid existing layouts
+    reused — but NEVER silently under a different k: a reused layout
+    whose persisted k differs from the request is refused by name
+    (the module's mismatch-raises convention), remedy
+    knn_graph_rebuild. A graph over a REBUILT index is stale by
+    construction and also rebuilds via knn_graph_rebuild — reuse here
+    cannot detect that (the layout is self-consistent), which is
+    exactly what knn_graph_staleness exists to cue. Returns
+    graph_dir."""
+    import os
+
+    from ..indexutil import read_index_meta, staged_index_build
+
+    if os.path.isdir(graph_dir):
+        meta = read_index_meta(graph_dir)
+        if meta is not None and int(meta.get("k", k)) != k:
+            raise ValueError(
+                f"knn_graph_build: layout at {graph_dir!r} was built"
+                f" with k={int(meta['k'])}, requested k={k} — a reused"
+                " graph under the wrong k would silently mis-cut every"
+                " consumer; rebuild with knn_graph_rebuild(..., k="
+                f"{k})"
+            )
+    return staged_index_build(
+        graph_dir,
+        KNN_GRAPH_SUBDIRS,
+        _knn_graph_write_closure(spark, ivfpq_dir, k, max_cell_pairs),
+    )
+
+
+def knn_graph_rebuild(
+    spark: SparkSession,
+    ivfpq_dir: str,
+    graph_dir: str,
+    k: int | None = None,
+    max_cell_pairs: int | None = None,
+) -> str:
+    """Rebuild the persisted graph IN PLACE (two-rename atomic swap,
+    rebuild_index — the remedy knn_graph_staleness recommends after
+    the underlying index rebuilt or appends outgrew the bulk).
+    ``k=None`` keeps the layout's persisted k."""
+    from ..indexutil import read_index_meta, rebuild_index
+
+    if k is None:
+        meta = read_index_meta(graph_dir) or {}
+        k = int(meta.get("k", KNN_GRAPH_K))
+    return rebuild_index(
+        graph_dir,
+        KNN_GRAPH_SUBDIRS,
+        _knn_graph_write_closure(spark, ivfpq_dir, k, max_cell_pairs),
+    )
 
 
 def read_knn_graph(spark: SparkSession, graph_dir: str) -> DataFrame:
@@ -7555,13 +7613,31 @@ def fold_knn_lists_into_graph(
     crash-ordering window (lists before index append); this
     MAINTENANCE step makes those lists queryable with the bulk graph
     — so the two stores never need to be written in one transaction.
-    Idempotent: replaying the fold appends nothing. Returns rows
-    folded."""
+    Idempotent: replaying the fold appends nothing. The side output
+    is always cut at KNN_GRAPH_K (the ingest's width): folding into a
+    graph persisted with a SMALLER k re-cuts the lists to it; a graph
+    with a LARGER k is refused by name — truncated lists cannot be
+    widened after the fact. Returns rows folded."""
     import os
 
+    from ..indexutil import read_index_meta
+
+    meta = read_index_meta(graph_dir) or {}
+    graph_k = int(meta.get("k", KNN_GRAPH_K))
+    if graph_k > KNN_GRAPH_K:
+        raise ValueError(
+            f"fold_knn_lists_into_graph: graph at {graph_dir!r} holds"
+            f" k={graph_k} lists but the streaming side output is cut"
+            f" at k={KNN_GRAPH_K} — folding would silently truncate"
+            " appended vertices' lists; use knn_graph_append_new"
+            " (which honors the persisted k) on the raw arrivals"
+            " instead"
+        )
     side = spark.read.parquet(knn_out).select(
         F.col("new_vec").alias("vec_id"), "nb_id", "sdc_micro", "rk"
     )
+    if graph_k < KNN_GRAPH_K:
+        side = side.filter(F.col("rk") <= graph_k)
     lists_path = os.path.join(graph_dir, "lists")
     seen = (
         spark.read.parquet(lists_path)
@@ -7585,14 +7661,19 @@ def knn_graph_staleness(
     graph_dir: str,
     growth_warn: float = 0.5,
 ) -> dict:
-    """How far has the corpus outgrown the frozen bulk graph? The
-    graph's edges freeze at build for its then-current vertices;
+    """How far has the corpus diverged from the frozen bulk graph?
+    The graph's edges freeze at build for its then-current vertices;
     appended arrivals get one-sided lists and pre-existing vertices
     never learn of them as neighbors, so edge quality decays with the
-    appended fraction exactly like a quantizer's codebook decays —
-    ``rebuild_recommended`` (knn_graph_build after an ivfpq_rebuild)
-    fires past ``growth_warn``. Metadata-cheap: two row counts and
-    the persisted meta."""
+    appended fraction exactly like a quantizer's codebook decays.
+    SHRINKAGE counts the same way: a corpus rebuilt smaller leaves
+    the graph holding edges to ids the index no longer knows, so
+    ``growth`` is the ABSOLUTE change fraction (``delta`` keeps the
+    sign) and ``rebuild_recommended`` (remedy: knn_graph_rebuild)
+    fires past ``growth_warn`` in either direction. Metadata-cheap
+    for real: two parquet row counts (footer-derived) plus the
+    persisted meta — no distinct, no shuffle on the monitoring
+    path."""
     import os
 
     from ..indexutil import read_index_meta
@@ -7602,20 +7683,18 @@ def knn_graph_staleness(
     n_now = spark.read.parquet(
         os.path.join(ivfpq_dir, "codes")
     ).count()
-    n_vertices = (
-        spark.read.parquet(os.path.join(graph_dir, "lists"))
-        .select("vec_id")
-        .distinct()
-        .count()
-    )
-    appended = max(0, n_now - n_build)
-    growth = _growth_fraction(n_build, appended)
+    n_list_rows = spark.read.parquet(
+        os.path.join(graph_dir, "lists")
+    ).count()
+    delta = n_now - n_build
+    growth = _growth_fraction(n_build, abs(delta))
     return {
         "k": int(meta.get("k", KNN_GRAPH_K)),
         "n_source_at_build": n_build,
         "n_index_now": n_now,
-        "n_graph_vertices": n_vertices,
-        "appended": appended,
+        "n_list_rows": n_list_rows,
+        "delta": delta,
+        "appended": max(0, delta),
         "growth": growth,
         "rebuild_recommended": growth > growth_warn,
     }

@@ -187,3 +187,18 @@ def test_shards_and_graph_cli_smoke(spark, tmp_path, capsys):
     assert main(["graph", "staleness", "--ivfpq", ivfpq, "--dir", gdir]) == 0
     rep = json.loads(capsys.readouterr().out.strip())
     assert rep["appended"] == 0 and not rep["rebuild_recommended"]
+
+
+def test_shards_cli_rejects_nonpositive_n(spark, tmp_path, capsys):
+    """--n 0 is a usage error (exit 2), never a silent fall-back to
+    the default shard count."""
+    from realtime_gmall_flink_spark.sources.testdata import load_table
+
+    src = str(tmp_path / "docs.parquet")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(10).write.parquet(src)
+    assert (
+        main(["shards", "--src", src, "--out",
+              str(tmp_path / "o"), "--n", "0"]) == 2
+    )

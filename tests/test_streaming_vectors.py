@@ -698,3 +698,31 @@ def test_fold_knn_side_output_into_persisted_graph(spark, tmp_path):
     # replayed fold: nothing new
     assert fold_knn_lists_into_graph(spark, knn_out, gdir) == 0
     assert read_knn_graph(spark, gdir).count() == bulk_n + n
+
+
+def test_fold_refuses_wider_graph(spark, tmp_path):
+    """The side output is cut at KNN_GRAPH_K; folding it into a graph
+    persisted with a larger k would silently truncate appended
+    vertices' lists — refused by name, remedy knn_graph_append_new."""
+    import pytest as _pytest
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        KNN_GRAPH_K,
+        fold_knn_lists_into_graph,
+        ivfpq_build,
+        knn_graph_build,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ivfpq = ivfpq_build(emb, str(tmp_path / "wivfpq"))
+    gdir = str(tmp_path / "wgraph")
+    knn_graph_build(spark, ivfpq, gdir, k=KNN_GRAPH_K + 2)
+    side = str(tmp_path / "wside")
+    spark.createDataFrame(
+        [(900001, 1, 100, 1)], "new_vec long, nb_id long,"
+        " sdc_micro long, rk int"
+    ).write.parquet(side)
+    with _pytest.raises(ValueError, match="knn_graph_append_new"):
+        fold_knn_lists_into_graph(spark, side, gdir)

@@ -2912,9 +2912,7 @@ def test_knn_graph_persisted_lifecycle(spark, tmp_path):
     rep = V.knn_graph_staleness(spark, idx, gdir)
     assert rep["appended"] == 0 and rep["growth"] == 0.0
     assert not rep["rebuild_recommended"]
-    assert rep["n_graph_vertices"] == len(
-        {v for v, _ in stored}
-    )
+    assert rep["n_list_rows"] == len(stored)
 
     # (b) arrival lists BEFORE the index append (the knn_out ordering)
     arrivals = emb.filter(F.col("vec_id") < 5).select(
@@ -2938,12 +2936,44 @@ def test_knn_graph_persisted_lifecycle(spark, tmp_path):
     # (c) growth after the index actually absorbs the arrivals
     V.ivfpq_append(spark, idx, arrivals)
     rep2 = V.knn_graph_staleness(spark, idx, gdir)
-    assert rep2["appended"] == 5
+    assert rep2["appended"] == rep2["delta"] == 5
     assert 0 < rep2["growth"] < 0.5
     assert not rep2["rebuild_recommended"]
     assert V.knn_graph_staleness(
         spark, idx, gdir, growth_warn=0.001
     )["rebuild_recommended"]
+
+    # (d) a reused layout under a DIFFERENT k is refused by name,
+    # and knn_graph_rebuild is the working remedy: it re-materializes
+    # under the current index (growth resets to zero) and honors the
+    # persisted k when none is given
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="knn_graph_rebuild"):
+        V.knn_graph_build(spark, idx, gdir, k=5)
+    V.knn_graph_rebuild(spark, idx, gdir)
+    rep3 = V.knn_graph_staleness(spark, idx, gdir)
+    assert rep3["growth"] == 0.0 and rep3["k"] == V.KNN_GRAPH_K
+    # rebuilt bulk covers the appended arrivals as full vertices now
+    assert (
+        V.read_knn_graph(spark, gdir)
+        .filter(F.col("vec_id") >= 700000)
+        .select("vec_id")
+        .distinct()
+        .count()
+        == 5
+    )
+
+    # (e) SHRINKAGE cues a rebuild too: meta says the graph was built
+    # over more rows than the index now holds
+    from realtime_gmall_flink_spark.indexutil import update_index_meta
+
+    update_index_meta(
+        spark, gdir, {"n_source": rep3["n_index_now"] * 4}
+    )
+    shrunk = V.knn_graph_staleness(spark, idx, gdir)
+    assert shrunk["delta"] < 0 and shrunk["appended"] == 0
+    assert shrunk["growth"] > 0.5 and shrunk["rebuild_recommended"]
 
 
 def test_knn_diversity_prune_invariants(spark):
