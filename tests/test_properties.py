@@ -473,3 +473,47 @@ def test_sq8_roundtrip_error_bounded(spark_global, vecs):
                 assert abs(float(x) - d) <= step / 2 + 1e-12, (x, d)
             else:
                 assert d == lo
+
+
+IDS = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(IDS, st.integers(min_value=1, max_value=64))
+def test_shard_and_split_hash_match_python_md5(
+    spark_global, ids, n_shards
+):
+    """The engine-portability claim behind every hash split/shard:
+    Spark's split_bucket/shard_id/training_order equal pure-Python md5
+    of the id's decimal string for ARBITRARY bigints (negative ids
+    included — the CAST-to-string forms must agree on the sign
+    rendering) at any modulus."""
+    import hashlib
+
+    from realtime_gmall_flink_spark.plans.textops import (
+        shard_id,
+        split_bucket,
+        training_order,
+    )
+
+    df = spark_global.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["b"], r["s"], r["o"])
+        for r in df.select(
+            "doc_id",
+            split_bucket("doc_id").alias("b"),
+            shard_id("doc_id", n_shards).alias("s"),
+            training_order("doc_id").alias("o"),
+        ).collect()
+    }
+    for i in ids:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        prefix = int(h[:4], 16)
+        assert got[i] == (prefix % 100, prefix % n_shards, h), i
