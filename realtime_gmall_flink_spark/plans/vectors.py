@@ -22,7 +22,7 @@ probe-mask equi-join (each qualifying pair matches exactly one mask).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -106,14 +106,27 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
-    return (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(broadcast(q))
-        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(TOP_K)
-    )
+    # one bounded fetch of the query row, inlined as a literal: the
+    # corpus scan + TakeOrdered is then the WHOLE plan (no broadcast
+    # build, no second scan of the corpus for the query side)
+    qv = _try_query_vec(q)
+    if qv is not None:
+        scored = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), _q_lit(qv)), 6
+            ).alias("cos_sim"),
+        )
+    else:
+        cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+        scored = (
+            emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(broadcast(q))
+            .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        )
+    return scored.orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    ).limit(TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -1118,24 +1131,30 @@ def ivf_refresh_if_drifted(
     return report
 
 
-def _nearest_cell_ids(
-    cent: DataFrame, q: DataFrame, nprobe: int
-) -> list[int]:
+def _nearest_cell_ids(cent: DataFrame, q, nprobe: int) -> list[int]:
     """The NPROBE nearest cell ids to the one-row query ``q(qe)`` over
     a centroid table (cid, ce) — a bounded driver-side collect (nprobe
     rows, metadata-sized) so callers can prune their scan with a
     LITERAL ``cid IN`` predicate. The ONE definition of the probe-cell
     ranking contract (rounded cos desc, cid asc — the oracle's qcent),
-    shared by the IVF and IVF-PQ persisted probes."""
-    rows = (
-        cent.crossJoin(broadcast(q))
-        .select(
+    shared by the IVF and IVF-PQ persisted probes. ``q`` may be the
+    one-row query frame or its vector as a literal Column — the literal
+    form drops the per-probe broadcast build + query-side scan from the
+    ranking job (same cosine expression, same collect bound)."""
+    if isinstance(q, Column):
+        sel = cent.select(
+            "cid",
+            F.round(cosine_similarity(F.col("ce"), q), 6).alias("qc"),
+        )
+    else:
+        sel = cent.crossJoin(broadcast(q)).select(
             "cid",
             F.round(
                 cosine_similarity(F.col("ce"), F.col("qe")), 6
             ).alias("qc"),
         )
-        .orderBy(F.col("qc").desc(), F.col("cid").asc())
+    rows = (
+        sel.orderBy(F.col("qc").desc(), F.col("cid").asc())
         .limit(nprobe)
         .collect()
     )
@@ -1148,6 +1167,7 @@ def ivf_probe_cells(
     q: DataFrame,
     exclude_vec_id: int | None = None,
     nprobe: int | None = None,
+    _qv: list | None = None,
 ) -> DataFrame:
     """The cell-restriction half of a persisted-IVF probe: the probed
     cells come from _nearest_cell_ids, so the assignment filter is a
@@ -1155,12 +1175,19 @@ def ivf_probe_cells(
     nprobe of k cell partitions are listed and scanned. Returns the
     pruned assignment rows (vec_id, embedding, cid); ivf_probe reranks
     them exactly. ``nprobe=None`` = the layout's default width
-    (calibrated > fraction-holding — see :func:`_resolve_nprobe`)."""
+    (calibrated > fraction-holding — see :func:`_resolve_nprobe`).
+    ``_qv`` (internal): the already-collected query vector, so a caller
+    that fetched it once (ivf_probe) doesn't pay the bounded fetch
+    twice; the literal form drops the query-side scan + broadcast build
+    from the cell-ranking job."""
     import os
 
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     nprobe = _resolve_nprobe(index_dir, nprobe, cent.count)
-    cids = _nearest_cell_ids(cent, q, nprobe)
+    qv = _try_query_vec(q) if _qv is None else _qv
+    cids = _nearest_cell_ids(
+        cent, _q_lit(qv) if qv is not None else q, nprobe
+    )
     assigned = spark.read.parquet(
         os.path.join(index_dir, "assignment")
     ).filter(F.col("cid").isin(cids))
@@ -1179,17 +1206,34 @@ def ivf_probe(
 ) -> DataFrame:
     """Probe a persisted index with a one-row query side ``q(qe)``:
     exact cosine over the partition-pruned cells (see
-    ivf_probe_cells)."""
+    ivf_probe_cells). The query vector is fetched ONCE (bounded) and
+    inlined as a literal in both the cell ranking and the exact rerank;
+    a query side that can't be inlined (empty/multi-row/non-finite)
+    keeps the legacy crossJoin plan unchanged."""
+    qv = _try_query_vec(q)
     assigned = ivf_probe_cells(
-        spark, index_dir, q, exclude_vec_id=exclude_vec_id, nprobe=nprobe
+        spark,
+        index_dir,
+        q,
+        exclude_vec_id=exclude_vec_id,
+        nprobe=nprobe,
+        _qv=qv,
     )
-    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
-    return (
-        assigned.crossJoin(broadcast(q))
-        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    if qv is not None:
+        scored = assigned.select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), _q_lit(qv)), 6
+            ).alias("cos_sim"),
+        )
+    else:
+        cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+        scored = assigned.crossJoin(broadcast(q)).select(
+            "vec_id", F.round(cos, 6).alias("cos_sim")
+        )
+    return scored.orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    ).limit(k)
 
 
 # The ONE oracle-side definition of the IVF assignment chain (seed
@@ -4023,7 +4067,7 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if qrow is None:
         # the probe's own one-row refusal, raised BEFORE an unhelpful
-        # NoneType subscript — same contract as _require_one_query_row
+        # NoneType subscript — same contract as _collect_query_vec
         raise ValueError(
             "ann_ivfpq_filtered_topk: query side has 0 rows (want"
             f" exactly 1) — vec_id {QUERY_VEC_ID} is absent from the"
@@ -4234,52 +4278,119 @@ def _pq_meta(index_dir: str) -> dict:
     return row
 
 
-def _require_one_query_row(
+def _collect_query_vec(
     q: DataFrame, caller: str = "pq", want_dim: int | None = None
-) -> None:
-    """Eager one-row check shared by every persisted-PQ probe: an empty
-    q would make every lookup-table entry — and so every adc — NULL,
-    silently ranking arbitrary ids (Spark ASC sorts NULLS FIRST, so
-    NULL adc rows would even win the cut); a multi-row q would fan the
-    lookup table out per row; a NULL qe NULLs the table the same way an
-    empty frame does — and so does a WRONG-WIDTH qe (short slices,
-    NULL subspace distances). One aggregate job covers all of it."""
-    aggs = [F.count(F.lit(1)).alias("n"), F.count("qe").alias("n_qe")]
-    if want_dim is not None:
-        aggs.append(
-            F.count(F.when(F.size("qe") != want_dim, 1)).alias("n_bw")
-        )
-    agg = q.agg(*aggs).head()
-    if agg["n"] != 1:
+) -> list | None:
+    """Bounded (LIMIT 2) fetch of a probe's one-row query side: the
+    same refusals the probes always made — exactly one row, non-NULL
+    qe, geometry-matching width — in the SAME action that returns the
+    vector, so downstream subplans can inline it as one literal instead
+    of re-executing q's scan + broadcast build per use (the repeated
+    one-row subplan executions were the probe family's dominant driver
+    cost — see OPTIMIZATION_r13.md). Returns None when the vector is
+    valid but cannot be inlined losslessly (NULL or non-finite
+    components); callers then fall back to the DataFrame form, whose
+    semantics those components already define."""
+    import math
+
+    rows = q.select("qe").limit(2).collect()
+    if len(rows) != 1:
         raise ValueError(
             f"{caller} query frame must hold exactly one row (qe);"
-            f" got {agg['n']}"
+            f" got {'0' if not rows else 'more than one'}"
         )
-    if agg["n_qe"] != 1:
+    qe = rows[0]["qe"]
+    if qe is None:
         raise ValueError(f"{caller} query frame carries a NULL qe")
-    if want_dim is not None and agg["n_bw"]:
+    if want_dim is not None and len(qe) != want_dim:
         raise ValueError(
             f"{caller} query vector is not {want_dim}-dim — the index"
             " geometry disagrees"
         )
+    try:
+        vec = [float(x) for x in qe]
+    except (TypeError, ValueError):
+        return None
+    return vec if all(map(math.isfinite, vec)) else None
 
 
-def _pq_lut_row(cb: DataFrame, q: DataFrame, subdim: int) -> DataFrame:
+def _try_query_vec(q: DataFrame) -> list | None:
+    """Lenient twin of _collect_query_vec for probe paths that never
+    validated their query side (brute cosine, IVF): one bounded fetch;
+    anything other than exactly one finite-component row returns None
+    and the caller keeps the legacy DataFrame plan — misuse shapes
+    (empty/multi-row/NULL q) keep their historical behavior instead of
+    gaining a new refusal."""
+    import math
+
+    try:
+        rows = q.select("qe").limit(2).collect()
+    except Exception:
+        return None
+    if len(rows) != 1 or rows[0]["qe"] is None:
+        return None
+    try:
+        vec = [float(x) for x in rows[0]["qe"]]
+    except (TypeError, ValueError):
+        return None
+    return vec if all(map(math.isfinite, vec)) else None
+
+
+def _q_lit(vec: list) -> Column:
+    """The collected query vector as ONE literal array<double> column.
+    ``repr`` round-trips IEEE doubles exactly and ``1.5D`` is Spark
+    SQL's double-literal suffix, so the parsed literal is bit-identical
+    to the collected value; building it as a single expr string costs
+    one py4j call, not one per element."""
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vec) + ")")
+
+
+def _q_unit(vec: list) -> list:
+    """Driver-side unit normalization of a collected query vector —
+    op-for-op the expressions pq_unit/l2_norm evaluate (left-to-right
+    double fold, sqrt, per-element divide, zero-vector -> zero-vector),
+    so the result is bit-identical to the engine's own normalization.
+    Normalizing the LITERAL here matters: inlining pq_unit over a
+    literal into the LUT expressions re-evaluates the norm fold per
+    element per row in interpreted HOF eval — measured 4 s on a
+    256-row codebook broadcast build (see OPTIMIZATION_r13.md)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    n = math.sqrt(acc)
+    return [x / n if n > 0.0 else 0.0 for x in vec]
+
+
+def _pq_lut_row(cb: DataFrame, q, subdim: int) -> DataFrame:
     """The query-side lookup table as ONE broadcastable row:
     ``__lut`` maps each subspace s to its rank-ordered array of
     integer-micro subspace distances against the normalized query —
     codebooks fold into it before any codes scan. Shared by the PQ and
-    IVF-PQ persisted probes (``cb`` carries s/rank/csv)."""
-    qn = q.select(l2_norm(F.col("qe")).alias("__n"), "qe").select(
-        pq_unit("qe", "__n").alias("qne")
-    )
+    IVF-PQ persisted probes (``cb`` carries s/rank/csv). ``q`` is the
+    one-row query frame, or its vector as a literal Column (the
+    optimized probes' form: no scan, no broadcast build — the
+    normalized query folds into the same expressions)."""
+    if isinstance(q, Column):
+        # the Column form is the ALREADY-normalized query literal
+        # (_q_unit) — normalizing here would inline the norm fold per
+        # element per row in interpreted HOF eval
+        base = cb
+        qne = q
+    else:
+        qn = q.select(l2_norm(F.col("qe")).alias("__n"), "qe").select(
+            pq_unit("qe", "__n").alias("qne")
+        )
+        base = cb.crossJoin(broadcast(qn))
+        qne = F.col("qne")
     qsv = F.slice(
-        F.col("qne"),
+        qne,
         (F.col("s") - F.lit(1)) * F.lit(subdim) + F.lit(1),
         subdim,
     )
     return (
-        cb.crossJoin(broadcast(qn))
+        base
         .select(
             "s",
             "rank",
@@ -4332,14 +4443,34 @@ def pq_adc_candidates(
     scan), TakeOrdered down to the ``rerank`` best (adc, vec_id) rows.
     Geometry (m/subdim) comes from the persisted meta, not the module
     constants. ``q`` must hold exactly ONE (qe) row, checked eagerly
-    (see _require_one_query_row)."""
+    (see _collect_query_vec)."""
+    return _pq_adc_candidates(
+        spark, index_dir, q, exclude_vec_id=exclude_vec_id, rerank=rerank
+    )[0]
+
+
+def _pq_adc_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    exclude_vec_id: int | None = None,
+    rerank: int = PQ_RERANK,
+) -> tuple[DataFrame, list | None]:
+    """pq_adc_candidates plus the collected query vector, so pq_probe's
+    rerank tail reuses the one bounded fetch instead of paying it
+    twice."""
     import os
 
     meta = _pq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
-    _require_one_query_row(q, caller="pq_probe", want_dim=m * subdim)
+    # the validation IS the fetch: one bounded action, and the vector
+    # inlines as a literal so the LUT subplan carries no query-side
+    # scan or broadcast build (fallback: the legacy one-row frame)
+    qv = _collect_query_vec(q, caller="pq_probe", want_dim=m * subdim)
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    lut_row = _pq_lut_row(cb, q, subdim)
+    lut_row = _pq_lut_row(
+        cb, _q_lit(_q_unit(qv)) if qv is not None else q, subdim
+    )
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     if exclude_vec_id is not None:
         codes = codes.filter(F.col("vec_id") != exclude_vec_id)
@@ -4348,7 +4479,7 @@ def pq_adc_candidates(
         .select("vec_id", _pq_adc_sum(m).alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
         .limit(rerank)
-    )
+    ), qv
 
 
 def _pq_rerank_fetch(emb: DataFrame, ids: list[int]) -> DataFrame:
@@ -4395,16 +4526,19 @@ def pq_probe(
     snapshot (a bounded local relation), so what was validated is
     exactly what scores — no construction-to-action window where a
     concurrent append could skew the result."""
-    cand = pq_adc_candidates(
+    cand, qv = _pq_adc_candidates(
         spark, index_dir, q, exclude_vec_id=exclude_vec_id, rerank=rerank
     )
+    qside = _q_lit(qv) if qv is not None else q
     if rerank > ADC_RERANK_MAX:
         # an explicit oversized budget stays distributed — the same
         # driver-safety dispatch as ivfpq_probe
         return _pq_distributed_rerank(
-            spark, cand, emb, q, k, caller="pq_probe"
+            spark, cand, emb, qside, k, caller="pq_probe"
         )
-    return _pq_validated_rerank(spark, cand, emb, q, k, caller="pq_probe")
+    return _pq_validated_rerank(
+        spark, cand, emb, qside, k, caller="pq_probe"
+    )
 
 
 def _pq_validated_rerank(
@@ -4421,16 +4555,27 @@ def _pq_validated_rerank(
     a pushed-down isin scan aggregated per id, and every missing /
     NULL-carrying / conflicting id is refused BY NAME before any score
     is returned (see pq_probe's contract). The returned frame scores
-    the validated driver-side snapshot — a bounded local relation."""
+    the validated driver-side snapshot — a bounded local relation.
+    ``q`` is the one-row query frame, or its vector as a literal
+    Column (the optimized probes' form: the rerank plan is then
+    local-only — no query-side scan, no broadcast build)."""
     ids = [r["vec_id"] for r in cand.collect()]
     fetched = _pq_fetch_validated(spark, emb, ids, caller)
-    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
-    return (
-        fetched.crossJoin(broadcast(q))
-        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    if isinstance(q, Column):
+        scored = fetched.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias(
+                "cos_sim"
+            ),
+        )
+    else:
+        cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+        scored = fetched.crossJoin(broadcast(q)).select(
+            "vec_id", F.round(cos, 6).alias("cos_sim")
+        )
+    return scored.orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    ).limit(k)
 
 
 def _pq_fetch_validated(
@@ -4469,6 +4614,10 @@ def _pq_fetch_validated(
             f" conflicting embeddings in emb (e.g. {conflicting[:5]})"
             " — the rerank corpus must be consistent per vec_id"
         )
+    # NOT coalesced: coalesce/repartition on this local relation
+    # defeats the LocalRelation fast path and costs whole seconds per
+    # probe (measured — OPTIMIZATION_r13.md); the default split's
+    # near-empty tasks are cheaper than losing the local plan
     return spark.createDataFrame(
         [(r["vec_id"], r["embedding"]) for r in per_id], fetch_schema
     )
@@ -4571,13 +4720,21 @@ def _pq_distributed_rerank(
         emb, cand.select("vec_id"), ["vec_id"]
     ).localCheckpoint(eager=True)
     _refuse_candidates_agg(snap, caller)
-    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
-    return (
-        snap.crossJoin(broadcast(q))
-        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    if isinstance(q, Column):
+        scored = snap.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias(
+                "cos_sim"
+            ),
+        )
+    else:
+        cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+        scored = snap.crossJoin(broadcast(q)).select(
+            "vec_id", F.round(cos, 6).alias("cos_sim")
+        )
+    return scored.orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    ).limit(k)
 
 
 def _pq_distributed_rerank_batch(
@@ -4850,25 +5007,39 @@ def _nested_adc_sum(lut_col, m: int) -> "F.Column":
 
 
 def _ivfpq_res_lut_row(
-    cb: DataFrame, cent_probed: DataFrame, q: DataFrame, subdim: int
+    cb: DataFrame, cent_probed: DataFrame, q, subdim: int
 ) -> DataFrame:
     """The residual probe's lookup side as ONE broadcastable row:
     ``__rlut`` maps each probed cell id to its per-subspace rank-
     ordered integer-micro distances between the QUERY'S RESIDUAL IN
     THAT CELL (q̂ − ĉ) and the residual codewords. nprobe * m * k
     entries — kilobytes. Codebooks and centroids fold into it before
-    any codes scan, the _pq_lut_row contract per cell."""
-    qn = q.select(l2_norm(F.col("qe")).alias("__n"), "qe").select(
-        pq_unit("qe", "__n").alias("qne")
-    )
-    qr = (
-        _unit_centroids(cent_probed)
-        .crossJoin(broadcast(qn))
-        .select(
+    any codes scan, the _pq_lut_row contract per cell. ``q`` is the
+    one-row query frame or its vector as a literal Column (same
+    normalization/residual expressions either way; the literal form
+    drops the query-side scan + broadcast build from the subplan)."""
+    if isinstance(q, Column):
+        # Column form = the pre-normalized query literal (_q_unit)
+        qr = _unit_centroids(cent_probed).select(
             "cid",
-            F.zip_with("qne", "cen", lambda a, b: a - b).alias("qrne"),
+            F.zip_with(q, F.col("cen"), lambda a, b: a - b).alias(
+                "qrne"
+            ),
         )
-    )
+    else:
+        qn = q.select(l2_norm(F.col("qe")).alias("__n"), "qe").select(
+            pq_unit("qe", "__n").alias("qne")
+        )
+        qr = (
+            _unit_centroids(cent_probed)
+            .crossJoin(broadcast(qn))
+            .select(
+                "cid",
+                F.zip_with("qne", "cen", lambda a, b: a - b).alias(
+                    "qrne"
+                ),
+            )
+        )
     per_cell = _res_lut_arrays(cb, qr, ["cid"], subdim)
     return per_cell.agg(
         F.map_from_entries(
@@ -5484,18 +5655,6 @@ def _ivfpq_meta(index_dir: str) -> dict:
     return row
 
 
-def _ivfpq_probe_cids(
-    spark: SparkSession, index_dir: str, q: DataFrame, nprobe: int
-) -> list[int]:
-    """The composed layout's probed cells — the shared
-    _nearest_cell_ids ranking over ITS copied centroids, so the codes
-    filter is a LITERAL ``cid IN`` predicate the scan prunes on."""
-    import os
-
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    return _nearest_cell_ids(cent, q, nprobe)
-
-
 def _check_payload_filter(
     spark: SparkSession,
     index_dir: str,
@@ -5619,7 +5778,7 @@ def _ivfpq_adc_candidates(
     rerank: int | None = None,
     nprobe: int | None = None,
     payload_eq: dict | None = None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, list | None]:
     """The pruned ADC half of the IVF-PQ probe: ONE scan of the codes
     layout restricted to the query's nprobe cells by a literal
     PartitionFilter (1/k*nprobe of the corpus listed and read), scored
@@ -5638,22 +5797,24 @@ def _ivfpq_adc_candidates(
 
     meta = _ivfpq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
-    _require_one_query_row(
-        q, caller="ivfpq_probe", want_dim=m * subdim
-    )
+    # the validation IS the fetch (one bounded action); the vector then
+    # inlines as a literal everywhere the plan used q's subplan —
+    # cell ranking, residual LUT, exact rerank (fallback: legacy frame)
+    qv = _collect_query_vec(q, caller="ivfpq_probe", want_dim=m * subdim)
+    qside = _q_lit(qv) if qv is not None else q
+    # the LUT normalizes the query; with a literal that normalization
+    # happens driver-side ONCE (bit-identical — see _q_unit)
+    qside_lut = _q_lit(_q_unit(qv)) if qv is not None else q
     pay = _check_payload_filter(
         spark, index_dir, payload_eq, "ivfpq_probe"
     )
     cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    nprobe = _resolve_nprobe(
-        index_dir,
-        nprobe,
-        lambda: spark.read.parquet(
-            os.path.join(index_dir, "centroids")
-        ).count(),
-        meta=meta,
-    )
-    cids = _ivfpq_probe_cids(spark, index_dir, q, nprobe)
+    # ONE centroid read serves the nprobe default, the cell ranking and
+    # the residual LUT (three separate reads before this round — each a
+    # driver-side listing + footer pass per probe)
+    cent_all = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    nprobe = _resolve_nprobe(index_dir, nprobe, cent_all.count, meta=meta)
+    cids = _nearest_cell_ids(cent_all, qside, nprobe)
     if rerank is None:
         # pool-proportional budget from the ACTUAL probed rows (skew-
         # exact, metadata-cheap) — a constant cut decays at scale
@@ -5671,10 +5832,8 @@ def _ivfpq_adc_candidates(
         # per-cell lookup tables from the query's residual IN each
         # probed cell — same single broadcast-row shape, nprobe*m*k
         # entries; the codes scan stays codes-only
-        cent = spark.read.parquet(
-            os.path.join(index_dir, "centroids")
-        ).filter(F.col("cid").isin(cids))
-        lut_row = _ivfpq_res_lut_row(cb, cent, q, subdim)
+        cent = cent_all.filter(F.col("cid").isin(cids))
+        lut_row = _ivfpq_res_lut_row(cb, cent, qside_lut, subdim)
         scored = (
             codes.crossJoin(broadcast(lut_row))
             # the cell's table lands as ITS OWN projected column so the
@@ -5691,7 +5850,7 @@ def _ivfpq_adc_candidates(
             )
         )
     else:
-        lut_row = _pq_lut_row(cb, q, subdim)
+        lut_row = _pq_lut_row(cb, qside_lut, subdim)
         scored = codes.crossJoin(broadcast(lut_row)).select(
             "vec_id", _pq_adc_sum(m).alias("adc")
         )
@@ -5700,6 +5859,7 @@ def _ivfpq_adc_candidates(
             rerank
         ),
         rerank,
+        qv,
     )
 
 
@@ -5725,7 +5885,7 @@ def ivfpq_probe(
     keeps the exact rerank DISTRIBUTED (_pq_distributed_rerank): same
     candidates, same ordering, same refusals, nothing collected to the
     driver."""
-    cand, width = _ivfpq_adc_candidates(
+    cand, width, qv = _ivfpq_adc_candidates(
         spark,
         index_dir,
         q,
@@ -5734,12 +5894,13 @@ def ivfpq_probe(
         nprobe=nprobe,
         payload_eq=payload_eq,
     )
+    qside = _q_lit(qv) if qv is not None else q
     if width > ADC_RERANK_MAX:
         return _pq_distributed_rerank(
-            spark, cand, emb, q, k, caller="ivfpq_probe"
+            spark, cand, emb, qside, k, caller="ivfpq_probe"
         )
     return _pq_validated_rerank(
-        spark, cand, emb, q, k, caller="ivfpq_probe"
+        spark, cand, emb, qside, k, caller="ivfpq_probe"
     )
 
 

@@ -125,10 +125,11 @@ def test_ivf_probe_scans_only_nprobe_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)\]", plan)
     assert m, plan
     assert len(m.group(1).split(",")) == IVF_NPROBE
-    # probe-side plan reads the index, not the corpus: exactly one scan
-    # of the embeddings source (the query-vector lookup) and no Lloyd
-    # machinery (posexplode/avg aggregation) anywhere
-    assert plan.count("embeddings.parquet") == 1
+    # probe-side plan reads the index, not the corpus: the query vector
+    # is fetched once (bounded) and inlined as a literal, so the probe
+    # plan holds NO embeddings scan and no Lloyd machinery
+    # (posexplode/avg aggregation) anywhere
+    assert plan.count("embeddings.parquet") == 0
     assert "posexplode" not in plan
 
 
@@ -1065,7 +1066,7 @@ def test_scale8_pq_probe_shape_constant_and_exact(spark, request):
     footprint of the 1x plan — same Exchange count (the only exchanges
     are codebook-sized lookup-table reshapes; the codes side stays
     scan -> project -> TakeOrdered with no corpus-sized exchange), same
-    three FileScans — and the candidate cut stays PQ_RERANK-bounded, so
+    two FileScans — and the candidate cut stays PQ_RERANK-bounded, so
     probe cost structure is independent of corpus size. End-to-end: a
     planted exact copy of the query still reranks to cos 1.0 top-1
     through the 8x index."""
@@ -1118,7 +1119,9 @@ def test_scale8_pq_probe_shape_constant_and_exact(spark, request):
 
     p1, p8 = adc_plan(d1, q), adc_plan(d8, q)
     assert p1.count("Exchange") == p8.count("Exchange"), (p1, p8)
-    assert p8.count("FileScan parquet") == 3
+    # two scans: codes + codebooks — the query side is an inlined
+    # literal, never a scan
+    assert p8.count("FileScan parquet") == 2
     assert "TakeOrdered" in p8
 
     cand8 = pq_adc_candidates(spark, d8, q).collect()

@@ -84,7 +84,7 @@ def test_all_default_probe_driver_budget_capped_at_8x(
     assert seen and all(n <= V.ADC_RERANK_MAX for n in seen), seen
     # the adaptive budget really was pool-proportional (not the floor):
     # the all-default width must exceed the fixture constant here
-    _, width = V._ivfpq_adc_candidates(spark, idx, _q(emb8, 0))
+    _, width, _ = V._ivfpq_adc_candidates(spark, idx, _q(emb8, 0))
     assert V.PQ_RERANK < width <= V.ADC_RERANK_MAX
 
 
@@ -100,7 +100,7 @@ def test_oversized_budget_stays_distributed_and_equal(
     idx = V.ivfpq_build(emb8, str(tmp_path / "ivfpq8d"))
     qid = 10_000_001
     q = _q(emb8, qid)
-    _, width = V._ivfpq_adc_candidates(spark, idx, q, exclude_vec_id=qid)
+    _, width, _ = V._ivfpq_adc_candidates(spark, idx, q, exclude_vec_id=qid)
     assert width > 128  # the monkeypatched cap below really is exceeded
     via_driver = [
         tuple(r)

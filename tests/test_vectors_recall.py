@@ -1224,12 +1224,17 @@ def test_pq_probe_adc_scans_codes_not_floats(spark, tmp_path):
         .toString()
     )
     assert "codes" in adc_plan
-    # exactly three scans: codes, codebooks, and the QUERY side's
-    # one-row point lookup (pushed EqualTo — never a full corpus scan)
-    assert adc_plan.count("FileScan parquet") == 3
-    assert "EqualTo(vec_id," in adc_plan
+    # exactly two scans: codes and codebooks — the query side is
+    # fetched ONCE (bounded) and inlined as a literal, so the ADC plan
+    # carries no query-side scan and no broadcast build at all
+    assert adc_plan.count("FileScan parquet") == 2
     assert "posexplode" not in adc_plan.lower()
     assert "TakeOrdered" in adc_plan
+    # the query side contributes NO scan and NO filter — it is an
+    # inlined literal, so no EqualTo(vec_id, <query>) point lookup
+    # remains anywhere in the candidate plan (the only vec_id filter
+    # left is the exclude-self NOT-EqualTo on the codes scan)
+    assert "SortMergeJoin" not in adc_plan
     probe_plan = (
         pq_probe(spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID)
         ._jdf.queryExecution()
@@ -1239,10 +1244,10 @@ def test_pq_probe_adc_scans_codes_not_floats(spark, tmp_path):
     assert "SortMergeJoin" not in probe_plan
     assert "TakeOrdered" in probe_plan
     # the rerank scores a bounded LOCAL snapshot of the validated
-    # candidates: no corpus scan, no join beyond the one-row broadcast
-    # cross — the only parquet read left is the query point lookup
-    assert probe_plan.count("FileScan parquet") == 1
-    assert "Join" not in probe_plan.replace("BroadcastNestedLoopJoin", "")
+    # candidates against the inlined query literal: no parquet scan of
+    # any kind and no join — the plan is local-only
+    assert probe_plan.count("FileScan parquet") == 0
+    assert "Join" not in probe_plan
 
 
 def test_pq_refresh_on_drift_resets_baseline(spark, tmp_path):
@@ -1470,10 +1475,11 @@ def test_ivfpq_persisted_probe_scans_pruned_codes_only(spark, tmp_path):
     plan = formatted_plan(cand)
     assert len(pruned_cids(plan)) == IVF_NPROBE
     # codes-only IO: the codes scan's ReadSchema carries NO embedding
-    # column (vec_id + tinyint ranks only), and the float corpus
-    # appears exactly once in the whole plan — the query point lookup
+    # column (vec_id + tinyint ranks only), and the float corpus never
+    # appears — the query vector is fetched once (bounded) and inlined
+    # as a literal, so the ADC plan carries no query-side scan
     assert_codes_scans_no_embedding(plan)
-    assert plan.count("embeddings.parquet") == 1
+    assert plan.count("embeddings.parquet") == 0
     assert "posexplode" not in plan.lower()  # probe, not build, plan
     exec_plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in exec_plan
