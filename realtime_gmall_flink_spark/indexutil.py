@@ -353,6 +353,98 @@ def write_index_meta_atomic(spark, index_dir: str, row: dict) -> bool:
     return True
 
 
+def read_layout(spark, path: str):
+    """``spark.read.parquet(path)`` with the schema resolved
+    DRIVER-SIDE (one pyarrow footer read + a directory walk) instead
+    of Spark's schema-inference job. Probe hot paths re-open each
+    metadata-sized layout dir per call, and the inference pass costs a
+    whole Spark job plus its scheduling gap per open — at 100 TB it
+    additionally samples footers across the layout. Partition
+    directory columns (``name=value`` — ``cid``/``bkt_hi``/``shard``,
+    integral in every persisted layout) are appended as IntegerType,
+    matching what Spark's own partition inference derives for them.
+    Any layout shape this walk does not recognize falls back to the
+    inference read unchanged."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    part_cols: list[str] = []
+    d, part_file = path, None
+    while part_file is None:
+        if not os.path.isdir(d):
+            part_file = d
+            break
+        pcol, nxt = None, None
+        try:
+            entries = sorted(os.scandir(d), key=lambda e: e.name)
+        except OSError:
+            return spark.read.parquet(path)
+        for e in entries:
+            n = e.name
+            if n.startswith(("_", ".")):
+                continue
+            if e.is_file() and n.endswith(".parquet"):
+                part_file = e.path
+                break
+            if e.is_dir() and "=" in n:
+                pcol, nxt = n.split("=", 1)[0], e.path
+        if part_file is not None:
+            break
+        if nxt is None:  # empty or unrecognized layout
+            return spark.read.parquet(path)
+        part_cols.append(pcol)
+        d = nxt
+    try:
+        sch = footer_spark_schema(part_file)
+    except Exception:
+        return spark.read.parquet(path)
+    fields = list(sch.fields) + [
+        StructField(c, IntegerType(), True) for c in part_cols
+    ]
+    return spark.read.schema(StructType(fields)).parquet(path)
+
+
+def local_frame(spark, data, schema):
+    """``createDataFrame`` for DRIVER-LOCAL bounded row sets, in ONE
+    slice: the default path splits tiny row sets across
+    defaultParallelism near-empty slices, so every downstream job
+    schedules (and a LIMIT scale-up re-schedules) one task per core
+    for rows that fit in one — measured 4x on a one-row frame's
+    bounded fetch and ~0.3 s on the probe rerank tail's final count
+    (OPTIMIZATION_r13.md). Same serializer, same values — only the
+    slice count changes."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    )
+
+
+def footer_spark_schema(part_file: str):
+    """One parquet footer → the Spark schema ``spark.read.parquet``
+    would infer for it, derived driver-side: tz-less arrow timestamps
+    map to TIMESTAMP_NTZ (Spark's inferTimestampNTZ default), and
+    nano-precision tz-less timestamps map to LongType (mirroring the
+    ``nanosAsLong`` conf every engine session sets). Everything else
+    is the standard arrow→Spark mapping."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    a = _pq.read_schema(part_file)
+    sch = from_arrow_schema(a)
+    fields = []
+    for f, af in zip(sch.fields, a):
+        t = f.dataType
+        if pa.types.is_timestamp(af.type) and af.type.tz is None:
+            t = LongType() if af.type.unit == "ns" else TimestampNTZType()
+        fields.append(StructField(f.name, t, f.nullable))
+    return StructType(fields)
+
+
 def read_index_meta(index_dir: str) -> dict | None:
     """The meta row as a dict (None if the index has no meta/ yet).
     Read DRIVER-SIDE via pyarrow — no Spark job on the probe hot path

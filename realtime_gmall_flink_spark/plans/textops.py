@@ -36,7 +36,7 @@ from ..functions.tokenize import (
 )
 from ..operators.dedup import exact_dedup
 from ._parity import nearest_rank_target
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread_small_scan
 from .catalog import register
 
 JACCARD_THRESHOLD = 0.5
@@ -58,17 +58,20 @@ _SHINGLES_SQL = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    import os
+
     # The documents file is a single row group at test SFs, so the scan
     # cannot split below one task no matter the split size; the per-row
     # work here (shingling, hashing, sketching) is CPU-bound, so spread it
     # across cores. A 0.6 MB shuffle buys 32-way parallelism; at real scale
     # the file count exceeds core count and this becomes a no-op-ish
-    # round-robin of already-parallel input.
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
-    return docs
+    # round-robin of already-parallel input (size-based decision in
+    # sources.testdata.spread_small_scan).
+    return spread_small_scan(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(sf_dir, "documents.parquet"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1531,7 +1534,12 @@ def _driver_union_find(
     from pyspark.sql.types import StructField, StructType
 
     dt = nodes.schema[id_col].dataType
-    lmap = spark.createDataFrame(
+    from ..indexutil import local_frame
+
+    # ONE slice: the broadcast build over a 32-slice local relation
+    # schedules a near-empty task per core (see indexutil.local_frame)
+    lmap = local_frame(
+        spark,
         labels,
         StructType(
             [StructField(id_col, dt), StructField("__m", dt)]
@@ -1787,9 +1795,13 @@ GROUP BY lang
 )
 def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    from ..indexutil import local_frame
+
     rates = F.broadcast(
-        docs.sparkSession.createDataFrame(
-            list(SAMPLE_RATES.items()), "lang string, rate int"
+        local_frame(
+            docs.sparkSession,
+            list(SAMPLE_RATES.items()),
+            "lang string, rate int",
         )
     )
     # same hash bucket as the train/val split (split_bucket) — all

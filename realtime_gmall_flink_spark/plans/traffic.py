@@ -323,8 +323,10 @@ GROUP BY cfg.sink_table
 )
 def config_routed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cfg = spark.createDataFrame(
-        _ROUTE_CONFIG, schema="source_table string, sink_table string"
+    from ..indexutil import local_frame
+
+    cfg = local_frame(
+        spark, _ROUTE_CONFIG, "source_table string, sink_table string"
     )
     routed = route_by_config(ev, cfg, route_key="event_type")
     return routed.groupBy("sink_table").agg(
@@ -546,11 +548,15 @@ GROUP BY 1, 2, 3
 def streaming_event_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import run_to_memory
 
+    from ..indexutil import footer_spark_schema
+
     # the streaming file source wants a directory; glob-filter to the one
-    # table file inside the sf dir
+    # table file inside the sf dir. Schema resolved DRIVER-SIDE from the
+    # footer (footer_spark_schema mirrors inference incl. nanosAsLong)
+    # — no schema-inference Spark job per invocation.
     stream = (
         spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            footer_spark_schema(f"{sf_dir}/events.parquet")
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
@@ -821,9 +827,9 @@ def value_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     ev = load_table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
-        VALUE_TIERS, "tier string, lo double, hi double"
-    )
+    from ..indexutil import local_frame
+
+    tiers = local_frame(spark, VALUE_TIERS, "tier string, lo double, hi double")
     return (
         ev.join(
             broadcast(tiers),
@@ -872,31 +878,54 @@ def streaming_dedup_latest_stateful(
     from ..streaming.jobs import run_to_memory
     from ..streaming.stateful import streaming_latest_per_key
 
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from ..indexutil import footer_spark_schema
+
     work = tempfile.mkdtemp(prefix="gmall-stateful-dedup-")
     try:
         src = os.path.join(work, "src")
         os.makedirs(src)
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(src, "events.parquet"),
+        src_file = os.path.join(sf_dir, "events.parquet")
+        os.symlink(src_file, os.path.join(src, "events.parquet"))
+        # the one-row sentinel file and the stream schema are both
+        # derived DRIVER-SIDE (pyarrow footer read + local write) —
+        # the old staging paid a Spark schema-inference job plus a
+        # Spark write job per invocation for one synthetic row. The
+        # sentinel values are identical: 2100-01-01 00:00:00 in the
+        # source's own ts representation (epoch nanos when the engine
+        # reads TIMESTAMP(NANOS) as long, wall-time NTZ otherwise).
+        asch = papq.read_schema(src_file)
+        sent_vals = {
+            "event_id": -1,
+            "user_id": -1,
+            "event_type": "sentinel",
+            "value": 0.0,
+            "props": "",
+        }
+        unit_mult = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+        cols = []
+        for f in asch:
+            if f.name == "ts":
+                if pa.types.is_timestamp(f.type):
+                    v = pa.array(
+                        [4102444800 * unit_mult[f.type.unit]], pa.int64()
+                    ).cast(f.type)
+                else:  # physical int64 nanos
+                    v = pa.array([4102444800 * 10**9], f.type)
+            elif f.name in sent_vals:
+                v = pa.array([sent_vals[f.name]], f.type)
+            else:
+                v = pa.nulls(1, f.type)
+            cols.append(v)
+        papq.write_table(
+            pa.Table.from_arrays(cols, schema=asch),
+            os.path.join(src, "sentinel.parquet"),
         )
-        batch = spark.read.parquet(src)
-        ts_is_long = dict(batch.dtypes)["ts"] == "bigint"
-        sent_ts = (
-            F.lit(4102444800 * 10**9).cast("long")
-            if ts_is_long
-            else F.lit("2100-01-01 00:00:00").cast(
-                batch.schema["ts"].dataType
-            )
-        )
-        batch.limit(1).select(
-            F.lit(-1).cast("long").alias("event_id"),
-            sent_ts.alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("sentinel").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("").alias("props"),
-        ).write.mode("append").parquet(src)
+        sch = footer_spark_schema(src_file)
+        ts_is_long = dict((f.name, f.dataType.simpleString())
+                          for f in sch.fields)["ts"] == "bigint"
         if ts_is_long:
             ev = F.timestamp_micros(F.expr("ts div 1000"))
             ts_us = F.expr("ts div 1000")
@@ -904,7 +933,7 @@ def streaming_dedup_latest_stateful(
             ev = F.col("ts").cast("timestamp")  # watermark wants LTZ
             ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
         stream = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
+            spark.readStream.schema(sch)
             .parquet(src)
             .select(
                 "event_id",

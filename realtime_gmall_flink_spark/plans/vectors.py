@@ -33,7 +33,7 @@ from ..functions.similarity import (
     probe_masks,
     sign_lsh_bucket,
 )
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread_small_scan
 from .catalog import register
 from ._parity import nearest_rank_target
 
@@ -43,8 +43,12 @@ ANN_BITS = 16
 ANN_PROBE_RADIUS = 2
 
 # FRAG_WARN lives in indexutil next to layout_fragmentation; imported
-# here because the drift signatures default to it.
+# here because the drift signatures default to it. _read_layout is the
+# probe-hot-path parquet open: schema resolved driver-side (pyarrow
+# footer read), no schema-inference Spark job per layout open.
 from ..indexutil import FRAG_WARN  # noqa: E402
+from ..indexutil import local_frame as _local_frame  # noqa: E402
+from ..indexutil import read_layout as _read_layout  # noqa: E402
 
 _BUCKET16_SQL = " + ".join(
     f"(CASE WHEN embedding[{2 * i + 1}] > embedding[{2 * i + 2}]"
@@ -75,13 +79,16 @@ _BUCKET_SQL = " + ".join(
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    import os
+
     # single-row-group file + CPU-bound per-row folds: spread across cores
-    # (see plans.textops._docs for rationale)
-    target = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < target:
-        emb = emb.repartition(target)
-    return emb
+    # (see plans.textops._docs for rationale; size-based decision in
+    # sources.testdata.spread_small_scan)
+    return spread_small_scan(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -103,8 +110,13 @@ LIMIT {TOP_K}
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe")
+    # q off the RAW table: the bounded query fetch then runs scan →
+    # collect with no round-robin exchange stage (the CPU-spread
+    # repartition only helps the full-corpus scoring scan)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"))
     )
     # one bounded fetch of the query row, inlined as a literal: the
     # corpus scan + TakeOrdered is then the WHOLE plan (no broadcast
@@ -377,7 +389,7 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]
     )
-    q = spark.createDataFrame([(qrow["embedding"],)], ["qe"])
+    q = _local_frame(spark, [(qrow["embedding"],)], "qe: array<double>")
     return lsh_probe(
         spark, idx, q, qrow["bucket"], exclude_vec_id=QUERY_VEC_ID
     )
@@ -718,8 +730,8 @@ def ivf_calibrate_nprobe(
     like every index maintenance op."""
     import os
 
-    assigned = spark.read.parquet(os.path.join(index_dir, "assignment"))
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assigned = _read_layout(spark, os.path.join(index_dir, "assignment"))
+    cent = _read_layout(spark, os.path.join(index_dir, "centroids"))
     return _calibrate_nprobe_core(
         spark, index_dir, assigned, cent,
         recall_target, k, n_queries, persist,
@@ -996,14 +1008,14 @@ def _ivf_write(emb: DataFrame, n_centroids: int | None, lloyd_iters: int):
         ivf_refine(
             emb, ivf_centroids(emb, k=k), iters=lloyd_iters
         ).write.parquet(cent_path)
-        cent = spark.read.parquet(cent_path)
+        cent = _read_layout(spark, cent_path)
         ivf_assign(emb, cent).write.partitionBy("cid").parquet(
             os.path.join(staging, "assignment")
         )
         # per-cell count snapshot: the baseline ivf_drift compares
         # against after appends (parquet-footer counts — metadata-cheap)
         (
-            spark.read.parquet(os.path.join(staging, "assignment"))
+            _read_layout(spark, os.path.join(staging, "assignment"))
             .groupBy("cid")
             .count()
             .write.parquet(os.path.join(staging, "build_stats"))
@@ -1081,7 +1093,7 @@ def ivf_rebuild(
             if meta is not None and meta.get("n_centroids"):
                 n_centroids = int(meta["n_centroids"])
             else:
-                n_centroids = spark.read.parquet(
+                n_centroids = _read_layout(spark, 
                     os.path.join(index_dir, "centroids")
                 ).count()
         if lloyd_iters is None:
@@ -1094,7 +1106,7 @@ def ivf_rebuild(
         # materialize before the swap: the rebuild's writes must not
         # lazily re-scan the directories the swap is about to replace
         emb = (
-            spark.read.parquet(os.path.join(index_dir, "assignment"))
+            _read_layout(spark, os.path.join(index_dir, "assignment"))
             .select("vec_id", "embedding")
             .localCheckpoint(eager=True)
         )
@@ -1182,13 +1194,13 @@ def ivf_probe_cells(
     from the cell-ranking job."""
     import os
 
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cent = _read_layout(spark, os.path.join(index_dir, "centroids"))
     nprobe = _resolve_nprobe(index_dir, nprobe, cent.count)
     qv = _try_query_vec(q) if _qv is None else _qv
     cids = _nearest_cell_ids(
         cent, _q_lit(qv) if qv is not None else q, nprobe
     )
-    assigned = spark.read.parquet(
+    assigned = _read_layout(spark, 
         os.path.join(index_dir, "assignment")
     ).filter(F.col("cid").isin(cids))
     if exclude_vec_id is not None:
@@ -1548,7 +1560,7 @@ def ivf_knn_graph(
         _refuse_oversized_cells(
             spark, apath, max_cell_pairs, "ivf_knn_graph"
         )
-        a = spark.read.parquet(apath)
+        a = _read_layout(spark, apath)
         left = a.select(
             "cid",
             F.col("vec_id").alias("__a"),
@@ -1570,8 +1582,8 @@ def ivf_knn_graph(
             .select("__a", "__b", cos.alias("cos_sim"))
         )
     else:
-        cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-        e = spark.read.parquet(apath).select("vec_id", "embedding")
+        cent = _read_layout(spark, os.path.join(index_dir, "centroids"))
+        e = _read_layout(spark, apath).select("vec_id", "embedding")
         # checkpoint the skinny membership (spill rows of 16 bytes per
         # vector): it feeds BOTH sides of the pair self-join and the
         # refusal count below — without it each consumer re-scores the
@@ -1899,8 +1911,8 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = ivf_index_dir(sf_dir)
     ivf_build(_emb(spark, sf_dir), idx)
-    assigned = spark.read.parquet(os.path.join(idx, "assignment"))
-    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    assigned = _read_layout(spark, os.path.join(idx, "assignment"))
+    cent = _read_layout(spark, os.path.join(idx, "centroids"))
     return _nprobe_recall_curve_df(
         assigned, cent, TOP_K, IVF_CAL_QUERIES
     )
@@ -1931,8 +1943,10 @@ def _probe_cell_pairs(
         .collect()
     )
     cids = sorted({r["cid"] for r in probe_pairs})
-    pairs_df = queries.sparkSession.createDataFrame(
-        [(r["qid"], r["cid"]) for r in probe_pairs], "qid long, cid long"
+    pairs_df = _local_frame(
+        queries.sparkSession,
+        [(r["qid"], r["cid"]) for r in probe_pairs],
+        "qid long, cid long",
     )
     return cids, pairs_df
 
@@ -1958,7 +1972,7 @@ def ivf_probe_batch(
 
     from pyspark.sql import Window
 
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cent = _read_layout(spark, os.path.join(index_dir, "centroids"))
     # a wrong-width qe would NULL-score through cosine_similarity and
     # probe/rank arbitrary rows — derive the expected width from the
     # persisted centroids and refuse by name, like the PQ-family probes
@@ -1973,7 +1987,7 @@ def ivf_probe_batch(
     )
     nprobe = _resolve_nprobe(index_dir, nprobe, cent.count)
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
-    assigned = spark.read.parquet(
+    assigned = _read_layout(spark, 
         os.path.join(index_dir, "assignment")
     ).filter(F.col("cid").isin(cids))
     cos = F.round(
@@ -2122,7 +2136,7 @@ def lsh_probe(
     probes = sorted({query_bucket ^ m for m in probe_masks(bits, radius)})
     his = sorted({b >> LSH_HI_SHIFT for b in probes})
     cand = (
-        spark.read.parquet(os.path.join(index_dir, "buckets"))
+        _read_layout(spark, os.path.join(index_dir, "buckets"))
         .filter(F.col("bkt_hi").isin(his))
         .filter(F.col("bucket").isin(probes))
     )
@@ -2184,23 +2198,38 @@ LIMIT {TOP_K}
 """,
 )
 def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     qrow = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("embedding", "label")
         .collect()[0]
     )
-    q = spark.createDataFrame([(qrow["embedding"],)], ["qe"])
-    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
-    return (
+    vec = [float(x) for x in qrow["embedding"]]
+    base = (
         _emb(spark, sf_dir)
         .filter(F.col("label") == F.lit(qrow["label"]))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(broadcast(q))
-        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(TOP_K)
     )
+    if all(map(math.isfinite, vec)):
+        # inlined query literal: the filtered scan + TakeOrdered is
+        # the whole plan (no broadcast build, no second query scan)
+        scored = base.select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), _q_lit(vec)), 6
+            ).alias("cos_sim"),
+        )
+    else:
+        q = _local_frame(spark, [(qrow["embedding"],)], "qe: array<double>")
+        cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+        scored = base.crossJoin(broadcast(q)).select(
+            "vec_id", F.round(cos, 6).alias("cos_sim")
+        )
+    return scored.orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    ).limit(TOP_K)
 
 
 def lsh_probe_batch(
@@ -2229,9 +2258,9 @@ def lsh_probe_batch(
         (qid, b ^ m) for qid, b in query_buckets.items() for m in masks
     ]
     his = sorted({p >> LSH_HI_SHIFT for _, p in pairs})
-    pairs_df = spark.createDataFrame(pairs, "qid long, bucket int")
+    pairs_df = _local_frame(spark, pairs, "qid long, bucket int")
     cand = (
-        spark.read.parquet(os.path.join(index_dir, "buckets"))
+        _read_layout(spark, os.path.join(index_dir, "buckets"))
         .filter(F.col("bkt_hi").isin(his))
     )
     cos = F.round(
@@ -2300,7 +2329,8 @@ def ann_multiprobe_batch_topk(
         )
         .collect()
     )
-    queries = spark.createDataFrame(
+    queries = _local_frame(
+        spark,
         [(r["vec_id"], r["embedding"]) for r in qrows],
         "qid long, qe array<double>",
     )
@@ -2420,14 +2450,14 @@ def ivf_append(
     if not (os.path.isdir(cent_path) and os.path.isdir(asg_path)):
         raise ValueError(f"not a valid IVF index: {index_dir!r}")
     _refuse_null_ids(emb, "ivf_append")
-    cent = spark.read.parquet(cent_path)
+    cent = _read_layout(spark, cent_path)
     # drop duplicate ids defensively (at-least-once producers) and
     # anti-join away ids already in the assignment (replayed appends)
     # BEFORE the argmax so no work is spent on rows that will be
     # skipped; the id scan is column-pruned to vec_id only. Then
     # materialize ONCE: count and write must see the same rows, and the
     # write must not re-run the whole assignment
-    existing = spark.read.parquet(asg_path).select("vec_id")
+    existing = _read_layout(spark, asg_path).select("vec_id")
     assigned = ivf_assign(
         emb.dropDuplicates(["vec_id"]).join(
             existing, "vec_id", "left_anti"
@@ -2486,11 +2516,11 @@ def ivf_drift(
         )
     build = {
         r["cid"]: r["count"]
-        for r in spark.read.parquet(stats_path).collect()
+        for r in _read_layout(spark, stats_path).collect()
     }
     now = {
         r["cid"]: r["count"]
-        for r in spark.read.parquet(os.path.join(index_dir, "assignment"))
+        for r in _read_layout(spark, os.path.join(index_dir, "assignment"))
         .groupBy("cid")
         .count()
         .collect()
@@ -2532,7 +2562,7 @@ def lsh_append(
     if not os.path.isdir(buckets):
         raise ValueError(f"not a valid LSH index: {index_dir!r}")
     bits = _lsh_index_bits(index_dir, bits)  # mismatch raises
-    existing = spark.read.parquet(buckets).select("vec_id")
+    existing = _read_layout(spark, buckets).select("vec_id")
     fresh = _lsh_bucketed(
         emb.dropDuplicates(["vec_id"]).join(existing, "vec_id", "left_anti"),
         bits,
@@ -2821,7 +2851,7 @@ def _sq8_write(emb: DataFrame):
         _sq8_stats(emb).coalesce(1).write.parquet(
             os.path.join(staging, "stats")
         )
-        stats = spark.read.parquet(os.path.join(staging, "stats"))
+        stats = _read_layout(spark, os.path.join(staging, "stats"))
         emb.crossJoin(broadcast(stats.select("mn", "mx"))).select(
             "vec_id",
             sq8_quantize(
@@ -2853,10 +2883,10 @@ def sq8_probe(
     non-scan inputs are two broadcast one-row sides (stats, query)."""
     import os
 
-    stats = spark.read.parquet(os.path.join(index_dir, "stats")).select(
+    stats = _read_layout(spark, os.path.join(index_dir, "stats")).select(
         "mn", "mx"
     )
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    codes = _read_layout(spark, os.path.join(index_dir, "codes"))
     if exclude_vec_id is not None:
         codes = codes.filter(F.col("vec_id") != exclude_vec_id)
     deq = sq8_code_deq(F.col("codes"), F.col("mn"), F.col("mx"))
@@ -2884,8 +2914,8 @@ def sq8_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     stats_path = os.path.join(index_dir, "stats")
     if not (os.path.isdir(codes_path) and os.path.isdir(stats_path)):
         raise ValueError(f"not a valid SQ8 index: {index_dir!r}")
-    stats = spark.read.parquet(stats_path).select("mn", "mx")
-    existing = spark.read.parquet(codes_path).select("vec_id")
+    stats = _read_layout(spark, stats_path).select("mn", "mx")
+    existing = _read_layout(spark, codes_path).select("vec_id")
     fresh = (
         emb.dropDuplicates(["vec_id"])
         .join(existing, "vec_id", "left_anti")
@@ -2919,11 +2949,11 @@ def sq8_drift(
     import os
 
     total_build = (
-        spark.read.parquet(os.path.join(index_dir, "stats")).head()[
+        _read_layout(spark, os.path.join(index_dir, "stats")).head()[
             "n_vecs"
         ]
     )
-    total_now = spark.read.parquet(
+    total_now = _read_layout(spark, 
         os.path.join(index_dir, "codes")
     ).count()
     appended = total_now - total_build
@@ -3054,8 +3084,8 @@ def lsh_pair_mine(
 
     bits = _lsh_index_bits(index_dir, bits)
     layout = os.path.join(index_dir, "buckets")
-    a = spark.read.parquet(layout)
-    b = spark.read.parquet(layout)
+    a = _read_layout(spark, layout)
+    b = _read_layout(spark, layout)
     return _bucketed_pair_join(a, b, bits, radius, threshold)
 
 
@@ -3094,8 +3124,8 @@ def lsh_score_new(
     )
     if not probed_his:
         schema = "new_vec long, dup_of long, cos_sim double"
-        return spark.createDataFrame([], schema)
-    cand = spark.read.parquet(
+        return _local_frame(spark, [], schema)
+    cand = _read_layout(spark, 
         os.path.join(index_dir, "buckets")
     ).filter(F.col("bkt_hi").isin(probed_his))
     pairs = _bucketed_pair_join(
@@ -3737,12 +3767,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     training amortizes into the cached persisted index, the graded
     query is the codes-scan ADC probe + exact rerank."""
     idx = pq_index_dir(sf_dir)
-    emb = _emb(spark, sf_dir)
-    pq_build(emb, idx)
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    pq_build(_emb(spark, sf_dir), idx)
+    # q and the rerank corpus off the RAW table: the probe's bounded
+    # fetch and the pushed-isin rerank scan then carry no round-robin
+    # exchange stage (the CPU-spread only helps the build's training
+    # folds, which an existing index skips)
+    raw = load_table(spark, sf_dir, "embeddings")
+    q = raw.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    return pq_probe(spark, idx, q, emb, exclude_vec_id=QUERY_VEC_ID)
+    return pq_probe(spark, idx, q, raw, exclude_vec_id=QUERY_VEC_ID)
 
 
 def _pq_inmem_adc(corpus: DataFrame, cent: DataFrame, q: DataFrame) -> DataFrame:
@@ -3988,22 +4022,23 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture the ADC stage is lossless at the rerank budget — the
     probe returns exactly the cell-true top-k, so all remaining
     recall loss is the nprobe cell cut (tests pin this)."""
-    emb = _emb(spark, sf_dir)
     idx = ivfpq_index_dir(sf_dir)
     ivfpq_build(
-        emb,
+        _emb(spark, sf_dir),
         idx,
         ivf_dir=ivf_index_dir(sf_dir),
         pq_dir=pq_index_dir(sf_dir),
     )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    # q and the rerank corpus off the RAW table (see ann_pq_topk)
+    raw = load_table(spark, sf_dir, "embeddings")
+    q = raw.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
     return ivfpq_probe(
         spark,
         idx,
         q,
-        emb,
+        raw,
         exclude_vec_id=QUERY_VEC_ID,
         nprobe=IVF_NPROBE,
         rerank=PQ_RERANK,  # oracles embed LIMIT 64; adaptive is the default
@@ -4051,37 +4086,40 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     even when k matches exist in the probed cells. The IVF parent is
     shared with the canonical layout — payloads never affect
     training."""
-    emb = _emb(spark, sf_dir)
     idx = ivfpq_payload_index_dir(sf_dir)
     ivfpq_build(
-        emb,
+        _emb(spark, sf_dir),
         idx,
         ivf_dir=ivf_index_dir(sf_dir),
         payload_cols=("label",),
     )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe")
+    # ONE bounded fetch serves both the query vector and its label
+    # (was two separate point-scan actions); the probe then receives
+    # the BARE vector — no second fetch, no query-side subplan at all
+    raw = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        raw.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding", "label")
+        .limit(2)
+        .collect()
     )
-    qrow = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("label").head()
-    )
-    if qrow is None:
+    if len(qrows) != 1:
         # the probe's own one-row refusal, raised BEFORE an unhelpful
         # NoneType subscript — same contract as _collect_query_vec
         raise ValueError(
-            "ann_ivfpq_filtered_topk: query side has 0 rows (want"
-            f" exactly 1) — vec_id {QUERY_VEC_ID} is absent from the"
-            " corpus"
+            "ann_ivfpq_filtered_topk: query side has"
+            f" {'0 rows' if not qrows else 'more than one row'} (want"
+            f" exactly 1 for vec_id {QUERY_VEC_ID})"
         )
     return ivfpq_probe(
         spark,
         idx,
-        q,
-        emb,
+        list(qrows[0]["embedding"]),
+        raw,
         exclude_vec_id=QUERY_VEC_ID,
         nprobe=IVF_NPROBE,
         rerank=PQ_RERANK,
-        payload_eq={"label": qrow["label"]},
+        payload_eq={"label": qrows[0]["label"]},
     )
 
 
@@ -4130,22 +4168,23 @@ def ann_ivfpq_filtered_in_topk(
     into the SAME cell-pruned codes-only scan (plan-asserted), before
     the candidate cut. Shares ann_ivfpq_filtered_topk's payload
     layout, so the cache is built once for both filtered entries."""
-    emb = _emb(spark, sf_dir)
     idx = ivfpq_payload_index_dir(sf_dir)
     ivfpq_build(
-        emb,
+        _emb(spark, sf_dir),
         idx,
         ivf_dir=ivf_index_dir(sf_dir),
         payload_cols=("label",),
     )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    # q and the rerank corpus off the RAW table (see ann_pq_topk)
+    raw = load_table(spark, sf_dir, "embeddings")
+    q = raw.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
     return ivfpq_probe(
         spark,
         idx,
         q,
-        emb,
+        raw,
         exclude_vec_id=QUERY_VEC_ID,
         nprobe=IVF_NPROBE,
         rerank=PQ_RERANK,
@@ -4238,11 +4277,11 @@ def _pq_write(emb: DataFrame):
         cent.select("s", "cid", rank.alias("rank"), "csv").coalesce(
             1
         ).write.parquet(os.path.join(staging, "codebooks"))
-        cb = spark.read.parquet(os.path.join(staging, "codebooks"))
+        cb = _read_layout(spark, os.path.join(staging, "codebooks"))
         _pq_encode(
             _pq_normalized(emb), cb, PQ_M, PQ_SUBDIM, PQ_K
         ).write.parquet(os.path.join(staging, "codes"))
-        n = spark.read.parquet(os.path.join(staging, "codes")).count()
+        n = _read_layout(spark, os.path.join(staging, "codes")).count()
         write_meta_into(
             spark,
             os.path.join(staging, "meta"),
@@ -4279,7 +4318,7 @@ def _pq_meta(index_dir: str) -> dict:
 
 
 def _collect_query_vec(
-    q: DataFrame, caller: str = "pq", want_dim: int | None = None
+    q, caller: str = "pq", want_dim: int | None = None
 ) -> list | None:
     """Bounded (LIMIT 2) fetch of a probe's one-row query side: the
     same refusals the probes always made — exactly one row, non-NULL
@@ -4287,19 +4326,25 @@ def _collect_query_vec(
     vector, so downstream subplans can inline it as one literal instead
     of re-executing q's scan + broadcast build per use (the repeated
     one-row subplan executions were the probe family's dominant driver
-    cost — see OPTIMIZATION_r13.md). Returns None when the vector is
-    valid but cannot be inlined losslessly (NULL or non-finite
-    components); callers then fall back to the DataFrame form, whose
-    semantics those components already define."""
+    cost — see OPTIMIZATION_r13.md). ``q`` may also be the query
+    VECTOR itself (list/tuple — a caller that already fetched the row
+    skips the Spark action entirely); the same width refusal applies.
+    Returns None when the vector is valid but cannot be inlined
+    losslessly (NULL or non-finite components); callers then fall back
+    to the DataFrame form, whose semantics those components already
+    define."""
     import math
 
-    rows = q.select("qe").limit(2).collect()
-    if len(rows) != 1:
-        raise ValueError(
-            f"{caller} query frame must hold exactly one row (qe);"
-            f" got {'0' if not rows else 'more than one'}"
-        )
-    qe = rows[0]["qe"]
+    if isinstance(q, (list, tuple)):
+        qe = list(q)
+    else:
+        rows = q.select("qe").limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError(
+                f"{caller} query frame must hold exactly one row (qe);"
+                f" got {'0' if not rows else 'more than one'}"
+            )
+        qe = rows[0]["qe"]
     if qe is None:
         raise ValueError(f"{caller} query frame carries a NULL qe")
     if want_dim is not None and len(qe) != want_dim:
@@ -4312,6 +4357,19 @@ def _collect_query_vec(
     except (TypeError, ValueError):
         return None
     return vec if all(map(math.isfinite, vec)) else None
+
+
+def _ensure_q_frame(spark: SparkSession, q, qv: list | None):
+    """The DataFrame form of a probe's query side for the non-inlined
+    fallback plans: a bare vector (list/tuple ``q``) whose components
+    cannot inline (non-finite) materializes as a one-row local frame;
+    a DataFrame ``q`` passes through untouched. No-op on every
+    inlinable path (qv is not None)."""
+    if qv is None and isinstance(q, (list, tuple)):
+        return _local_frame(
+            spark, [([float(x) for x in q],)], "qe: array<double>"
+        )
+    return q
 
 
 def _try_query_vec(q: DataFrame) -> list | None:
@@ -4467,11 +4525,11 @@ def _pq_adc_candidates(
     # inlines as a literal so the LUT subplan carries no query-side
     # scan or broadcast build (fallback: the legacy one-row frame)
     qv = _collect_query_vec(q, caller="pq_probe", want_dim=m * subdim)
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
     lut_row = _pq_lut_row(
         cb, _q_lit(_q_unit(qv)) if qv is not None else q, subdim
     )
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    codes = _read_layout(spark, os.path.join(index_dir, "codes"))
     if exclude_vec_id is not None:
         codes = codes.filter(F.col("vec_id") != exclude_vec_id)
     return (
@@ -4614,12 +4672,12 @@ def _pq_fetch_validated(
             f" conflicting embeddings in emb (e.g. {conflicting[:5]})"
             " — the rerank corpus must be consistent per vec_id"
         )
-    # NOT coalesced: coalesce/repartition on this local relation
-    # defeats the LocalRelation fast path and costs whole seconds per
-    # probe (measured — OPTIMIZATION_r13.md); the default split's
-    # near-empty tasks are cheaper than losing the local plan
-    return spark.createDataFrame(
-        [(r["vec_id"], r["embedding"]) for r in per_id], fetch_schema
+    # ONE slice (local_frame), NOT coalesce(1): coalescing the default
+    # 32-slice local relation costs whole seconds per probe (measured —
+    # OPTIMIZATION_r13.md), while a 1-slice parallelize gives the same
+    # single downstream task without the coalesce pathology
+    return _local_frame(
+        spark, [(r["vec_id"], r["embedding"]) for r in per_id], fetch_schema
     )
 
 
@@ -4790,9 +4848,9 @@ def pq_append(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
     )
     import os
 
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
     codes_path = os.path.join(index_dir, "codes")
-    existing = spark.read.parquet(codes_path).select("vec_id")
+    existing = _read_layout(spark, codes_path).select("vec_id")
     fresh = (
         _pq_encode(
             _pq_normalized(emb.dropDuplicates(["vec_id"])),
@@ -4823,7 +4881,7 @@ def pq_drift(
     import os
 
     total_build = _pq_meta(index_dir)["n_vecs"]
-    total_now = spark.read.parquet(
+    total_now = _read_layout(spark, 
         os.path.join(index_dir, "codes")
     ).count()
     appended = total_now - total_build
@@ -5132,7 +5190,7 @@ def _ivfpq_cells_checked(spark: SparkSession, ivf_dir: str) -> DataFrame:
     import os
 
     cells = (
-        spark.read.parquet(os.path.join(ivf_dir, "assignment"))
+        _read_layout(spark, os.path.join(ivf_dir, "assignment"))
         .select("vec_id", F.col("cid").cast("long").alias("cid"))
         .dropDuplicates(["vec_id", "cid"])
     )
@@ -5178,7 +5236,7 @@ def _ivfpq_write_residual(
             emb, ivf_dir, n_centroids=n_centroids,
             recall_target=recall_target,
         )
-        cent = spark.read.parquet(os.path.join(ivf_dir, "centroids"))
+        cent = _read_layout(spark, os.path.join(ivf_dir, "centroids"))
         cent.coalesce(1).write.parquet(os.path.join(staging, "centroids"))
         cells = _ivfpq_cells_checked(spark, ivf_dir)
         # id-SET agreement (the raw path's three-way check, minus the
@@ -5222,7 +5280,7 @@ def _ivfpq_write_residual(
         cent_r.select("s", "cid", rank.alias("rank"), "csv").coalesce(
             1
         ).write.parquet(os.path.join(staging, "codebooks"))
-        cb = spark.read.parquet(os.path.join(staging, "codebooks"))
+        cb = _read_layout(spark, os.path.join(staging, "codebooks"))
         encoded = _pq_encode(rnd, cb, PQ_M, PQ_SUBDIM, PQ_K)
         rows = encoded.join(cells, "vec_id")
         if payload_cols:
@@ -5230,7 +5288,7 @@ def _ivfpq_write_residual(
         rows.write.partitionBy("cid").parquet(
             os.path.join(staging, "codes")
         )
-        out = spark.read.parquet(os.path.join(staging, "codes"))
+        out = _read_layout(spark, os.path.join(staging, "codes"))
         n = out.count()
         out.groupBy("cid").count().write.parquet(
             os.path.join(staging, "build_stats")
@@ -5293,13 +5351,13 @@ def _ivfpq_write(
         )
         pq_build(emb, pq_dir)
         pm = _pq_meta(pq_dir)
-        cent = spark.read.parquet(os.path.join(ivf_dir, "centroids"))
+        cent = _read_layout(spark, os.path.join(ivf_dir, "centroids"))
         cent.coalesce(1).write.parquet(os.path.join(staging, "centroids"))
-        spark.read.parquet(os.path.join(pq_dir, "codebooks")).coalesce(
+        _read_layout(spark, os.path.join(pq_dir, "codebooks")).coalesce(
             1
         ).write.parquet(os.path.join(staging, "codebooks"))
         cells = _ivfpq_cells_checked(spark, ivf_dir)
-        codes = spark.read.parquet(os.path.join(pq_dir, "codes"))
+        codes = _read_layout(spark, os.path.join(pq_dir, "codes"))
         # id-SET agreement BEFORE the expensive partitioned write, ONE
         # job: full-outer-join the three skinny id projections (codes,
         # cell labels, the corpus the caller asked to index) and count
@@ -5371,7 +5429,7 @@ def _ivfpq_write(
         rows.write.partitionBy("cid").parquet(
             os.path.join(staging, "codes")
         )
-        out = spark.read.parquet(os.path.join(staging, "codes"))
+        out = _read_layout(spark, os.path.join(staging, "codes"))
         n = out.count()
         out.groupBy("cid").count().write.parquet(
             os.path.join(staging, "build_stats")
@@ -5729,7 +5787,7 @@ def _probed_cell_counts(
 
     return {
         r["cid"]: r["count"]
-        for r in spark.read.parquet(os.path.join(index_dir, "codes"))
+        for r in _read_layout(spark, os.path.join(index_dir, "codes"))
         .filter(F.col("cid").isin(cids))
         .groupBy("cid")
         .count()
@@ -5801,6 +5859,7 @@ def _ivfpq_adc_candidates(
     # inlines as a literal everywhere the plan used q's subplan —
     # cell ranking, residual LUT, exact rerank (fallback: legacy frame)
     qv = _collect_query_vec(q, caller="ivfpq_probe", want_dim=m * subdim)
+    q = _ensure_q_frame(spark, q, qv)  # bare-vector fallback corner
     qside = _q_lit(qv) if qv is not None else q
     # the LUT normalizes the query; with a literal that normalization
     # happens driver-side ONCE (bit-identical — see _q_unit)
@@ -5808,11 +5867,11 @@ def _ivfpq_adc_candidates(
     pay = _check_payload_filter(
         spark, index_dir, payload_eq, "ivfpq_probe"
     )
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
     # ONE centroid read serves the nprobe default, the cell ranking and
     # the residual LUT (three separate reads before this round — each a
     # driver-side listing + footer pass per probe)
-    cent_all = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cent_all = _read_layout(spark, os.path.join(index_dir, "centroids"))
     nprobe = _resolve_nprobe(index_dir, nprobe, cent_all.count, meta=meta)
     cids = _nearest_cell_ids(cent_all, qside, nprobe)
     if rerank is None:
@@ -5821,7 +5880,7 @@ def _ivfpq_adc_candidates(
         rerank = _adaptive_rerank(
             sum(_probed_cell_counts(spark, index_dir, cids).values())
         )
-    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+    codes = _read_layout(spark, os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
     )
     for c, v in pay.items():
@@ -5866,7 +5925,7 @@ def _ivfpq_adc_candidates(
 def ivfpq_probe(
     spark: SparkSession,
     index_dir: str,
-    q: DataFrame,
+    q: DataFrame | list,
     emb: DataFrame,
     exclude_vec_id: int | None = None,
     k: int = TOP_K,
@@ -5894,7 +5953,9 @@ def ivfpq_probe(
         nprobe=nprobe,
         payload_eq=payload_eq,
     )
-    qside = _q_lit(qv) if qv is not None else q
+    qside = (
+        _q_lit(qv) if qv is not None else _ensure_q_frame(spark, q, qv)
+    )
     if width > ADC_RERANK_MAX:
         return _pq_distributed_rerank(
             spark, cand, emb, qside, k, caller="ivfpq_probe"
@@ -5936,7 +5997,7 @@ def ivfpq_append(
 
     pays = _ivfpq_payload_cols(spark, index_dir)
     codes_path = os.path.join(index_dir, "codes")
-    existing = spark.read.parquet(codes_path).select("vec_id")
+    existing = _read_layout(spark, codes_path).select("vec_id")
     if pre_encoded is not None:
         src = pre_encoded
         if pays:
@@ -5965,8 +6026,8 @@ def ivfpq_append(
                 codes_path
             )
         return n
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
+    cent = _read_layout(spark, os.path.join(index_dir, "centroids"))
     # dedup + anti-join the SKINNY id projection first (the ivf_append
     # shape): a fully-replayed batch must cost an id comparison, not a
     # full encode + assign. The surviving rows then materialize ONCE
@@ -6060,13 +6121,13 @@ def ivfpq_drift(
     total_build = _ivfpq_meta(index_dir)["n_vecs"]
     build = {
         r["cid"]: r["count"]
-        for r in spark.read.parquet(
+        for r in _read_layout(spark, 
             os.path.join(index_dir, "build_stats")
         ).collect()
     }
     now = {
         r["cid"]: r["count"]
-        for r in spark.read.parquet(os.path.join(index_dir, "codes"))
+        for r in _read_layout(spark, os.path.join(index_dir, "codes"))
         .groupBy("cid")
         .count()
         .collect()
@@ -6113,7 +6174,7 @@ def _ivfpq_persisted_parents(
     path = os.path.join(index_dir, "parents")
     if not os.path.isdir(path):
         return None
-    row = spark.read.parquet(path).head()
+    row = _read_layout(spark, path).head()
     # absolute paths go stale when an index tree is relocated to a new
     # root/host: a persisted dir that no longer exists falls back to
     # the sibling default (next to the moved composed index) rather
@@ -6255,8 +6316,8 @@ def ivfpq_calibrate_nprobe(
             " the composed layout (ivfpq_rebuild) to restore a parent,"
             " then calibrate"
         )
-    assigned = spark.read.parquet(os.path.join(ivf_dir, "assignment"))
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assigned = _read_layout(spark, os.path.join(ivf_dir, "assignment"))
+    cent = _read_layout(spark, os.path.join(index_dir, "centroids"))
     return _calibrate_nprobe_core(
         spark, index_dir, assigned, cent,
         recall_target, k, n_queries, persist,
@@ -6398,7 +6459,7 @@ def _pq_validated_rerank_batch(
     )
     ids = sorted({v for _, v in pairs})
     fetched = _pq_fetch_validated(spark, emb, ids, caller)
-    pairs_df = spark.createDataFrame(pairs, "qid long, vec_id long")
+    pairs_df = _local_frame(spark, pairs, "qid long, vec_id long")
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -6490,9 +6551,9 @@ def pq_batch_candidates(
     _require_query_batch(
         queries, caller="pq_probe_batch", want_dim=m * subdim
     )
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
     luts = _pq_lut_rows(cb, queries, subdim)
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    codes = _read_layout(spark, os.path.join(index_dir, "codes"))
     scored = codes.crossJoin(broadcast(luts))
     if exclude_self:
         scored = scored.filter(F.col("vec_id") != F.col("qid"))
@@ -6602,8 +6663,8 @@ def _ivfpq_batch_candidates(
                 " are absent from the QUERIES frame — each query must"
                 " carry its own filter values"
             )
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
+    cent = _read_layout(spark, os.path.join(index_dir, "centroids"))
     nprobe = _resolve_nprobe(index_dir, nprobe, cent.count, meta=meta)
     cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
     if rerank is None:
@@ -6617,7 +6678,7 @@ def _ivfpq_batch_candidates(
                 r["cid"], 0
             )
         rerank = _adaptive_rerank(max(per_q.values(), default=0))
-    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+    codes = _read_layout(spark, os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(cids)
     )
     for c, v in pay.items():
@@ -6980,9 +7041,9 @@ def pq_adc_near_dups(
     _require_query_batch(
         queries, caller="pq_adc_near_dups", want_dim=m * subdim
     )
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
     luts = _pq_lut_rows(cb, queries, subdim)
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    codes = _read_layout(spark, os.path.join(index_dir, "codes"))
     scored = codes.crossJoin(broadcast(luts)).select(
         "qid", "vec_id", _pq_adc_sum(m).alias("adc")
     )
@@ -7038,8 +7099,8 @@ def pq_adc_calibrate(
 
     meta = _pq_meta(index_dir)
     m, subdim = meta["pq_m"], meta["pq_subdim"]
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    codes = _read_layout(spark, os.path.join(index_dir, "codes"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
     # EXACT seed exclusion: the codebooks' cid column IS the training
     # seeds' vec_ids (pq_seed_codebooks aliases vec_id -> cid), so the
     # systematically-low-residual rows are identifiable at ANY index
@@ -7258,7 +7319,7 @@ def _refuse_oversized_cells(
     by nlist."""
     counts = {
         r["cid"]: r["count"]
-        for r in spark.read.parquet(codes_path)
+        for r in _read_layout(spark, codes_path)
         .groupBy("cid")
         .count()
         .collect()
@@ -7314,9 +7375,9 @@ def _sdc_scored_pairs(
     _refuse_oversized_cells(
         spark, os.path.join(index_dir, "codes"), max_cell_pairs, caller
     )
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
     sdm_row = _sdc_codeword_row(cb)
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    codes = _read_layout(spark, os.path.join(index_dir, "codes"))
     a = codes.select(
         F.col("cid").cast("long").alias("cell"),
         F.col("vec_id").alias("a_id"),
@@ -7629,7 +7690,7 @@ def _knn_graph_write_closure(
         )
         g.write.parquet(os.path.join(staging, "lists"))
         n_src = (
-            spark.read.parquet(os.path.join(ivfpq_dir, "codes")).count()
+            _read_layout(spark, os.path.join(ivfpq_dir, "codes")).count()
         )
         write_meta_into(
             spark,
@@ -7707,7 +7768,7 @@ def read_knn_graph(spark: SparkSession, graph_dir: str) -> DataFrame:
     vertices plus every appended arrival's list."""
     import os
 
-    return spark.read.parquet(os.path.join(graph_dir, "lists"))
+    return _read_layout(spark, os.path.join(graph_dir, "lists"))
 
 
 def knn_graph_append_new(
@@ -7732,7 +7793,7 @@ def knn_graph_append_new(
     k = int(meta.get("k", KNN_GRAPH_K))
     lists_path = os.path.join(graph_dir, "lists")
     seen = (
-        spark.read.parquet(lists_path)
+        _read_layout(spark, lists_path)
         .select(F.col("vec_id").alias("__seen"))
         .distinct()
     )
@@ -7794,14 +7855,14 @@ def fold_knn_lists_into_graph(
             " (which honors the persisted k) on the raw arrivals"
             " instead"
         )
-    side = spark.read.parquet(knn_out).select(
+    side = _read_layout(spark, knn_out).select(
         F.col("new_vec").alias("vec_id"), "nb_id", "sdc_micro", "rk"
     )
     if graph_k < KNN_GRAPH_K:
         side = side.filter(F.col("rk") <= graph_k)
     lists_path = os.path.join(graph_dir, "lists")
     seen = (
-        spark.read.parquet(lists_path)
+        _read_layout(spark, lists_path)
         .select(F.col("vec_id").alias("__seen"))
         .distinct()
     )
@@ -7841,10 +7902,10 @@ def knn_graph_staleness(
 
     meta = read_index_meta(graph_dir) or {}
     n_build = int(meta.get("n_source", 0))
-    n_now = spark.read.parquet(
+    n_now = _read_layout(spark, 
         os.path.join(ivfpq_dir, "codes")
     ).count()
-    n_list_rows = spark.read.parquet(
+    n_list_rows = _read_layout(spark, 
         os.path.join(graph_dir, "lists")
     ).count()
     delta = n_now - n_build
@@ -8113,8 +8174,8 @@ def ivfpq_calibrate_sdc(
 
     meta = _ivfpq_meta(index_dir)
     m = meta["pq_m"]
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    codes = _read_layout(spark, os.path.join(index_dir, "codes"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
     ids = [
         r["vec_id"]
         for r in codes.select("vec_id")
@@ -8318,8 +8379,8 @@ def _ivfpq_encode_cells(
         caller="ivfpq encode",
         want_dim=m * subdim,
     )
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
+    cent = _read_layout(spark, os.path.join(index_dir, "centroids"))
     cells = ivf_assign(arrivals, cent).select(
         "vec_id", F.col("cid").cast("long").alias("cid")
     )
@@ -8366,14 +8427,14 @@ def _sdc_scored_new_pairs(
 
     meta = _ivfpq_meta(index_dir)
     m = meta["pq_m"]
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
     batch_counts = {
         r["cid"]: r["n"]
         for r in encoded.groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+    codes = _read_layout(spark, os.path.join(index_dir, "codes")).filter(
         F.col("cid").isin(sorted(batch_counts))
     )
     indexed_counts = {

@@ -16,6 +16,8 @@ ReadSchema).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,12 +51,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    # schema resolved DRIVER-SIDE from the footer (one pyarrow read, no
+    # schema-inference Spark job per table open — every catalog query
+    # opens its tables per invocation, and at scale the inference pass
+    # samples footers across the table). footer_spark_schema mirrors
+    # exactly what inference would produce here, including the
+    # nanosAsLong long surface for TIMESTAMP(NANOS) columns; any
+    # unreadable/multi-file shape falls back to plain inference.
+    df = None
+    if os.path.isfile(path):
+        try:
+            from ..indexutil import footer_spark_schema
+
+            df = spark.read.schema(footer_spark_schema(path)).parquet(path)
+        except Exception:
+            df = None
+    if df is None:
+        df = spark.read.parquet(path)
     types = dict(df.dtypes)
     for col in _NANOS_COLS.get(name, ()):
         if types.get(col) == "bigint":
             df = df.withColumn(col, _nanos_to_ntz(col))
     return df
+
+
+def spread_small_scan(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Round-robin ``df`` across cores when its source file is too
+    small for the scan to split (single row group at test SFs) AND the
+    downstream per-row work is CPU-bound — the callers' documented
+    CPU-spread. The decision is DRIVER-SIDE from the file size (a
+    source smaller than cores x maxPartitionBytes cannot fill every
+    core): materializing ``df.rdd`` just to count scan partitions
+    costs ~0.1 s of plan conversion per call. At real scale the source
+    out-sizes the threshold and this is a no-op, same as before.
+    Directory tables keep the legacy partition-count probe:
+    ``os.path.getsize`` on a directory returns the INODE size, which
+    would classify an arbitrarily large layout as "small" and bolt a
+    full round-robin exchange onto it."""
+    target = spark.sparkContext.defaultParallelism
+    if os.path.isfile(path):
+        small = os.path.getsize(path) < target * 128 * 1024 * 1024
+    else:  # directory table / remote path: the legacy probe
+        small = df.rdd.getNumPartitions() < target
+    return df.repartition(target) if small else df
 
 
 def load_tables(

@@ -37,6 +37,8 @@ document bodies never shuffle, same argument as snapshot_diff.
 
 from __future__ import annotations
 
+from ..indexutil import read_layout as _read_layout  # noqa: E402
+
 import os
 import shutil
 
@@ -112,7 +114,7 @@ def _fp_write(docs: DataFrame, num_buckets: int):
         ).write.partitionBy(_BUCKET_COL).parquet(
             os.path.join(staging, "fingerprints")
         )
-        n = spark.read.parquet(
+        n = _read_layout(spark, 
             os.path.join(staging, "fingerprints")
         ).count()
         write_meta_into(
@@ -185,7 +187,7 @@ def classify_new_docs(
             "doc_id", "lang", "fp", F.lit("added").alias("category")
         ).limit(0)
     idx = (
-        spark.read.parquet(os.path.join(index_dir, "fingerprints"))
+        _read_layout(spark, os.path.join(index_dir, "fingerprints"))
         .filter(F.col(_BUCKET_COL).isin(touched))
         .select(
             "doc_id",
@@ -235,7 +237,7 @@ def fp_index_apply(
         return 0
     fp_path = os.path.join(index_dir, "fingerprints")
     current = (
-        spark.read.parquet(fp_path)
+        _read_layout(spark, fp_path)
         .filter(F.col(_BUCKET_COL).isin(touched))
     )
     old = current.select(
@@ -384,7 +386,7 @@ def reconcile_removed(
     recover_fp_buckets(index_dir)
     _fp_meta(index_dir)  # refuse non-indexes by name
     fp_path = os.path.join(index_dir, "fingerprints")
-    idx = spark.read.parquet(fp_path)
+    idx = _read_layout(spark, fp_path)
     removed = (
         idx.join(snapshot.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", "lang", _BUCKET_COL)

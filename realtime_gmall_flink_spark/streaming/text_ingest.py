@@ -30,6 +30,8 @@ is the batch pair generator's job.
 
 from __future__ import annotations
 
+from ..indexutil import read_layout as _read_layout  # noqa: E402
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,7 +79,7 @@ def _shingle_write(docs: DataFrame, text_col: str, k: int):
         shingle_hashes(
             docs.dropDuplicates(["doc_id"]), text_col, k
         ).write.parquet(sh_path)
-        sh = spark.read.parquet(sh_path)
+        sh = _read_layout(spark, sh_path)
         sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n")
         ).write.parquet(os.path.join(staging, "sizes"))
@@ -85,7 +87,7 @@ def _shingle_write(docs: DataFrame, text_col: str, k: int):
             F.count(F.lit(1)).alias("df")
         ).write.parquet(os.path.join(staging, "dfreq"))
         n_docs = (
-            spark.read.parquet(os.path.join(staging, "sizes")).count()
+            _read_layout(spark, os.path.join(staging, "sizes")).count()
         )
         spark.createDataFrame(
             [(n_docs,)], "n_docs long"
@@ -101,13 +103,13 @@ def _legacy_build_count(spark: SparkSession, index_dir: str) -> int:
     the shingles tree against dfreq hashes — reads all shingle hashes,
     the cost the build_stats snapshot exists to avoid."""
     total_now = (
-        spark.read.parquet(os.path.join(index_dir, "sizes"))
+        _read_layout(spark, os.path.join(index_dir, "sizes"))
         .select("doc_id")
         .distinct()
         .count()
     )
-    sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
-    dfreq = spark.read.parquet(os.path.join(index_dir, "dfreq")).select(
+    sh = _read_layout(spark, os.path.join(index_dir, "shingles"))
+    dfreq = _read_layout(spark, os.path.join(index_dir, "dfreq")).select(
         "h"
     )
     appended = (
@@ -161,7 +163,7 @@ def shingle_index_drift(
     ``dfreq`` — that path reads ALL shingle hashes and at corpus scale
     costs a real scan; rebuild to get the cheap check."""
     total_now = (
-        spark.read.parquet(os.path.join(index_dir, "sizes"))
+        _read_layout(spark, os.path.join(index_dir, "sizes"))
         .select("doc_id")
         .distinct()
         .count()
@@ -169,7 +171,7 @@ def shingle_index_drift(
     stats_path = os.path.join(index_dir, "build_stats")
     if os.path.isdir(stats_path):
         total_build = (
-            spark.read.parquet(stats_path).head()["n_docs"]
+            _read_layout(spark, stats_path).head()["n_docs"]
         )
     else:
         # legacy fallback (pre-build_stats build): recover the build
@@ -281,16 +283,16 @@ def score_new_docs(
     # scoreable — a semi-join on the ok-set would silently exclude
     # every post-build document from matching
     viral = (
-        spark.read.parquet(os.path.join(index_dir, "dfreq"))
+        _read_layout(spark, os.path.join(index_dir, "dfreq"))
         .filter(F.col("df") > max_df)
         .select("h")
     )
     idx_sh = (
-        spark.read.parquet(os.path.join(index_dir, "shingles"))
+        _read_layout(spark, os.path.join(index_dir, "shingles"))
         .join(viral, "h", "left_anti")
         .select(F.col("doc_id").alias("dup_of"), "h")
     )
-    sizes = spark.read.parquet(os.path.join(index_dir, "sizes")).select(
+    sizes = _read_layout(spark, os.path.join(index_dir, "sizes")).select(
         F.col("doc_id").alias("dup_of"), F.col("n").alias("n_old")
     )
     inter = (
@@ -344,7 +346,7 @@ def append_docs_to_index(
     sizes_path = os.path.join(index_dir, "sizes")
     sh_path = os.path.join(index_dir, "shingles")
     indexed = (
-        spark.read.parquet(sh_path).select("doc_id").distinct()
+        _read_layout(spark, sh_path).select("doc_id").distinct()
     )
     fresh_docs = new_docs.dropDuplicates(["doc_id"]).join(
         indexed, "doc_id", "left_anti"
@@ -366,9 +368,9 @@ def append_docs_to_index(
         )
     # sizes repair: recompute from the persisted shingles for any doc
     # missing a size row (covers this call AND heals crashed priors)
-    sized = spark.read.parquet(sizes_path).select("doc_id")
+    sized = _read_layout(spark, sizes_path).select("doc_id")
     missing_sizes = (
-        spark.read.parquet(sh_path)
+        _read_layout(spark, sh_path)
         .join(sized, "doc_id", "left_anti")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -544,7 +546,7 @@ def gram_index_append(
     if not os.path.isdir(grams):
         raise ValueError(f"not a valid gram index: {index_dir!r}")
     k = _gram_index_k(index_dir, k)
-    existing = spark.read.parquet(grams)
+    existing = _read_layout(spark, grams)
     fresh = (
         gram_positions(docs.dropDuplicates(["doc_id"]), text_col, k)
         .select("h")
@@ -577,7 +579,7 @@ def score_new_docs_spans(
 
     k = _gram_index_k(index_dir, k)
     g = gram_positions(new_docs.dropDuplicates(["doc_id"]), text_col, k)
-    idx = spark.read.parquet(os.path.join(index_dir, "grams")).select(
+    idx = _read_layout(spark, os.path.join(index_dir, "grams")).select(
         "h", F.lit(True).alias("hit")
     )
     occ = g.join(idx, "h", "left").select(

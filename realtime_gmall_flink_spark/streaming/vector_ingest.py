@@ -25,6 +25,8 @@ the arriving vectors.
 
 from __future__ import annotations
 
+from ..indexutil import read_layout as _read_layout  # noqa: E402
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,8 +62,8 @@ def run_embedding_ingest(
     ``index_dir``. Returns the started query."""
     from .sources import parquet_topic_ingest
 
-    base = spark.read.parquet(os.path.join(index_dir, "assignment"))
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    base = _read_layout(spark, os.path.join(index_dir, "assignment"))
+    cent = _read_layout(spark, os.path.join(index_dir, "centroids"))
     scored_dir = os.path.join(out_dir, "scored")
     dup_dir = os.path.join(out_dir, "near_dups")
 
@@ -114,7 +116,7 @@ def run_embedding_ingest(
 def read_scored(
     spark: SparkSession, out_dir: str, keep_batch: bool = False
 ) -> DataFrame:
-    df = spark.read.parquet(os.path.join(out_dir, "scored"))
+    df = _read_layout(spark, os.path.join(out_dir, "scored"))
     return df if keep_batch else df.drop("batch")
 
 
@@ -146,7 +148,7 @@ def append_scored_to_index(
         .select("vec_id", "embedding", "cid")
         .dropDuplicates(["vec_id"])
     )
-    existing = spark.read.parquet(asg).select("vec_id")
+    existing = _read_layout(spark, asg).select("vec_id")
     # localCheckpoint severs lineage BEFORE the append: the write must
     # not re-scan the very directory it is appending into
     fresh = scored.join(existing, "vec_id", "left_anti").localCheckpoint(
@@ -204,7 +206,7 @@ def append_scored_to_pq(
             pq_dir,
             read_scored(spark, out_dir).select("vec_id", "embedding"),
         )
-    existing = spark.read.parquet(os.path.join(pq_dir, "codes")).select(
+    existing = _read_layout(spark, os.path.join(pq_dir, "codes")).select(
         "vec_id"
     )
     decided_dir = os.path.join(out_dir, "screened_pq")
@@ -251,7 +253,7 @@ def _read_decided(spark: SparkSession, path: str) -> DataFrame | None:
     None when no run recorded decisions yet."""
     if not os.path.isdir(path):
         return None
-    return spark.read.parquet(path).select("vec_id").distinct()
+    return _read_layout(spark, path).select("vec_id").distinct()
 
 
 def _record_decided(
@@ -292,7 +294,7 @@ def _append_knn_lists(
     todo, enc = arrivals, pre_encoded
     if os.path.isdir(knn_out):
         seen = (
-            spark.read.parquet(knn_out)
+            _read_layout(spark, knn_out)
             .select(F.col("new_vec").alias("vec_id"))
             .distinct()
         )
@@ -475,7 +477,7 @@ def append_scored_to_ivfpq(
         fresh_new = (
             arrivals.dropDuplicates(["vec_id"])
             .join(
-                spark.read.parquet(
+                _read_layout(spark, 
                     os.path.join(ivfpq_dir, "codes")
                 ).select("vec_id"),
                 "vec_id",
@@ -497,7 +499,7 @@ def append_scored_to_ivfpq(
     # cell counts equal to actual arrivals — a replayed history cannot
     # inflate batch x indexed past the bound), exact copies collapsed
     # intra-batch AND vs already-indexed rows
-    existing = spark.read.parquet(
+    existing = _read_layout(spark, 
         os.path.join(ivfpq_dir, "codes")
     ).select("vec_id")
     decided_dir = os.path.join(out_dir, "screened_ivfpq")
