@@ -66,11 +66,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across cores. A 0.6 MB shuffle buys 32-way parallelism; at real scale
     # the file count exceeds core count and this becomes a no-op-ish
     # round-robin of already-parallel input (size-based decision in
-    # sources.testdata.spread_small_scan).
+    # sources.testdata.spread_small_scan). Keyed on doc_id: nearly
+    # every consumer windows/groups by doc_id right after exploding
+    # tokens or shingles, and a doc_id-hashed spread lets those reuse
+    # THIS exchange instead of re-shuffling the exploded rows (at
+    # sf0.1 near_dup_jaccard drops its token exchange, ~15%; at scale
+    # the removed exchange is k x the corpus text).
     return spread_small_scan(
         spark,
         load_table(spark, sf_dir, "documents"),
         os.path.join(sf_dir, "documents.parquet"),
+        key="doc_id",
     )
 
 

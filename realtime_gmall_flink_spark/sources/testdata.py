@@ -77,10 +77,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread_small_scan(
-    spark: SparkSession, df: DataFrame, path: str
+    spark: SparkSession, df: DataFrame, path: str, key: str | None = None
 ) -> DataFrame:
-    """Round-robin ``df`` across cores when its source file is too
-    small for the scan to split (single row group at test SFs) AND the
+    """Spread ``df`` across cores when its source file is too small
+    for the scan to split (single row group at test SFs) AND the
     downstream per-row work is CPU-bound — the callers' documented
     CPU-spread. The decision is DRIVER-SIDE from the file size (a
     source smaller than cores x maxPartitionBytes cannot fill every
@@ -90,13 +90,24 @@ def spread_small_scan(
     Directory tables keep the legacy partition-count probe:
     ``os.path.getsize`` on a directory returns the INODE size, which
     would classify an arbitrarily large layout as "small" and bolt a
-    full round-robin exchange onto it."""
+    full exchange onto it.
+
+    ``key``: hash-partition on this column instead of round-robin.
+    The callers' downstream ops key on the row id (doc_id windows and
+    groupBys after the shingle explode, vec_id reductions), so a
+    keyed spread lets them reuse this exchange and drop their own —
+    the dropped one carries EXPLODED rows (every token/shingle with
+    its text), while this one carries each source row once. A unique
+    id hashes as evenly as round-robin, so the CPU-spread is
+    unchanged."""
     target = spark.sparkContext.defaultParallelism
     if os.path.isfile(path):
         small = os.path.getsize(path) < target * 128 * 1024 * 1024
     else:  # directory table / remote path: the legacy probe
         small = df.rdd.getNumPartitions() < target
-    return df.repartition(target) if small else df
+    if not small:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
 
 
 def load_tables(

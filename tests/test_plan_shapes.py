@@ -43,6 +43,12 @@ def test_jaccard_single_scan(spark):
     # one parquet scan of documents, no self-join re-scan
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # the doc_id-keyed CPU-spread is the ONLY doc_id exchange: the
+    # shingle window and per-doc distinct reuse it, so the exploded
+    # token rows (k x corpus text) are never shuffled — only raw docs
+    # once, then 8-byte hashes
+    assert plan.count("hashpartitioning(doc_id") <= 2  # tree + detail
+    assert "RoundRobinPartitioning" not in plan
 
 
 def test_q6_pure_scan_no_join_no_key_shuffle(spark):
@@ -321,13 +327,13 @@ def test_ann_multiprobe_catalog_entry_probes_persisted_layout(spark):
 
 def test_pii_redaction_scan_only(spark):
     """doc_pii_redaction_stats is the scan-only family: per-row regex
-    count + redaction fingerprint, no hash exchange anywhere (the only
-    Exchange allowed is the deliberate round-robin CPU-spread of the
-    single-row-group test file, which disappears on real multi-file
-    input)."""
+    count + redaction fingerprint. The ONLY exchange allowed is the
+    deliberate doc_id-keyed CPU-spread of the single-row-group test
+    file (which disappears on real multi-file input); the query itself
+    must add none."""
     df = catalog()["doc_pii_redaction_stats"].builder(spark, SF_DIR)
     plan = _plan(df)
-    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
     assert "Join" not in plan
 
 
@@ -341,9 +347,11 @@ def test_contamination_single_scan_hash_joins(spark):
 
 
 def test_doc_chunks_no_shuffle(spark):
+    # the one allowed exchange is the doc_id-keyed CPU-spread (see
+    # test_pii_redaction_scan_only); chunking adds no shuffle of its own
     df = catalog()["doc_chunks"].builder(spark, SF_DIR)
     plan = _plan(df)
-    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
     assert "Join" not in plan
 
 
