@@ -251,10 +251,14 @@ def resize_images(
                 )
                 continue
             outs = []
-            for _, row in pdf.iterrows():
-                blob = np.frombuffer(bytes(row["content"]), dtype=np.uint8)
-                w = max(int(row["width"]), 1)
-                h = max(int(row["height"]), 1)
+            # zip over the three columns, not iterrows(): building a
+            # pandas Series per row dominates at batch sizes this small
+            for content, w, h in zip(
+                pdf["content"], pdf["width"], pdf["height"]
+            ):
+                blob = np.frombuffer(bytes(content), dtype=np.uint8)
+                w = max(int(w), 1)
+                h = max(int(h), 1)
                 if not len(blob):
                     outs.append(b"\x00" * (out_w * out_h))
                     continue
@@ -292,9 +296,12 @@ def resample_audio(df: DataFrame, target_hz: int = 8000) -> DataFrame:
         for pdf in batches:
             keep = pdf[pdf["sample_rate"] > 0]
             outs, counts = [], []
-            for _, row in keep.iterrows():
-                blob = np.frombuffer(bytes(row["content"]), dtype=np.uint8)
-                src_hz = int(row["sample_rate"])
+            # zip, not iterrows() (see resize_images)
+            for content, sample_rate in zip(
+                keep["content"], keep["sample_rate"]
+            ):
+                blob = np.frombuffer(bytes(content), dtype=np.uint8)
+                src_hz = int(sample_rate)
                 n_out = (len(blob) * target_hz) // src_hz
                 if n_out == 0 or not len(blob):
                     outs.append(b"")

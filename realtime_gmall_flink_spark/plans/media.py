@@ -178,19 +178,64 @@ def resize_decode_stats(
     batch-computed resize stats cannot diverge. The output's
     width/height columns ARE the resize parameters: self-describing
     rows, so a re-ingest at a different size is detectable (and
-    filterable) at read time rather than silently mixed."""
-    from ..functions.multimodal import resize_images
+    filterable) at read time rather than silently mixed.
 
-    resized = resize_images(
-        media, out_w=out_w, out_h=out_h, codec="fake"
-    ).select(
-        "media_id",
-        F.lit("image").alias("kind"),
-        "content",
-        "width",
-        "height",
+    FUSED into one Arrow stage: the old form chained
+    ``resize_images`` -> ``decode_images`` — two mapInPandas stages,
+    so every blob crossed the JVM<->Python boundary twice and the
+    resized payloads were Arrow-shipped back to the JVM only to enter
+    Python again. The fused stage samples the same NN indices and
+    takes the mean over exactly the same ``out_w x out_h`` bytes
+    (``blob[idx].mean()`` — the identical uint8 array the decode
+    stage saw, so the float64 result is bit-identical), and never
+    materializes the resized payload at all. Only image rows are
+    scored, as before (the resize stage's kind filter)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        rows = np.arange(out_h, dtype=np.int64)
+        cols = np.arange(out_w, dtype=np.int64)
+        n_out = out_w * out_h
+        for pdf in batches:
+            means = []
+            for blob_b, w, h in zip(
+                pdf["content"], pdf["width"], pdf["height"]
+            ):
+                blob = np.frombuffer(bytes(blob_b), dtype=np.uint8)
+                if not len(blob):
+                    means.append(0.0)
+                    continue
+                w = max(int(w), 1)
+                h = max(int(h), 1)
+                src_r = (rows * h) // out_h
+                src_c = (cols * w) // out_w
+                idx = (src_r[:, None] * w + src_c[None, :]) % len(blob)
+                means.append(float(blob[idx].mean()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": np.int32(out_w),
+                    "height": np.int32(out_h),
+                    "mean_intensity": pd.Series(
+                        means, dtype="float64", index=pdf.index
+                    ),
+                    "byte_len": np.int64(n_out),
+                }
+            )
+
+    scored = media.filter(media["kind"] == "image").select(
+        "media_id", "content", "width", "height"
+    ).mapInPandas(
+        fn,
+        schema=(
+            "media_id bigint, width int, height int,"
+            " mean_intensity double, byte_len bigint"
+        ),
     )
-    return decode_images(resized, codec="fake").select(
+    return scored.select(
         "media_id",
         "width",
         "height",
