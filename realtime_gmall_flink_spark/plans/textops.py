@@ -2723,14 +2723,25 @@ def curation_pipeline_from_scored(f: DataFrame) -> DataFrame:
         .withColumn("rn", F.row_number().over(wfp))
         .filter(F.col("rn") == 1)
         .select("doc_id", "text", "split")
+        # re-spread BEFORE caching: AQE coalesces the dedup window's
+        # fp-exchange to ~2 partitions at test SFs, and a cache keeps
+        # that layout — every downstream branch (the jaccard pair mine,
+        # both shingle passes, packing) then ran 2-wide on a 32-core
+        # box (profiled: ten 2-task stages of 1-1.7 s each). Keyed on
+        # doc_id so the pair mine's window reuses this exchange, same
+        # as the _docs spread.
+        .repartition(
+            f.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
         .persist()  # dedup-window once, not per branch
     )
     dropped = (
         jaccard_pairs(s3)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .withColumn("__dropped", F.lit(1))
     )
-    s4 = s3.join(dropped, "doc_id", "left_anti")
+    s4 = s3.join(dropped.drop("__dropped"), "doc_id", "left_anti")
     tr = s4.filter(F.col("split") == "train")
     ev = (
         shingle_hashes(f.filter(F.col("split") != "train"))
@@ -2747,45 +2758,66 @@ def curation_pipeline_from_scored(f: DataFrame) -> DataFrame:
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("ov"),
         )
     )
-    s5 = (
-        tr.join(contam, "doc_id", "left")
-        .withColumn("n_sh", F.coalesce("n_sh", F.lit(0)))
-        .withColumn("ov", F.coalesce("ov", F.lit(0)))
-        .filter(
-            (F.col("ov") * CONTAM_KEEP_DEN < F.col("n_sh"))
-            | (F.col("n_sh") == 0)
+    # One LINEAR chain from here down (was: five independent count
+    # branches crossJoined, each re-deriving the UNCACHED pair mine
+    # and contamination subtrees — the jaccard mine ran 4x and contam
+    # 2-3x per invocation, racing each other through the s3 cache;
+    # profiled at ~4x the single-chain cost). Every funnel stage
+    # becomes a per-row flag on the survivor frame, the pack sums
+    # fold into the same per-bucket aggregate, and ONE final
+    # aggregate emits all six counts; the heavy subtrees execute
+    # exactly once by structure, not by cache luck.
+    surv4 = F.col("__dropped").isNull()
+    is_tr = surv4 & (F.col("split") == "train")
+    keep5 = is_tr & (
+        (
+            F.coalesce("ov", F.lit(0)) * CONTAM_KEEP_DEN
+            < F.coalesce("n_sh", F.lit(0))
         )
+        | (F.coalesce("n_sh", F.lit(0)) == 0)
     )
-    packs = (
-        s5.select(
+    fs = (
+        s3.join(dropped, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
             pack_bucket("doc_id").alias("bucket"),
-            token_count("text").cast("long").alias("toks"),
+            surv4.cast("long").alias("__s4"),
+            is_tr.cast("long").alias("__tr"),
+            keep5.cast("long").alias("__s5"),
+            F.when(keep5, token_count("text").cast("long"))
+            .otherwise(F.lit(None))
+            .alias("toks"),
         )
-        .groupBy("bucket")
-        .agg(F.sum("toks").alias("btok"))
     )
-    pagg = packs.agg(
+    per_bucket = fs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c3"),
+        F.sum("__s4").alias("c4"),
+        F.sum("__tr").alias("ctr"),
+        F.sum("__s5").alias("c5"),
+        F.sum("toks").alias("btok"),  # NULL when the bucket kept no row
+    )
+    tail = per_bucket.agg(
+        # coalesce: an empty survivor set must read 0, like the old
+        # count() branches, not a NULL sum over zero buckets
+        F.coalesce(F.sum("c3"), F.lit(0)).alias("exact_dedup_ct"),
+        F.coalesce(F.sum("c4"), F.lit(0)).alias("near_dup_ct"),
+        F.coalesce(F.sum("ctr"), F.lit(0)).alias("train_ct"),
+        F.coalesce(F.sum("c5"), F.lit(0)).alias("decontam_ct"),
         F.coalesce(F.sum("btok"), F.lit(0))
         .cast("long")
         .alias("packed_token_sum"),
+        # buckets with no kept rows carry btok NULL and drop out of the
+        # sum, exactly like the old packs frame they were absent from
         F.coalesce(
-            F.sum(F.expr(f"(btok + {PACK_BUDGET - 1}) DIV {PACK_BUDGET}")),
+            F.sum(
+                F.expr(f"(btok + {PACK_BUDGET - 1}) DIV {PACK_BUDGET}")
+            ),
             F.lit(0),
         )
         .cast("long")
         .alias("packed_seq_ct"),
     )
-    c3 = s3.agg(F.count(F.lit(1)).alias("exact_dedup_ct"))
-    c4 = s4.agg(F.count(F.lit(1)).alias("near_dup_ct"))
-    ctr = tr.agg(F.count(F.lit(1)).alias("train_ct"))
-    c5 = s5.agg(F.count(F.lit(1)).alias("decontam_ct"))
-    return (
-        base.crossJoin(c3)
-        .crossJoin(c4)
-        .crossJoin(ctr)
-        .crossJoin(c5)
-        .crossJoin(pagg)
-    )
+    return base.crossJoin(tail)
 
 
 @register(
