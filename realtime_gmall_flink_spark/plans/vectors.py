@@ -1617,6 +1617,13 @@ def ivf_knn_graph(
             # re-join so the distinct hashes 16 bytes, not 2x64 floats
             .select("__a", "__b")
             .distinct()
+            # re-spread after the dedup: AQE coalesces the 16-byte-row
+            # distinct output to ~2 partitions by BYTES, but the next
+            # stage runs the 64-dim cosine fold per pair (CPU-bound,
+            # broadcast-joined) — profiled as one 6.3 s two-task stage
+            # on 32 cores. Round-robin on the skinny ids is ~16 bytes
+            # per pair of shuffle for full-width execution.
+            .repartition(spark.sparkContext.defaultParallelism)
         )
         scored = (
             pairs.join(

@@ -31,6 +31,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Partition-dir listing: the persisted index layouts are
+    # metadata-sized trees of a few hundred ``name=value`` dirs
+    # (bkt_hi buckets, IVF cells), but the default threshold (32)
+    # launches a DISTRIBUTED listing job per open — a 256-task job
+    # costing ~0.5 s against directories a driver scandir walks in
+    # milliseconds (measured: semantic_dedup_clusters paid two such
+    # jobs per call). Raised, not unbounded: a genuinely huge layout
+    # (>SPARK_GRAFT_LIST_THRESHOLD paths, e.g. a 100 TB object-store
+    # table) still lists distributed.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+        "SPARK_GRAFT_LIST_THRESHOLD", "4096"
+    ),
 }
 
 BUILD_CONFS: dict[str, str] = {
