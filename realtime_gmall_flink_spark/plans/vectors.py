@@ -1927,14 +1927,15 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _probe_cell_pairs(
     cent: DataFrame, queries: DataFrame, nprobe: int
-) -> tuple[list[int], DataFrame]:
+) -> tuple[list[int], DataFrame, list]:
     """Per-query probe cells for a batch: rank the k-row centroid table
     per qid (a window over nq*k rows) and collect the (qid, cid) pairs
     driver-side (nq*nprobe rows — metadata-sized for any sane batch).
     Returns (sorted union of probed cids for the literal scan filter,
-    broadcastable pairs frame restoring per-query scoping) — the ONE
-    definition of the batch cell-ranking contract, shared by the IVF
-    and IVF-PQ batch probes."""
+    broadcastable pairs frame restoring per-query scoping, the
+    collected pair rows so driver-side consumers reuse them instead of
+    re-collecting) — the ONE definition of the batch cell-ranking
+    contract, shared by the IVF and IVF-PQ batch probes."""
     from pyspark.sql import Window
 
     qc = F.round(cosine_similarity(F.col("ce"), F.col("qe")), 6)
@@ -1955,7 +1956,7 @@ def _probe_cell_pairs(
         [(r["qid"], r["cid"]) for r in probe_pairs],
         "qid long, cid long",
     )
-    return cids, pairs_df
+    return cids, pairs_df, probe_pairs
 
 
 def ivf_probe_batch(
@@ -1989,11 +1990,14 @@ def ivf_probe_batch(
             f"ivf_probe_batch: {index_dir!r} holds an EMPTY centroids"
             " table — not a probeable IVF index; rerun ivf_build"
         )
-    _require_query_batch(
+    # the validation IS the fetch (one bounded action): the collected
+    # batch localizes so the cell ranking and the final scoring join
+    # read a LocalTableScan instead of re-executing the query scan
+    queries = _localized_query_batch(
         queries, caller="ivf_probe_batch", want_dim=head["d"]
     )
     nprobe = _resolve_nprobe(index_dir, nprobe, cent.count)
-    cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
+    cids, pairs_df, _ = _probe_cell_pairs(cent, queries, nprobe)
     assigned = _read_layout(spark, 
         os.path.join(index_dir, "assignment")
     ).filter(F.col("cid").isin(cids))
@@ -6491,7 +6495,12 @@ def _require_query_batch(
 ) -> None:
     """Eager batch-query check: an empty batch or duplicate qids would
     silently produce nothing / fan scores out per duplicate — refused
-    by name (the one-row-q precedent applied to batches)."""
+    by name (the one-row-q precedent applied to batches). A frame that
+    already passed _localized_query_batch carries its validation flag
+    and skips the re-check job (same refusals, already applied to the
+    same rows driver-side)."""
+    if getattr(queries, "_gmall_batch_prevalidated", False):
+        return
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.count("qid").alias("n_nonnull"),
@@ -6534,6 +6543,66 @@ def _require_query_batch(
             f" that are not {want_dim}-dim — the index geometry"
             " disagrees"
         )
+
+
+def _localized_query_batch(
+    queries: DataFrame, caller: str, want_dim: int | None = None
+) -> DataFrame:
+    """ONE bounded action for a batch probe's whole query side: collect
+    the frame (driver-bounded by the batch contract already — the
+    probes collect nq*nprobe cell pairs and nq*rerank candidate ids),
+    apply the _require_query_batch refusals driver-side over the SAME
+    rows in the SAME order with the SAME messages, and rebuild them as
+    a one-slice local frame (identical schema; doubles round-trip
+    value-exactly through collect/createDataFrame). Every downstream
+    subplan then reads a LocalTableScan instead of re-executing the
+    query scan per action — the single-probe literal-inlining lesson
+    (OPTIMIZATION_r13.md §1) applied to batches, where per-qid lookup
+    tables rule out a single literal. The result carries the validation
+    flag (_require_query_batch skips its job) and the collected rows
+    (bounded driver-side reuse, e.g. per-query match values). NOT for
+    unbounded frames (append/encode batches keep the agg-based check)."""
+    if "qid" not in queries.columns or "qe" not in queries.columns:
+        # unknown shape: keep the agg form's plan-time column errors
+        _require_query_batch(queries, caller=caller, want_dim=want_dim)
+    rows = queries.collect()
+    n = len(rows)
+    if n == 0:
+        raise ValueError(
+            f"{caller} batch query frame is empty (qid, qe)"
+        )
+    n_null_qid = sum(1 for r in rows if r["qid"] is None)
+    if n_null_qid:
+        raise ValueError(
+            f"{caller} batch query frame carries"
+            f" {n_null_qid} NULL qids"
+        )
+    n_null_qe = sum(1 for r in rows if r["qe"] is None)
+    if n_null_qe:
+        raise ValueError(
+            f"{caller} batch query frame carries"
+            f" {n_null_qe} NULL qe vectors"
+        )
+    nq = len({r["qid"] for r in rows})
+    if nq != n:
+        raise ValueError(
+            f"{caller} batch query frame carries duplicate qids"
+            f" ({n} rows, {nq} distinct)"
+        )
+    if want_dim is not None:
+        n_bw = sum(1 for r in rows if len(r["qe"]) != want_dim)
+        if n_bw:
+            raise ValueError(
+                f"{caller} batch query frame carries {n_bw} vectors"
+                f" that are not {want_dim}-dim — the index geometry"
+                " disagrees"
+            )
+    out = _local_frame(
+        queries.sparkSession, [tuple(r) for r in rows], queries.schema
+    )
+    out._gmall_batch_prevalidated = True
+    out._gmall_batch_rows = rows
+    return out
 
 
 def pq_batch_candidates(
@@ -6580,7 +6649,16 @@ def pq_probe_batch(
     """Top-k for MANY query vectors against the persisted PQ index in
     ONE codes scan (pq_batch_candidates), then one fetch validates and
     reranks. Corpus query ids exclude their self-match (the
-    ivf_probe_batch contract)."""
+    ivf_probe_batch contract). The query batch collects ONCE up front
+    (validation + localization in the same bounded action —
+    _localized_query_batch), so the LUT build and the rerank tail read
+    a LocalTableScan instead of re-executing the query scan."""
+    meta = _pq_meta(index_dir)
+    queries = _localized_query_batch(
+        queries,
+        caller="pq_probe_batch",
+        want_dim=meta["pq_m"] * meta["pq_subdim"],
+    )
     cand = pq_batch_candidates(
         spark, index_dir, queries, rerank, exclude_self
     )
@@ -6673,14 +6751,14 @@ def _ivfpq_batch_candidates(
     cb = _read_layout(spark, os.path.join(index_dir, "codebooks"))
     cent = _read_layout(spark, os.path.join(index_dir, "centroids"))
     nprobe = _resolve_nprobe(index_dir, nprobe, cent.count, meta=meta)
-    cids, pairs_df = _probe_cell_pairs(cent, queries, nprobe)
+    cids, pairs_df, pair_rows = _probe_cell_pairs(cent, queries, nprobe)
     if rerank is None:
         # the budget must fit the LARGEST per-query pool: per-cell
         # footer counts once, per-qid sums driver-side from the
-        # bounded (qid, cid) pairs
+        # bounded (qid, cid) pairs already collected by the ranking
         counts = _probed_cell_counts(spark, index_dir, cids)
         per_q: dict = {}
-        for r in pairs_df.collect():
+        for r in pair_rows:
             per_q[r["qid"]] = per_q.get(r["qid"], 0) + counts.get(
                 r["cid"], 0
             )
@@ -6695,9 +6773,15 @@ def _ivfpq_batch_candidates(
         qpay = queries.select(
             "qid", *[F.col(c).alias(f"__q_{c}") for c in match]
         )
+        qrows = getattr(queries, "_gmall_batch_rows", None)
         for c in match:
             vals = sorted(
-                {r[0] for r in queries.select(c).distinct().collect()},
+                {r[c] for r in qrows}
+                if qrows is not None  # reuse the localized collect
+                else {
+                    r[0]
+                    for r in queries.select(c).distinct().collect()
+                },
                 key=lambda v: (v is None, v),
             )  # bounded: <= nq distinct values
             if any(v is None for v in vals):
@@ -6762,7 +6846,18 @@ def ivfpq_probe_batch(
     restricts each query to rows matching ITS OWN payload values
     (per-query filtered search — see ivfpq_batch_candidates).
     A per-query candidate budget above ADC_RERANK_MAX keeps the exact
-    rerank DISTRIBUTED — the ivfpq_probe dispatch, batch form."""
+    rerank DISTRIBUTED — the ivfpq_probe dispatch, batch form. The
+    query batch collects ONCE up front (validation + localization in
+    the same bounded action — _localized_query_batch): cell ranking,
+    per-query match values, the LUT build and the rerank tail all
+    reuse the collected rows / LocalTableScan instead of re-executing
+    the query scan per action."""
+    meta = _ivfpq_meta(index_dir)
+    queries = _localized_query_batch(
+        queries,
+        caller="ivfpq_probe_batch",
+        want_dim=meta["pq_m"] * meta["pq_subdim"],
+    )
     cand, width = _ivfpq_batch_candidates(
         spark,
         index_dir,

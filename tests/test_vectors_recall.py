@@ -1786,6 +1786,60 @@ def test_ivfpq_batch_probe_single_pruned_codes_scan(spark, tmp_path):
         ivfpq_probe_batch(spark, idx, nulled, emb)
 
 
+def test_batch_probe_query_side_localizes_once(spark, tmp_path):
+    """The batch probes collect their query side ONCE
+    (_localized_query_batch: validation + localization in the same
+    bounded action): (a) the localized frame carries the validation
+    flag so _require_query_batch schedules no re-check job, (b) the
+    probe's RESULT plan is free of any parquet scan — candidates,
+    validated snapshot, pairs and queries are all bounded local
+    relations by the time the caller executes it (the single-probe
+    local-only rerank contract, batch form), and (c) localization is
+    value-exact: results equal the raw-frame call bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from realtime_gmall_flink_spark.plans.vectors import (
+        IVF_BATCH_QIDS,
+        _emb,
+        _localized_query_batch,
+        _require_query_batch,
+        ivfpq_build,
+        ivfpq_probe_batch,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = _emb(spark, SF_DIR)
+    idx = ivfpq_build(emb, str(tmp_path / "ivfpqloc"))
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_BATCH_QIDS))
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    loc = _localized_query_batch(queries, "test", want_dim=64)
+    # (a) flagged + rows attached; the re-check is a driver no-op
+    assert getattr(loc, "_gmall_batch_prevalidated", False)
+    assert len(loc._gmall_batch_rows) == len(IVF_BATCH_QIDS)
+    before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    _require_query_batch(loc, caller="test", want_dim=64)
+    assert (
+        spark.sparkContext._jsc.sc().dagScheduler().nextJobId() == before
+    )
+    # (b) the executed result plan is local-only: every parquet scan
+    # (codes, corpus fetch, query side) already happened inside the
+    # probe's bounded actions
+    out = ivfpq_probe_batch(spark, idx, queries, emb)
+    probe_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert probe_plan.count("FileScan parquet") == 0
+    # (c) localization never changes a result row
+    got = sorted(map(tuple, out.collect()))
+    raw = sorted(
+        map(
+            tuple,
+            ivfpq_probe_batch(spark, idx, loc, emb).collect(),
+        )
+    )
+    assert got == raw
+
+
 def test_append_surfaces_refuse_null_ids_and_batch_excludes_optional(
     spark, tmp_path
 ):
