@@ -404,17 +404,82 @@ def read_layout(spark, path: str):
 
 
 def local_frame(spark, data, schema):
-    """``createDataFrame`` for DRIVER-LOCAL bounded row sets, in ONE
-    slice: the default path splits tiny row sets across
-    defaultParallelism near-empty slices, so every downstream job
-    schedules (and a LIMIT scale-up re-schedules) one task per core
-    for rows that fit in one — measured 4x on a one-row frame's
-    bounded fetch and ~0.3 s on the probe rerank tail's final count
-    (OPTIMIZATION_r13.md). Same serializer, same values — only the
-    slice count changes."""
+    """``createDataFrame`` for DRIVER-LOCAL bounded row sets. Fast
+    path: rows of numeric/string/binary/boolean scalars (and arrays/
+    structs of those) build a pyarrow Table first, which Catalyst
+    plans as a genuine ``LocalRelation`` — LocalTableScan execution
+    with no Python-worker task and driver-side broadcast builds
+    (measured ~3x per bounded action vs the pickled-RDD form; doubles
+    cross the Arrow boundary bit-exactly). Anything the gate or the
+    conversion rejects (timestamps/decimals keep pickle semantics)
+    falls back to a ONE-slice ``parallelize``: the default path would
+    split tiny row sets across defaultParallelism near-empty slices,
+    scheduling one task per core for rows that fit in one — measured
+    4x on a one-row frame's bounded fetch (OPTIMIZATION_r13.md). Same
+    values either way; only the physical plan differs."""
+    sch = schema
+    if isinstance(sch, str):
+        try:
+            from pyspark.sql.types import _parse_datatype_string
+
+            sch = _parse_datatype_string(sch)
+        except Exception:
+            sch = schema
+    if not isinstance(sch, str) and _arrow_safe_type(sch):
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            asch = to_arrow_schema(sch)
+            names = asch.names
+            tbl = pa.Table.from_pylist(
+                [dict(zip(names, r)) for r in data], schema=asch
+            )
+            return spark.createDataFrame(tbl, schema=sch)
+        except Exception:
+            pass
     return spark.createDataFrame(
         spark.sparkContext.parallelize(data, 1), schema
     )
+
+
+def _arrow_safe_type(dt) -> bool:
+    """True when every leaf of ``dt`` is a type whose Python->Arrow->
+    Spark round-trip is value-identical to the pickled-RDD path:
+    integers, floats (bit-exact incl. non-finite), strings, binary,
+    booleans, and arrays/structs over those. Temporal and decimal
+    types are deliberately OUT (their conversion semantics live in the
+    pickler; callers that need them keep the legacy path)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        StructType,
+    )
+
+    scalar = (
+        ByteType,
+        ShortType,
+        IntegerType,
+        LongType,
+        FloatType,
+        DoubleType,
+        StringType,
+        BinaryType,
+        BooleanType,
+    )
+    if isinstance(dt, StructType):
+        return all(_arrow_safe_type(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _arrow_safe_type(dt.elementType)
+    return isinstance(dt, scalar)
 
 
 def footer_spark_schema(part_file: str):
