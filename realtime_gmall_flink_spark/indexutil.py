@@ -419,12 +419,7 @@ def local_frame(spark, data, schema):
     values either way; only the physical plan differs."""
     sch = schema
     if isinstance(sch, str):
-        try:
-            from pyspark.sql.types import _parse_datatype_string
-
-            sch = _parse_datatype_string(sch)
-        except Exception:
-            sch = schema
+        sch = _parsed_ddl(sch) or schema
     if not isinstance(sch, str) and _arrow_safe_type(sch):
         try:
             import pyarrow as pa
@@ -441,6 +436,29 @@ def local_frame(spark, data, schema):
     return spark.createDataFrame(
         spark.sparkContext.parallelize(data, 1), schema
     )
+
+
+def _parsed_ddl(schema: str):
+    """DDL string -> StructType via the JVM parser, memoized: the
+    engine's bounded local frames reuse a handful of schema strings,
+    and the parse is a py4j round-trip per call otherwise. DataType
+    objects are plain Python — safe to share across sessions. Returns
+    None when parsing fails (caller keeps the raw string for the
+    createDataFrame fallback, whose own error surfaces unchanged)."""
+    hit = _DDL_CACHE.get(schema)
+    if hit is not None:
+        return hit
+    try:
+        from pyspark.sql.types import _parse_datatype_string
+
+        parsed = _parse_datatype_string(schema)
+    except Exception:
+        return None
+    _DDL_CACHE[schema] = parsed
+    return parsed
+
+
+_DDL_CACHE: dict = {}
 
 
 def _arrow_safe_type(dt) -> bool:
