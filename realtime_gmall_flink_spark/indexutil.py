@@ -427,6 +427,14 @@ def local_frame(spark, data, schema):
 
             asch = to_arrow_schema(sch)
             names = asch.names
+            # arity guard: pa.Table.from_pylist would silently TRUNCATE
+            # an over-long row and NULL-fill a short one where the
+            # pickled-RDD path raises a job failure — malformed internal
+            # callers must fail loudly on the strict legacy path, not
+            # fabricate NULLs
+            data = data if isinstance(data, (list, tuple)) else list(data)
+            if any(len(r) != len(names) for r in data):
+                raise ValueError("row arity != schema arity")
             tbl = pa.Table.from_pylist(
                 [dict(zip(names, r)) for r in data], schema=asch
             )

@@ -6500,7 +6500,23 @@ def _require_query_batch(
     and skips the re-check job (same refusals, already applied to the
     same rows driver-side)."""
     if getattr(queries, "_gmall_batch_prevalidated", False):
-        return
+        # the localization validated the rows, but possibly against a
+        # DIFFERENT dim (or none): only skip when this call's want_dim
+        # is covered; otherwise re-check the dim over the attached rows
+        # driver-side (same message as the agg form)
+        pre_dim = getattr(queries, "_gmall_batch_dim", None)
+        if want_dim is None or want_dim == pre_dim:
+            return
+        rows = getattr(queries, "_gmall_batch_rows", None)
+        if rows is not None:
+            n_bw = sum(1 for r in rows if len(r["qe"]) != want_dim)
+            if n_bw:
+                raise ValueError(
+                    f"{caller} batch query frame carries {n_bw} vectors"
+                    f" that are not {want_dim}-dim — the index geometry"
+                    " disagrees"
+                )
+            return
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.count("qid").alias("n_nonnull"),
@@ -6563,8 +6579,12 @@ def _localized_query_batch(
     (bounded driver-side reuse, e.g. per-query match values). NOT for
     unbounded frames (append/encode batches keep the agg-based check)."""
     if "qid" not in queries.columns or "qe" not in queries.columns:
-        # unknown shape: keep the agg form's plan-time column errors
+        # unknown shape: keep the agg form's plan-time column errors,
+        # and make the branch TERMINAL — if the agg check ever passed
+        # for such a frame, falling through to r["qid"] below would
+        # surface a raw field error instead of the contract message
         _require_query_batch(queries, caller=caller, want_dim=want_dim)
+        return queries
     rows = queries.collect()
     n = len(rows)
     if n == 0:
@@ -6602,6 +6622,7 @@ def _localized_query_batch(
     )
     out._gmall_batch_prevalidated = True
     out._gmall_batch_rows = rows
+    out._gmall_batch_dim = want_dim
     return out
 
 
